@@ -1,0 +1,304 @@
+package graft.catalog
+
+import java.sql.Timestamp
+import java.util.UUID
+import java.util.concurrent.atomic.AtomicReference
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.filter.MetadataFilter
+import graft.functions.Embedder
+import graft.index.{IvfModel, LshModel}
+import graft.model._
+
+/** Index type selector (reference: config.py:25 allows lsh|ivf; exact
+  * brute-force is the always-available fallback, SURVEY.md §2.11). */
+sealed trait IndexType
+object IndexType {
+  case object Exact extends IndexType
+  case object Lsh extends IndexType
+  case object Ivf extends IndexType
+  def parse(s: String): Either[ApiError, IndexType] = s.toLowerCase match {
+    case "flat" | "exact" => Right(Exact)
+    case "lsh" => Right(Lsh)
+    case "ivf" => Right(Ivf)
+    case other => Left(ApiError.Validation(s"Invalid index type: $other"))
+  }
+}
+
+/** Versioned per-library index state: the Spark-native replacement for
+  * the reference's mutable `IndexManager` registry + locks
+  * (library_service.py:18, concurrency.py). DataFrames are immutable, so
+  * "locking" reduces to an atomic swap of this state. */
+final case class IndexState(
+    indexType: IndexType,
+    signatures: Option[DataFrame],   // LSH: (id, bucket)
+    assigned: Option[DataFrame],     // IVF: chunks + cluster_id
+    lsh: Option[LshModel],
+    ivf: Option[IvfModel],
+    builtAtVersion: Long)
+
+/**
+ * Driver-side catalog + chunk store for the Library -> Document -> Chunk
+ * hierarchy. Libraries and documents are driver-side registries (they
+ * are tiny dimension data — thousands of entries); chunks are a
+ * DataFrame (the 100 TB side), mutated by union (insert) / anti-join
+ * (delete) / map-merge (update), with cascade semantics matching
+ * storage.py:67-90 (library cascade) and :137-161 (document cascade).
+ *
+ * Duplicate-id create overwrites (dict-set semantics, storage.py:40,
+ * 105, 182); updates with None/absent fields leave fields unchanged
+ * (library_service.py:66-69).
+ */
+final class VectorCatalog(val spark: SparkSession,
+    val embedder: Embedder = Embedder.default,
+    val embeddingDim: Int = 64) {
+  import spark.implicits._
+
+  private val libraries = new TrieMap[String, LibraryRow]()
+  private val documents = new TrieMap[String, DocumentRow]()
+  private val chunksRef = new AtomicReference[DataFrame](emptyChunks)
+  private val indexes = new TrieMap[String, IndexState]()
+  private val version = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def emptyChunks: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas.chunks)
+
+  private def now(): Timestamp = new Timestamp(System.currentTimeMillis())
+  private def newId(): String = UUID.randomUUID().toString
+
+  def chunks: DataFrame = chunksRef.get()
+  def currentVersion: Long = version.get()
+
+  // ---------------------------------------------------------------- library
+  def createLibrary(name: String, description: Option[String] = None,
+      metadata: Map[String, String] = Map.empty,
+      indexType: String = "lsh", id: Option[String] = None): Either[ApiError, LibraryRow] =
+    IndexType.parse(indexType).map { it =>
+      val t = now()
+      val row = LibraryRow(id.getOrElse(newId()), name, description, metadata,
+        is_indexed = false, created_at = t, updated_at = t)
+      libraries.put(row.id, row)
+      indexes.put(row.id, IndexState(it, None, None, None, None, -1L))
+      row
+    }
+
+  def getLibrary(id: String): Either[ApiError, LibraryRow] =
+    libraries.get(id).toRight(ApiError.NotFound(s"Library $id not found"))
+
+  def listLibraries(): Seq[LibraryRow] = libraries.values.toSeq.sortBy(_.id)
+
+  def updateLibrary(id: String, name: Option[String] = None,
+      description: Option[String] = None,
+      metadata: Option[Map[String, String]] = None): Either[ApiError, LibraryRow] =
+    getLibrary(id).map { lib =>
+      val updated = lib.copy(
+        name = name.getOrElse(lib.name),
+        description = description.orElse(lib.description),
+        metadata = metadata.getOrElse(lib.metadata),
+        updated_at = now())
+      libraries.put(id, updated)
+      updated
+    }
+
+  /** Cascade: documents and chunks of the library go too (storage.py:67-90). */
+  def deleteLibrary(id: String): Either[ApiError, Unit] =
+    getLibrary(id).map { _ =>
+      libraries.remove(id)
+      indexes.remove(id)
+      documents.filterInPlace { case (_, d) => d.library_id != id }
+      mutateChunks(_.filter($"library_id" =!= id))
+    }
+
+  // --------------------------------------------------------------- document
+  def createDocument(libraryId: String, name: String,
+      description: Option[String] = None,
+      metadata: Map[String, String] = Map.empty,
+      id: Option[String] = None): Either[ApiError, DocumentRow] =
+    getLibrary(libraryId).map { _ =>
+      val t = now()
+      val row = DocumentRow(id.getOrElse(newId()), libraryId, name, description, metadata, t, t)
+      documents.put(row.id, row)
+      row
+    }
+
+  def getDocument(id: String): Either[ApiError, DocumentRow] =
+    documents.get(id).toRight(ApiError.NotFound(s"Document $id not found"))
+
+  def listDocuments(libraryId: String): Seq[DocumentRow] =
+    documents.values.filter(_.library_id == libraryId).toSeq.sortBy(_.id)
+
+  def updateDocument(id: String, name: Option[String] = None,
+      description: Option[String] = None,
+      metadata: Option[Map[String, String]] = None): Either[ApiError, DocumentRow] =
+    getDocument(id).map { doc =>
+      val updated = doc.copy(
+        name = name.getOrElse(doc.name),
+        description = description.orElse(doc.description),
+        metadata = metadata.getOrElse(doc.metadata),
+        updated_at = now())
+      documents.put(id, updated)
+      updated
+    }
+
+  /** Cascade: the document's chunks go too (storage.py:137-161). */
+  def deleteDocument(id: String): Either[ApiError, Unit] =
+    getDocument(id).map { _ =>
+      documents.remove(id)
+      mutateChunks(_.filter($"document_id" =!= id))
+    }
+
+  /** Equality-only metadata filter over documents (document_service.py:117-143). */
+  def documentsByMetadata(libraryId: String, filters: Map[String, String]): Seq[DocumentRow] =
+    listDocuments(libraryId).filter(d => filters.forall { case (k, v) => d.metadata.get(k).contains(v) })
+
+  // ------------------------------------------------------------------ chunk
+  /** Create with embed-at-insert (chunk_service.py:22-54). */
+  def createChunk(documentId: String, text: String,
+      metadata: Map[String, String] = Map.empty,
+      embedding: Option[Array[Float]] = None,
+      id: Option[String] = None): Either[ApiError, ChunkRow] =
+    getDocument(documentId).map { doc =>
+      val t = now()
+      val emb = embedding.orElse(Some(embedder.embedOne(text)))
+      val row = ChunkRow(id.getOrElse(newId()), documentId, doc.library_id, text, emb, metadata, t, t)
+      appendChunks(Seq(row))
+      row
+    }
+
+  /** Bulk create for batch ingest — single union, one embed pass. */
+  def createChunks(documentId: String, items: Seq[(String, Map[String, String])]): Either[ApiError, Seq[ChunkRow]] =
+    getDocument(documentId).map { doc =>
+      val t = now()
+      val embs = embedder.embed(items.map(_._1))
+      val rows = items.zip(embs).map { case ((text, meta), emb) =>
+        ChunkRow(newId(), documentId, doc.library_id, text, Some(emb), meta, t, t)
+      }
+      appendChunks(rows)
+      rows
+    }
+
+  def getChunk(id: String): Either[ApiError, ChunkRow] = {
+    val hits = chunks.filter($"id" === id).as[ChunkRow].collect()
+    hits.headOption.toRight(ApiError.NotFound(s"Chunk $id not found"))
+  }
+
+  /** Update; text change re-embeds (chunk_service.py:81-98); absent
+    * fields unchanged (PATCH semantics). */
+  def updateChunk(id: String, text: Option[String] = None,
+      metadata: Option[Map[String, String]] = None): Either[ApiError, ChunkRow] =
+    getChunk(id).map { old =>
+      val t = now()
+      val updated = old.copy(
+        text = text.getOrElse(old.text),
+        embedding = text.map(tx => embedder.embedOne(tx)).orElse(old.embedding),
+        metadata = metadata.getOrElse(old.metadata),
+        updated_at = t)
+      mutateChunks(df => df.filter($"id" =!= id)
+        .unionByName(spark.createDataFrame(Seq(updated).map(chunkToRow).asJava, Schemas.chunks)))
+      updated
+    }
+
+  def deleteChunk(id: String): Either[ApiError, Unit] =
+    getChunk(id).map(_ => mutateChunks(_.filter($"id" =!= id)))
+
+  def chunksByDocument(documentId: String): DataFrame =
+    chunks.filter($"document_id" === documentId)
+
+  def chunksByLibrary(libraryId: String): DataFrame =
+    chunks.filter($"library_id" === libraryId)
+
+  /** Exact-equality metadata filter over chunks (chunk_service.py:154-177). */
+  def chunksByMetadata(libraryId: String, filters: Map[String, String]): DataFrame =
+    filters.foldLeft(chunksByLibrary(libraryId)) { case (df, (k, v)) =>
+      df.filter(element_at($"metadata", k).isNotNull && element_at($"metadata", k) === v)
+    }
+
+  /** Rich-filter variant used by search (F1 forms, search_service.py:155-197). */
+  def chunksFiltered(libraryId: String, filters: Map[String, String]): DataFrame =
+    chunksByLibrary(libraryId)
+      .filter(MetadataFilter.compile(filters, $"metadata", $"created_at"))
+
+  // ------------------------------------------------------------------ index
+  /** Build/rebuild a library's index (libraries POST /{id}/index;
+    * library_service.py:120-158 / M5-M7). */
+  def indexLibrary(libraryId: String, indexType: String): Either[ApiError, IndexState] =
+    for {
+      _ <- getLibrary(libraryId)
+      it <- IndexType.parse(indexType)
+    } yield {
+      val libChunks = chunksByLibrary(libraryId).filter($"embedding".isNotNull)
+      val state = it match {
+        case IndexType.Exact =>
+          IndexState(it, None, None, None, None, version.get())
+        case IndexType.Lsh =>
+          val model = LshModel(dim = embeddingDim)
+          val sigs = model.build(libChunks, "id", "embedding").cache()
+          sigs.count() // materialize now: the build is the batch job
+          IndexState(it, Some(sigs), None, Some(model), None, version.get())
+        case IndexType.Ivf =>
+          IvfModel.trainIfReady(libChunks, "embedding") match {
+            case Some(model) =>
+              val assigned = model.assign(libChunks, "embedding").cache()
+              assigned.count()
+              IndexState(it, None, Some(assigned), None, Some(model), version.get())
+            case None => // below training threshold: index exists, untrained
+              IndexState(it, None, None, None, None, version.get())
+          }
+      }
+      indexes.put(libraryId, state)
+      libraries.get(libraryId).foreach(l =>
+        libraries.put(libraryId, l.copy(is_indexed = true, updated_at = now())))
+      state
+    }
+
+  def indexState(libraryId: String): Option[IndexState] = indexes.get(libraryId)
+
+  /** True when chunk mutations occurred after the index build. */
+  def indexStale(libraryId: String): Boolean =
+    indexes.get(libraryId).exists(s => s.builtAtVersion < version.get() && s.builtAtVersion >= 0)
+
+  // ------------------------------------------------------------------ stats
+  /** Entity counts (storage.py:253-265 — defined there, never routed). */
+  def stats(): Map[String, Long] = Map(
+    "libraries" -> libraries.size.toLong,
+    "documents" -> documents.size.toLong,
+    "chunks" -> chunks.count())
+
+  /** Orphan checks (storage.py:278-306) as anti-joins. */
+  def validateRelationships(): Map[String, Long] = {
+    val docIds = documents.keys.toSeq.toDF("id")
+    val libIds = libraries.keys.toSeq.toDF("id")
+    val orphanChunks = chunks.join(docIds, chunks("document_id") === docIds("id"), "left_anti").count()
+    val orphanDocs = documents.values.count(d => !libraries.contains(d.library_id)).toLong
+    Map("orphan_chunks" -> orphanChunks, "orphan_documents" -> orphanDocs)
+  }
+
+  // ------------------------------------------------------------- internals
+  private def chunkToRow(c: ChunkRow): Row = Row(
+    c.id, c.document_id, c.library_id, c.text,
+    c.embedding.orNull, c.metadata, c.created_at, c.updated_at)
+
+  private def appendChunks(rows: Seq[ChunkRow]): Unit = {
+    val df = spark.createDataFrame(rows.map(chunkToRow).asJava, Schemas.chunks)
+    mutateChunks(_.unionByName(df))
+  }
+
+  private def mutateChunks(f: DataFrame => DataFrame): Unit = {
+    chunksRef.updateAndGet(df => f(df))
+    version.incrementAndGet()
+  }
+
+  /** Persist chunks partitioned by library (partition pruning on the
+    * per-library scan path, SURVEY.md §4). */
+  def save(path: String): Unit =
+    chunks.write.mode("overwrite").partitionBy("library_id").parquet(path)
+
+  def loadChunks(path: String): Unit = {
+    chunksRef.set(spark.read.schema(Schemas.chunks).parquet(path))
+    version.incrementAndGet()
+  }
+}

@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.graft.expressions._
+
+/**
+ * User-facing Column API for graft's custom Catalyst expressions, plus
+ * SQL registration. Mirrors the reference's `VectorOperations` surface
+ * (reference: app/utils/embedding.py:66-140) as native, codegen'd
+ * expressions rather than UDFs.
+ */
+object GraftFunctions {
+
+  def cosine_sim(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  def euclidean_dist(a: Column, b: Column): Column =
+    Bridge.column(EuclideanDistance(Bridge.expression(a), Bridge.expression(b)))
+
+  def dot_product(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  def vector_norm(a: Column): Column =
+    Bridge.column(VectorNorm(Bridge.expression(a)))
+
+  def normalize_vec(a: Column): Column =
+    Bridge.column(NormalizeVector(Bridge.expression(a)))
+
+  /** Register every graft expression for SQL (`SELECT cosine_sim(a,b) ...`). */
+  def registerAll(spark: SparkSession): Unit = {
+    Bridge.registerFunction(spark, "cosine_sim", es => CosineSimilarity(es(0), es(1)))
+    Bridge.registerFunction(spark, "euclidean_dist", es => EuclideanDistance(es(0), es(1)))
+    Bridge.registerFunction(spark, "dot_product", es => DotProduct(es(0), es(1)))
+    Bridge.registerFunction(spark, "vector_norm", es => VectorNorm(es(0)))
+    Bridge.registerFunction(spark, "normalize_vec", es => NormalizeVector(es(0)))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.graft.expressions.{LshBuckets, LshPlanes}
+import graft.model.GraftConfig
+
+/**
+ * Random-hyperplane LSH index as a *derived DataFrame* (the Spark-native
+ * reshaping of the reference's mutable bucket dicts,
+ * app/database/indexes.py:33-135): `build` maps the chunk table to a
+ * (bucket, id) table; search is an equi-filter on the query's buckets
+ * followed by a semi-join + exact rerank. At scale, the signatures table
+ * is written bucketed/partitioned by `bucket`, so a probe touches only
+ * matching files — the join IS the reference's "only look in matching
+ * buckets" optimization (indexes.py:143-153).
+ *
+ * Defaults mirror the reference: 8 tables x 12 bits (config.py:29-30);
+ * hyperplanes are seeded (the reference's are not, indexes.py:70 — a
+ * deliberate determinism fix, SURVEY.md §7 risk register).
+ */
+final case class LshModel(
+    numTables: Int = GraftConfig.lshNumTables,
+    bitsPerTable: Int = GraftConfig.lshHashLength,
+    dim: Int = GraftConfig.embeddingDimension,
+    seed: Long = 42L) {
+
+  /** `array<long>` of per-table bucket keys for an embedding column. */
+  def bucketsColumn(emb: Column): Column =
+    Bridge.column(LshBuckets(Bridge.expression(emb), numTables, bitsPerTable, dim, seed))
+
+  /** Driver-side bucket keys for a query vector. */
+  def bucketsOf(v: Array[Float]): Array[Long] =
+    LshPlanes.bucketsOf(v, numTables, bitsPerTable, dim, seed)
+
+  /**
+   * Build the signatures table: one row per (id, bucket). LoC-wise this
+   * replaces LSH add/remove/rebuild (indexes.py:103-135, 437-452) — the
+   * index is recomputed by one narrow map + explode, and incremental
+   * maintenance is union/anti-join on this table.
+   */
+  def build(chunks: DataFrame, idCol: String, embCol: String): DataFrame =
+    chunks.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("id"), explode(bucketsColumn(col(embCol))).as("bucket"))
+
+  /**
+   * Candidate ids for a query vector: union of the query's buckets
+   * across tables, deduplicated (indexes.py:143-149). Returns a
+   * DataFrame[id] to semi-join against the (filtered) chunk universe.
+   */
+  def candidates(signatures: DataFrame, query: Array[Float]): DataFrame = {
+    val qBuckets = bucketsOf(query)
+    signatures.filter(col("bucket").isin(qBuckets.map(Long.box): _*))
+      .select("id").dropDuplicates("id")
+  }
+}

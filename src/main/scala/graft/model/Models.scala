@@ -1,0 +1,114 @@
+package graft.model
+
+import java.sql.Timestamp
+import org.apache.spark.sql.types._
+
+/**
+ * Core entity rows of the Library -> Document -> Chunk hierarchy
+ * (reference: app/models.py:21-106; mapping rationale SURVEY.md §1.4 —
+ * `library_id` is denormalized onto chunks so the per-library scan is a
+ * single partition-prunable filter instead of the reference's 2-hop
+ * adjacency walk, storage.py:242-249).
+ */
+final case class ChunkRow(
+    id: String,
+    document_id: String,
+    library_id: String,
+    text: String,
+    embedding: Option[Array[Float]],
+    metadata: Map[String, String],
+    created_at: Timestamp,
+    updated_at: Timestamp)
+
+final case class DocumentRow(
+    id: String,
+    library_id: String,
+    name: String,
+    description: Option[String],
+    metadata: Map[String, String],
+    created_at: Timestamp,
+    updated_at: Timestamp)
+
+final case class LibraryRow(
+    id: String,
+    name: String,
+    description: Option[String],
+    metadata: Map[String, String],
+    is_indexed: Boolean,
+    created_at: Timestamp,
+    updated_at: Timestamp)
+
+/** Search query (reference: app/models.py:109-120 — text XOR embedding). */
+final case class SearchQuery(
+    queryText: Option[String] = None,
+    queryEmbedding: Option[Array[Float]] = None,
+    k: Int = 5,
+    metadataFilters: Map[String, String] = Map.empty) {
+  def validated: Either[ApiError, SearchQuery] =
+    if (queryText.isEmpty && queryEmbedding.isEmpty)
+      Left(ApiError.Validation("Either query_text or query_embedding must be provided"))
+    else Right(this)
+}
+
+/** One search hit (reference: app/models.py:123-127). */
+final case class SearchResult(
+    chunk: ChunkRow,
+    similarityScore: Double,
+    distance: Double)
+
+/** Search response envelope (reference: app/models.py:130-135). */
+final case class SearchResponse(
+    results: Seq[SearchResult],
+    totalResults: Int,
+    executionTimeMs: Double)
+
+sealed trait ApiError { def message: String }
+object ApiError {
+  /** 404-equivalent (reference routes' HTTPException(404)). */
+  final case class NotFound(message: String) extends ApiError
+  /** 400-equivalent. */
+  final case class Validation(message: String) extends ApiError
+}
+
+object Schemas {
+  val chunks: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("document_id", StringType, nullable = false),
+    StructField("library_id", StringType, nullable = false),
+    StructField("text", StringType, nullable = true),
+    StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = true),
+    StructField("metadata", MapType(StringType, StringType), nullable = true),
+    StructField("created_at", TimestampType, nullable = false),
+    StructField("updated_at", TimestampType, nullable = false)))
+
+  val documents: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("library_id", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("description", StringType, nullable = true),
+    StructField("metadata", MapType(StringType, StringType), nullable = true),
+    StructField("created_at", TimestampType, nullable = false),
+    StructField("updated_at", TimestampType, nullable = false)))
+
+  val libraries: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("name", StringType, nullable = false),
+    StructField("description", StringType, nullable = true),
+    StructField("metadata", MapType(StringType, StringType), nullable = true),
+    StructField("is_indexed", BooleanType, nullable = false),
+    StructField("created_at", TimestampType, nullable = false),
+    StructField("updated_at", TimestampType, nullable = false)))
+}
+
+/** Engine defaults mirroring reference config (app/config.py). */
+object GraftConfig {
+  val embeddingDimension: Int = 1024        // config.py:20
+  val defaultK: Int = 5                     // config.py:35
+  val maxK: Int = 100                       // config.py:36
+  val lshNumTables: Int = 8                 // config.py:29
+  val lshHashLength: Int = 12               // config.py:30
+  val ivfNlist: Int = 100                   // config.py:31
+  val ivfNprobe: Int = 5                    // config.py:32
+  /** k<=0 => default, k>max => max (config.py:62-68). */
+  def clampK(k: Int): Int = if (k <= 0) defaultK else math.min(k, maxK)
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * As-of join: for each left row, attach the most recent right row (by
+ * time) with right.time <= left.time, per join key.
+ *
+ * Implemented with the union + ordered-window trick rather than a
+ * per-left-row range join: tag both sides, union, sort within each key
+ * by (time, side) with right rows first at equal timestamps, and carry
+ * the latest right values forward with `last(..., ignoreNulls)`. This is
+ * ONE shuffle on the join key and scales linearly — the naive
+ * inequality-join alternative is a quadratic blowup per key.
+ */
+object AsOfJoin {
+
+  /**
+   * @param left      left (probe) rows
+   * @param right     right (reference) rows
+   * @param keys      equi-join keys present on both sides
+   * @param leftTime  left timestamp column name
+   * @param rightTime right timestamp column name
+   * @param rightVals right value columns to carry, emitted as `asof_<c>`
+   * @param tieBreak  right column ordering rows at identical timestamps
+   *                  (latest wins); pass a strictly-increasing unique id
+   *                  for determinism
+   */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      rightVals: Seq[String], tieBreak: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+
+    val lAligned = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .withColumn("__tie", lit(Long.MaxValue))
+    val rAligned = right.select(
+      keys.map(col) ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__side"),
+          col(tieBreak).cast("long").as("__tie")) ++
+        rightVals.map(c => col(c).as(s"__rv_$c")): _*)
+
+    val unioned = lAligned.unionByName(rAligned, allowMissingColumns = true)
+
+    // right rows (side 0) sort before left rows (side 1) at equal time:
+    // a right row AT the left timestamp is visible to it (<= semantics)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = rightVals.foldLeft(unioned)((df, c) =>
+      df.withColumn(s"asof_$c", last(col(s"__rv_$c"), ignoreNulls = true).over(w)))
+
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ rightVals.map(c => col(s"asof_$c")): _*)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+import graft.index.IvfModel
+
+/**
+ * Similarity-search operators over an embedding column.
+ *
+ * - `knnExact`: single-query brute force — the reference's Q1 fallback
+ *   (search_service.py:112-153). Plans as a shuffle-free scan ending in
+ *   `TakeOrderedAndProject` (per-partition top-k heap + driver merge of
+ *   k rows), strictly better than the reference's full sort.
+ * - `bruteForceTopK`: batch of queries vs corpus — broadcast the small
+ *   query side, per-partition score, window top-k per query.
+ * - `ivfTopK`: the scale path — cluster-prune the corpus per query via a
+ *   trained IVF model, then exact rerank only inside probed clusters.
+ */
+object Similarity {
+
+  /** Deterministic tiebreak: score desc, id asc (SURVEY.md §2.5). */
+  def knnExact(corpus: DataFrame, idCol: String, embCol: String,
+      query: Array[Float], k: Int): DataFrame =
+    corpus.filter(col(embCol).isNotNull)
+      .withColumn("score", cosine_sim(col(embCol), typedLit(query)))
+      .withColumn("distance", euclidean_dist(col(embCol), typedLit(query)))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+
+  /**
+   * Batch kNN: every row of `queries` (qidCol, qembCol) gets its top-k
+   * neighbors from `corpus`. The query side is broadcast (it is the
+   * small side by construction); scoring is a broadcast nested-loop
+   * over each corpus partition — no corpus shuffle; the only shuffle is
+   * the final per-query top-k window, which moves at most
+   * |queries| * |corpus| scored *rows already filtered by rank* after
+   * partial aggregation. For very large query sets, use `ivfTopK`.
+   */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, embCol: String,
+      queries: DataFrame, qidCol: String, qembCol: String, k: Int): DataFrame = {
+    val scored = corpus.filter(col(embCol).isNotNull)
+      .crossJoin(broadcast(queries.select(col(qidCol).as("query_id"),
+        col(qembCol).as("query_emb"))))
+      .withColumn("score", cosine_sim(col(embCol), col("query_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /**
+   * IVF-accelerated batch kNN: assign corpus rows to clusters once,
+   * assign each query to its top-`nprobe` clusters, then join on
+   * cluster_id — each query only scores corpus rows in its probed
+   * clusters (nprobe/nlist of the data). The join shuffles on
+   * cluster_id, which is exactly the partitioning the assigned corpus
+   * table is stored with at scale.
+   */
+  def ivfTopK(corpus: DataFrame, idCol: String, embCol: String,
+      queries: DataFrame, qidCol: String, qembCol: String, k: Int,
+      model: IvfModel, nprobe: Int): DataFrame = {
+    val assigned = model.assign(corpus, embCol)
+      .select(col(idCol), col(embCol), col("cluster_id"))
+    // per-query probed clusters via the same centroid expression family:
+    // top-nprobe centroid ids, exploded to (query, cluster_id)
+    val qAssigned = queries.select(col(qidCol).as("query_id"),
+        col(qembCol).as("query_emb"))
+      .withColumn("cluster_id", explode(probeClustersColumn(model, col("query_emb"), nprobe)))
+    val scored = assigned.join(qAssigned, Seq("cluster_id"))
+      .withColumn("score", cosine_sim(col(embCol), col("query_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /** array<int> of the nprobe nearest centroid ids for an embedding column. */
+  private def probeClustersColumn(model: IvfModel, emb: Column, nprobe: Int): Column = {
+    // distances to each centroid as array<struct<d,i>>, sorted, sliced
+    val dists = array(model.centroids.indices.map { i =>
+      struct(euclidean_dist(emb, typedLit(model.centroids(i))).as("d"), lit(i).as("i"))
+    }: _*)
+    slice(array_sort(dists), 1, math.max(1, nprobe)).getField("i")
+  }
+}

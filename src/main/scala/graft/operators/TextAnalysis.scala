@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * tokenization, token counting, quality scoring, n-gram shingling, and
+ * stopword-based language identification. All pure Catalyst column
+ * expressions (no UDFs) — they stay inside whole-stage codegen and scale
+ * linearly with no shuffle.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed lowercased text; empty text => []. */
+  def tokens(text: Column): Column =
+    filter(split(trim(lower(text)), "\\s+"), t => t =!= "")
+
+  /** Token count (reference analog: demo.py:144 `len(content.split())`). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles joined with single spaces (for MinHash/Jaccard). */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    // positions 0 .. size-n (empty when size < n)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(ts) - lit(n), lit(-1))),
+      i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+  }
+
+  /** Character n-gram shingles of the lowercased text. */
+  def charShingles(text: Column, n: Int): Column = {
+    val t = lower(text)
+    array_distinct(transform(
+      sequence(lit(0), greatest(length(t) - lit(n), lit(-1))),
+      i => substring(t, lit(1) + i, lit(n))))
+  }
+
+  // Small fixed stopword lists per language for the n-gram/stopword
+  // language-ID heuristic. Deterministic and mirrored verbatim in the
+  // DuckDB oracle SQL.
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "for", "on"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo", "you", "zai", "ta", "men", "zhe"))
+
+  /** Fraction of tokens that are (any-language) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val ts = tokens(text)
+    val all = stopwords.flatMap(_._2).distinct
+    when(size(ts) === 0, 0.0).otherwise(
+      size(filter(ts, t => t.isin(all.map(lit): _*))).cast("double") / size(ts))
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      (length(text) - length(regexp_replace(text, "[\\.,;:!\\?'\"\\-\\(\\)]", "")))
+        .cast("double") / length(text))
+
+  /** Mean token length. */
+  def avgTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, 0.0).otherwise(
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
+  }
+
+  /**
+   * Composite quality score in [0,1] — the usual pretraining-corpus
+   * heuristics (length band, stopword presence, punctuation sanity).
+   * Deterministic arithmetic only; weights are arbitrary but fixed.
+   */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text)
+    val lengthOk = when(nTok.between(5, 5000), 1.0).otherwise(0.0)
+    val sw = stopwordRatio(text)
+    val swOk = when(sw.between(0.01, 0.7), 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) < 0.2, 1.0).otherwise(0.0)
+    val avgOk = when(avgTokenLen(text).between(2.0, 12.0), 1.0).otherwise(0.0)
+    (lengthOk * 0.3 + swOk * 0.3 + punctOk * 0.2 + avgOk * 0.2)
+  }
+
+  /**
+   * Stopword-overlap language ID: score(lang) = |distinct tokens ∩
+   * stopwords(lang)|; argmax with deterministic ascending-lang tiebreak;
+   * no hits at all => "und" (undetermined).
+   */
+  def langId(text: Column): Column = {
+    val ts = array_distinct(tokens(text))
+    // struct(score DESC via negation, lang ASC) -> array_min gives argmax
+    val scored = stopwords.sortBy(_._1).map { case (lang, words) =>
+      struct((-size(array_intersect(ts, array(words.map(lit): _*)))).as("neg"),
+        lit(lang).as("lang"))
+    }
+    val best = array_min(array(scored: _*))
+    when(best.getField("neg") === 0, "und").otherwise(best.getField("lang"))
+  }
+
+  /** All quality metrics as a struct-expanded DataFrame helper. */
+  def withTextMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("avg_token_len", avgTokenLen(t))
+      .withColumn("stopword_ratio", stopwordRatio(t))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("quality_score", qualityScore(t))
+      .withColumn("lang_pred", langId(t))
+  }
+}

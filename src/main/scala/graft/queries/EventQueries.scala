@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Sessionize}
+
+/**
+ * Event-stream operator coverage on `events.parquet`: JSON extraction,
+ * tumbling windows (the batch mirror of the Structured Streaming path in
+ * graft.streaming), gap sessionization, and the as-of join.
+ */
+object EventQueries {
+  import Tables.table
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q40_events_json", Some(
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 2) AS value_sum,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin),
+      (spark, dir) =>
+        table(spark, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("value")), 2).as("value_sum"),
+            sum(col("k")).as("k_sum"))
+          .orderBy(col("event_type"))),
+
+    QueryDef("q41_tumbling_window", Some(
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS value_sum
+        |FROM events
+        |GROUP BY date_trunc('hour', ts), event_type
+        |ORDER BY window_start, event_type""".stripMargin),
+      (spark, dir) =>
+        table(spark, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+          .orderBy("window_start", "event_type")),
+
+    QueryDef("q42_sessionize", Some(
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events, round(sum(value), 2) AS value_sum
+        |FROM marked
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin),
+      (spark, dir) =>
+        Sessionize.sessionize(table(spark, dir, "events"), "user_id", "ts",
+            gapSeconds = 1800, tieBreak = "event_id")
+          .groupBy(col("user_id"))
+          .agg((max(col("session_id")) + 1).cast("long").as("n_sessions"),
+            count(lit(1)).as("n_events"),
+            round(sum(col("value")), 2).as("value_sum"))
+          .orderBy(col("user_id"))),
+
+    QueryDef("q43_asof_join", Some(
+      """SELECT c.event_id, c.user_id, c.ts, s.value AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON c.user_id = s.user_id AND c.ts >= s.ts
+        |ORDER BY c.event_id""".stripMargin),
+      (spark, dir) => {
+        val ev = table(spark, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), col("event_id").as("sig_id"), col("value"))
+        AsOfJoin.asOf(clicks, signups, keys = Seq("user_id"),
+            leftTime = "ts", rightTime = "ts",
+            rightVals = Seq("value"), tieBreak = "sig_id")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_value"))
+          .orderBy("event_id")
+      }),
+
+    QueryDef("q44_sliding_window", None,
+      (spark, dir) =>
+        table(spark, dir, "events")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+          .select(col("window.start").as("window_start"),
+            col("window.end").as("window_end"), col("event_type"), col("n"), col("value_sum"))
+          .orderBy("window_start", "event_type")))
+}

@@ -1,0 +1,280 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational operator coverage over the TPC-H-ish star schema
+ * (SURVEY.md §2.1-§2.6 shapes: scans S1-S4, filters, joins J1-J5,
+ * aggregations A1-A4, top-k T1, set ops). Every query has a DuckDB
+ * oracle; plans are deliberately Catalyst-friendly: filters first (so
+ * they push to parquet), broadcast joins for dimensions, aggregate
+ * before join where legal, `orderBy.limit` for top-k
+ * (TakeOrderedAndProject).
+ */
+object RelationalQueries {
+  import Tables.table
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q01_pricing_summary", Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      (spark, dir) => {
+        val li = table(spark, dir, "lineitem")
+        li.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+            round(avg(col("l_quantity")), 4).as("avg_qty"),
+            round(avg(col("l_discount")), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      }),
+
+    QueryDef("q02_filter_scan", Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (spark, dir) =>
+        table(spark, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+            && col("l_quantity") > 45)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+          .orderBy("l_orderkey", "l_linenumber")),
+
+    QueryDef("q03_top_revenue_orders", Some(
+      """SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+        |  o.o_orderdate, o.o_orderpriority
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus <> 'F'
+        |GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin),
+      (spark, dir) => {
+        val c = table(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = table(spark, dir, "orders").filter(col("o_orderstatus") =!= "F")
+        val l = table(spark, dir, "lineitem")
+        l.join(broadcast(o), l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+          .select(col("o_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+          .orderBy(col("revenue").desc, col("o_orderkey"))
+          .limit(10)
+      }),
+
+    QueryDef("q04_semi_join_priority", Some(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 48)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin),
+      (spark, dir) => {
+        val o = table(spark, dir, "orders")
+        val l = table(spark, dir, "lineitem").filter(col("l_quantity") >= 48)
+          .select(col("l_orderkey"))
+        o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      }),
+
+    QueryDef("q05_nation_revenue", Some(
+      """SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |JOIN orders o ON o.o_custkey = c.c_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE r.r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY n.n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin),
+      (spark, dir) => {
+        val c = table(spark, dir, "customer")
+        val n = table(spark, dir, "nation")
+        val r = table(spark, dir, "region").filter(col("r_name").isin("ASIA", "EUROPE"))
+        val o = table(spark, dir, "orders")
+        val l = table(spark, dir, "lineitem")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      }),
+
+    QueryDef("q06_revenue_forecast", Some(
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin),
+      (spark, dir) =>
+        table(spark, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+            && col("l_discount").between(0.03, 0.07)
+            && col("l_quantity") < 24)
+          .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+            count(lit(1)).as("n_rows"))),
+
+    QueryDef("q07_anti_join_customers", Some(
+      """SELECT c_mktsegment, count(*) AS n_customers
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin),
+      (spark, dir) => {
+        val c = table(spark, dir, "customer")
+        val o = table(spark, dir, "orders")
+          .filter(col("o_orderstatus") === "P").select(col("o_custkey"))
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy(col("c_mktsegment"))
+      }),
+
+    QueryDef("q08_topk_orders", Some(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin),
+      (spark, dir) =>
+        table(spark, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(10)),
+
+    QueryDef("q09_window_rank", Some(
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin),
+      (spark, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        table(spark, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .orderBy("o_custkey", "rn")
+      }),
+
+    QueryDef("q10_running_revenue", Some(
+      """WITH daily AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_day,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS day_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        |  GROUP BY l_suppkey, CAST(l_shipdate AS DATE))
+        |SELECT l_suppkey, ship_day, day_revenue,
+        |  round(sum(day_revenue) OVER (PARTITION BY l_suppkey ORDER BY ship_day
+        |    ROWS UNBOUNDED PRECEDING), 4) AS running_revenue
+        |FROM daily
+        |ORDER BY l_suppkey, ship_day""".stripMargin),
+      (spark, dir) => {
+        val daily = table(spark, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("ship_day"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("day_revenue"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_suppkey")).orderBy(col("ship_day"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        daily.withColumn("running_revenue", round(sum(col("day_revenue")).over(w), 4))
+          .orderBy("l_suppkey", "ship_day")
+      }),
+
+    QueryDef("q11_distinct_agg", Some(
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
+      (spark, dir) =>
+        table(spark, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_partkey")).as("n_parts"),
+            countDistinct(col("l_suppkey")).as("n_supps"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag"))),
+
+    QueryDef("q12_rollup", Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  count(*) AS n_rows, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+      (spark, dir) =>
+        table(spark, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    QueryDef("q13_set_ops", Some(
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O')
+        |WHERE custkey NOT IN (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        |ORDER BY custkey""".stripMargin),
+      (spark, dir) => {
+        val o = table(spark, dir, "orders")
+        val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+        val op = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+        val p = o.filter(col("o_orderstatus") === "P").select(col("o_custkey").as("custkey"))
+        f.intersect(op).except(p).orderBy(col("custkey"))
+      }),
+
+    QueryDef("q14_join_part_supplier", Some(
+      """SELECT p.p_brand, s.s_name,
+        |  count(*) AS n_items,
+        |  sum(l.l_quantity) AS total_qty,
+        |  round(sum(l.l_extendedprice), 2) AS total_price
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE p.p_size >= 30
+        |GROUP BY p.p_brand, s.s_name
+        |ORDER BY p_brand, s_name""".stripMargin),
+      (spark, dir) => {
+        val l = table(spark, dir, "lineitem")
+        val p = table(spark, dir, "part").filter(col("p_size") >= 30)
+        val s = table(spark, dir, "supplier")
+        l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+          .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+          .groupBy(col("p_brand"), col("s_name"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity")).as("total_qty"),
+            round(sum(col("l_extendedprice")), 2).as("total_price"))
+          .orderBy(col("p_brand"), col("s_name"))
+      }))
+}

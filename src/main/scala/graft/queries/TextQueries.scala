@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/**
+ * Text-analysis + dedup operator coverage on `documents.parquet`.
+ * DuckDB oracles mirror the tokenization (split on whitespace of
+ * trimmed lowercased text, drop empties) and the fixed stopword lists
+ * verbatim. Hash-based ops (MinHash/SimHash/rolling hash) are
+ * rows-only: their hash functions are engine-internal by design;
+ * their invariants are covered by DedupSpec.
+ */
+object TextQueries {
+  import Tables.table
+
+  // DuckDB-side token expression, kept in lockstep with TextAnalysis.tokens
+  private val toksSql = """list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')"""
+
+  private def stopList(lang: String): String =
+    TextAnalysis.stopwords.toMap.apply(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val allStopSql =
+    TextAnalysis.stopwords.flatMap(_._2).distinct.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q30_token_stats", Some(
+      s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents)
+         |SELECT doc_id, lang,
+         |  CAST(len(toks) AS INTEGER) AS n_tokens,
+         |  round(CASE WHEN len(toks) = 0 THEN 0.0
+         |    ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END, 6) AS avg_token_len,
+         |  round(CASE WHEN len(toks) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(toks, x -> list_contains($allStopSql, x))) AS DOUBLE) / len(toks) END, 6) AS stopword_ratio
+         |FROM t
+         |ORDER BY doc_id""".stripMargin),
+      (spark, dir) =>
+        table(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+            round(TextAnalysis.avgTokenLen(col("text")), 6).as("avg_token_len"),
+            round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"))
+          .orderBy("doc_id")),
+
+    QueryDef("q31_quality_langid", Some({
+      val scores = TextAnalysis.stopwords.sortBy(_._1).map { case (lang, _) =>
+        s"CAST(len(list_intersect(list_distinct(toks), ${stopList(lang)})) AS INTEGER) AS s_$lang"
+      }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, lang, text, toks, $scores FROM t),
+         |g AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS gm FROM s)
+         |SELECT doc_id, lang,
+         |  CASE WHEN gm = 0 THEN 'und'
+         |    WHEN s_de = gm THEN 'de' WHEN s_en = gm THEN 'en'
+         |    WHEN s_es = gm THEN 'es' WHEN s_fr = gm THEN 'fr' ELSE 'zh' END AS lang_pred,
+         |  round(
+         |    (CASE WHEN len(toks) BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END) * 0.3 +
+         |    (CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> list_contains($allStopSql, x))) AS DOUBLE) / len(toks) END) BETWEEN 0.01 AND 0.7 THEN 1.0 ELSE 0.0 END) * 0.3 +
+         |    (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"\\-\\(\\)]', '', 'g')) AS DOUBLE) / length(text) END) < 0.2 THEN 1.0 ELSE 0.0 END) * 0.2 +
+         |    (CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality_score
+         |FROM g
+         |ORDER BY doc_id""".stripMargin}),
+      (spark, dir) =>
+        table(spark, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.langId(col("text")).as("lang_pred"),
+            round(TextAnalysis.qualityScore(col("text")), 6).as("quality_score"))
+          .orderBy("doc_id")),
+
+    QueryDef("q32_langid_confusion", Some({
+      val scores = TextAnalysis.stopwords.sortBy(_._1).map { case (lang, _) =>
+        s"len(list_intersect(list_distinct(toks), ${stopList(lang)})) AS s_$lang"
+      }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, lang, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, lang, $scores FROM t),
+         |g AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS gm FROM s),
+         |p AS (SELECT lang, CASE WHEN gm = 0 THEN 'und'
+         |    WHEN s_de = gm THEN 'de' WHEN s_en = gm THEN 'en'
+         |    WHEN s_es = gm THEN 'es' WHEN s_fr = gm THEN 'fr' ELSE 'zh' END AS lang_pred
+         |  FROM g)
+         |SELECT lang, lang_pred, count(*) AS n FROM p
+         |GROUP BY lang, lang_pred
+         |ORDER BY lang, lang_pred""".stripMargin}),
+      (spark, dir) =>
+        table(spark, dir, "documents")
+          .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+          .groupBy("lang", "lang_pred")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "lang_pred")),
+
+    QueryDef("q33_dedup_exact", Some(
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY md5(text)
+        |ORDER BY text_hash""".stripMargin),
+      (spark, dir) =>
+        Dedup.exactDuplicateGroups(table(spark, dir, "documents"), "doc_id", "text")
+          .orderBy("text_hash")),
+
+    QueryDef("q34_ngram_jaccard_topk", Some(
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] FOR i IN range(1, greatest(len(tk) - 1, 1))]) AS shingles
+        |  FROM toks WHERE len(tk) >= 3),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+        |    count(*) AS common
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) AS jaccard
+        |FROM pairs
+        |ORDER BY CAST(common AS DOUBLE) / (n_a + n_b - common) DESC, id_a, id_b
+        |LIMIT 20""".stripMargin),
+      (spark, dir) =>
+        Dedup.ngramJaccardPairs(table(spark, dir, "documents"), "doc_id", "text",
+            shingleSize = 3, minJaccard = 0.0)
+          .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+          .limit(20)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    // --- hash-based fingerprints: engine-internal hashes, rows-only checks
+    QueryDef("q35_minhash_neardup", None,
+      (spark, dir) =>
+        Dedup.minHashNearDupPairs(table(spark, dir, "documents"), "doc_id", "text",
+            shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.2)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")),
+
+    QueryDef("q36_simhash_fingerprints", None,
+      (spark, dir) =>
+        table(spark, dir, "documents")
+          .select(col("doc_id"),
+            Dedup.simhash(TextAnalysis.tokens(col("text"))).as("simhash"))
+          .orderBy("doc_id")),
+
+    QueryDef("q37_rolling_fingerprint", None,
+      (spark, dir) => {
+        import org.apache.spark.sql.graft.Bridge
+        import org.apache.spark.sql.graft.expressions.RollingHash
+        table(spark, dir, "documents")
+          .select(col("doc_id"),
+            Bridge.column(RollingHash(Bridge.expression(col("text")))).as("fingerprint"))
+          .orderBy("doc_id")
+      }))
+}

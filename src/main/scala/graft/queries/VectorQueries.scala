@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.index.{IvfModel, LshModel}
+import graft.operators.{Dedup, Similarity}
+
+/**
+ * Vector-search operator coverage on `embeddings.parquet` (64-dim float
+ * vectors): exact kNN (Q1 of SURVEY.md §2.10), batch kNN, vector scalar
+ * functions (V1-V4), embedding near-dup pairs, and the LSH/IVF
+ * approximate paths (rows-only oracles: ANN results are seed-dependent
+ * by design; their quality is asserted as recall vs the exact oracle in
+ * the ScalaTest suite, SURVEY.md §5.3).
+ *
+ * DuckDB oracles compute cosine/euclid with the same double-precision
+ * sequential loop semantics (`list_dot_product` over DOUBLE[]), and both
+ * sides round scores to 6 dp — far above the ~1e-13 cross-engine noise,
+ * far below score spacing.
+ */
+object VectorQueries {
+  import Tables.table
+
+  private val cosSql =
+    "list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) / " +
+      "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * " +
+      "sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))))"
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q20_knn_exact", Some(
+      s"""SELECT e.vec_id, e.label, round($cosSql, 6) AS score
+         |FROM embeddings e,
+         |  (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+         |ORDER BY $cosSql DESC, e.vec_id
+         |LIMIT 10""".stripMargin),
+      (spark, dir) => {
+        val e = table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        e.crossJoin(broadcast(q))
+          .withColumn("raw_score", cosine_sim(col("embedding"), col("qe")))
+          .orderBy(col("raw_score").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), col("label"), round(col("raw_score"), 6).as("score"))
+      }),
+
+    QueryDef("q21_knn_euclidean", Some(
+      s"""SELECT e.vec_id, e.label,
+         |  round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 6) AS dist
+         |FROM embeddings e,
+         |  (SELECT embedding AS qe FROM embeddings WHERE vec_id = 7) q
+         |WHERE e.vec_id <> 7
+         |ORDER BY list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), e.vec_id
+         |LIMIT 10""".stripMargin),
+      (spark, dir) => {
+        val e = table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 7).select(col("embedding").as("qe"))
+        e.filter(col("vec_id") =!= 7).crossJoin(broadcast(q))
+          .withColumn("raw_dist", euclidean_dist(col("embedding"), col("qe")))
+          .orderBy(col("raw_dist").asc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), col("label"), round(col("raw_dist"), 6).as("dist"))
+      }),
+
+    QueryDef("q22_knn_batch", Some(
+      s"""SELECT query_id, neighbor_id, round(raw, 6) AS score, rank FROM (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, $cosSql AS raw,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY $cosSql DESC, e.vec_id) AS INTEGER) AS rank
+         |  FROM embeddings e,
+         |    (SELECT vec_id, embedding AS qe FROM embeddings WHERE vec_id < 5) q)
+         |WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin),
+      (spark, dir) => {
+        val e = table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 5)
+        Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", 5)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("score"), 6).as("score"), col("rank"))
+          .orderBy("query_id", "rank")
+      }),
+
+    QueryDef("q23_vector_stats", Some(
+      """SELECT label, count(*) AS n,
+        |  round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS avg_norm,
+        |  round(min(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS min_norm,
+        |  round(max(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS max_norm
+        |FROM embeddings
+        |GROUP BY label
+        |ORDER BY label""".stripMargin),
+      (spark, dir) =>
+        table(spark, dir, "embeddings")
+          .withColumn("nrm", vector_norm(col("embedding")))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("nrm")), 6).as("avg_norm"),
+            round(min(col("nrm")), 6).as("min_norm"),
+            round(max(col("nrm")), 6).as("max_norm"))
+          .orderBy(col("label"))),
+
+    QueryDef("q24_normalize", Some(
+      """SELECT vec_id,
+        |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS norm,
+        |  CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) = 0
+        |    THEN round(CAST(embedding[1] AS DOUBLE), 6)
+        |    ELSE round(CAST(embedding[1] AS DOUBLE) /
+        |      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6)
+        |  END AS first_component
+        |FROM embeddings
+        |WHERE vec_id < 50
+        |ORDER BY vec_id""".stripMargin),
+      (spark, dir) =>
+        table(spark, dir, "embeddings")
+          .filter(col("vec_id") < 50)
+          .select(col("vec_id"),
+            round(vector_norm(col("embedding")), 6).as("norm"),
+            round(element_at(normalize_vec(col("embedding")), 1), 6).as("first_component"))
+          .orderBy(col("vec_id"))),
+
+    QueryDef("q25_embedding_neardup", Some(
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+        |    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+        |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin),
+      (spark, dir) =>
+        Dedup.embeddingNearDupPairs(table(spark, dir, "embeddings"),
+            "vec_id", "embedding", minCosine = 0.3, bruteForce = true)
+          .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+          .orderBy("id_a", "id_b")),
+
+    // --- ANN paths: seed-dependent, rows-only driver check; recall vs the
+    // exact oracle is asserted in AnnRecallSpec.
+    QueryDef("q26_knn_lsh", None,
+      (spark, dir) => {
+        val e = table(spark, dir, "embeddings")
+        val lsh = LshModel(numTables = 8, bitsPerTable = 8, dim = 64)
+        val sigs = lsh.build(e, "vec_id", "embedding")
+        val query = e.filter(col("vec_id") === 0).select("embedding")
+          .collect()(0).getSeq[Float](0).toArray
+        val cands = lsh.candidates(sigs, query).withColumnRenamed("id", "vec_id")
+        val universe = e.join(cands, Seq("vec_id"), "left_semi")
+        Similarity.knnExact(universe, "vec_id", "embedding", query, 10)
+          .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
+      }),
+
+    QueryDef("q27_knn_ivf", None,
+      (spark, dir) => {
+        val e = table(spark, dir, "embeddings")
+        val model = IvfModel.train(e, "embedding", nlist = 16)
+        val assigned = model.assign(e, "embedding")
+        val query = e.filter(col("vec_id") === 0).select("embedding")
+          .collect()(0).getSeq[Float](0).toArray
+        val cands = model.candidates(assigned, query, nprobe = 4)
+        Similarity.knnExact(cands, "vec_id", "embedding", query, 10)
+          .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
+      }),
+
+    QueryDef("q28_ivf_batch", None,
+      (spark, dir) => {
+        val e = table(spark, dir, "embeddings")
+        val model = IvfModel.train(e, "embedding", nlist = 16)
+        val q = e.filter(col("vec_id") < 5)
+        Similarity.ivfTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+            k = 5, model = model, nprobe = 4)
+          .select(col("query_id"), col("neighbor_id"),
+            round(col("score"), 6).as("score"), col("rank"))
+          .orderBy("query_id", "rank")
+      }))
+}

@@ -1,0 +1,102 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{IndexType, VectorCatalog}
+import graft.functions.GraftFunctions._
+import graft.model._
+
+/**
+ * Search orchestration replicating the reference's
+ * `SearchService.search_library` order of operations
+ * (search_service.py:24-77 / SURVEY.md §2.10 Q4):
+ *
+ *   1. validate query (text XOR embedding)         models.py:116-120
+ *   2. library must exist                          search_service.py:37-39
+ *   3. clamp k                                     config.py:62-68
+ *   4. resolve embedding (pass-through or embed)   search_service.py:79-86
+ *   5. PRE-filter chunk universe by metadata, then
+ *      the index search POST-filters its candidates
+ *      against that universe                       search_service.py:98-110
+ *   6. exact cosine rerank -> top-k, timed         indexes.py:162-168
+ *
+ * Post-filter semantics preserved deliberately: with a selective filter
+ * an ANN index may return < k rows even when k matches exist — that is
+ * the reference's observable behavior (SURVEY.md §7 risk register).
+ * Edge semantics preserved: IVF untrained => empty (indexes.py:343);
+ * LSH zero candidates => full-scan fallback (indexes.py:151-153).
+ */
+final class SearchService(catalog: VectorCatalog) {
+
+  def search(libraryId: String, query: SearchQuery): Either[ApiError, SearchResponse] =
+    for {
+      q <- query.validated
+      _ <- catalog.getLibrary(libraryId)
+    } yield {
+      val t0 = System.nanoTime()
+      val k = GraftConfig.clampK(q.k)
+      val queryVec = q.queryEmbedding.getOrElse(catalog.embedder.embedOne(q.queryText.get))
+
+      // (5) metadata pre-filter defines the chunk universe
+      val universe = catalog.chunksFiltered(libraryId, q.metadataFilters)
+        .filter(col("embedding").isNotNull)
+
+      val results = catalog.indexState(libraryId).map(_.indexType) match {
+        case Some(IndexType.Lsh) if catalog.indexState(libraryId).exists(_.signatures.isDefined) =>
+          lshSearch(libraryId, universe, queryVec, k)
+        case Some(IndexType.Ivf) =>
+          ivfSearch(libraryId, universe, queryVec, k)
+        case _ => // exact index type, or index never built => brute force
+          exactTopK(universe, queryVec, k)
+      }
+      val ms = (System.nanoTime() - t0) / 1e6
+      SearchResponse(results, results.size, ms)
+    }
+
+  /** Q1 exact: cosine + euclid, deterministic tiebreak (desc score, asc id). */
+  private def exactTopK(universe: DataFrame, queryVec: Array[Float], k: Int): Seq[SearchResult] =
+    collectResults(universe
+      .withColumn("similarity_score", cosine_sim(col("embedding"), typedLit(queryVec)))
+      .withColumn("distance", euclidean_dist(col("embedding"), typedLit(queryVec)))
+      .orderBy(col("similarity_score").desc, col("id").asc)
+      .limit(k))
+
+  /** Q2: bucket-join candidates, empty => full-scan fallback (indexes.py:151-153). */
+  private def lshSearch(libraryId: String, universe: DataFrame,
+      queryVec: Array[Float], k: Int): Seq[SearchResult] = {
+    val state = catalog.indexState(libraryId).get
+    val candidates = state.lsh.get.candidates(state.signatures.get, queryVec)
+    val candidateChunks = universe.join(candidates, Seq("id"), "left_semi")
+    val hits = exactTopK(candidateChunks, queryVec, k)
+    if (hits.nonEmpty) hits else exactTopK(universe, queryVec, k)
+  }
+
+  /** Q3: probe nprobe clusters; untrained => empty (indexes.py:343). */
+  private def ivfSearch(libraryId: String, universe: DataFrame,
+      queryVec: Array[Float], k: Int): Seq[SearchResult] = {
+    val state = catalog.indexState(libraryId).get
+    state.ivf match {
+      case None => Seq.empty // untrained IVF returns no results
+      case Some(model) =>
+        val probed = model.candidates(state.assigned.get, queryVec).select("id")
+        val candidateChunks = universe.join(probed, Seq("id"), "left_semi")
+        exactTopK(candidateChunks, queryVec, k)
+    }
+  }
+
+  private def collectResults(df: DataFrame): Seq[SearchResult] = {
+    import df.sparkSession.implicits._
+    df.select(col("id"), col("document_id"), col("library_id"), col("text"),
+        col("embedding"), col("metadata"), col("created_at"), col("updated_at"),
+        col("similarity_score"), col("distance"))
+      .collect()
+      .map { r =>
+        val chunk = ChunkRow(r.getString(0), r.getString(1), r.getString(2), r.getString(3),
+          Option(r.getAs[scala.collection.Seq[Float]]("embedding")).map(_.toArray),
+          Option(r.getAs[scala.collection.Map[String, String]]("metadata")).map(_.toMap).getOrElse(Map.empty),
+          r.getTimestamp(6), r.getTimestamp(7))
+        SearchResult(chunk, r.getDouble(8), r.getDouble(9))
+      }.toSeq
+  }
+}

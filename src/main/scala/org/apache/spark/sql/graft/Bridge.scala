@@ -1,0 +1,24 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/**
+ * Minimal bridge into Spark's classic (non-Connect) internals: Column <->
+ * Catalyst Expression, and access to the session's FunctionRegistry. Lives
+ * under `org.apache.spark.sql` so `private[sql]` members are reachable —
+ * the same pattern public Spark extension libraries use.
+ */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a Catalyst expression builder as a SQL temp function. */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark)
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
+}

@@ -1,0 +1,142 @@
+package org.apache.spark.sql.graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/**
+ * Random-hyperplane LSH bucket keys (reference semantics:
+ * app/database/indexes.py:86-101 — per table t, per plane p, bit =
+ * 1 iff v·p >= 0; the reference joins bits into a string, we bit-pack
+ * into a long and prepend the table id: bucket = table << bits | sig).
+ *
+ * Hyperplanes are derived deterministically from (numTables, bits, dim,
+ * seed) via java.util.Random gaussians + row normalization (mirroring
+ * indexes.py:64-73 but seeded), so executors regenerate them locally —
+ * nothing is shipped with the expression.
+ */
+object LshPlanes {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Long), Array[Array[Float]]]()
+
+  /** Flattened planes: (numTables*bits) rows of `dim` floats. */
+  def planes(numTables: Int, bits: Int, dim: Int, seed: Long): Array[Array[Float]] =
+    cache.computeIfAbsent((numTables, bits, dim, seed), _ => {
+      val rnd = new java.util.Random(seed)
+      Array.fill(numTables * bits) {
+        val p = Array.fill(dim)(rnd.nextGaussian().toFloat)
+        val norm = math.sqrt(p.map(x => x.toDouble * x).sum)
+        if (norm > 0) p.map(x => (x / norm).toFloat) else p
+      }
+    })
+
+  def buckets(v: ArrayData, numTables: Int, bits: Int, dim: Int, seed: Long): ArrayData = {
+    val ps = planes(numTables, bits, dim, seed)
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        val plane = ps(t * bits + b)
+        var dot = 0.0
+        val n = math.min(plane.length, v.numElements())
+        var i = 0
+        while (i < n) { dot += plane(i) * v.getFloat(i); i += 1 }
+        if (dot >= 0) sig |= (1L << b)
+        b += 1
+      }
+      out(t) = (t.toLong << bits) | sig
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Driver-side buckets for a query vector. */
+  def bucketsOf(v: Array[Float], numTables: Int, bits: Int, dim: Int, seed: Long): Array[Long] = {
+    val ps = planes(numTables, bits, dim, seed)
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        val plane = ps(t * bits + b)
+        var dot = 0.0
+        val n = math.min(plane.length, v.length)
+        var i = 0
+        while (i < n) { dot += plane(i) * v(i); i += 1 }
+        if (dot >= 0) sig |= (1L << b)
+        b += 1
+      }
+      out(t) = (t.toLong << bits) | sig
+      t += 1
+    }
+    out
+  }
+}
+
+/** `lsh_buckets(embedding)` — array of per-table bucket keys. */
+case class LshBuckets(child: Expression, numTables: Int, bits: Int, dim: Int, seed: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "lsh_buckets"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    LshPlanes.buckets(v.asInstanceOf[ArrayData], numTables, bits, dim, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.expressions.LshPlanes.buckets(" +
+        s"$c, $numTables, $bits, $dim, ${seed}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * `nearest_centroid(embedding)` — argmin of L2 distance to the trained
+ * centroid set (reference: indexes.py:267-274); ties break to the lowest
+ * centroid id. Centroids ride along with the expression (KB-scale).
+ */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "nearest_centroid"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(v: Any): Any =
+    NearestCentroidEval.eval(v.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.expressions.NearestCentroidEval.eval($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NearestCentroidEval {
+  def eval(v: ArrayData, centroids: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestDist = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      var dist = 0.0
+      val n = math.min(cen.length, v.numElements())
+      var i = 0
+      while (i < n) {
+        val d = cen(i) - v.getFloat(i)
+        dist += d * d
+        i += 1
+      }
+      if (dist < bestDist) { bestDist = dist; best = c }
+      c += 1
+    }
+    best
+  }
+}
