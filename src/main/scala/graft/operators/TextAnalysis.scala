@@ -19,21 +19,24 @@ object TextAnalysis {
   /** Token count (reference analog: demo.py:144 `len(content.split())`). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Word n-gram shingles joined with single spaces (for MinHash/Jaccard). */
+  /** Word n-gram shingles joined with single spaces (for MinHash/
+    * Jaccard). Guarded: `sequence(0, -1)` in Spark is a DESCENDING
+    * sequence, so the too-short case must short-circuit to []. */
   def shingles(text: Column, n: Int): Column = {
     val ts = tokens(text)
-    // positions 0 .. size-n (empty when size < n)
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(ts) - lit(n), lit(-1))),
-      i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+    when(size(ts) < n, array().cast("array<string>")).otherwise(
+      array_distinct(transform(
+        sequence(lit(0), size(ts) - lit(n)),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
   }
 
   /** Character n-gram shingles of the lowercased text. */
   def charShingles(text: Column, n: Int): Column = {
     val t = lower(text)
-    array_distinct(transform(
-      sequence(lit(0), greatest(length(t) - lit(n), lit(-1))),
-      i => substring(t, lit(1) + i, lit(n))))
+    when(length(t) < n, array().cast("array<string>")).otherwise(
+      array_distinct(transform(
+        sequence(lit(0), length(t) - lit(n)),
+        i => substring(t, lit(1) + i, lit(n)))))
   }
 
   // Small fixed stopword lists per language for the n-gram/stopword

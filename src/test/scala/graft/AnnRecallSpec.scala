@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.index.{IvfModel, LshModel}
+import graft.operators.Similarity
+
+/** ANN quality vs the exact Q1 oracle — the recall metric the reference
+  * never measured (SURVEY.md §6). Seeds fixed => thresholds stable. */
+class AnnRecallSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+
+  private def exactTopK(query: Array[Float], k: Int): Set[Long] =
+    Similarity.knnExact(emb, "vec_id", "embedding", query, k)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+  private def queryVec(id: Long): Array[Float] =
+    emb.filter(col("vec_id") === id).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+
+  test("LSH candidates always contain the query itself; recall@10 reasonable") {
+    // 16 tables x 6 bits: on uniform random 64-dim vectors the nearest
+    // neighbors sit at ~50-60 degrees, where 8x8 collides too rarely
+    // (~0.2 recall measured). Recall here is a property of the data's
+    // angular gaps, not a bug — parameters chosen so the invariant is
+    // meaningful.
+    val lsh = LshModel(numTables = 16, bitsPerTable = 6, dim = 64)
+    val sigs = lsh.build(emb, "vec_id", "embedding").cache()
+    val recalls = (0L until 10L).map { qid =>
+      val q = queryVec(qid)
+      val cands = lsh.candidates(sigs, q).withColumnRenamed("id", "vec_id")
+      val candSet = cands.collect().map(_.getLong(0)).toSet
+      assert(candSet.contains(qid)) // identical vector collides in all tables
+      val universe = emb.join(cands, Seq("vec_id"), "left_semi")
+      val approx = Similarity.knnExact(universe, "vec_id", "embedding", q, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val exact = exactTopK(q, 10)
+      approx.intersect(exact).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"LSH mean recall@10 = $mean%.2f")
+    assert(mean >= 0.3, s"LSH recall collapsed: $mean")
+  }
+
+  test("IVF recall@10 with nprobe=4 of nlist=16") {
+    val model = IvfModel.train(emb, "embedding", nlist = 16)
+    assert(model.nlist == 16)
+    val assigned = model.assign(emb, "embedding").cache()
+    // every row lands in exactly one cluster; clusters partition the data
+    assert(assigned.count() == emb.count())
+    val recalls = (0L until 10L).map { qid =>
+      val q = queryVec(qid)
+      val cands = model.candidates(assigned, q, nprobe = 4)
+      val approx = Similarity.knnExact(cands, "vec_id", "embedding", q, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      approx.intersect(exactTopK(q, 10)).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF mean recall@10 = $mean%.2f")
+    assert(mean >= 0.4, s"IVF recall collapsed: $mean")
+  }
+
+  test("ANN scores are exact on returned rows (rerank is exact cosine)") {
+    val q = queryVec(3L)
+    val lsh = LshModel(numTables = 8, bitsPerTable = 8, dim = 64)
+    val sigs = lsh.build(emb, "vec_id", "embedding")
+    val cands = lsh.candidates(sigs, q).withColumnRenamed("id", "vec_id")
+    val universe = emb.join(cands, Seq("vec_id"), "left_semi")
+    val approx = Similarity.knnExact(universe, "vec_id", "embedding", q, 5)
+      .select("vec_id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exact = Similarity.knnExact(emb, "vec_id", "embedding", q, 500)
+      .select("vec_id", "score").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    approx.foreach { case (id, s) => assert(math.abs(s - exact(id)) < 1e-12) }
+  }
+
+  test("batch kNN matches single-query kNN") {
+    val q = emb.filter(col("vec_id") === 5)
+    val batch = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding", 10)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    val single = exactTopK(queryVec(5L), 10)
+    assert(batch == single)
+  }
+}

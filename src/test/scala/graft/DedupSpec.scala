@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Dedup-operator invariants on doctored near-duplicate corpora. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again every single day"
+  private val corpus = Seq(
+    (1L, base),
+    (2L, base),                                        // exact dup of 1
+    (3L, base.replace("lazy", "sleepy")),              // near dup
+    (4L, "completely unrelated text about database engines and query optimization plans"),
+    (5L, base.replace("quick", "swift").replace("dog", "cat")) // near dup, 2 edits
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min-id representative") {
+    val groups = Dedup.exactDuplicateGroups(corpus, "doc_id", "text").collect()
+    assert(groups.length == 4) // 1&2 merge
+    val dupGroup = groups.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+    val kept = Dedup.exactDedup(corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH finds the near-dup pairs an exact jaccard would") {
+    val exact = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        shingleSize = 2, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val approx = Dedup.minHashNearDupPairs(corpus, "doc_id", "text",
+        shingleSize = 2, numHashes = 64, bands = 32, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.contains((1L, 2L)))
+    // verification step makes minhash pairs a subset of true pairs;
+    // banding with 32 bands at j>=0.5 should find them all here
+    assert(approx == exact)
+  }
+
+  test("ngram jaccard: identical docs => 1.0; unrelated => no pair at 0.5") {
+    val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+        shingleSize = 2, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical tokens => identical hash; near dup within small hamming") {
+    val sims = corpus
+      .select($"doc_id", Dedup.simhash(TextAnalysis.tokens($"text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(sims(1L) == sims(2L))
+    val hamming13 = java.lang.Long.bitCount(sims(1L) ^ sims(3L))
+    val hamming14 = java.lang.Long.bitCount(sims(1L) ^ sims(4L))
+    assert(hamming13 < hamming14) // near dup closer than unrelated
+    val pairs = Dedup.simHashNearDupPairs(corpus, "doc_id", "text", maxHamming = 16)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("embedding near-dup: exact dups found by LSH-bucketed path") {
+    val embedder = graft.functions.HashingEmbedder(dimension = 64)
+    val embDf = corpus.as[(Long, String)].collect().toSeq
+      .map { case (id, t) => (id, embedder.embedOne(t)) }
+      .toDF("doc_id", "emb")
+    val pairs = Dedup.embeddingNearDupPairs(embDf, "doc_id", "emb",
+        minCosine = 0.95, bruteForce = false, numTables = 8, bitsPerTable = 4, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // identical embeddings share all buckets
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.streaming.EventStream
+
+/** Multimodal binary-column plumbing + Structured Streaming windowed
+  * aggregation (memory sink; batch equivalence). */
+class MultimodalStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("media table from text bytes; image decode plumbing") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
+    val media = Multimodal.mediaFromText(docs, "doc_id", "text", "image")
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("media_id", "kind", "bytes", "meta"))
+
+    val decoded = Multimodal.decodeImages(media)
+    val rows = decoded.select("media_id", "width", "height", "channels", "features").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 64 && r.getInt(1) < 512)
+      assert(r.getInt(3) == 3)
+      assert(r.getSeq[Float](4).length == 16)
+    }
+    // deterministic: decoding twice gives identical output
+    val again = Multimodal.decodeImages(media)
+      .select("media_id", "width", "height").collect().toSeq
+    assert(decoded.select("media_id", "width", "height").collect().toSeq == again)
+  }
+
+  test("resize targets preserve aspect ratio and cap the long side") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
+    val decoded = Multimodal.decodeImages(
+      Multimodal.mediaFromText(docs, "doc_id", "text", "image"))
+    val resized = Multimodal.withResizeTarget(decoded, maxSide = 128)
+    resized.select("width", "height", "target_width", "target_height").collect().foreach { r =>
+      val (w, h, tw, thh) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(math.max(tw, thh) <= 128)
+      if (math.max(w, h) <= 128) assert(tw == w && thh == h)
+    }
+  }
+
+  test("video frame sampling explodes into frame rows") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(5)
+    val media = Multimodal.mediaFromText(docs, "doc_id", "text", "video")
+    val frames = Multimodal.sampleVideoFrames(media, everyNth = 4)
+    assert(frames.count() > 5) // more frames than videos
+    assert(frames.schema.fieldNames.toSeq == Seq("media_id", "frame_idx", "frame_bytes"))
+    // image rows are filtered out
+    val imgs = Multimodal.mediaFromText(docs, "doc_id", "text", "image")
+    assert(Multimodal.sampleVideoFrames(imgs, 4).count() == 0)
+  }
+
+  test("streaming tumbling window == batch tumbling window (memory sink)") {
+    // stage events as micros-timestamped parquet for the file stream
+    val staging = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val events = graft.queries.Tables.table(spark, sfDir, "events")
+    events.coalesce(1).write.mode("overwrite").parquet(staging)
+
+    val q = EventStream.startFileStream(spark, staging, "stream_out")
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.sql(
+      "SELECT window_start, event_type, n, value_sum FROM stream_out")
+      .withColumn("value_sum", round(col("value_sum"), 2))
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = EventStream.tumblingCounts(spark.read.parquet(staging))
+      .withColumn("value_sum", round(col("value_sum"), 2))
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+}

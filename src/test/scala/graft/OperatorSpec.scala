@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Sessionize, TextAnalysis}
+
+/** Hand-computed answers for as-of join, sessionization, text metrics. */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOf picks most recent right row with rt <= lt, per key") {
+    val left = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")),
+      (2L, 100L, ts("2024-01-01 12:00:00")),
+      (3L, 200L, ts("2024-01-01 09:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, ts("2024-01-01 09:30:00"), 10L, 1.0),
+      (100L, ts("2024-01-01 11:00:00"), 11L, 2.0),
+      (200L, ts("2024-01-01 10:00:00"), 12L, 3.0) // AFTER left row 3
+    ).toDF("user_id", "ts", "sig_id", "value")
+
+    val out = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts", Seq("value"), "sig_id")
+      .select($"event_id", $"asof_value").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(1L).contains(1.0))  // 09:30 row
+    assert(out(2L).contains(2.0))  // 11:00 row supersedes
+    assert(out(3L).isEmpty)        // no right row at or before 09:00
+  }
+
+  test("asOf: right row AT the left timestamp is visible (<= semantics)") {
+    val left = Seq((1L, 5L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq((5L, ts("2024-01-01 10:00:00"), 1L, 42.0)).toDF("user_id", "ts", "sig_id", "value")
+    val out = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts", Seq("value"), "sig_id")
+      .select($"asof_value").as[Option[Double]].head()
+    assert(out.contains(42.0))
+  }
+
+  test("asOf tie at same right timestamp: max tieBreak wins") {
+    val left = Seq((1L, 5L, ts("2024-01-01 10:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (5L, ts("2024-01-01 09:00:00"), 1L, 1.0),
+      (5L, ts("2024-01-01 09:00:00"), 2L, 2.0)
+    ).toDF("user_id", "ts", "sig_id", "value")
+    val out = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts", Seq("value"), "sig_id")
+      .select($"asof_value").as[Option[Double]].head()
+    assert(out.contains(2.0))
+  }
+
+  test("sessionize splits on gaps > threshold") {
+    val ev = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, 7L, ts("2024-01-01 10:10:00"), 1.0), // same session (10 min)
+      (3L, 7L, ts("2024-01-01 11:30:00"), 1.0), // gap 80 min -> new session
+      (4L, 8L, ts("2024-01-01 10:00:00"), 1.0)  // other user
+    ).toDF("event_id", "user_id", "ts", "value")
+    val s = Sessionize.sessionize(ev, "user_id", "ts", gapSeconds = 1800, tieBreak = "event_id")
+      .select($"event_id", $"session_id").as[(Long, Long)].collect().toMap
+    assert(s(1L) == 0 && s(2L) == 0 && s(3L) == 1 && s(4L) == 0)
+
+    val stats = Sessionize.sessionStats(ev, "user_id", "ts", "value", 1800, "event_id")
+    assert(stats.count() == 3)
+  }
+
+  test("text metrics: tokens, counts, langid") {
+    val df = Seq(
+      (1L, "  The quick the fox  "),
+      (2L, ""),
+      (3L, "el perro que no es un gato y la casa")
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id",
+        TextAnalysis.tokenCount($"text").as("n"),
+        TextAnalysis.langId($"text").as("lang"))
+      .as[(Long, Int, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 == 4)
+    assert(out(1L)._2 == "en")
+    assert(out(2L)._1 == 0)
+    assert(out(2L)._2 == "und")
+    assert(out(3L)._2 == "es")
+  }
+
+  test("shingles: n-grams of tokens, deduplicated") {
+    val got = Seq(Tuple1("a b c d")).toDF("text")
+      .select(TextAnalysis.shingles($"text", 2).as("s"))
+      .as[Seq[String]].head()
+    assert(got.toSet == Set("a b", "b c", "c d"))
+    val short = Seq(Tuple1("a")).toDF("text")
+      .select(TextAnalysis.shingles($"text", 3).as("s")).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("embedder: deterministic, unit-norm, batch == single") {
+    val e = graft.functions.HashingEmbedder(dimension = 32)
+    val v1 = e.embedOne("hello world")
+    val v2 = e.embedOne("hello world")
+    assert(v1.toSeq == v2.toSeq)
+    val norm = math.sqrt(v1.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    assert(e.embed(Seq("a b", "c d")).map(_.toSeq) ==
+      Seq(e.embedOne("a b").toSeq, e.embedOne("c d").toSeq))
+    assert(e.embedOne("").forall(_ == 0f)) // empty text -> zero vector
+  }
+}
