@@ -54,26 +54,29 @@ object Dedup {
       minJaccard: Double = 0.5, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val withSig = df.select(col(idCol).as("id"),
+    val shingleTable = df.select(col(idCol).as("id"),
         TextAnalysis.shingles(col(textCol), shingleSize).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .withColumn("sig", minhash(col("shingles"), numHashes, seed))
 
-    // band b's key = hash of the signature slice [b*rows, (b+1)*rows)
-    val banded = withSig.select(col("id"), col("shingles"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+    // Band WITHOUT carrying the shingle arrays: the bucket join only
+    // moves (id, band, bucket) triples. Arrays rejoin once, per side,
+    // for the exact verification — at scale this is the difference
+    // between shuffling ids and shuffling whole documents.
+    val banded = shingleTable
+      .withColumn("sig", minhash(col("shingles"), numHashes, seed))
+      .select(col("id"), posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bucket")))
 
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("shingles").as("sh_b"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val candidates = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
 
-    candidates
+    val shA = shingleTable.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val shB = shingleTable.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    candidates.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -130,16 +133,60 @@ object Dedup {
       .filter(col("df_count") <= maxShingleFreq)
       .drop("df_count")
 
-    val a = pruned.select(col("shingle"), col("id").as("id_a"), col("n_sh").as("n_a"))
-    val b = pruned.select(col("shingle"), col("id").as("id_b"), col("n_sh").as("n_b"))
-    a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("common"))
-      .withColumn("jaccard", col("common").cast("double") /
-        (col("n_a") + col("n_b") - col("common")))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "jaccard")
+    if (minJaccard < 0.4) {
+      // Low threshold: prefixes would keep most shingles (prefix len =
+      // |S| - ceil(t|S|) + 1), so candidate generation saves little and
+      // array-based verification costs more than counting. The
+      // inverted-index + groupBy-count plan never materializes arrays
+      // in the join — each matched shingle is one narrow row, and the
+      // aggregation does the verification.
+      val a = pruned.select(col("shingle"), col("id").as("id_a"), col("n_sh").as("n_a"))
+      val b = pruned.select(col("shingle"), col("id").as("id_b"), col("n_sh").as("n_b"))
+      a.join(b, Seq("shingle"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(count(lit(1)).as("common"))
+        .withColumn("jaccard", col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")))
+        .filter(col("jaccard") >= minJaccard)
+        .select("id_a", "id_b", "jaccard")
+    } else {
+      // Prefix filtering (SSJoin/PPJoin family, Chaudhuri et al. 2006 /
+      // Xiao et al. 2008): under a global rarest-first shingle order,
+      // any pair with Jaccard >= t must share a shingle within each
+      // side's first (|S| - ceil(t*|S|) + 1) shingles. Only prefixes
+      // join, collapsing the candidate space from sum(df^2) over ALL
+      // shingles to the rare-shingle prefixes.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
+      val ranked = pruned
+        .withColumn("df_count", count(lit(1)).over(w))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("id")
+            .orderBy(col("df_count").asc, col("shingle").asc)))
+        .withColumn("prefix_len",
+          col("n_sh") - ceil(col("n_sh") * minJaccard).cast("int") + 1)
+      val prefix = ranked.filter(col("rn") <= col("prefix_len"))
+        .select(col("shingle"), col("id"))
+
+      val candidates = prefix.join(
+          prefix.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
+        .filter(col("id") < col("id_b"))
+        .select(col("id").as("id_a"), col("id_b"))
+        .dropDuplicates("id_a", "id_b")
+
+      // exact verification on candidates via the full shingle arrays
+      val arrays = df.select(col(idCol).as("id"),
+          TextAnalysis.shingles(col(textCol), shingleSize).as("shingles"))
+        .filter(size(col("shingles")) > 0)
+      candidates
+        .join(arrays.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+        .join(arrays.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))))
+        .filter(col("jaccard") >= minJaccard)
+        .select("id_a", "id_b", "jaccard")
+    }
   }
 
   /**

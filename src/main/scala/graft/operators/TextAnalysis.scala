@@ -20,14 +20,13 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Word n-gram shingles joined with single spaces (for MinHash/
-    * Jaccard). Guarded: `sequence(0, -1)` in Spark is a DESCENDING
-    * sequence, so the too-short case must short-circuit to []. */
+    * Jaccard). Backed by a native expression: the Column-composed
+    * `transform(sequence..., slice(tokens...))` form re-tokenizes per
+    * lambda index (interpreted higher-order functions do not cache
+    * their target array), turning an m-token doc into O(m) splits. */
   def shingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    when(size(ts) < n, array().cast("array<string>")).otherwise(
-      array_distinct(transform(
-        sequence(lit(0), size(ts) - lit(n)),
-        i => concat_ws(" ", slice(ts, i + 1, lit(n))))))
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(org.apache.spark.sql.graft.expressions.WordShingles(Bridge.expression(text), n))
   }
 
   /** Character n-gram shingles of the lowercased text. */
@@ -101,14 +100,27 @@ object TextAnalysis {
     when(best.getField("neg") === 0, "und").otherwise(best.getField("lang"))
   }
 
-  /** All quality metrics as a struct-expanded DataFrame helper. */
-  def withTextMetrics(df: DataFrame, textCol: String): DataFrame = {
-    val t = col(textCol)
-    df.withColumn("n_tokens", tokenCount(t))
-      .withColumn("avg_token_len", avgTokenLen(t))
-      .withColumn("stopword_ratio", stopwordRatio(t))
-      .withColumn("punct_ratio", punctRatio(t))
-      .withColumn("quality_score", qualityScore(t))
-      .withColumn("lang_pred", langId(t))
+  /**
+   * Fused single-pass metrics struct (n_tokens, avg_token_len,
+   * stopword_ratio, punct_ratio, quality_score, lang_pred). Same
+   * semantics as the Column-composed functions above, but one
+   * tokenization instead of six — higher-order array functions are
+   * interpreted, so Spark's subexpression elimination cannot merge the
+   * repeated splits; the custom expression is the hot path.
+   */
+  def textMetrics(text: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(org.apache.spark.sql.graft.expressions.TextMetrics(Bridge.expression(text)))
   }
+
+  /** All quality metrics as a struct-expanded DataFrame helper. */
+  def withTextMetrics(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__m", textMetrics(col(textCol)))
+      .withColumn("n_tokens", col("__m.n_tokens"))
+      .withColumn("avg_token_len", col("__m.avg_token_len"))
+      .withColumn("stopword_ratio", col("__m.stopword_ratio"))
+      .withColumn("punct_ratio", col("__m.punct_ratio"))
+      .withColumn("quality_score", col("__m.quality_score"))
+      .withColumn("lang_pred", col("__m.lang_pred"))
+      .drop("__m")
 }

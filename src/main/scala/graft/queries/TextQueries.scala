@@ -38,10 +38,11 @@ object TextQueries {
          |ORDER BY doc_id""".stripMargin),
       (spark, dir) =>
         table(spark, dir, "documents")
+          .withColumn("m", TextAnalysis.textMetrics(col("text")))
           .select(col("doc_id"), col("lang"),
-            TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-            round(TextAnalysis.avgTokenLen(col("text")), 6).as("avg_token_len"),
-            round(TextAnalysis.stopwordRatio(col("text")), 6).as("stopword_ratio"))
+            col("m.n_tokens").as("n_tokens"),
+            round(col("m.avg_token_len"), 6).as("avg_token_len"),
+            round(col("m.stopword_ratio"), 6).as("stopword_ratio"))
           .orderBy("doc_id")),
 
     QueryDef("q31_quality_langid", Some({
@@ -64,9 +65,10 @@ object TextQueries {
          |ORDER BY doc_id""".stripMargin}),
       (spark, dir) =>
         table(spark, dir, "documents")
+          .withColumn("m", TextAnalysis.textMetrics(col("text")))
           .select(col("doc_id"), col("lang"),
-            TextAnalysis.langId(col("text")).as("lang_pred"),
-            round(TextAnalysis.qualityScore(col("text")), 6).as("quality_score"))
+            col("m.lang_pred").as("lang_pred"),
+            round(col("m.quality_score"), 6).as("quality_score"))
           .orderBy("doc_id")),
 
     QueryDef("q32_langid_confusion", Some({
@@ -85,7 +87,8 @@ object TextQueries {
          |ORDER BY lang, lang_pred""".stripMargin}),
       (spark, dir) =>
         table(spark, dir, "documents")
-          .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+          .select(col("lang"),
+            TextAnalysis.textMetrics(col("text")).getField("lang_pred").as("lang_pred"))
           .groupBy("lang", "lang_pred")
           .agg(count(lit(1)).as("n"))
           .orderBy("lang", "lang_pred")),
@@ -115,11 +118,12 @@ object TextQueries {
         |  GROUP BY 1, 2, 3, 4)
         |SELECT id_a, id_b, round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) AS jaccard
         |FROM pairs
+        |WHERE CAST(common AS DOUBLE) / (n_a + n_b - common) >= 0.2
         |ORDER BY CAST(common AS DOUBLE) / (n_a + n_b - common) DESC, id_a, id_b
         |LIMIT 20""".stripMargin),
       (spark, dir) =>
         Dedup.ngramJaccardPairs(table(spark, dir, "documents"), "doc_id", "text",
-            shingleSize = 3, minJaccard = 0.0)
+            shingleSize = 3, minJaccard = 0.2)
           .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
           .limit(20)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
@@ -127,8 +131,10 @@ object TextQueries {
     // --- hash-based fingerprints: engine-internal hashes, rows-only checks
     QueryDef("q35_minhash_neardup", None,
       (spark, dir) =>
+        // bands=32 (rows=2): LSH threshold (1/b)^(1/r) ~ 0.18, matched
+        // to the 0.2 verification cut so banding recall stays high
         Dedup.minHashNearDupPairs(table(spark, dir, "documents"), "doc_id", "text",
-            shingleSize = 3, numHashes = 64, bands = 16, minJaccard = 0.2)
+            shingleSize = 3, numHashes = 64, bands = 32, minJaccard = 0.2)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("id_a", "id_b")),
 
