@@ -30,13 +30,33 @@ object Similarity {
       .limit(k)
 
   /**
+   * Per-query top-k without shuffling the scored rows: each partition
+   * pre-aggregates its own top-k per query (map-side combine), so the
+   * exchange moves at most |queries| * |partitions| * k rows instead of
+   * |queries| * |corpus| — the difference between shuffling k rows and
+   * shuffling the corpus at scale. Deterministic tiebreak: score desc,
+   * neighbor id asc (lexicographic struct sort on (-score, id)).
+   */
+  private def aggregateTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+    val item = struct((-col("score")).as("neg"), col(idCol).cast("long").as("nid"))
+    val partial = scored
+      .withColumn("__pid", spark_partition_id())
+      .groupBy(col("query_id"), col("__pid"))
+      .agg(slice(array_sort(collect_list(item)), 1, k).as("top"))
+    partial.groupBy(col("query_id"))
+      .agg(slice(array_sort(flatten(collect_list(col("top")))), 1, k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "item")))
+      .select(col("query_id"), col("item.nid").as("neighbor_id"),
+        (-col("item.neg")).as("score"), (col("pos") + 1).cast("int").as("rank"))
+  }
+
+  /**
    * Batch kNN: every row of `queries` (qidCol, qembCol) gets its top-k
    * neighbors from `corpus`. The query side is broadcast (it is the
    * small side by construction); scoring is a broadcast nested-loop
-   * over each corpus partition — no corpus shuffle; the only shuffle is
-   * the final per-query top-k window, which moves at most
-   * |queries| * |corpus| scored *rows already filtered by rank* after
-   * partial aggregation. For very large query sets, use `ivfTopK`.
+   * over each corpus partition — no corpus shuffle — and the top-k is
+   * the map-side-combined aggregation above. For very large query
+   * sets, use `ivfTopK`.
    */
   def bruteForceTopK(corpus: DataFrame, idCol: String, embCol: String,
       queries: DataFrame, qidCol: String, qembCol: String, k: Int): DataFrame = {
@@ -44,11 +64,7 @@ object Similarity {
       .crossJoin(broadcast(queries.select(col(qidCol).as("query_id"),
         col(qembCol).as("query_emb"))))
       .withColumn("score", cosine_sim(col(embCol), col("query_emb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol).as("neighbor_id"), col("score"), col("rank"))
+    aggregateTopK(scored, idCol, k)
   }
 
   /**
@@ -71,11 +87,7 @@ object Similarity {
       .withColumn("cluster_id", explode(probeClustersColumn(model, col("query_emb"), nprobe)))
     val scored = assigned.join(qAssigned, Seq("cluster_id"))
       .withColumn("score", cosine_sim(col(embCol), col("query_emb")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol).as("neighbor_id"), col("score"), col("rank"))
+    aggregateTopK(scored, idCol, k)
   }
 
   /** array<int> of the nprobe nearest centroid ids for an embedding column. */
