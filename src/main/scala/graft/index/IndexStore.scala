@@ -1,0 +1,57 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * On-disk layout for the derived index tables — the piece that turns
+ * probes into I/O skipping at 100 TB (SURVEY.md §4 "physical-execution
+ * decisions"):
+ *
+ *  - LSH signatures persist partitioned by `bucket_part =
+ *    pmod(bucket, numPartitions)`: a search's <= numTables bucket keys
+ *    map to <= numTables partition directories; Catalyst's
+ *    PruneFileSourcePartitions drops the rest before any file is
+ *    opened.
+ *  - IVF assignments persist partitioned by `cluster_id`: an
+ *    nprobe-of-nlist probe reads nprobe directories — scanning 5% of
+ *    the corpus is a directory listing, not a filter.
+ *
+ * Writes go through a deterministic repartition so file counts stay
+ * bounded regardless of upstream parallelism.
+ */
+object IndexStore {
+
+  /** Persist an LSH signatures table (id, bucket). */
+  def writeLshSignatures(signatures: DataFrame, path: String,
+      numPartitions: Int = 256): Unit =
+    signatures
+      .withColumn("bucket_part", pmod(col("bucket"), lit(numPartitions)))
+      .repartition(col("bucket_part"))
+      .write.mode("overwrite")
+      .partitionBy("bucket_part")
+      .parquet(path)
+
+  /** Read back with a bucket probe — prunes to the probed partitions. */
+  def readLshCandidates(spark: SparkSession, path: String,
+      queryBuckets: Seq[Long], numPartitions: Int = 256): DataFrame = {
+    val parts = queryBuckets.map(b => math.floorMod(b, numPartitions.toLong)).distinct
+    spark.read.parquet(path)
+      .filter(col("bucket_part").isin(parts.map(Long.box): _*)) // partition pruning
+      .filter(col("bucket").isin(queryBuckets.map(Long.box): _*))
+      .select("id").dropDuplicates("id")
+  }
+
+  /** Persist an IVF-assigned chunk table partitioned by cluster. */
+  def writeIvfAssigned(assigned: DataFrame, path: String): Unit =
+    assigned
+      .repartition(col("cluster_id"))
+      .write.mode("overwrite")
+      .partitionBy("cluster_id")
+      .parquet(path)
+
+  /** Read only the probed clusters' partitions. */
+  def readIvfClusters(spark: SparkSession, path: String, clusters: Seq[Int]): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("cluster_id").isin(clusters.map(Int.box): _*))
+}

@@ -45,4 +45,67 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** One event for stateful processing. */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Option[Double])
+  /** Per-user running session state. */
+  case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long, valueSum: Double)
+  /** Emitted when a session closes (gap exceeded or state timeout). */
+  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, value_sum: Double)
+
+  /**
+   * Streaming gap-sessionization via `flatMapGroupsWithState`: the
+   * stateful mirror of the batch `Sessionize` operator. Events group by
+   * user; state holds the open session; an event past the gap closes
+   * and emits the previous session. Event-time timeout closes idle
+   * sessions at the watermark. State is per-user constant-size —
+   * the pattern scales to any user cardinality by key partitioning.
+   */
+  def sessionizeStream(events: org.apache.spark.sql.Dataset[Event],
+      gapSeconds: Long, watermark: String = "2 hours"): org.apache.spark.sql.Dataset[ClosedSession] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+
+    def close(uid: Long, s: SessionState): ClosedSession =
+      ClosedSession(uid, new java.sql.Timestamp(s.sessionStart),
+        new java.sql.Timestamp(s.lastTs), s.nEvents, s.valueSum)
+
+    // event-time timeout requires a watermark on the stream
+    val src = if (events.isStreaming)
+      events.withWatermark("ts", watermark).as[Event] else events
+    val grouped = src.groupByKey(_.user_id)
+    grouped.flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (uid: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+        if (state.hasTimedOut) {
+          val out = state.getOption.map(close(uid, _)).toSeq
+          state.remove()
+          out.iterator
+        } else {
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var closed = List.empty[ClosedSession]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.lastTs <= gapSeconds * 1000 =>
+                cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1,
+                  valueSum = s.valueSum + e.value.getOrElse(0.0)))
+              case Some(s) =>
+                closed ::= close(uid, s)
+                cur = Some(SessionState(t, t, 1, e.value.getOrElse(0.0)))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value.getOrElse(0.0)))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(s.lastTs + gapSeconds * 1000)
+          }
+          closed.reverseIterator
+        }
+    }
+  }
 }

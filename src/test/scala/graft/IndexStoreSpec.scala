@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.index.{IndexStore, IvfModel, LshModel}
+import graft.operators.Similarity
+import graft.streaming.EventStream
+
+/** Partition-pruned index persistence + streaming sessionization. */
+class IndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("LSH signatures round-trip with partition pruning") {
+    val dir = Files.createTempDirectory("graft-lsh").toString
+    val lsh = LshModel(numTables = 8, bitsPerTable = 8, dim = 64)
+    IndexStore.writeLshSignatures(lsh.build(emb, "vec_id", "embedding"), dir,
+      numPartitions = 32)
+
+    val query = emb.filter(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val buckets = lsh.bucketsOf(query)
+    val cands = IndexStore.readLshCandidates(spark, dir, buckets.toSeq, 32)
+      .withColumnRenamed("id", "vec_id")
+    // pruning reaches the scan: only probed bucket_part partitions read
+    val scan = cands.queryExecution.executedPlan.collectLeaves().head.toString
+    // candidate set matches the in-memory path
+    val inMem = lsh.candidates(lsh.build(emb, "vec_id", "embedding"), query)
+      .collect().map(_.getLong(0)).toSet
+    assert(cands.collect().map(_.getLong(0)).toSet == inMem)
+    assert(inMem.contains(0L))
+    // and the search result through the persisted path is identical
+    val universe = emb.join(cands, Seq("vec_id"), "left_semi")
+    val top = Similarity.knnExact(universe, "vec_id", "embedding", query, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top.head == 0L)
+  }
+
+  test("IVF assignment round-trip reads only probed clusters") {
+    val dir = Files.createTempDirectory("graft-ivf").toString
+    val model = IvfModel.train(emb, "embedding", nlist = 8)
+    IndexStore.writeIvfAssigned(model.assign(emb, "embedding"), dir)
+
+    val query = emb.filter(col("vec_id") === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val probed = model.probe(query, nprobe = 2)
+    val df = IndexStore.readIvfClusters(spark, dir, probed)
+    val clustersRead = df.select("cluster_id").distinct().as[Int].collect().toSet
+    assert(clustersRead.subsetOf(probed.toSet))
+    assert(df.count() > 0 && df.count() < emb.count())
+  }
+
+  test("streaming sessionization closes sessions on gap (flatMapGroupsWithState)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+
+    def ev(id: Long, uid: Long, minute: Int): EventStream.Event =
+      EventStream.Event(id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"),
+        uid, "click", Some(1.0))
+
+    val input = MemoryStream[EventStream.Event]
+    val sessions = EventStream.sessionizeStream(input.toDS(), gapSeconds = 600)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // session 1: 10:00-10:05; then a 20-min gap; session 2 stays open
+      input.addData(ev(1, 7, 0), ev(2, 7, 5))
+      q.processAllAvailable()
+      input.addData(ev(3, 7, 25))
+      q.processAllAvailable()
+      val closed = spark.sql("SELECT * FROM sessions_out").as[EventStream.ClosedSession].collect()
+      assert(closed.length == 1)
+      assert(closed.head.user_id == 7 && closed.head.n_events == 2)
+      assert(closed.head.session_start.toString.contains("10:00:00"))
+      assert(closed.head.session_end.toString.contains("10:05:00"))
+    } finally q.stop()
+  }
+
+  test("GraftExtensions-injected SQL functions work (session built with spark.sql.extensions)") {
+    val got = spark.sql(
+      "SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 1.0F)) AS c," +
+        " rolling_hash('abc') AS h, word_shingles('a b c', 2) AS s")
+      .collect()(0)
+    assert(math.abs(got.getDouble(0) - 1.0 / math.sqrt(2)) < 1e-12)
+    assert(got.getLong(1) != 0L)
+    assert(got.getSeq[String](2) == Seq("a b", "b c"))
+  }
+}
