@@ -254,6 +254,77 @@ object RelationalQueries {
         f.intersect(op).except(p).orderBy(col("custkey"))
       }),
 
+    QueryDef("q15_left_join", Some(
+      """SELECT c.c_custkey, c.c_mktsegment,
+        |  count(o.o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+        |FROM customer c
+        |LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'O'
+        |GROUP BY c.c_custkey, c.c_mktsegment
+        |ORDER BY c.c_custkey""".stripMargin),
+      (spark, dir) => {
+        val c = table(spark, dir, "customer")
+        val o = table(spark, dir, "orders").filter(col("o_orderstatus") === "O")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(col("c_custkey"), col("c_mktsegment"))
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            round(coalesce(sum(col("o_totalprice")), lit(0)), 2).as("total_spend"))
+          .orderBy(col("c_custkey"))
+      }),
+
+    QueryDef("q16_cube", Some(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
+      (spark, dir) =>
+        table(spark, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first)),
+
+    QueryDef("q17_string_funcs", Some(
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_upper,
+        |  substring(p_name, 1, 8) AS name_prefix,
+        |  length(p_name) AS name_len,
+        |  concat(p_brand, '#', p_type) AS brand_type,
+        |  replace(p_type, ' ', '_') AS type_slug
+        |FROM part
+        |WHERE p_name LIKE '%a%' AND p_size BETWEEN 10 AND 40
+        |ORDER BY p_partkey""".stripMargin),
+      (spark, dir) =>
+        table(spark, dir, "part")
+          .filter(col("p_name").like("%a%") && col("p_size").between(10, 40))
+          .select(col("p_partkey"),
+            upper(col("p_brand")).as("brand_upper"),
+            substring(col("p_name"), 1, 8).as("name_prefix"),
+            length(col("p_name")).as("name_len"),
+            concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+            regexp_replace(col("p_type"), " ", "_").as("type_slug"))
+          .orderBy(col("p_partkey"))),
+
+    QueryDef("q18_conditional_agg", Some(
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+        |  CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+        |  round(sum(CASE WHEN l_quantity >= 25 THEN l_extendedprice ELSE 0 END), 2) AS large_revenue,
+        |  round(avg(CASE WHEN l_tax > 0.04 THEN l_extendedprice END), 2) AS avg_taxed_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
+      (spark, dir) =>
+        table(spark, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(when(col("l_quantity") >= 25, 1).otherwise(0)).cast("long").as("n_large"),
+            sum(when(col("l_discount") > 0.05, 1).otherwise(0)).cast("long").as("n_discounted"),
+            round(sum(when(col("l_quantity") >= 25, col("l_extendedprice")).otherwise(0)), 2).as("large_revenue"),
+            round(avg(when(col("l_tax") > 0.04, col("l_extendedprice"))), 2).as("avg_taxed_price"))
+          .orderBy(col("l_returnflag"))),
+
     QueryDef("q14_join_part_supplier", Some(
       """SELECT p.p_brand, s.s_name,
         |  count(*) AS n_items,
