@@ -292,13 +292,40 @@ final class VectorCatalog(val spark: SparkSession,
     version.incrementAndGet()
   }
 
-  /** Persist chunks partitioned by library (partition pruning on the
-    * per-library scan path, SURVEY.md §4). */
-  def save(path: String): Unit =
-    chunks.write.mode("overwrite").partitionBy("library_id").parquet(path)
+  /** Persist the full catalog: chunks partitioned by library (partition
+    * pruning on the per-library scan path, SURVEY.md §4) + the
+    * library/document registries as parquet dimension tables. */
+  def save(path: String): Unit = {
+    chunks.write.mode("overwrite").partitionBy("library_id").parquet(s"$path/chunks")
+    spark.createDataFrame(libraries.values.toSeq.map(l => Row(
+        l.id, l.name, l.description.orNull, l.metadata, l.is_indexed,
+        l.created_at, l.updated_at)).asJava, Schemas.libraries)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/libraries")
+    spark.createDataFrame(documents.values.toSeq.map(d => Row(
+        d.id, d.library_id, d.name, d.description.orNull, d.metadata,
+        d.created_at, d.updated_at)).asJava, Schemas.documents)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/documents")
+  }
 
-  def loadChunks(path: String): Unit = {
-    chunksRef.set(spark.read.schema(Schemas.chunks).parquet(path))
+  /** Restore a saved catalog (indexes rebuild on demand — they are
+    * derived data). */
+  def load(path: String): Unit = {
+    chunksRef.set(spark.read.schema(Schemas.chunks).parquet(s"$path/chunks")
+      .select(Schemas.chunks.fieldNames.map(col): _*))
+    libraries.clear()
+    spark.read.schema(Schemas.libraries).parquet(s"$path/libraries").collect().foreach { r =>
+      libraries.put(r.getString(0), LibraryRow(r.getString(0), r.getString(1),
+        Option(r.getString(2)),
+        Option(r.getAs[scala.collection.Map[String, String]](3)).map(_.toMap).getOrElse(Map.empty),
+        r.getBoolean(4), r.getTimestamp(5), r.getTimestamp(6)))
+    }
+    documents.clear()
+    spark.read.schema(Schemas.documents).parquet(s"$path/documents").collect().foreach { r =>
+      documents.put(r.getString(0), DocumentRow(r.getString(0), r.getString(1),
+        r.getString(2), Option(r.getString(3)),
+        Option(r.getAs[scala.collection.Map[String, String]](4)).map(_.toMap).getOrElse(Map.empty),
+        r.getTimestamp(5), r.getTimestamp(6)))
+    }
     version.incrementAndGet()
   }
 }
