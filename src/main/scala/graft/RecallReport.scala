@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.index.{IvfModel, LshModel}
+import graft.operators.Similarity
+
+/**
+ * ANN quality sweep — the recall/cost metric the reference never
+ * measured (SURVEY.md §6). For a grid of LSH (tables x bits) and IVF
+ * (nlist, nprobe) parameters, reports mean recall@10 vs the exact
+ * oracle and the mean candidate-set fraction (the work an approximate
+ * probe actually does). Markdown to stdout; redirect into RECALL.md.
+ */
+object RecallReport {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val nQueries = 30
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
+    val n = emb.count()
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+
+    def exactTop(q: Array[Float]): Set[Long] =
+      Similarity.knnExact(emb, "vec_id", "embedding", q, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = queries.map { case (id, q) => id -> exactTop(q) }.toMap
+
+    println(s"# ANN recall/cost sweep — ${sfDir} (n=$n vectors, $nQueries queries, k=10)\n")
+
+    println("## LSH (random hyperplanes, seeded)\n")
+    println("| tables | bits | mean recall@10 | mean candidate fraction |")
+    println("|---|---|---|---|")
+    for (tables <- Seq(4, 8, 16); bits <- Seq(4, 6, 8, 10)) {
+      val lsh = LshModel(numTables = tables, bitsPerTable = bits, dim = 64)
+      val sigs = lsh.build(emb, "vec_id", "embedding").cache()
+      val stats = queries.map { case (id, q) =>
+        val cands = lsh.candidates(sigs, q).collect().map(_.getLong(0)).toSet
+        val approx = cands.intersect(exact(id))
+        (approx.size / 10.0, cands.size.toDouble / n)
+      }
+      sigs.unpersist()
+      val recall = stats.map(_._1).sum / stats.length
+      val frac = stats.map(_._2).sum / stats.length
+      println(f"| $tables | $bits | $recall%.2f | $frac%.3f |")
+    }
+
+    println("\n## IVF (MLlib k-means, seeded)\n")
+    println("| nlist | nprobe | mean recall@10 | mean candidate fraction |")
+    println("|---|---|---|---|")
+    for (nlist <- Seq(8, 16, 32); nprobe <- Seq(1, 2, 4, 8) if nprobe <= nlist) {
+      val model = IvfModel.train(emb, "embedding", nlist = nlist)
+      val assigned = model.assign(emb, "embedding").cache()
+      val stats = queries.map { case (id, q) =>
+        val cands = model.candidates(assigned, q, nprobe)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        (cands.intersect(exact(id)).size / 10.0, cands.size.toDouble / n)
+      }
+      assigned.unpersist()
+      val recall = stats.map(_._1).sum / stats.length
+      val frac = stats.map(_._2).sum / stats.length
+      println(f"| $nlist | $nprobe | $recall%.2f | $frac%.3f |")
+    }
+    spark.stop()
+  }
+}

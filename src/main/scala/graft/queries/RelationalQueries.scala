@@ -325,6 +325,37 @@ object RelationalQueries {
             round(avg(when(col("l_tax") > 0.04, col("l_extendedprice"))), 2).as("avg_taxed_price"))
           .orderBy(col("l_returnflag"))),
 
+    QueryDef("q19_date_parts", Some(
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
+        |  CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS order_month,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE EXTRACT(DOW FROM o_orderdate) NOT IN (0, 6)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin),
+      (spark, dir) =>
+        table(spark, dir, "orders")
+          // DuckDB DOW: Sunday=0..Saturday=6; Spark dayofweek: Sunday=1..Saturday=7
+          .filter(!dayofweek(col("o_orderdate")).isin(1, 7))
+          .groupBy(year(col("o_orderdate")).as("order_year"),
+            month(col("o_orderdate")).as("order_month"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+          .orderBy("order_year", "order_month")),
+
+    QueryDef("q45_array_agg", Some(
+      """SELECT l_returnflag,
+        |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+        |  CAST(len(list(DISTINCT l_suppkey)) AS INTEGER) AS n_suppliers
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
+      (spark, dir) =>
+        table(spark, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
+            size(collect_set(col("l_suppkey"))).as("n_suppliers"))
+          .orderBy(col("l_returnflag"))),
+
     QueryDef("q14_join_part_supplier", Some(
       """SELECT p.p_brand, s.s_name,
         |  count(*) AS n_items,
