@@ -106,6 +106,9 @@ final class VectorDb(spark: SparkSession, embedder: Embedder = Embedder.default,
   /** GET /health (:60-67) */
   def health(): Map[String, String] =
     Map("status" -> "healthy", "service" -> "graft-vector-db")
+  /** Entity counts (storage.py:253-265 — defined there, never routed;
+    * exposed here as a first-class op). */
+  def stats(): Map[String, Long] = catalog.stats()
   /** GET / (:70-78) */
   def info(): Map[String, String] = Map(
     "service" -> "graft-vector-db",

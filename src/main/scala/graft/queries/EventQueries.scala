@@ -83,7 +83,23 @@ object EventQueries {
           .orderBy("event_id")
       }),
 
-    QueryDef("q44_sliding_window", None,
+    QueryDef("q44_sliding_window", Some(
+      // 1h windows sliding by 30m: each event belongs to the windows
+      // starting at floor30(ts) and floor30(ts)-30m. make_timestamp
+      // keeps the computation timezone-free (to_timestamp would round-
+      // trip through TIMESTAMPTZ and shift under a non-UTC session).
+      """WITH w AS (
+        |  SELECT event_type, value,
+        |    unnest([
+        |      make_timestamp(CAST(floor(epoch(ts)/1800)*1800*1000000 AS BIGINT)),
+        |      make_timestamp(CAST((floor(epoch(ts)/1800)*1800 - 1800)*1000000 AS BIGINT))
+        |    ]) AS window_start
+        |  FROM events)
+        |SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS value_sum
+        |FROM w
+        |GROUP BY 1, 2, 3
+        |ORDER BY window_start, event_type""".stripMargin),
       (spark, dir) =>
         table(spark, dir, "events")
           .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
