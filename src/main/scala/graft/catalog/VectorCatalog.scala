@@ -257,6 +257,49 @@ final class VectorCatalog(val spark: SparkSession,
 
   def indexState(libraryId: String): Option[IndexState] = indexes.get(libraryId)
 
+  /**
+   * Incremental index maintenance (reference M1-M4/M8: per-chunk
+   * add/remove without retraining — indexes.py:103-135, 310-338;
+   * k-means is trained once and never retrained after, indexes.py:280).
+   * Spark-native shape: the delta between the current chunk table and
+   * the built index is reconciled with one anti-join (deletes) and one
+   * append of newly-embedded rows (inserts). IVF assigns new rows with
+   * the EXISTING centroids, faithfully preserving the never-retrain
+   * semantics; LSH hyperplanes are stateless so appends are exact.
+   */
+  def refreshIndex(libraryId: String): Either[ApiError, IndexState] =
+    getLibrary(libraryId).map { _ =>
+      val state = indexes(libraryId)
+      val libChunks = chunksByLibrary(libraryId).filter($"embedding".isNotNull)
+      val refreshed = state.indexType match {
+        case IndexType.Lsh if state.lsh.isDefined =>
+          val model = state.lsh.get
+          val current = state.signatures.get
+          val liveIds = libChunks.select($"id")
+          val kept = current.join(liveIds, Seq("id"), "left_semi")
+          val newChunks = libChunks.join(current.select("id").distinct(),
+            Seq("id"), "left_anti")
+          val sigs = kept.unionByName(model.build(newChunks, "id", "embedding")).cache()
+          sigs.count()
+          state.signatures.foreach(_.unpersist())
+          state.copy(signatures = Some(sigs), builtAtVersion = version.get())
+        case IndexType.Ivf if state.ivf.isDefined =>
+          val model = state.ivf.get
+          val current = state.assigned.get
+          val kept = current.join(libChunks.select($"id"), Seq("id"), "left_semi")
+          val newChunks = libChunks.join(current.select("id").distinct(),
+            Seq("id"), "left_anti")
+          val assigned = kept.unionByName(model.assign(newChunks, "embedding")).cache()
+          assigned.count()
+          state.assigned.foreach(_.unpersist())
+          state.copy(assigned = Some(assigned), builtAtVersion = version.get())
+        case _ => // exact or never-built index: nothing derived to refresh
+          state.copy(builtAtVersion = version.get())
+      }
+      indexes.put(libraryId, refreshed)
+      refreshed
+    }
+
   /** True when chunk mutations occurred after the index build. */
   def indexStale(libraryId: String): Boolean =
     indexes.get(libraryId).exists(s => s.builtAtVersion < version.get() && s.builtAtVersion >= 0)

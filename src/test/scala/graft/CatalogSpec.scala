@@ -157,4 +157,50 @@ class CatalogSpec extends SparkSpec {
     val v = cat.validateRelationships()
     assert(v("orphan_chunks") == 0 && v("orphan_documents") == 0)
   }
+
+  test("incremental index refresh: append + delete without retrain (M1-M4/M8)") {
+    val cat = freshCatalog
+    val svc = new SearchService(cat)
+    val lib = cat.createLibrary("L", indexType = "lsh").toOption.get
+    val doc = cat.createDocument(lib.id, "D").toOption.get
+    val c1 = cat.createChunk(doc.id, "alpha beta gamma").toOption.get
+    cat.indexLibrary(lib.id, "lsh")
+    val sigCount1 = cat.indexState(lib.id).get.signatures.get.count()
+
+    // append a chunk, delete the first; refresh reconciles the delta
+    val c2 = cat.createChunk(doc.id, "delta epsilon zeta").toOption.get
+    cat.deleteChunk(c1.id)
+    assert(cat.indexStale(lib.id))
+    cat.refreshIndex(lib.id)
+    assert(!cat.indexStale(lib.id))
+    val sigs = cat.indexState(lib.id).get.signatures.get
+    val ids = sigs.select("id").distinct().collect().map(_.getString(0)).toSet
+    assert(ids == Set(c2.id)) // c1 removed, c2 added
+    assert(sigs.count() == sigCount1) // same per-chunk signature count
+
+    // search through the refreshed index finds the new chunk
+    val resp = svc.search(lib.id,
+      SearchQuery(queryText = Some("epsilon"), k = 1)).toOption.get
+    assert(resp.results.head.chunk.id == c2.id)
+  }
+
+  test("IVF refresh assigns new chunks with existing centroids (never retrains, indexes.py:280)") {
+    val cat = freshCatalog
+    val lib = cat.createLibrary("L", indexType = "ivf").toOption.get
+    val doc = cat.createDocument(lib.id, "D").toOption.get
+    // enough chunks to trigger training (nlist=100 is the config; use
+    // catalog's trainIfReady path via indexLibrary with >=100 chunks)
+    val texts = (1 to 110).map(i => (s"document number $i with words", Map.empty[String, String]))
+    cat.createChunks(doc.id, texts)
+    cat.indexLibrary(lib.id, "ivf")
+    val st1 = cat.indexState(lib.id).get
+    assert(st1.ivf.isDefined)
+    val centroidsBefore = st1.ivf.get.centroids.map(_.toSeq)
+
+    cat.createChunk(doc.id, "a brand new chunk arriving later")
+    cat.refreshIndex(lib.id)
+    val st2 = cat.indexState(lib.id).get
+    assert(st2.ivf.get.centroids.map(_.toSeq).toSeq == centroidsBefore.toSeq) // unchanged
+    assert(st2.assigned.get.count() == 111)
+  }
 }
