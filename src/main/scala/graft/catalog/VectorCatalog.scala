@@ -332,8 +332,18 @@ final class VectorCatalog(val spark: SparkSession,
 
   private def mutateChunks(f: DataFrame => DataFrame): Unit = {
     chunksRef.updateAndGet(df => f(df))
-    version.incrementAndGet()
+    // Each mutation extends the plan lineage (union/filter chains); cut
+    // it periodically or the analyzer cost grows without bound under
+    // sustained CRUD (the Spark analog of the reference's in-place dict
+    // mutation being O(1)).
+    if (version.incrementAndGet() % compactEvery == 0) compact()
   }
+
+  private val compactEvery = 64
+
+  /** Materialize the chunk table and drop its lineage. */
+  def compact(): Unit =
+    chunksRef.updateAndGet(df => df.localCheckpoint(true))
 
   /** Persist the full catalog: chunks partitioned by library (partition
     * pruning on the per-library scan path, SURVEY.md §4) + the

@@ -62,14 +62,17 @@ final class SearchService(catalog: VectorCatalog) {
       .orderBy(col("similarity_score").desc, col("id").asc)
       .limit(k))
 
-  /** Q2: bucket-join candidates, empty => full-scan fallback (indexes.py:151-153). */
+  /** Q2: bucket-join candidates; an EMPTY CANDIDATE SET falls back to a
+    * full scan (indexes.py:151-153 — the fallback fires before the
+    * universe membership check, so a non-empty candidate set that the
+    * metadata post-filter eliminates correctly returns < k rows, it
+    * does NOT fall back). */
   private def lshSearch(libraryId: String, universe: DataFrame,
       queryVec: Array[Float], k: Int): Seq[SearchResult] = {
     val state = catalog.indexState(libraryId).get
     val candidates = state.lsh.get.candidates(state.signatures.get, queryVec)
-    val candidateChunks = universe.join(candidates, Seq("id"), "left_semi")
-    val hits = exactTopK(candidateChunks, queryVec, k)
-    if (hits.nonEmpty) hits else exactTopK(universe, queryVec, k)
+    if (candidates.isEmpty) exactTopK(universe, queryVec, k)
+    else exactTopK(universe.join(candidates, Seq("id"), "left_semi"), queryVec, k)
   }
 
   /** Q3: probe nprobe clusters; untrained => empty (indexes.py:343). */
