@@ -46,6 +46,16 @@ object EventStream {
       .start()
   }
 
+  /**
+   * Streaming exact deduplication: drop events whose `event_id` was
+   * already seen within the watermark window — the streaming mirror of
+   * the batch exact-dedup operator. State is bounded by the watermark
+   * (late duplicates beyond it age out of the dedup map).
+   */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** One event for stateful processing. */
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Option[Double])
