@@ -84,6 +84,19 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("empty arrays: cosine 0.0 (zero-norm rule), euclid 0.0, dot 0.0") {
+    val empty = Array.empty[Float]
+    assert(one(cosine_sim($"a", $"b"), empty, empty) == 0.0)
+    assert(one(euclidean_dist($"a", $"b"), empty, empty) == 0.0)
+    assert(one(dot_product($"a", $"b"), empty, empty) == 0.0)
+  }
+
+  test("null inputs propagate null (no crash)") {
+    val df = Seq((Some(Array(1.0f)), Option.empty[Array[Float]])).toDF("a", "b")
+    val r = df.select(cosine_sim($"a", $"b")).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   test("property: cosine scale-invariant") {
     val rnd = new scala.util.Random(7)
     randomVecs(20).filter(_.exists(_ != 0f)).foreach { a =>
