@@ -28,9 +28,15 @@ object AsOfJoin {
    *                  (latest wins); pass a strictly-increasing unique id
    *                  for determinism
    */
+  /**
+   * @param toleranceSeconds optional max lookback: a matched right row
+   *        older than `leftTime - tolerance` is discarded (nulls out),
+   *        the usual bound in market-data as-of joins
+   */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
-      rightVals: Seq[String], tieBreak: String): DataFrame = {
+      rightVals: Seq[String], tieBreak: String,
+      toleranceSeconds: Option[Long] = None): DataFrame = {
     val leftCols = left.columns.toSeq
 
     val lAligned = left
@@ -50,10 +56,20 @@ object AsOfJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = rightVals.foldLeft(unioned)((df, c) =>
+    val withMatchTs = unioned
+      .withColumn("__match_t",
+        last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
+    val carried = rightVals.foldLeft(withMatchTs)((df, c) =>
       df.withColumn(s"asof_$c", last(col(s"__rv_$c"), ignoreNulls = true).over(w)))
 
+    val inTolerance = toleranceSeconds match {
+      case Some(tol) =>
+        col("__match_t").isNotNull &&
+          unix_timestamp(col("__t")) - unix_timestamp(col("__match_t")) <= tol
+      case None => lit(true)
+    }
     carried.filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ rightVals.map(c => col(s"asof_$c")): _*)
+      .select(leftCols.map(col) ++
+        rightVals.map(c => when(inTolerance, col(s"asof_$c")).otherwise(lit(null)).as(s"asof_$c")): _*)
   }
 }

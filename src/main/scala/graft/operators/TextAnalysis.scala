@@ -12,9 +12,12 @@ import org.apache.spark.sql.functions._
  */
 object TextAnalysis {
 
-  /** Whitespace tokens of trimmed lowercased text; empty text => []. */
-  def tokens(text: Column): Column =
-    filter(split(trim(lower(text)), "\\s+"), t => t =!= "")
+  /** Whitespace tokens of trimmed lowercased text; empty text => [].
+    * Native expression (single tokenization pass, duplicates kept). */
+  def tokens(text: Column): Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(org.apache.spark.sql.graft.expressions.WordTokens(Bridge.expression(text)))
+  }
 
   /** Token count (reference analog: demo.py:144 `len(content.split())`). */
   def tokenCount(text: Column): Column = size(tokens(text))

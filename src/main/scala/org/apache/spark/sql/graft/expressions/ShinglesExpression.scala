@@ -37,7 +37,35 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `word_tokens(text)` — the raw whitespace tokenization (duplicates
+  * kept, lowercased/trimmed): the single-pass form of
+  * TextAnalysis.tokens for multiset consumers like SimHash. */
+case class WordTokens(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "word_tokens"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val tokens = v.asInstanceOf[UTF8String].toString
+      .trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    new GenericArrayData(tokens.map(t => UTF8String.fromString(t): Any))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.expressions.WordShinglesEval.tokens($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object WordShinglesEval {
+
+  def tokens(text: UTF8String): GenericArrayData = {
+    val ts = text.toString.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    new GenericArrayData(ts.map(t => UTF8String.fromString(t): Any))
+  }
   def eval(text: UTF8String, n: Int): GenericArrayData = {
     val tokens = text.toString.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
     if (tokens.length < n) return new GenericArrayData(Array.empty[Any])

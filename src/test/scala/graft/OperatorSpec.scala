@@ -104,4 +104,18 @@ class OperatorSpec extends SparkSpec {
       Seq(e.embedOne("a b").toSeq, e.embedOne("c d").toSeq))
     assert(e.embedOne("").forall(_ == 0f)) // empty text -> zero vector
   }
+
+  test("asOf tolerance nulls out stale matches") {
+    val left = Seq(
+      (1L, 5L, ts("2024-01-01 10:00:00")),
+      (2L, 5L, ts("2024-01-01 12:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq((5L, ts("2024-01-01 09:50:00"), 1L, 7.0)).toDF("user_id", "ts", "sig_id", "value")
+    val out = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts", Seq("value"), "sig_id",
+        toleranceSeconds = Some(1800))
+      .select($"event_id", $"asof_value").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(out(1L).contains(7.0))  // 10 min old: within 30-min tolerance
+    assert(out(2L).isEmpty)        // 130 min old: stale
+  }
 }
