@@ -153,5 +153,20 @@ object TextQueries {
           .select(col("doc_id"),
             Bridge.column(RollingHash(Bridge.expression(col("text")))).as("fingerprint"))
           .orderBy("doc_id")
+      }),
+
+    // Multimodal plumbing through the driver surface: documents bytes
+    // play the media payload; the deterministic stub codec decodes
+    // shape + features (real decode is a MediaCodec impl away).
+    QueryDef("q38_media_decode", None,
+      (spark, dir) => {
+        import graft.multimodal.Multimodal
+        val media = Multimodal.mediaFromText(
+          table(spark, dir, "documents"), "doc_id", "text", "image")
+        Multimodal.withResizeTarget(Multimodal.decodeImages(media), maxSide = 256)
+          .select(col("media_id"), col("width"), col("height"),
+            col("target_width"), col("target_height"),
+            round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+          .orderBy("media_id")
       }))
 }

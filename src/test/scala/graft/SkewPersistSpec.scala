@@ -29,6 +29,15 @@ class SkewPersistSpec extends SparkSpec {
     assert(counts == expected)
   }
 
+  test("approx_count_distinct within 5% of exact on lineitem keys") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val row = li.agg(
+      countDistinct(col("l_orderkey")).as("exact"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("approx")).collect()(0)
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05)
+  }
+
   test("catalog save/load round-trip preserves entities and chunks") {
     val dir = Files.createTempDirectory("graft-catalog").toString
     val cat = new VectorCatalog(spark)
