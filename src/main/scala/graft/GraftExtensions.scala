@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       builder)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => org.apache.spark.sql.graft.plans.AsOfJoinStrategy)
     ext.injectFunction(fn("cosine_sim", classOf[CosineSimilarity],
       es => CosineSimilarity(es(0), es(1))))
     ext.injectFunction(fn("euclidean_dist", classOf[EuclideanDistance],

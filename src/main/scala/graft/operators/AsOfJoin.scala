@@ -72,4 +72,34 @@ object AsOfJoin {
       .select(leftCols.map(col) ++
         rightVals.map(c => when(inTolerance, col(s"asof_$c")).otherwise(lit(null)).as(s"asof_$c")): _*)
   }
+
+  /**
+   * The same join as a custom physical operator (AsOfJoinExec): one
+   * co-partitioned merge pass per partition instead of the union +
+   * window formulation — the plan a native engine would pick. The
+   * strategy self-registers via experimental.extraStrategies (also
+   * injected by GraftExtensions). Differentially tested against
+   * `asOf`; `asOf` remains the default.
+   */
+  def asOfNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      rightVals: Seq[String], tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
+    val spark = left.sparkSession
+    Bridge.ensureStrategy(spark, AsOfJoinStrategy)
+    // re-alias the right side so a self-join carries fresh exprIds
+    val rightFresh = right.select(right.columns.map(c => col(c).as(c)): _*)
+    val lPlan = Bridge.analyzed(left)
+    val rPlan = Bridge.analyzed(rightFresh)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      plan.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    val plan = AsOfJoinPlan(lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, leftTime), attr(rPlan, rightTime), attr(rPlan, tieBreak),
+      rightVals.map(attr(rPlan, _)))
+    Bridge.ofRows(spark, plan)
+      .toDF(left.columns ++ rightVals.map(c => s"asof_$c"): _*)
+  }
 }

@@ -21,4 +21,22 @@ object Bridge {
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
   }
+
+  /** Analyzed logical plan of a DataFrame. */
+  def analyzed(df: org.apache.spark.sql.Dataset[_]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    org.apache.spark.sql.classic.ClassicConversions.castToImpl(df).queryExecution.analyzed
+
+  /** Wrap a logical plan back into a DataFrame. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark), plan)
+
+  /** Idempotently add a planner strategy to the session. */
+  def ensureStrategy(spark: SparkSession,
+      s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val impl = org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark)
+    if (!impl.experimental.extraStrategies.contains(s))
+      impl.experimental.extraStrategies = impl.experimental.extraStrategies :+ s
+  }
 }
