@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Embedder, HashingEmbedder}
+import graft.operators.{Dedup, TextAnalysis}
+
+/**
+ * The end-to-end training-corpus curation pipeline, composed from the
+ * engine's operators — the workload the 100 TB framing is about:
+ *
+ *   raw docs -> quality metrics (single-pass expression)
+ *            -> quality/language gates
+ *            -> exact dedup (hash groupBy)
+ *            -> near-dup removal (MinHash-LSH candidates, exact verify,
+ *               greedy keep-lowest-id per pair)
+ *            -> distributed embedding
+ *
+ * Every stage is a narrow transform or a hash-bucket join; nothing
+ * collects to the driver, so the pipeline shape is scale-invariant.
+ */
+object CorpusPipeline {
+
+  final case class CurationConfig(
+      minQuality: Double = 0.5,
+      keepLangs: Set[String] = Set.empty, // empty = keep all
+      nearDupJaccard: Double = 0.8,
+      shingleSize: Int = 3,
+      embedDim: Int = 64)
+
+  /** Returns the curated corpus: original columns + quality metrics +
+    * `embedding`. */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      cfg: CurationConfig = CurationConfig()): DataFrame = {
+
+    // 1-2. metrics + gates
+    val withMetrics = docs
+      .withColumn("__m", TextAnalysis.textMetrics(col(textCol)))
+      .withColumn("quality_score", col("__m.quality_score"))
+      .withColumn("lang_pred", col("__m.lang_pred"))
+      .withColumn("n_tokens", col("__m.n_tokens"))
+      .drop("__m")
+    val gated = {
+      val q = withMetrics.filter(col("quality_score") >= cfg.minQuality)
+      if (cfg.keepLangs.isEmpty) q
+      else q.filter(col("lang_pred").isin(cfg.keepLangs.toSeq: _*))
+    }
+
+    // 3. exact dedup (keep min id per text hash)
+    val exactDeduped = Dedup.exactDedup(gated, idCol, textCol)
+
+    // 4. near-dup removal: candidates via MinHash banding, exact
+    // verification, then greedily drop the larger id of each surviving
+    // pair (keeps one representative per duplicate pair; chains resolve
+    // to >= 1 survivor)
+    val pairs = Dedup.minHashNearDupPairs(exactDeduped, idCol, textCol,
+      shingleSize = cfg.shingleSize, numHashes = 64, bands = 32,
+      minJaccard = cfg.nearDupJaccard)
+    val dropIds = pairs.select(col("id_b").as(idCol)).distinct()
+    val nearDeduped = exactDeduped.join(dropIds, Seq(idCol), "left_anti")
+
+    // 5. distributed embedding
+    val embed = Embedder.embedColumn(HashingEmbedder(dimension = cfg.embedDim))
+    nearDeduped.withColumn("embedding", embed(col(textCol)))
+  }
+
+  /** Per-stage survival counts (one action per stage; diagnostics). */
+  def curationReport(docs: DataFrame, idCol: String, textCol: String,
+      cfg: CurationConfig = CurationConfig()): Map[String, Long] = {
+    val withMetrics = docs
+      .withColumn("__m", TextAnalysis.textMetrics(col(textCol)))
+    val quality = withMetrics.filter(col("__m.quality_score") >= cfg.minQuality)
+    val lang = if (cfg.keepLangs.isEmpty) quality
+      else quality.filter(col("__m.lang_pred").isin(cfg.keepLangs.toSeq: _*))
+    val exact = Dedup.exactDedup(lang.drop("__m"), idCol, textCol)
+    val curated = curate(docs, idCol, textCol, cfg)
+    Map(
+      "input" -> docs.count(),
+      "after_quality" -> quality.count(),
+      "after_lang" -> lang.count(),
+      "after_exact_dedup" -> exact.count(),
+      "after_near_dedup" -> curated.count())
+  }
+}

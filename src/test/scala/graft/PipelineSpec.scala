@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.CorpusPipeline
+import graft.pipeline.CorpusPipeline.CurationConfig
+
+/** End-to-end curation over a doctored corpus with known dirt. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog while it is raining today"
+  private val corpus = Seq(
+    (1L, base),                                 // keeper
+    (2L, base),                                 // exact dup of 1
+    (3L, base.replace("lazy", "sleepy")),       // near dup of 1
+    (4L, "x"),                                  // too short: quality gate
+    (5L, "el perro y el gato en la casa de la abuela es un buen amigo"), // es
+    (6L, "completely different text about the spark engine and its query optimizer plans")
+  ).toDF("doc_id", "text")
+
+  test("curation drops low-quality, exact dups, and near dups; embeds survivors") {
+    val out = CorpusPipeline.curate(corpus, "doc_id", "text",
+      CurationConfig(minQuality = 0.5, nearDupJaccard = 0.5))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(1L))   // representative of the dup group
+    assert(!ids.contains(2L))  // exact dup dropped
+    assert(!ids.contains(3L))  // near dup dropped (jaccard vs 1 >= 0.5)
+    assert(!ids.contains(4L))  // quality-gated
+    assert(ids.contains(6L))
+    // embeddings present + unit-norm
+    val emb = out.filter(col("doc_id") === 1).select("embedding")
+      .collect()(0).getSeq[Float](0)
+    assert(math.abs(math.sqrt(emb.map(x => x.toDouble * x).sum) - 1.0) < 1e-5)
+    // metrics columns survive
+    assert(out.columns.contains("quality_score") && out.columns.contains("lang_pred"))
+  }
+
+  test("language gate keeps only requested languages") {
+    val out = CorpusPipeline.curate(corpus, "doc_id", "text",
+      CurationConfig(minQuality = 0.0, keepLangs = Set("es")))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(5L))
+  }
+
+  test("curation report counts are monotone non-increasing") {
+    val r = CorpusPipeline.curationReport(corpus, "doc_id", "text",
+      CurationConfig(minQuality = 0.5, nearDupJaccard = 0.5))
+    assert(r("input") == 6)
+    assert(r("after_quality") <= r("input"))
+    assert(r("after_lang") <= r("after_quality"))
+    assert(r("after_exact_dedup") <= r("after_lang"))
+    assert(r("after_near_dedup") <= r("after_exact_dedup"))
+    assert(r("after_near_dedup") >= 1)
+  }
+
+  test("curation on the real documents table survives at fixture scale") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val out = CorpusPipeline.curate(docs, "doc_id", "text",
+      CurationConfig(minQuality = 0.3, nearDupJaccard = 0.8))
+    val n = out.count()
+    assert(n > 0 && n <= docs.count())
+  }
+}
