@@ -53,6 +53,12 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "left rows with an as-of match"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
 
@@ -70,6 +76,8 @@ case class AsOfJoinExec(
     val rTime = rightTime
     val rVals = rightValues
     val outSchema = output
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, leftOut)
@@ -113,6 +121,8 @@ case class AsOfJoinExec(
             } else advancing = false
           }
         }
+        numOutputRows += 1
+        if (lastValid) numMatched += 1
         outProj(joined(lRow, if (lastValid) lastVals else nullRight))
       }
     }
