@@ -143,9 +143,9 @@ object JsonCodec {
       val node = mapper.readTree(json)
       if (node == null || !node.isObject)
         Left(ApiError.Validation("Invalid JSON in metadata_filter parameter"))
-      else Right(node.fields().asScala.map { e =>
-        val v = e.getValue
-        e.getKey -> (if (v.isTextual) v.asText else v.toString)
+      else Right(node.fieldNames().asScala.map { k =>
+        val v = node.get(k)
+        k -> (if (v.isTextual) v.asText else v.toString)
       }.toMap)
     } catch {
       case _: Exception => Left(ApiError.Validation("Invalid JSON in metadata_filter parameter"))

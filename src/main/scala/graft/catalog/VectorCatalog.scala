@@ -364,7 +364,7 @@ final class VectorCatalog(val spark: SparkSession,
     * derived data). */
   def load(path: String): Unit = {
     chunksRef.set(spark.read.schema(Schemas.chunks).parquet(s"$path/chunks")
-      .select(Schemas.chunks.fieldNames.map(col): _*))
+      .select(Schemas.chunks.fieldNames.toIndexedSeq.map(col): _*))
     libraries.clear()
     spark.read.schema(Schemas.libraries).parquet(s"$path/libraries").collect().foreach { r =>
       libraries.put(r.getString(0), LibraryRow(r.getString(0), r.getString(1),

@@ -51,7 +51,7 @@ final case class LshModel(
    */
   def candidates(signatures: DataFrame, query: Array[Float]): DataFrame = {
     val qBuckets = bucketsOf(query)
-    signatures.filter(col("bucket").isin(qBuckets.map(Long.box): _*))
+    signatures.filter(col("bucket").isin(qBuckets.toIndexedSeq.map(Long.box): _*))
       .select("id").dropDuplicates("id")
   }
 }

@@ -89,7 +89,7 @@ object AsOfJoin {
     val spark = left.sparkSession
     Bridge.ensureStrategy(spark, AsOfJoinStrategy)
     // re-alias the right side so a self-join carries fresh exprIds
-    val rightFresh = right.select(right.columns.map(c => col(c).as(c)): _*)
+    val rightFresh = right.select(right.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
     val lPlan = Bridge.analyzed(left)
     val rPlan = Bridge.analyzed(rightFresh)
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
@@ -100,6 +100,6 @@ object AsOfJoin {
       attr(lPlan, leftTime), attr(rPlan, rightTime), attr(rPlan, tieBreak),
       rightVals.map(attr(rPlan, _)))
     Bridge.ofRows(spark, plan)
-      .toDF(left.columns ++ rightVals.map(c => s"asof_$c"): _*)
+      .toDF(left.columns.toIndexedSeq ++ rightVals.map(c => s"asof_$c"): _*)
   }
 }

@@ -21,7 +21,7 @@ object SkewJoin {
   /** Deterministic salt from the row's whole content (no rand(): keeps
     * the plan re-executable/deterministic under retries). */
   private def salt(df: DataFrame, saltFactor: Int): Column =
-    pmod(hash(df.columns.map(col): _*), lit(saltFactor))
+    pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(saltFactor))
 
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltFactor: Int = 16, joinType: String = "inner"): DataFrame = {

@@ -48,7 +48,7 @@ object CorpusSource {
           .filter(col("doc_id").isNotNull)
       case other => throw new IllegalArgumentException(s"unsupported format: $other")
     }
-    raw.select(documentSchema.fieldNames.map(col): _*)
+    raw.select(documentSchema.fieldNames.toIndexedSeq.map(col): _*)
   }
 
   /** Write a documents corpus (same formats; jsonl = one object/line). */
