@@ -345,6 +345,32 @@ final class VectorCatalog(val spark: SparkSession,
   def compact(): Unit =
     chunksRef.updateAndGet(df => df.localCheckpoint(true))
 
+  /**
+   * Streaming ingest (SURVEY.md §7.11): append chunk-shaped micro-
+   * batches into the catalog. The stream must carry the chunks schema
+   * minus embedding (text is embedded per batch with the catalog's
+   * embedder, mirroring embed-at-insert). Each micro-batch is one
+   * append + staleness bump; indexes reconcile via refreshIndex.
+   */
+  def startIngest(stream: DataFrame, queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val e = embedder // local binding: the udf must not capture `this`
+    val embedUdf = org.apache.spark.sql.functions.udf(
+      (text: String) => e.embed(Seq(text)).head)
+    stream.writeStream
+      .queryName(queryName)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val withEmb = batch
+          .withColumn("embedding", embedUdf(col("text")))
+          .select(Schemas.chunks.fieldNames.toIndexedSeq.map(col): _*)
+        // localCheckpoint: the micro-batch source is transient; pin the
+        // rows so the catalog's chunk table outlives the batch
+        val pinned = withEmb.localCheckpoint(true)
+        mutateChunks(_.unionByName(pinned))
+      }
+      .start()
+  }
+
   /** Persist the full catalog: chunks partitioned by library (partition
     * pruning on the per-library scan path, SURVEY.md §4) + the
     * library/document registries as parquet dimension tables. */

@@ -100,6 +100,35 @@ class IndexStoreSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest appends chunk batches into the catalog") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import IndexStoreSpec.In
+    implicit val sqlCtx = spark.sqlContext
+    val cat = new graft.catalog.VectorCatalog(spark)
+    val lib = cat.createLibrary("L", id = Some("lib1")).toOption.get
+    cat.createDocument(lib.id, "D", id = Some("doc1"))
+
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    val input = MemoryStream[In]
+    val q = cat.startIngest(input.toDF(), "ingest_test")
+    try {
+      input.addData(
+        In("c1", "doc1", "lib1", "streamed text one", Map("src" -> "stream"), now, now),
+        In("c2", "doc1", "lib1", "streamed text two", Map("src" -> "stream"), now, now))
+      q.processAllAvailable()
+      assert(cat.chunks.count() == 2)
+      input.addData(In("c3", "doc1", "lib1", "third arrives later", Map.empty, now, now))
+      q.processAllAvailable()
+      assert(cat.chunks.count() == 3)
+      // ingested chunks are embedded and searchable
+      val svc = new graft.search.SearchService(cat)
+      val resp = svc.search("lib1",
+        graft.model.SearchQuery(queryText = Some("third"), k = 1)).toOption.get
+      assert(resp.results.head.chunk.id == "c3")
+      assert(resp.results.head.chunk.embedding.isDefined)
+    } finally q.stop()
+  }
+
   test("GraftExtensions-injected SQL functions work (session built with spark.sql.extensions)") {
     val got = spark.sql(
       "SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 1.0F)) AS c," +
@@ -109,4 +138,11 @@ class IndexStoreSpec extends SparkSpec {
     assert(got.getLong(1) != 0L)
     assert(got.getSeq[String](2) == Seq("a b", "b c"))
   }
+}
+
+object IndexStoreSpec {
+  /** chunk-shaped streaming-ingest record (embedding added at ingest). */
+  case class In(id: String, document_id: String, library_id: String, text: String,
+      metadata: Map[String, String], created_at: java.sql.Timestamp,
+      updated_at: java.sql.Timestamp)
 }
