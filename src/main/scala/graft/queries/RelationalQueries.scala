@@ -356,6 +356,43 @@ object RelationalQueries {
             size(collect_set(col("l_suppkey"))).as("n_suppliers"))
           .orderBy(col("l_returnflag"))),
 
+    QueryDef("q46_scalar_subquery", Some(
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total,
+        |  round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 4) AS vs_avg
+        |FROM orders
+        |WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin),
+      (spark, dir) => {
+        val o = table(spark, dir, "orders")
+        // scalar subquery as a broadcast single-row cross join; the avg
+        // is computed once and reused for both the filter and the ratio
+        val avgDf = o.agg(avg(col("o_totalprice")).as("avg_total"))
+        o.crossJoin(broadcast(avgDf))
+          .filter(col("o_totalprice") > lit(1.8) * col("avg_total"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice"), 2).as("total"),
+            round(col("o_totalprice") / col("avg_total"), 4).as("vs_avg"))
+          .orderBy(col("o_orderkey"))
+      }),
+
+    QueryDef("q47_exists_correlated", Some(
+      """SELECT o.o_orderkey, o.o_orderpriority
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND l.l_quantity >= 49
+        |    AND l.l_shipdate > o.o_orderdate)
+        |ORDER BY o.o_orderkey""".stripMargin),
+      (spark, dir) => {
+        val o = table(spark, dir, "orders")
+        val l = table(spark, dir, "lineitem").filter(col("l_quantity") >= 49)
+        o.join(l, o("o_orderkey") === l("l_orderkey")
+            && l("l_shipdate") > o("o_orderdate"), "left_semi")
+          .select("o_orderkey", "o_orderpriority")
+          .orderBy("o_orderkey")
+      }),
+
     QueryDef("q14_join_part_supplier", Some(
       """SELECT p.p_brand, s.s_name,
         |  count(*) AS n_items,
