@@ -151,11 +151,14 @@ object JsonCodec {
       case _: Exception => Left(ApiError.Validation("Invalid JSON in metadata_filter parameter"))
     }
 
-  private val isoFmt = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
-  isoFmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+  private val isoFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+    .withZone(java.time.ZoneOffset.UTC)
 
-  /** ISO-8601 timestamp encoding (datetime.isoformat analog). */
-  def isoTimestamp(ts: java.sql.Timestamp): String = isoFmt.format(ts)
+  /** ISO-8601 timestamp encoding (datetime.isoformat analog): real
+    * microsecond fraction, thread-safe (DateTimeFormatter is immutable;
+    * SimpleDateFormat's S is milliseconds and is not). */
+  def isoTimestamp(ts: java.sql.Timestamp): String = isoFmt.format(ts.toInstant)
 
   /** Serialize a search response to the reference's JSON shape
     * (models.py:123-135): results with chunk + similarity_score +

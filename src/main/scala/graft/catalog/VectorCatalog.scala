@@ -293,7 +293,18 @@ final class VectorCatalog(val spark: SparkSession,
           assigned.count()
           state.assigned.foreach(_.unpersist())
           state.copy(assigned = Some(assigned), builtAtVersion = version.get())
-        case _ => // exact or never-built index: nothing derived to refresh
+        case IndexType.Ivf => // built below nlist: train now if the chunk
+          // count has crossed the threshold (reference trains
+          // automatically once size reaches nlist, indexes.py:280)
+          IvfModel.trainIfReady(libChunks, "embedding") match {
+            case Some(model) =>
+              val assigned = model.assign(libChunks, "embedding").cache()
+              assigned.count()
+              state.copy(assigned = Some(assigned), ivf = Some(model),
+                builtAtVersion = version.get())
+            case None => state.copy(builtAtVersion = version.get())
+          }
+        case _ => // exact or never-built LSH index: nothing derived to refresh
           state.copy(builtAtVersion = version.get())
       }
       indexes.put(libraryId, refreshed)
@@ -327,7 +338,11 @@ final class VectorCatalog(val spark: SparkSession,
 
   private def appendChunks(rows: Seq[ChunkRow]): Unit = {
     val df = spark.createDataFrame(rows.map(chunkToRow).asJava, Schemas.chunks)
-    mutateChunks(_.unionByName(df))
+    // duplicate-id create OVERWRITES (dict-set parity, storage.py:40/105/
+    // 182): drop any existing rows with these ids before the union, so a
+    // second create of the same chunk id replaces rather than accumulates
+    val ids = rows.map(_.id)
+    mutateChunks(_.filter(!$"id".isin(ids: _*)).unionByName(df))
   }
 
   private def mutateChunks(f: DataFrame => DataFrame): Unit = {

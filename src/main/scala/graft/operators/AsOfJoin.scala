@@ -43,11 +43,16 @@ object AsOfJoin {
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .withColumn("__tie", lit(Long.MaxValue))
+    // ONE struct per right row carrying match time + all value columns:
+    // last(..., ignoreNulls) over the struct picks every field from the
+    // SAME matched row, so a NULL value in the most recent right row
+    // stays NULL instead of leaking a stale value from an older row
+    // (matches asOfNative and DuckDB ASOF JOIN semantics).
     val rAligned = right.select(
       keys.map(col) ++
         Seq(col(rightTime).as("__t"), lit(0).as("__side"),
-          col(tieBreak).cast("long").as("__tie")) ++
-        rightVals.map(c => col(c).as(s"__rv_$c")): _*)
+          col(tieBreak).cast("long").as("__tie"),
+          struct(col(rightTime).as("__mt") +: rightVals.map(c => col(c).as(c)): _*).as("__rv")): _*)
 
     val unioned = lAligned.unionByName(rAligned, allowMissingColumns = true)
 
@@ -56,11 +61,11 @@ object AsOfJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val withMatchTs = unioned
-      .withColumn("__match_t",
-        last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
-    val carried = rightVals.foldLeft(withMatchTs)((df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"__rv_$c"), ignoreNulls = true).over(w)))
+    val carried = unioned
+      .withColumn("__match", last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn("__match_t", col("__match").getField("__mt"))
+    val withVals = rightVals.foldLeft(carried)((df, c) =>
+      df.withColumn(s"asof_$c", col("__match").getField(c)))
 
     val inTolerance = toleranceSeconds match {
       case Some(tol) =>
@@ -68,7 +73,7 @@ object AsOfJoin {
           unix_timestamp(col("__t")) - unix_timestamp(col("__match_t")) <= tol
       case None => lit(true)
     }
-    carried.filter(col("__side") === 1)
+    withVals.filter(col("__side") === 1)
       .select(leftCols.map(col) ++
         rightVals.map(c => when(inTolerance, col(s"asof_$c")).otherwise(lit(null)).as(s"asof_$c")): _*)
   }

@@ -38,7 +38,9 @@ object Similarity {
    * neighbor id asc (lexicographic struct sort on (-score, id)).
    */
   private def aggregateTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
-    val item = struct((-col("score")).as("neg"), col(idCol).cast("long").as("nid"))
+    // id stays in its native type — struct sort orders any orderable type;
+    // a cast("long") would silently null out string (e.g. UUID) ids.
+    val item = struct((-col("score")).as("neg"), col(idCol).as("nid"))
     val partial = scored
       .withColumn("__pid", spark_partition_id())
       .groupBy(col("query_id"), col("__pid"))

@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.api.JsonCodec
+import graft.catalog.IndexType
+import graft.catalog.VectorCatalog
+import graft.operators.{AsOfJoin, Similarity}
+
+/** Regressions for the round-1 advisor findings (ADVICE.md). */
+class AdviceRegressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("isoTimestamp renders a real microsecond fraction (not ms zero-padded)") {
+    val ts = Timestamp.valueOf("2024-03-05 10:20:30")
+    ts.setNanos(123000000) // 0.123 s
+    assert(JsonCodec.isoTimestamp(ts) == "2024-03-05T10:20:30.123000")
+    val ts2 = Timestamp.valueOf("2024-03-05 10:20:30")
+    ts2.setNanos(123456000) // 123456 us
+    assert(JsonCodec.isoTimestamp(ts2) == "2024-03-05T10:20:30.123456")
+  }
+
+  test("isoTimestamp is thread-safe under concurrent encoding") {
+    val ts = Timestamp.valueOf("2024-03-05 10:20:30")
+    ts.setNanos(987654000)
+    val expected = JsonCodec.isoTimestamp(ts)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val results = Await.result(Future.sequence((1 to 8).map(_ => Future {
+      (1 to 500).map(_ => JsonCodec.isoTimestamp(ts)).distinct
+    })), 30.seconds)
+    assert(results.forall(_ == Seq(expected)))
+  }
+
+  test("bruteForceTopK keeps non-numeric (string/UUID) neighbor ids intact") {
+    val corpus = Seq(
+      ("chunk-aa", Array(1f, 0f)),
+      ("chunk-bb", Array(0.9f, 0.1f)),
+      ("chunk-cc", Array(0f, 1f))
+    ).toDF("id", "embedding")
+    val queries = Seq(("q1", Array(1f, 0f))).toDF("qid", "qemb")
+    val out = Similarity.bruteForceTopK(corpus, "id", "embedding",
+        queries, "qid", "qemb", 2)
+      .orderBy("rank")
+      .select($"neighbor_id".cast("string")).as[String].collect().toSeq
+    assert(out == Seq("chunk-aa", "chunk-bb")) // would be null,null with cast("long")
+  }
+
+  test("asOf: NULL value in the matched right row stays NULL (no stale carry)") {
+    val left = Seq((1L, 5L, Timestamp.valueOf("2024-01-01 12:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (5L, Timestamp.valueOf("2024-01-01 09:00:00"), 1L, Some(7.0)),
+      (5L, Timestamp.valueOf("2024-01-01 11:00:00"), 2L, None: Option[Double]) // matched row, NULL value
+    ).toDF("user_id", "ts", "sig_id", "value")
+    val out = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts", Seq("value"), "sig_id")
+      .select($"asof_value").as[Option[Double]].head()
+    assert(out.isEmpty) // the 11:00 row matched; its NULL must not fall back to 7.0
+  }
+
+  test("asOf multi-column: all values come from the same matched row") {
+    val left = Seq((1L, 5L, Timestamp.valueOf("2024-01-01 12:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (5L, Timestamp.valueOf("2024-01-01 09:00:00"), 1L, Some(7.0), Some("old")),
+      (5L, Timestamp.valueOf("2024-01-01 11:00:00"), 2L, None: Option[Double], Some("new"))
+    ).toDF("user_id", "ts", "sig_id", "a", "b")
+    val row = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts", Seq("a", "b"), "sig_id")
+      .select($"asof_a", $"asof_b").as[(Option[Double], Option[String])].head()
+    assert(row == ((None, Some("new"))))
+  }
+
+  test("createChunk with an existing id overwrites (dict-set parity)") {
+    val cat = new VectorCatalog(spark)
+    val lib = cat.createLibrary("L").toOption.get
+    val doc = cat.createDocument(lib.id, "D").toOption.get
+    cat.createChunk(doc.id, "first text", Map("v" -> "1"), id = Some("fixed-id"))
+    cat.createChunk(doc.id, "second text", Map("v" -> "2"), id = Some("fixed-id"))
+    assert(cat.chunks.filter($"id" === "fixed-id").count() == 1)
+    assert(cat.getChunk("fixed-id").toOption.get.metadata("v") == "2")
+  }
+
+  test("refreshIndex trains an IVF index once chunk count crosses nlist") {
+    val cat = new VectorCatalog(spark)
+    val lib = cat.createLibrary("L", indexType = "ivf").toOption.get
+    val doc = cat.createDocument(lib.id, "D").toOption.get
+    cat.createChunks(doc.id, (1 to 10).map(i => (s"seed text $i", Map.empty[String, String])))
+    cat.indexLibrary(lib.id, "ivf")
+    assert(cat.indexState(lib.id).exists(s => s.indexType == IndexType.Ivf && s.ivf.isEmpty))
+
+    cat.createChunks(doc.id, (11 to 110).map(i => (s"more text $i word${i % 7}", Map.empty[String, String])))
+    val refreshed = cat.refreshIndex(lib.id).toOption.get
+    assert(refreshed.ivf.isDefined)       // trained at the threshold crossing
+    assert(refreshed.assigned.isDefined)  // and the assigned table exists
+    assert(refreshed.assigned.get.count() == 110)
+  }
+}
