@@ -54,22 +54,96 @@ final case class IvfModel(centroids: Array[Array[Float]]) {
 
 object IvfModel {
 
+  /** Below this row count, training collects to the driver and runs a
+    * local Lloyd loop (the reference's own algorithm, indexes.py:228-265)
+    * — centroids are KB-scale state either way, and a driver loop skips
+    * MLlib's per-iteration job scheduling. Above it, MLlib KMeans owns
+    * the distributed loop. */
+  val localTrainMaxRows: Long = 200000L
+
   /**
-   * Train centroids with MLlib KMeans (k = min(nlist, n), <= `maxIter`
-   * Lloyd iterations, fixed seed — mirroring indexes.py:244-262 where it
-   * matters: iteration cap and convergence tolerance 1e-4).
+   * Train centroids (k = min(nlist, n), <= `maxIter` Lloyd iterations,
+   * fixed seed, convergence tolerance 1e-4 — mirroring indexes.py:244-262).
+   * Small inputs train on the driver; large inputs via MLlib `KMeans`.
    */
   def train(chunks: DataFrame, embCol: String,
       nlist: Int = GraftConfig.ivfNlist, maxIter: Int = 10,
       seed: Long = 42L): IvfModel = {
-    val vecs = chunks.filter(col(embCol).isNotNull)
-      .select(array_to_vector(col(embCol).cast("array<double>")).as("features"))
+    val vecs = chunks.filter(col(embCol).isNotNull).select(col(embCol))
     val n = vecs.count()
     val k = math.min(nlist.toLong, math.max(1L, n)).toInt
-    val model = new KMeans()
-      .setK(k).setMaxIter(maxIter).setTol(1e-4).setSeed(seed)
-      .fit(vecs)
-    IvfModel(model.clusterCenters.map(_.toArray.map(_.toFloat)))
+    if (n <= localTrainMaxRows) {
+      val data = vecs.collect().map(_.getSeq[Float](0).toArray)
+      IvfModel(lloydLocal(data, k, maxIter, seed))
+    } else {
+      val model = new KMeans()
+        .setK(k).setMaxIter(maxIter).setTol(1e-4).setSeed(seed)
+        .fit(chunks.filter(col(embCol).isNotNull)
+          .select(array_to_vector(col(embCol).cast("array<double>")).as("features")))
+      IvfModel(model.clusterCenters.map(_.toArray.map(_.toFloat)))
+    }
+  }
+
+  /** Reference-shaped Lloyd loop (indexes.py:228-265): seeded sample
+    * init from the data, assign/mean iterations, empty cluster keeps its
+    * old centroid, converge when max relative centroid movement < 1e-4. */
+  private def lloydLocal(data: Array[Array[Float]], k: Int,
+      maxIter: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    val d = data.head.length
+    val centroids = rnd.shuffle(data.indices.toVector).take(k)
+      .map(i => data(i).clone).toArray
+    val assign = new Array[Int](data.length)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      var p = 0
+      while (p < data.length) {
+        val v = data(p)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dist = 0.0; var j = 0
+          val cent = centroids(c)
+          while (j < d) { val x = v(j) - cent(j); dist += x * x; j += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        assign(p) = best
+        p += 1
+      }
+      val sums = Array.ofDim[Double](k, d)
+      val counts = new Array[Long](k)
+      p = 0
+      while (p < data.length) {
+        val c = assign(p); val v = data(p)
+        var j = 0
+        while (j < d) { sums(c)(j) += v(j); j += 1 }
+        counts(c) += 1
+        p += 1
+      }
+      var maxShift = 0.0
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          val cent = centroids(c)
+          var shift = 0.0; var norm = 0.0
+          var j = 0
+          while (j < d) {
+            val nv = (sums(c)(j) / counts(c)).toFloat
+            val dx = nv - cent(j)
+            shift += dx * dx; norm += cent(j) * cent(j)
+            cent(j) = nv
+            j += 1
+          }
+          maxShift = math.max(maxShift, math.sqrt(shift) / math.max(math.sqrt(norm), 1e-12))
+        } // empty cluster: keep old centroid (indexes.py:258-259)
+        c += 1
+      }
+      converged = maxShift < 1e-4
+      iter += 1
+    }
+    centroids
   }
 
   /** Reference trigger semantics: train only once n >= nlist (indexes.py:280). */

@@ -26,6 +26,31 @@ object Dedup {
   def simhash(tokens: Column, seed: Long = 42L): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens), seed))
 
+  /**
+   * Distinct candidate pairs (id_a < id_b) of ids sharing a bucket:
+   * groupBy the bucket key, collect the member ids, expand pairs inside
+   * each group. Evaluates the upstream plan ONCE (a self-join would run
+   * it per side) and shuffles each id exactly once per bucket row. A
+   * bucket of size m yields m(m-1)/2 pairs — callers bound worst-case
+   * buckets upstream (stop-shingle pruning / bucket caps) at scale.
+   */
+  private def bucketPairs(df: DataFrame, bucketCols: Seq[String],
+      payload: Seq[String] = Nil, dedup: Boolean = true): DataFrame = {
+    val member = struct(col("id") +: payload.map(col): _*)
+    val pairCols =
+      Seq(col("pair._1.id").as("id_a"), col("pair._2.id").as("id_b")) ++
+        payload.flatMap(p => Seq(col(s"pair._1.$p").as(s"${p}_a"),
+          col(s"pair._2.$p").as(s"${p}_b")))
+    val pairs = df.groupBy(bucketCols.map(col): _*)
+      .agg(sort_array(collect_set(member)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("_1"), y.as("_2")))))).as("pair"))
+      .select(pairCols: _*)
+    if (dedup) pairs.dropDuplicates("id_a", "id_b") else pairs
+  }
+
   def minhash(tokens: Column, numHashes: Int, seed: Long = 42L): Column =
     Bridge.column(MinHashSignature(Bridge.expression(tokens), numHashes, seed))
 
@@ -58,25 +83,31 @@ object Dedup {
         TextAnalysis.shingles(col(textCol), shingleSize).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
-    // Band WITHOUT carrying the shingle arrays: the bucket join only
-    // moves (id, band, bucket) triples. Arrays rejoin once, per side,
-    // for the exact verification — at scale this is the difference
-    // between shuffling ids and shuffling whole documents.
+    // Band WITHOUT carrying the shingle arrays: only (id, band, bucket)
+    // triples shuffle. Pairs are generated INSIDE each bucket group
+    // (groupBy + collect_list + in-array pair expansion) rather than a
+    // bucket self-join — one shuffle and one execution of the
+    // shingle+minhash pipeline instead of two, and at scale the
+    // difference between shuffling ids and shuffling whole documents.
     val banded = shingleTable
       .withColumn("sig", minhash(col("shingles"), numHashes, seed))
       .select(col("id"), posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bucket")))
 
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
+    val candidates = bucketPairs(banded, "band" :: "bucket" :: Nil)
 
-    val shA = shingleTable.select(col("id").as("id_a"), col("shingles").as("sh_a"))
-    val shB = shingleTable.select(col("id").as("id_b"), col("shingles").as("sh_b"))
-    candidates.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+    // Exact verification with ONE corpus scan: melt each candidate pair
+    // into two (pair, role, id) rows, join the shingle table once, and
+    // reassemble the two arrays per pair in the aggregate. Joining the
+    // arrays per side would scan + re-shingle the corpus twice.
+    val melted = candidates.select(col("id_a"), col("id_b"),
+        explode(array(struct(lit("a").as("role"), col("id_a").as("id")),
+          struct(lit("b").as("role"), col("id_b").as("id")))).as("m"))
+      .select(col("id_a"), col("id_b"), col("m.role"), col("m.id"))
+    melted.join(shingleTable, Seq("id"))
+      .groupBy("id_a", "id_b")
+      .agg(first(when(col("role") === "a", col("shingles")), ignoreNulls = true).as("sh_a"),
+        first(when(col("role") === "b", col("shingles")), ignoreNulls = true).as("sh_b"))
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
@@ -99,13 +130,7 @@ object Dedup {
           shiftright(col("sim"), c * 16).bitwiseAND(lit(0xffffL)).as("chunk_val"))): _*))
         .as("chunk"))
       .select(col("id"), col("sim"), col("chunk.chunk_idx"), col("chunk.chunk_val"))
-    val a = chunked.select(col("chunk_idx"), col("chunk_val"),
-      col("id").as("id_a"), col("sim").as("sim_a"))
-    val b = chunked.select(col("chunk_idx"), col("chunk_val"),
-      col("id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("chunk_idx", "chunk_val"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    bucketPairs(chunked, Seq("chunk_idx", "chunk_val"), payload = Seq("sim"))
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
@@ -120,28 +145,39 @@ object Dedup {
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, minJaccard: Double = 0.5,
-      maxShingleFreq: Long = 1000000L): DataFrame = {
+      maxShingleFreq: Long = Long.MaxValue): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         TextAnalysis.shingles(col(textCol), shingleSize).as("shingles"))
       .filter(size(col("shingles")) > 0)
       .select(col("id"), size(col("shingles")).as("n_sh"),
         explode(col("shingles")).as("shingle"))
 
-    // optional stop-shingle pruning to bound bucket skew at scale
-    val pruned = sh.withColumn("df_count",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .filter(col("df_count") <= maxShingleFreq)
-      .drop("df_count")
+    // Stop-shingle pruning to bound bucket skew at scale: heavy shingles
+    // are FEW (broadcast-able) — a groupBy + broadcast anti-join beats a
+    // window count, which would sort-and-buffer the hottest bucket in
+    // one task (exactly the partition that breaks at 100 TB).
+    val pruned =
+      if (maxShingleFreq == Long.MaxValue) sh
+      else {
+        val heavy = sh.groupBy("shingle").agg(count(lit(1)).as("df_count"))
+          .filter(col("df_count") > maxShingleFreq).select("shingle")
+        sh.join(broadcast(heavy), Seq("shingle"), "left_anti")
+      }
 
     if (minJaccard < 0.4) {
       // Low threshold: prefixes would keep most shingles (prefix len =
       // |S| - ceil(t|S|) + 1), so candidate generation saves little and
       // array-based verification costs more than counting. The
-      // inverted-index + groupBy-count plan never materializes arrays
-      // in the join — each matched shingle is one narrow row, and the
-      // aggregation does the verification.
-      val a = pruned.select(col("shingle"), col("id").as("id_a"), col("n_sh").as("n_a"))
-      val b = pruned.select(col("shingle"), col("id").as("id_b"), col("n_sh").as("n_b"))
+      // inverted-index self-join STREAMS each co-shingle occurrence as
+      // one narrow row straight into the counting hash aggregate —
+      // unlike an in-bucket pair expansion, nothing quadratic is ever
+      // materialized per hot shingle. The explicit repartition makes
+      // both join sides IDENTICAL plans partitioned on the join key:
+      // one exchange, executed once, reused by the other side
+      // (ReuseExchange) — the tokenize+shingle pipeline runs once.
+      val byShingle = pruned.repartition(col("shingle"))
+      val a = byShingle.select(col("shingle"), col("id").as("id_a"), col("n_sh").as("n_a"))
+      val b = byShingle.select(col("shingle"), col("id").as("id_b"), col("n_sh").as("n_b"))
       a.join(b, Seq("shingle"))
         .filter(col("id_a") < col("id_b"))
         .groupBy("id_a", "id_b", "n_a", "n_b")
@@ -157,9 +193,10 @@ object Dedup {
       // side's first (|S| - ceil(t*|S|) + 1) shingles. Only prefixes
       // join, collapsing the candidate space from sum(df^2) over ALL
       // shingles to the rare-shingle prefixes.
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("shingle")
-      val ranked = pruned
-        .withColumn("df_count", count(lit(1)).over(w))
+      // per-shingle document frequency via aggregation (no hot-bucket
+      // sort), joined back for the rarest-first per-doc ranking
+      val freq = pruned.groupBy("shingle").agg(count(lit(1)).as("df_count"))
+      val ranked = pruned.join(freq, Seq("shingle"))
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy("id")
             .orderBy(col("df_count").asc, col("shingle").asc)))
@@ -168,11 +205,7 @@ object Dedup {
       val prefix = ranked.filter(col("rn") <= col("prefix_len"))
         .select(col("shingle"), col("id"))
 
-      val candidates = prefix.join(
-          prefix.select(col("shingle"), col("id").as("id_b")), Seq("shingle"))
-        .filter(col("id") < col("id_b"))
-        .select(col("id").as("id_a"), col("id_b"))
-        .dropDuplicates("id_a", "id_b")
+      val candidates = bucketPairs(prefix, Seq("shingle"))
 
       // exact verification on candidates via the full shingle arrays
       val arrays = df.select(col(idCol).as("id"),
@@ -208,10 +241,7 @@ object Dedup {
         val lsh = graft.index.LshModel(numTables, bitsPerTable, dim, seed)
         val withBucket = df.select(col(idCol).as("id"), col(embCol).as("emb"),
           explode(lsh.bucketsColumn(col(embCol))).as("bucket"))
-        val l = withBucket.select(col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"))
-        val r = withBucket.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"))
-        l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
-          .dropDuplicates("id_a", "id_b")
+        bucketPairs(withBucket, Seq("bucket"), payload = Seq("emb"))
       }
     candidates
       .withColumn("cosine", GraftFunctions.cosine_sim(col("emb_a"), col("emb_b")))

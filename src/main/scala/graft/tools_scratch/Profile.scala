@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    Seq("lineitem", "orders", "documents", "embeddings", "events").foreach { t =>
+      graft.queries.Tables.table(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+    }
+    val names = args.toSeq
+    val qs = SparkEntry.allQueries.filter(q => names.contains(q.name))
+    for (q <- qs; i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"${q.name}%-28s iter$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    spark.stop()
+  }
+}
