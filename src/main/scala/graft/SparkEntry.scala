@@ -12,7 +12,7 @@ object SparkEntry {
 
   def allQueries: Seq[QueryDef] =
     RelationalQueries.defs ++ VectorQueries.defs ++ TextQueries.defs ++
-      EventQueries.defs ++ HierarchyQueries.defs
+      EventQueries.defs ++ HierarchyQueries.defs ++ AdvancedQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

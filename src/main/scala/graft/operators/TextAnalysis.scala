@@ -116,6 +116,32 @@ object TextAnalysis {
     Bridge.column(org.apache.spark.sql.graft.expressions.TextMetrics(Bridge.expression(text)))
   }
 
+  /**
+   * TF-IDF top-`k` terms per document. Term frequency is the raw token
+   * count within the doc; idf = ln((N+1)/(df+1)) (add-one smoothed,
+   * division-safe); score = tf * idf with deterministic (score desc,
+   * term asc) ranking. The plan is three hash aggregations + one
+   * broadcast of the 1-row corpus count — no window over the full
+   * corpus, so it scales to any N.
+   */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = toks.select(countDistinct(col("id")).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("tfidf").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf"), col("rank"))
+  }
+
   /** All quality metrics as a struct-expanded DataFrame helper. */
   def withTextMetrics(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("__m", textMetrics(col(textCol)))

@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{RangeJoin, TextAnalysis}
+
+/**
+ * Second-round coverage widening: percentiles, pivot, moving windows,
+ * full outer join, grouping sets, banded range join, TF-IDF, global
+ * token top-k, histograms. Every query carries a DuckDB oracle; plans
+ * stay shuffle-minimal (aggregate-then-join, broadcast dims, banded
+ * equi-join instead of inequality join).
+ */
+object AdvancedQueries {
+  import Tables.table
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q52_percentiles", Some(
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
+      (spark, dir) =>
+        table(spark, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(percentile(col("l_quantity"), lit(0.5)), 4).as("median_qty"),
+            round(percentile(col("l_quantity"), lit(0.9)), 4).as("p90_qty"),
+            round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25_price"),
+            round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75_price"))
+          .orderBy(col("l_returnflag"))),
+
+    QueryDef("q53_pivot", Some(
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+        |  CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,
+        |  CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS high,
+        |  CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS medium,
+        |  CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS not_specified,
+        |  CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS low
+        |FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (spark, dir) =>
+        table(spark, dir, "orders")
+          .groupBy(year(col("o_orderdate")).as("order_year"))
+          .pivot("o_orderpriority",
+            Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .withColumnsRenamed(Map(
+            "1-URGENT" -> "urgent", "2-HIGH" -> "high", "3-MEDIUM" -> "medium",
+            "4-NOT SPECIFIED" -> "not_specified", "5-LOW" -> "low"))
+          .orderBy("order_year")),
+
+    QueryDef("q54_moving_avg", Some(
+      """WITH daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS d,
+        |    round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT d, revenue,
+        |  round(avg(revenue) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7,
+        |  round(revenue - lag(revenue, 1) OVER (ORDER BY d), 2) AS delta
+        |FROM daily ORDER BY d""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = table(spark, dir, "orders")
+          .groupBy(date_trunc("day", col("o_orderdate")).as("d"))
+          .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+        val byD = Window.orderBy(col("d"))
+        daily
+          .withColumn("ma7", round(avg(col("revenue"))
+            .over(byD.rowsBetween(-6, Window.currentRow)), 4))
+          .withColumn("delta", round(col("revenue") - lag(col("revenue"), 1).over(byD), 2))
+          .orderBy("d")
+      }),
+
+    QueryDef("q55_full_outer", Some(
+      """WITH c AS (
+        |  SELECT c_nationkey AS nationkey, count(*) AS n_cust
+        |  FROM customer WHERE c_acctbal > 7500 GROUP BY 1),
+        |s AS (
+        |  SELECT s_nationkey AS nationkey, count(*) AS n_supp
+        |  FROM supplier WHERE s_acctbal > 7500 GROUP BY 1)
+        |SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+        |  CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+        |  CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+        |ORDER BY nationkey""".stripMargin),
+      (spark, dir) => {
+        val c = table(spark, dir, "customer").filter(col("c_acctbal") > 7500)
+          .groupBy(col("c_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_cust"))
+        val s = table(spark, dir, "supplier").filter(col("s_acctbal") > 7500)
+          .groupBy(col("s_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_supp"))
+        c.join(s, Seq("nationkey"), "full_outer")
+          .select(col("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("nationkey")
+      }),
+
+    QueryDef("q56_grouping_sets", Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+      (spark, dir) => {
+        table(spark, dir, "lineitem").createOrReplaceTempView("q56_lineitem")
+        spark.sql(
+          """SELECT l_returnflag, l_linestatus,
+            |  sum(l_quantity) AS sum_qty, count(*) AS n
+            |FROM q56_lineitem
+            |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+            |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+      }),
+
+    QueryDef("q57_histogram", Some(
+      """SELECT CAST(floor(n_chars / 200) AS BIGINT) AS bucket,
+        |  count(*) AS n,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (spark, dir) =>
+        table(spark, dir, "documents")
+          .groupBy(floor(col("n_chars") / 200).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy("bucket")),
+
+    QueryDef("q58_token_topk", Some(
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    t -> t <> '')) AS term
+        |  FROM documents)
+        |SELECT term, count(*) AS n
+        |FROM toks GROUP BY term
+        |ORDER BY n DESC, term LIMIT 40""".stripMargin),
+      (spark, dir) =>
+        table(spark, dir, "documents")
+          .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("term").asc)
+          .limit(40)),
+
+    QueryDef("q59_tfidf", Some(
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> t <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT id) AS n_docs FROM toks),
+        |scored AS (
+        |  SELECT tf.id, tf.term, tf.tf, dfreq.df,
+        |    tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT id AS doc_id, term, tf, df, round(tfidf, 6) AS tfidf,
+        |    CAST(row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT * FROM ranked WHERE rank <= 5 AND doc_id < 100
+        |ORDER BY doc_id, rank""".stripMargin),
+      (spark, dir) =>
+        TextAnalysis.tfIdfTopTerms(table(spark, dir, "documents"), "doc_id", "text", 5)
+          .filter(col("doc_id") < 100)
+          .orderBy("doc_id", "rank")),
+
+    QueryDef("q60_range_join", Some(
+      """SELECT c.event_id, count(*) AS n_purch, round(sum(p.value), 2) AS purch_value
+        |FROM events c JOIN events p
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        |WHERE c.event_type = 'click'
+        |GROUP BY c.event_id
+        |ORDER BY c.event_id""".stripMargin),
+      (spark, dir) => {
+        val ev = table(spark, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "value")
+        RangeJoin.rangeJoin(clicks, purchases, Seq("user_id"), "ts", "ts",
+            lowerSeconds = 0L, upperSeconds = 1800L, rightVals = Seq("value"))
+          .groupBy("event_id")
+          .agg(count(lit(1)).as("n_purch"), round(sum(col("r_value")), 2).as("purch_value"))
+          .orderBy("event_id")
+      }))
+}

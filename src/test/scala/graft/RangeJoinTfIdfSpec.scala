@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{RangeJoin, TextAnalysis}
+
+/** Hand-computed answers for the banded range join and TF-IDF. */
+class RangeJoinTfIdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("rangeJoin matches rows inside [lt+lower, lt+upper], inclusive") {
+    val left = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 7L, ts("2024-01-01 12:00:00")),
+      (3L, 8L, ts("2024-01-01 10:00:00"))
+    ).toDF("lid", "user_id", "ts")
+    val right = Seq(
+      (7L, ts("2024-01-01 10:00:00"), 1.0),  // == lt      -> match L1
+      (7L, ts("2024-01-01 10:30:00"), 2.0),  // +30min     -> match L1 (inclusive upper)
+      (7L, ts("2024-01-01 10:30:01"), 3.0),  // +30min+1s  -> no match
+      (7L, ts("2024-01-01 09:59:59"), 4.0),  // before     -> no match
+      (9L, ts("2024-01-01 10:00:10"), 5.0)   // other key  -> no match
+    ).toDF("user_id", "ts", "value")
+    val out = RangeJoin.rangeJoin(left, right, Seq("user_id"), "ts", "ts",
+        0L, 1800L, Seq("value"))
+      .select($"lid", $"r_value").as[(Long, Double)].collect().toSet
+    assert(out == Set((1L, 1.0), (1L, 2.0)))
+  }
+
+  test("rangeJoin with negative lower bound (lookback window)") {
+    val left = Seq((1L, 7L, ts("2024-01-01 10:00:00"))).toDF("lid", "user_id", "ts")
+    val right = Seq(
+      (7L, ts("2024-01-01 09:45:00"), 1.0),  // -15min -> in [-30m, 0]
+      (7L, ts("2024-01-01 10:00:01"), 2.0)   // after  -> out
+    ).toDF("user_id", "ts", "value")
+    val out = RangeJoin.rangeJoin(left, right, Seq("user_id"), "ts", "ts",
+        -1800L, 0L, Seq("value"))
+      .select($"r_value").as[Double].collect().toSeq
+    assert(out == Seq(1.0))
+  }
+
+  test("rangeJoin result is invariant to band width") {
+    val left = (1 to 50).map(i => (i.toLong, i.toLong % 3,
+      ts(f"2024-01-01 10:${i % 60}%02d:00"))).toSeq.toDF("lid", "user_id", "ts")
+    val right = (1 to 80).map(i => (i.toLong % 3,
+      ts(f"2024-01-01 10:${(i * 7) % 60}%02d:30"), i.toDouble)).toSeq
+      .toDF("user_id", "ts", "value")
+    def run(band: Long) = RangeJoin.rangeJoin(left, right, Seq("user_id"),
+        "ts", "ts", 0L, 600L, Seq("value"), bandSeconds = band)
+      .select($"lid", $"r_value").as[(Long, Double)].collect().toSet
+    val base = run(0L)
+    assert(base.nonEmpty)
+    assert(run(60L) == base && run(7L) == base && run(3600L) == base)
+  }
+
+  test("tfIdfTopTerms: rare terms outrank common ones; deterministic tiebreak") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "banana banana banana")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", 2)
+      .orderBy("doc_id", "rank")
+      .select($"doc_id", $"term", $"rank").as[(Long, String, Int)].collect().toSeq
+    // idf: apple ln(4/2)=.69, cherry ln(4/2)=.69, banana ln(4/4)=0
+    assert(out == Seq(
+      (1L, "apple", 1), (1L, "banana", 2),
+      (2L, "cherry", 1), (2L, "banana", 2),
+      (3L, "banana", 1)))
+  }
+
+  test("rangeJoin plans as an equi-join (no nested-loop) on key+band") {
+    val left = Seq((1L, 7L, ts("2024-01-01 10:00:00"))).toDF("lid", "user_id", "ts")
+    val right = Seq((7L, ts("2024-01-01 10:10:00"), 1.0)).toDF("user_id", "ts", "value")
+    val plan = RangeJoin.rangeJoin(left, right, Seq("user_id"), "ts", "ts",
+        0L, 1800L, Seq("value"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must not plan a nested loop:\n$plan")
+  }
+}
