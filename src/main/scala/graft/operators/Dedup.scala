@@ -223,6 +223,42 @@ object Dedup {
   }
 
   /**
+   * Connected components over an undirected pair list (id_a, id_b):
+   * the dedup-cluster step — every near-dup pair group collapses to one
+   * component labeled by its minimum member id. Iterative min-label
+   * propagation: each round every vertex takes the min of its own and
+   * its neighbors' labels; converges in O(component diameter) rounds
+   * (near-dup clusters are small and dense, so a handful). Each round
+   * is one join + one aggregation, distributed; the driver only checks
+   * the convergence counter. `localCheckpoint` cuts plan lineage so
+   * round N does not replay rounds 1..N-1.
+   */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val und = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = und.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label")).as("__chg"))
+        .localCheckpoint(true)
+      changed = next.filter(col("__chg")).count()
+      labels = next.drop("__chg")
+      iter += 1
+    }
+    labels
+  }
+
+  /**
    * Embedding cosine near-duplicate pairs. Candidate generation via
    * random-hyperplane LSH sign-buckets (same family as the reference's
    * LSH index, indexes.py:86-101); exact cosine verification on

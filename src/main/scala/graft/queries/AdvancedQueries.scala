@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{RangeJoin, TextAnalysis}
+import graft.operators.{Dedup, RangeJoin, TextAnalysis}
 
 /**
  * Second-round coverage widening: percentiles, pivot, moving windows,
@@ -26,13 +26,18 @@ object AdvancedQueries {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin),
       (spark, dir) =>
+        // one percentile buffer per column (array of fractions), not one
+        // per requested fraction — halves the per-group value buffering
         table(spark, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(
-            round(percentile(col("l_quantity"), lit(0.5)), 4).as("median_qty"),
-            round(percentile(col("l_quantity"), lit(0.9)), 4).as("p90_qty"),
-            round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25_price"),
-            round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75_price"))
+            percentile(col("l_quantity"), array(lit(0.5), lit(0.9))).as("q_qty"),
+            percentile(col("l_extendedprice"), array(lit(0.25), lit(0.75))).as("q_price"))
+          .select(col("l_returnflag"),
+            round(element_at(col("q_qty"), 1), 4).as("median_qty"),
+            round(element_at(col("q_qty"), 2), 4).as("p90_qty"),
+            round(element_at(col("q_price"), 1), 4).as("p25_price"),
+            round(element_at(col("q_price"), 2), 4).as("p75_price"))
           .orderBy(col("l_returnflag"))),
 
     QueryDef("q53_pivot", Some(
@@ -194,5 +199,41 @@ object AdvancedQueries {
           .groupBy("event_id")
           .agg(count(lit(1)).as("n_purch"), round(sum(col("r_value")), 2).as("purch_value"))
           .orderBy("event_id")
+      }),
+
+    // Near-dup pair list -> dedup clusters: min-label connected
+    // components, oracled by a DuckDB recursive CTE over the SAME
+    // (oracle-verified, q34) pair derivation.
+    QueryDef("q61_dedup_clusters", Some(
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] FOR i IN range(1, greatest(len(tk) - 1, 1))]) AS shingles
+        |  FROM toks WHERE len(tk) >= 3),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS common, any_value(a.n_sh) AS n_a, any_value(b.n_sh) AS n_b
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |  HAVING CAST(count(*) AS DOUBLE) / (any_value(a.n_sh) + any_value(b.n_sh) - count(*)) >= 0.2),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+        |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+      (spark, dir) => {
+        val pairs = Dedup.ngramJaccardPairs(table(spark, dir, "documents"),
+          "doc_id", "text", shingleSize = 3, minJaccard = 0.2)
+        Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+          .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+          .orderBy("doc_id")
       }))
 }

@@ -145,7 +145,18 @@ object TextQueries {
             Dedup.simhash(TextAnalysis.tokens(col("text"))).as("simhash"))
           .orderBy("doc_id")),
 
-    QueryDef("q37_rolling_fingerprint", None,
+    // The Karp-Rabin polynomial (base 257 mod 2^61-1, over bytes) is
+    // plain modular arithmetic, so DuckDB can replay it exactly with
+    // HUGEINT list_reduce — a REAL oracle for the fingerprint, not a
+    // rows-only check. (Corpus is ASCII, so ord(char) == byte.)
+    QueryDef("q37_rolling_fingerprint", Some(
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(text) = 0 THEN 0 ELSE list_reduce(
+        |    list_prepend(CAST(0 AS HUGEINT),
+        |      [CAST(ord(c) AS HUGEINT) FOR c IN string_split(text, '')]),
+        |    (acc, c) -> (acc * 257 + c) % 2305843009213693951) END AS BIGINT) AS fingerprint
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin),
       (spark, dir) => {
         import org.apache.spark.sql.graft.Bridge
         import org.apache.spark.sql.graft.expressions.RollingHash

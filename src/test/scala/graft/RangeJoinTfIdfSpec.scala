@@ -73,6 +73,21 @@ class RangeJoinTfIdfSpec extends SparkSpec {
       (3L, "banana", 1)))
   }
 
+  test("connectedComponents: chains, cliques, singleton pairs, min labels") {
+    // components: {1,2,3,4,5} as a chain (forces multi-round
+    // propagation), {10,11,12} as a triangle, {20,21} as a lone pair
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)
+    ).toDF("id_a", "id_b")
+    val cc = graft.operators.Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(cc(_) == 1L))
+    assert((10L to 12L).forall(cc(_) == 10L))
+    assert(cc(20L) == 20L && cc(21L) == 20L)
+  }
+
   test("rangeJoin plans as an equi-join (no nested-loop) on key+band") {
     val left = Seq((1L, 7L, ts("2024-01-01 10:00:00"))).toDF("lid", "user_id", "ts")
     val right = Seq((7L, ts("2024-01-01 10:10:00"), 1.0)).toDF("user_id", "ts", "value")
