@@ -235,5 +235,69 @@ object AdvancedQueries {
         Dedup.connectedComponents(pairs.select("id_a", "id_b"))
           .select(col("id").as("doc_id"), col("label").as("cluster_id"))
           .orderBy("doc_id")
-      }))
+      }),
+
+    // Deterministic train/val/test assignment: split membership is a
+    // pure function of the id (splitmix64 -> unsigned mod 100), stable
+    // across runs/partitionings/engines — DuckDB replays the identical
+    // 64-bit wraparound arithmetic in HUGEINT, so this is hash-compared,
+    // not a statistical check. (sample() could never be oracled.)
+    QueryDef("q62_split_assign", Some(
+      s"""WITH h1 AS (
+         |  SELECT doc_id, source,
+         |    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z
+         |  FROM documents),
+         |${smStages()}
+         |b AS (SELECT doc_id, source, CAST(xor(z, z >> 31) % 100 AS INTEGER) AS bucket FROM h3)
+         |SELECT source,
+         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+         |  count(*) AS n
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      (spark, dir) => {
+        val bucket = hashBucket(col("doc_id"), 100)
+        table(spark, dir, "documents")
+          .withColumn("bucket", bucket)
+          .withColumn("split", when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test"))
+          .groupBy("source", "split").agg(count(lit(1)).as("n"))
+          .orderBy("source", "split")
+      }),
+
+    QueryDef("q63_sample_10pct", Some(
+      s"""WITH h1 AS (
+         |  SELECT doc_id,
+         |    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z
+         |  FROM documents),
+         |${smStages(withSource = false)}
+         |b AS (SELECT doc_id, CAST(xor(z, z >> 31) % 100 AS INTEGER) AS bucket FROM h3)
+         |SELECT doc_id, bucket FROM b WHERE bucket < 10 ORDER BY doc_id""".stripMargin),
+      (spark, dir) =>
+        table(spark, dir, "documents")
+          .withColumn("bucket", hashBucket(col("doc_id"), 100))
+          .filter(col("bucket") < 10)
+          .select("doc_id", "bucket")
+          .orderBy("doc_id")))
+
+  /** `hash_bucket` column (splitmix64 + unsigned mod). */
+  private def hashBucket(c: org.apache.spark.sql.Column, n: Int) = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.graft.expressions.HashBucket
+    Bridge.column(HashBucket(Bridge.expression(c), n))
+  }
+
+  /** The two splitmix64 multiply stages as DuckDB CTEs: 64-bit
+    * wraparound multiplication done in HUGEINT by splitting the left
+    * operand into 32-bit halves (the full 128-bit product would
+    * overflow INT128). */
+  private def smStages(withSource: Boolean = true): String = {
+    val src = if (withSource) ", source" else ""
+    def stage(name: String, from: String, shift: Int, const: String) =
+      s"""$name AS (
+         |  SELECT doc_id$src,
+         |    CAST(((CAST(xor(z, z >> $shift) AS HUGEINT) // 4294967296 * $const) % 18446744073709551616 * 4294967296
+         |      + (CAST(xor(z, z >> $shift) AS HUGEINT) % 4294967296) * $const) % 18446744073709551616 AS UBIGINT) AS z
+         |  FROM $from),""".stripMargin
+    stage("h2", "h1", 30, "13787848793156543929") + "\n" +
+      stage("h3", "h2", 27, "10723151780598845931")
+  }
 }

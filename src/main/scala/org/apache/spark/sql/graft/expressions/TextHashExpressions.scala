@@ -81,6 +81,36 @@ case class RollingHash(child: Expression) extends UnaryExpression with ExpectsIn
 }
 
 /**
+ * `hash_bucket(id, n)` — deterministic sampling bucket in [0, n):
+ * splitmix64 of the id, reduced with UNSIGNED modulo (so the Spark
+ * value matches an engine doing the same arithmetic on UBIGINT — the
+ * DuckDB oracle replays splitmix64 with HUGEINT wraparound math).
+ * The backbone of reproducible train/val/test splits and p%-samples:
+ * membership is a pure function of the id, stable across runs,
+ * clusters, and engines — unlike `sample()`, which depends on
+ * partitioning.
+ */
+case class HashBucket(child: Expression, buckets: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(buckets > 0, "buckets must be positive")
+  override def prettyName: String = "hash_bucket"
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.remainderUnsigned(
+      TextHash.splitmix64(v.asInstanceOf[Long]), buckets.toLong).toInt
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"(int) java.lang.Long.remainderUnsigned(" +
+        s"org.apache.spark.sql.graft.expressions.TextHash.splitmix64($c), ${buckets}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * `simhash64(tokens)` — 64-bit SimHash over an array of token strings
  * (Charikar 2002): each token votes its hash's bits up/down; the sign of
  * each accumulated bit forms the fingerprint. Near-duplicate texts have

@@ -88,6 +88,21 @@ class RangeJoinTfIdfSpec extends SparkSpec {
     assert(cc(20L) == 20L && cc(21L) == 20L)
   }
 
+  test("hash_bucket: deterministic, uniform-ish, unsigned-mod semantics") {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.graft.expressions.{HashBucket, TextHash}
+    val ids = (0L until 10000L).toDF("id")
+    val bucketed = ids.select(col("id"),
+      Bridge.column(HashBucket(Bridge.expression(col("id")), 100)).as("b"))
+    val counts = bucketed.groupBy("b").count().as[(Int, Long)].collect().toMap
+    assert(counts.keys.forall(b => b >= 0 && b < 100)) // unsigned mod: never negative
+    assert(counts.size == 100)
+    assert(counts.values.forall(n => n > 50 && n < 150)) // roughly uniform
+    // matches the driver-side arithmetic exactly
+    val expected = java.lang.Long.remainderUnsigned(TextHash.splitmix64(7L), 100L).toInt
+    assert(bucketed.filter($"id" === 7L).select("b").as[Int].head() == expected)
+  }
+
   test("rangeJoin plans as an equi-join (no nested-loop) on key+band") {
     val left = Seq((1L, 7L, ts("2024-01-01 10:00:00"))).toDF("lid", "user_id", "ts")
     val right = Seq((7L, ts("2024-01-01 10:10:00"), 1.0)).toDF("user_id", "ts", "value")
