@@ -169,7 +169,10 @@ object TextQueries {
     // Multimodal plumbing through the driver surface: documents bytes
     // play the media payload; the deterministic stub codec decodes
     // shape + features (real decode is a MediaCodec impl away).
-    QueryDef("q38_media_decode", None,
+    // The stub's byte-chained splitmix mix is plain 64-bit arithmetic,
+    // so DuckDB replays it exactly (HUGEINT wraparound + signed
+    // floorMod) — hash-compared, not rows-only.
+    QueryDef("q38_media_decode", Some(q38OracleSql),
       (spark, dir) => {
         import graft.multimodal.Multimodal
         val media = Multimodal.mediaFromText(
@@ -180,4 +183,53 @@ object TextQueries {
             round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
           .orderBy("media_id")
       }))
+
+  // ---- DuckDB replay of the FakeCodec stub (Multimodal.FakeCodec) ----
+  // 64-bit wraparound multiply in HUGEINT: split the left operand into
+  // 32-bit halves so no intermediate exceeds 2^97 (INT128-safe).
+  private def mul64(a: String, c: String): String =
+    s"((($a) // 4294967296 * $c) % 18446744073709551616 * 4294967296" +
+      s" + (($a) % 4294967296) * $c) % 18446744073709551616"
+
+  /** splitmix64 finalizer over a HUGEINT expression in [0, 2^64). */
+  private def mixSql(h: String): String = {
+    val s1 = s"(CAST(($h) AS HUGEINT) + 11400714819323198485) % 18446744073709551616"
+    val x1 = s"CAST(xor(CAST(($s1) AS UBIGINT), CAST(($s1) AS UBIGINT) >> 30) AS HUGEINT)"
+    val s2 = mul64(x1, "13787848793156543929")
+    val x2 = s"CAST(xor(CAST(($s2) AS UBIGINT), CAST(($s2) AS UBIGINT) >> 27) AS HUGEINT)"
+    val s3 = mul64(x2, "10723151780598845931")
+    s"CAST(xor(CAST(($s3) AS UBIGINT), CAST(($s3) AS UBIGINT) >> 31) AS HUGEINT)"
+  }
+
+  /** Signed (Java floorMod) remainder of an unsigned-bits HUGEINT. */
+  private def floorModSql(h: String, m: Long): String =
+    s"(((CASE WHEN ($h) >= 9223372036854775808 THEN ($h) - 18446744073709551616" +
+      s" ELSE ($h) END) % $m + $m) % $m)"
+
+  private def q38OracleSql: String = {
+    val byteChain = "list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT), " +
+      "[CAST(ord(c) AS HUGEINT) FOR c IN string_split(text, '')]), " +
+      s"(acc, b) -> ${mixSql("xor(CAST(acc AS UBIGINT), CAST(b AS UBIGINT))")})"
+    s"""WITH h AS (
+       |  SELECT doc_id AS media_id,
+       |    CASE WHEN length(text) = 0 THEN CAST(1469598103934665603 AS HUGEINT)
+       |      ELSE $byteChain END AS h
+       |  FROM documents),
+       |dims AS (
+       |  SELECT media_id,
+       |    CAST(64 + ${floorModSql("h", 448L)} AS INTEGER) AS width,
+       |    CAST(64 + ((h // 65536) % 448) AS INTEGER) AS height,
+       |    round(${floorModSql(mixSql("h"), 2000L)} / 1000.0 - 1.0, 6) AS f0
+       |  FROM h),
+       |resz AS (
+       |  SELECT media_id, width, height, f0,
+       |    CASE WHEN greatest(width, height) <= 256 THEN 1.0
+       |      ELSE 256.0 / greatest(width, height) END AS scale
+       |  FROM dims)
+       |SELECT media_id, width, height,
+       |  CAST(floor(width * scale) AS INTEGER) AS target_width,
+       |  CAST(floor(height * scale) AS INTEGER) AS target_height,
+       |  f0
+       |FROM resz ORDER BY media_id""".stripMargin
+  }
 }
