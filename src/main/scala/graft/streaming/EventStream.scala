@@ -56,6 +56,27 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /**
+   * Stream-stream interval join: left events joined to right events of
+   * the same user with right.ts in [left.ts, left.ts + windowSeconds].
+   * Both sides carry watermarks and the join condition bounds the time
+   * range in BOTH directions, so Spark can expire buffered state — the
+   * canonical watermarked interval-join shape. Batch mirror:
+   * `RangeJoin.rangeJoin` (differentially tested in StreamJoinSpec).
+   */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame,
+      windowSeconds: Long, watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r, expr(
+      s"""l.user_id = r.user_id AND
+         |r.ts >= l.ts AND
+         |r.ts <= l.ts + interval $windowSeconds seconds""".stripMargin))
+      .select(col("l.event_id").as("left_id"), col("l.user_id").as("user_id"),
+        col("l.ts").as("left_ts"), col("r.event_id").as("right_id"),
+        col("r.value").as("right_value"))
+  }
+
   /** One event for stateful processing. */
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Option[Double])
