@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.graft.expressions.{MinHashSignature, SimHash64}
@@ -233,7 +233,28 @@ object Dedup {
    * the convergence counter. `localCheckpoint` cuts plan lineage so
    * round N does not replay rounds 1..N-1.
    */
+  /** Below this edge count, components are solved with a driver-side
+    * union-find: one collect of (id_a, id_b) longs instead of
+    * O(diameter) distributed rounds, each of which costs a full job.
+    * The label function (min member id) is identical on both paths. */
+  val localCcMaxEdges: Long = 1000000L
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // size-guarded collect: ONE execution of the (possibly expensive)
+    // pair pipeline decides the path AND feeds the local solver — a
+    // count() first would run the pipeline twice
+    val sample = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .limit(localCcMaxEdges.toInt + 1).collect()
+    if (sample.length <= localCcMaxEdges)
+      connectedComponentsLocal(sample.map(r => (r.getLong(0), r.getLong(1))),
+        pairs.sparkSession)
+    else connectedComponentsDistributed(pairs, maxIter)
+  }
+
+  /** The distributed min-label loop (any edge count; one join + one
+    * aggregation per round). Kept callable directly for testing and
+    * for callers that know the graph is big. */
+  def connectedComponentsDistributed(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val und = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
@@ -256,6 +277,28 @@ object Dedup {
       iter += 1
     }
     labels
+  }
+
+  /** Driver-side union-find with min-id roots (path-compressed). */
+  private def connectedComponentsLocal(edges: Array[(Long, Long)],
+      spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // min id becomes the root, matching the distributed labels
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    parent.keys.toSeq.sorted.map(id => (id, find(id))).toDF("id", "label")
   }
 
   /**

@@ -81,11 +81,15 @@ class RangeJoinTfIdfSpec extends SparkSpec {
       (10L, 11L), (11L, 12L), (10L, 12L),
       (21L, 20L)
     ).toDF("id_a", "id_b")
-    val cc = graft.operators.Dedup.connectedComponents(pairs)
-      .as[(Long, Long)].collect().toMap
-    assert((1L to 5L).forall(cc(_) == 1L))
-    assert((10L to 12L).forall(cc(_) == 10L))
-    assert(cc(20L) == 20L && cc(21L) == 20L)
+    // both paths (driver union-find / distributed min-label) must agree
+    for (cc <- Seq(
+        graft.operators.Dedup.connectedComponents(pairs),
+        graft.operators.Dedup.connectedComponentsDistributed(pairs))) {
+      val m = cc.as[(Long, Long)].collect().toMap
+      assert((1L to 5L).forall(m(_) == 1L))
+      assert((10L to 12L).forall(m(_) == 10L))
+      assert(m(20L) == 20L && m(21L) == 20L)
+    }
   }
 
   test("hash_bucket: deterministic, uniform-ish, unsigned-mod semantics") {
