@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Physical-plan audits: the properties every 100 TB claim rests on,
+ * asserted on the actual executed plans of the registered queries.
+ * A regression here (a filter that stops pushing, a broadcast that
+ * becomes a shuffle, a sort that loses its top-k heap, an accidental
+ * cartesian) is invisible to result-correctness tests — this spec is
+ * what catches it.
+ */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(name: String): String = {
+    val q = SparkEntry.allQueries.find(_.name == name)
+      .getOrElse(fail(s"query $name not registered"))
+    q.run(spark, sfDir).queryExecution.executedPlan.toString
+  }
+
+  private def run(name: String): DataFrame =
+    SparkEntry.allQueries.find(_.name == name).get.run(spark, sfDir)
+
+  test("q02 filter scan: predicates push to parquet, schema pruned") {
+    val plan = planOf("q02_filter_scan")
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(plan.contains("GreaterThan") || plan.contains("IsNotNull"),
+      s"expected pushed comparison filters:\n$plan")
+    // projection prunes to the 4 selected + 2 filter columns, never l_comment
+    assert(!plan.contains("l_comment"), s"ReadSchema must not include unused columns:\n$plan")
+  }
+
+  test("q05 nation revenue: dimension joins broadcast, no shuffle of dims") {
+    val plan = planOf("q05_nation_revenue")
+    assert(plan.contains("BroadcastHashJoin"), s"dims must broadcast:\n$plan")
+  }
+
+  test("q08/q20 top-k: TakeOrderedAndProject (heap), not a global sort") {
+    for (q <- Seq("q08_topk_orders", "q20_knn_exact")) {
+      val plan = planOf(q)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q must plan a top-k heap, not sort-then-limit:\n$plan")
+    }
+  }
+
+  test("no registered query plans a cartesian product or nested-loop join") {
+    // bench-surface queries must all be hash/merge/broadcast-keyed;
+    // q22/q28 broadcast the small query side by construction (allowed)
+    val allowedNlj = Set("q22_knn_batch", "q28_ivf_batch", "q25_embedding_neardup")
+    SparkEntry.allQueries.filterNot(q => allowedNlj.contains(q.name)).foreach { q =>
+      val plan = q.run(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} plans a cartesian product:\n${plan.take(1200)}")
+    }
+  }
+
+  test("q60 range join: banded equi-join keys reach the join operator") {
+    val plan = planOf("q60_range_join")
+    assert(plan.contains("__band") || plan.contains("SortMergeJoin")
+      || plan.contains("BroadcastHashJoin"),
+      s"range join must key on (user_id, band):\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("q33 exact dedup: single shuffle (one aggregate over the text hash)") {
+    val plan = planOf("q33_dedup_exact")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"exact dedup grew extra shuffles ($exchanges):\n$plan")
+  }
+
+  test("q01 pricing summary: partial aggregation before the shuffle") {
+    val plan = planOf("q01_pricing_summary")
+    assert(plan.contains("partial_"), // partial_sum/partial_avg markers
+      s"aggregation must map-side combine:\n$plan")
+  }
+
+  test("whole-stage codegen covers the scan->filter->project spine of q02") {
+    val df = run("q02_filter_scan")
+    df.collect() // finalize the adaptive plan so codegen stages print
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), s"scan spine must be codegen'd:\n$plan")
+  }
+}
