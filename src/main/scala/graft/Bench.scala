@@ -29,6 +29,24 @@ object Bench {
     Seq("lineitem", "orders", "documents", "embeddings", "events").foreach { t =>
       graft.queries.Tables.table(spark, sfDir, t).write.format("noop").mode("overwrite").save()
     }
+    // ... and the operator paths the measured queries share: hash agg
+    // with partial combine, broadcast + sort-merge join, window, sort —
+    // one tiny query each JITs the generated-code shapes once.
+    {
+      import org.apache.spark.sql.functions._
+      val li = graft.queries.Tables.table(spark, sfDir, "lineitem").limit(10000)
+      val or = graft.queries.Tables.table(spark, sfDir, "orders").limit(1000)
+      li.groupBy("l_returnflag").agg(sum("l_quantity"), avg("l_extendedprice"), count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+      li.join(broadcast(or), li("l_orderkey") === or("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+        .write.format("noop").mode("overwrite").save()
+      li.withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("l_returnflag").orderBy("l_orderkey")))
+        .filter(col("rn") <= 3).orderBy("l_orderkey").limit(10)
+        .write.format("noop").mode("overwrite").save()
+    }
     val results = SparkEntry.allQueries.map { q =>
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
