@@ -32,7 +32,7 @@ object Bench {
     // ... and the operator paths the measured queries share: hash agg
     // with partial combine, broadcast + sort-merge join, window, sort —
     // one tiny query each JITs the generated-code shapes once.
-    {
+    locally {
       import org.apache.spark.sql.functions._
       val li = graft.queries.Tables.table(spark, sfDir, "lineitem").limit(10000)
       val or = graft.queries.Tables.table(spark, sfDir, "orders").limit(1000)

@@ -27,7 +27,12 @@ object CorpusPipeline {
       keepLangs: Set[String] = Set.empty, // empty = keep all
       nearDupJaccard: Double = 0.8,
       shingleSize: Int = 3,
-      embedDim: Int = 64)
+      embedDim: Int = 64,
+      // train/val/test percentages; assignment is a pure hash of the id
+      // (splitmix64 bucket), so splits are stable across runs/engines.
+      // Requires a numeric id column; set trainPct = 0 to skip.
+      trainPct: Int = 80,
+      valPct: Int = 10)
 
   /** Returns the curated corpus: original columns + quality metrics +
     * `embedding`. */
@@ -51,18 +56,34 @@ object CorpusPipeline {
     val exactDeduped = Dedup.exactDedup(gated, idCol, textCol)
 
     // 4. near-dup removal: candidates via MinHash banding, exact
-    // verification, then greedily drop the larger id of each surviving
-    // pair (keeps one representative per duplicate pair; chains resolve
-    // to >= 1 survivor)
+    // verification, connected components over the surviving pairs, keep
+    // the min-id representative per component. (A greedy per-pair drop
+    // over-removes on chains: B~A and C~B but C!~A would lose C; the
+    // component view keeps exactly one doc per duplicate GROUP.)
     val pairs = Dedup.minHashNearDupPairs(exactDeduped, idCol, textCol,
       shingleSize = cfg.shingleSize, numHashes = 64, bands = 32,
       minJaccard = cfg.nearDupJaccard)
-    val dropIds = pairs.select(col("id_b").as(idCol)).distinct()
+    val components = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+    val dropIds = components.filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
     val nearDeduped = exactDeduped.join(dropIds, Seq(idCol), "left_anti")
 
     // 5. distributed embedding
     val embed = Embedder.embedColumn(HashingEmbedder(dimension = cfg.embedDim))
-    nearDeduped.withColumn("embedding", embed(col(textCol)))
+    val embedded = nearDeduped.withColumn("embedding", embed(col(textCol)))
+
+    // 6. deterministic split assignment (pure function of the id)
+    if (cfg.trainPct <= 0) embedded
+    else {
+      import org.apache.spark.sql.graft.Bridge
+      import org.apache.spark.sql.graft.expressions.HashBucket
+      val bucket = Bridge.column(HashBucket(
+        Bridge.expression(col(idCol).cast("long")), 100))
+      embedded.withColumn("split",
+        when(bucket < cfg.trainPct, "train")
+          .when(bucket < cfg.trainPct + cfg.valPct, "val")
+          .otherwise("test"))
+    }
   }
 
   /** Per-stage survival counts (one action per stage; diagnostics). */

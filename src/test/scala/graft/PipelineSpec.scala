@@ -34,6 +34,22 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(math.sqrt(emb.map(x => x.toDouble * x).sum) - 1.0) < 1e-5)
     // metrics columns survive
     assert(out.columns.contains("quality_score") && out.columns.contains("lang_pred"))
+    // split assignment: pure hash of the id, valid values only
+    val splits = out.select("split").as[String].collect().toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("chain dedup keeps one doc per component, not zero") {
+    // A ~ B and B ~ C but A !~ C: greedy pair-dropping would also drop
+    // C; component dedup must keep exactly the min-id representative
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val b = a.replace("alpha", "omega")            // near dup of a
+    val c = b.replace("beta", "sigma").replace("gamma", "tau") // near dup of b, farther from a
+    val chain = Seq((10L, a), (11L, b), (12L, c)).toDF("doc_id", "text")
+    val out = CorpusPipeline.curate(chain, "doc_id", "text",
+      CurationConfig(minQuality = 0.0, nearDupJaccard = 0.5))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(10L), s"one representative per component, got $ids")
   }
 
   test("language gate keeps only requested languages") {
