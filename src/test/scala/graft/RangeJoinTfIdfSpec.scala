@@ -92,6 +92,21 @@ class RangeJoinTfIdfSpec extends SparkSpec {
     }
   }
 
+  test("rangeJoin: null timestamps never match, non-null rows unaffected") {
+    val left = Seq(
+      (1L, Some(ts("2024-01-01 10:00:00"))),
+      (2L, None: Option[Timestamp])
+    ).map { case (id, t) => (id, 5L, t) }.toDF("lid", "user_id", "ts")
+    val right = Seq(
+      (5L, Some(ts("2024-01-01 10:05:00")), 1.0),
+      (5L, None: Option[Timestamp], 2.0)
+    ).toDF("user_id", "ts", "value")
+    val out = RangeJoin.rangeJoin(left, right, Seq("user_id"), "ts", "ts",
+        0L, 600L, Seq("value"))
+      .select($"lid", $"r_value").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 1.0))) // null-ts rows on either side drop out
+  }
+
   test("hash_bucket: deterministic, uniform-ish, unsigned-mod semantics") {
     import org.apache.spark.sql.graft.Bridge
     import org.apache.spark.sql.graft.expressions.{HashBucket, TextHash}
