@@ -47,5 +47,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => SimHash64(es(0))))
     ext.injectFunction(fn("minhash", classOf[MinHashSignature],
       es => MinHashSignature(es(0), es(1).eval().asInstanceOf[Int])))
+    ext.injectFunction(fn("hash_bucket", classOf[HashBucket],
+      es => HashBucket(es(0), es(1).eval().asInstanceOf[Int])))
   }
 }

@@ -2,7 +2,6 @@ package graft.catalog
 
 import java.sql.Timestamp
 import java.util.UUID
-import java.util.concurrent.atomic.AtomicReference
 import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 
@@ -45,9 +44,11 @@ final case class IndexState(
  * Driver-side catalog + chunk store for the Library -> Document -> Chunk
  * hierarchy. Libraries and documents are driver-side registries (they
  * are tiny dimension data — thousands of entries); chunks are a
- * DataFrame (the 100 TB side), mutated by union (insert) / anti-join
- * (delete) / map-merge (update), with cascade semantics matching
- * storage.py:67-90 (library cascade) and :137-161 (document cascade).
+ * DataFrame (the 100 TB side) behind a log-structured write path:
+ * mutations buffer on the driver (upserts + tombstones), reads see
+ * base -> tombstone filter -> union(buffer), and compaction folds the
+ * log into a fresh base. Cascade semantics match storage.py:67-90
+ * (library cascade) and :137-161 (document cascade).
  *
  * Duplicate-id create overwrites (dict-set semantics, storage.py:40,
  * 105, 182); updates with None/absent fields leave fields unchanged
@@ -60,9 +61,25 @@ final class VectorCatalog(val spark: SparkSession,
 
   private val libraries = new TrieMap[String, LibraryRow]()
   private val documents = new TrieMap[String, DocumentRow]()
-  private val chunksRef = new AtomicReference[DataFrame](emptyChunks)
   private val indexes = new TrieMap[String, IndexState]()
   private val version = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // ---- chunk write path: a driver-side mutation log over a stable base.
+  // The reference mutates dicts in O(1) (storage.py:175-249); the Spark
+  // analog is NOT one plan rewrite per CRUD op (lineage grows without
+  // bound) but a write BUFFER: upserted rows and tombstone id-sets live
+  // on the driver, the read view is base -> anti-tombstone filter ->
+  // union of buffered rows, and compaction periodically folds the log
+  // into a fresh checkpointed base. Mutations are O(1) driver work;
+  // the view plan depth is constant.
+  private val stateLock = new Object
+  private var base: DataFrame = emptyChunks
+  private val upserts = scala.collection.mutable.LinkedHashMap.empty[String, ChunkRow]
+  private val chunkTombstones = scala.collection.mutable.HashSet.empty[String]
+  private val docTombstones = scala.collection.mutable.HashSet.empty[String]
+  private val libTombstones = scala.collection.mutable.HashSet.empty[String]
+  private var streamedAppends = Vector.empty[DataFrame]
+  private var mutationsSinceCompact = 0
 
   private def emptyChunks: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schemas.chunks)
@@ -70,7 +87,8 @@ final class VectorCatalog(val spark: SparkSession,
   private def now(): Timestamp = new Timestamp(System.currentTimeMillis())
   private def newId(): String = UUID.randomUUID().toString
 
-  def chunks: DataFrame = chunksRef.get()
+  /** Immutable snapshot of the chunk table (base + buffered log). */
+  def chunks: DataFrame = stateLock.synchronized(assembleView())
   def currentVersion: Long = version.get()
 
   // ---------------------------------------------------------------- library
@@ -110,7 +128,10 @@ final class VectorCatalog(val spark: SparkSession,
       libraries.remove(id)
       indexes.remove(id)
       documents.filterInPlace { case (_, d) => d.library_id != id }
-      mutateChunks(_.filter($"library_id" =!= id))
+      mutate {
+        upserts.filterInPlace((_, c) => c.library_id != id)
+        libTombstones += id
+      }
     }
 
   // --------------------------------------------------------------- document
@@ -148,7 +169,10 @@ final class VectorCatalog(val spark: SparkSession,
   def deleteDocument(id: String): Either[ApiError, Unit] =
     getDocument(id).map { _ =>
       documents.remove(id)
-      mutateChunks(_.filter($"document_id" =!= id))
+      mutate {
+        upserts.filterInPlace((_, c) => c.document_id != id)
+        docTombstones += id
+      }
     }
 
   /** Equality-only metadata filter over documents (document_service.py:117-143). */
@@ -182,8 +206,19 @@ final class VectorCatalog(val spark: SparkSession,
     }
 
   def getChunk(id: String): Either[ApiError, ChunkRow] = {
-    val hits = chunks.filter($"id" === id).as[ChunkRow].collect()
-    hits.headOption.toRight(ApiError.NotFound(s"Chunk $id not found"))
+    // O(1) fast path: a recently-written row lives in the driver buffer
+    // (already consistent with later deletes); a tombstoned id that is
+    // NOT buffered was deleted. Only base-resident rows need a scan.
+    val buffered = stateLock.synchronized {
+      if (upserts.contains(id)) Some(Right(upserts(id)))
+      else if (chunkTombstones.contains(id))
+        Some(Left(ApiError.NotFound(s"Chunk $id not found")))
+      else None
+    }
+    buffered.getOrElse {
+      val hits = chunks.filter($"id" === id).as[ChunkRow].collect()
+      hits.headOption.toRight(ApiError.NotFound(s"Chunk $id not found"))
+    }
   }
 
   /** Update; text change re-embeds (chunk_service.py:81-98); absent
@@ -197,13 +232,17 @@ final class VectorCatalog(val spark: SparkSession,
         embedding = text.map(tx => embedder.embedOne(tx)).orElse(old.embedding),
         metadata = metadata.getOrElse(old.metadata),
         updated_at = t)
-      mutateChunks(df => df.filter($"id" =!= id)
-        .unionByName(spark.createDataFrame(Seq(updated).map(chunkToRow).asJava, Schemas.chunks)))
+      appendChunks(Seq(updated)) // upsert: buffers the row, tombstones the old
       updated
     }
 
   def deleteChunk(id: String): Either[ApiError, Unit] =
-    getChunk(id).map(_ => mutateChunks(_.filter($"id" =!= id)))
+    getChunk(id).map { _ =>
+      mutate {
+        upserts.remove(id)
+        chunkTombstones += id
+      }
+    }
 
   def chunksByDocument(documentId: String): DataFrame =
     chunks.filter($"document_id" === documentId)
@@ -336,29 +375,55 @@ final class VectorCatalog(val spark: SparkSession,
     c.id, c.document_id, c.library_id, c.text,
     c.embedding.orNull, c.metadata, c.created_at, c.updated_at)
 
-  private def appendChunks(rows: Seq[ChunkRow]): Unit = {
-    val df = spark.createDataFrame(rows.map(chunkToRow).asJava, Schemas.chunks)
-    // duplicate-id create OVERWRITES (dict-set parity, storage.py:40/105/
-    // 182): drop any existing rows with these ids before the union, so a
-    // second create of the same chunk id replaces rather than accumulates
-    val ids = rows.map(_.id)
-    mutateChunks(_.filter(!$"id".isin(ids: _*)).unionByName(df))
-  }
+  /** Upsert: duplicate-id create OVERWRITES (dict-set parity,
+    * storage.py:40/105/182) — the buffer keys by id and the tombstone
+    * hides any base-resident row with the same id. O(1), no Spark job. */
+  private def appendChunks(rows: Seq[ChunkRow]): Unit =
+    mutate {
+      rows.foreach { r =>
+        upserts(r.id) = r
+        chunkTombstones += r.id
+      }
+    }
 
-  private def mutateChunks(f: DataFrame => DataFrame): Unit = {
-    chunksRef.updateAndGet(df => f(df))
-    // Each mutation extends the plan lineage (union/filter chains); cut
-    // it periodically or the analyzer cost grows without bound under
-    // sustained CRUD (the Spark analog of the reference's in-place dict
-    // mutation being O(1)).
-    if (version.incrementAndGet() % compactEvery == 0) compact()
+  /** Apply a buffered mutation under the state lock, bump the index-
+    * staleness version, and fold the log when it crosses the threshold. */
+  private def mutate(f: => Unit): Unit = stateLock.synchronized {
+    f
+    version.incrementAndGet()
+    mutationsSinceCompact += 1
+    if (mutationsSinceCompact >= compactEvery) compactLocked()
   }
 
   private val compactEvery = 64
 
-  /** Materialize the chunk table and drop its lineage. */
-  def compact(): Unit =
-    chunksRef.updateAndGet(df => df.localCheckpoint(true))
+  /** The read view: base minus tombstones, plus streamed batches, plus
+    * buffered upserts. Constant plan depth regardless of CRUD history.
+    * Callers hold stateLock; the returned plan is an immutable snapshot
+    * (buffer contents are copied into it). */
+  private def assembleView(): DataFrame = {
+    val withStreams = (base +: streamedAppends).reduce(_.unionByName(_))
+    var v = withStreams
+    if (chunkTombstones.nonEmpty) v = v.filter(!$"id".isin(chunkTombstones.toSeq: _*))
+    if (docTombstones.nonEmpty) v = v.filter(!$"document_id".isin(docTombstones.toSeq: _*))
+    if (libTombstones.nonEmpty) v = v.filter(!$"library_id".isin(libTombstones.toSeq: _*))
+    if (upserts.isEmpty) v
+    else v.unionByName(spark.createDataFrame(
+      upserts.values.map(chunkToRow).toSeq.asJava, Schemas.chunks))
+  }
+
+  /** Fold the mutation log into a fresh lineage-free base. */
+  def compact(): Unit = stateLock.synchronized(compactLocked())
+
+  private def compactLocked(): Unit = {
+    base = assembleView().localCheckpoint(true)
+    upserts.clear()
+    chunkTombstones.clear()
+    docTombstones.clear()
+    libTombstones.clear()
+    streamedAppends = Vector.empty
+    mutationsSinceCompact = 0
+  }
 
   /**
    * Streaming ingest (SURVEY.md §7.11): append chunk-shaped micro-
@@ -381,7 +446,7 @@ final class VectorCatalog(val spark: SparkSession,
         // localCheckpoint: the micro-batch source is transient; pin the
         // rows so the catalog's chunk table outlives the batch
         val pinned = withEmb.localCheckpoint(true)
-        mutateChunks(_.unionByName(pinned))
+        mutate { streamedAppends :+= pinned }
       }
       .start()
   }
@@ -404,8 +469,14 @@ final class VectorCatalog(val spark: SparkSession,
   /** Restore a saved catalog (indexes rebuild on demand — they are
     * derived data). */
   def load(path: String): Unit = {
-    chunksRef.set(spark.read.schema(Schemas.chunks).parquet(s"$path/chunks")
-      .select(Schemas.chunks.fieldNames.toIndexedSeq.map(col): _*))
+    stateLock.synchronized {
+      base = spark.read.schema(Schemas.chunks).parquet(s"$path/chunks")
+        .select(Schemas.chunks.fieldNames.toIndexedSeq.map(col): _*)
+      upserts.clear(); chunkTombstones.clear()
+      docTombstones.clear(); libTombstones.clear()
+      streamedAppends = Vector.empty
+      mutationsSinceCompact = 0
+    }
     libraries.clear()
     spark.read.schema(Schemas.libraries).parquet(s"$path/libraries").collect().foreach { r =>
       libraries.put(r.getString(0), LibraryRow(r.getString(0), r.getString(1),

@@ -27,6 +27,10 @@ object GraftFunctions {
   def normalize_vec(a: Column): Column =
     Bridge.column(NormalizeVector(Bridge.expression(a)))
 
+  /** Deterministic sampling bucket in [0, n) — splitmix64 of the id. */
+  def hash_bucket(id: Column, n: Int): Column =
+    Bridge.column(HashBucket(Bridge.expression(id), n))
+
   /** Register every graft expression for SQL (`SELECT cosine_sim(a,b) ...`). */
   def registerAll(spark: SparkSession): Unit = {
     Bridge.registerFunction(spark, "cosine_sim", es => CosineSimilarity(es(0), es(1)))
@@ -34,5 +38,7 @@ object GraftFunctions {
     Bridge.registerFunction(spark, "dot_product", es => DotProduct(es(0), es(1)))
     Bridge.registerFunction(spark, "vector_norm", es => VectorNorm(es(0)))
     Bridge.registerFunction(spark, "normalize_vec", es => NormalizeVector(es(0)))
+    Bridge.registerFunction(spark, "hash_bucket",
+      es => HashBucket(es(0), es(1).eval().asInstanceOf[Int]))
   }
 }
