@@ -54,12 +54,14 @@ final case class IvfModel(centroids: Array[Array[Float]]) {
 
 object IvfModel {
 
-  /** Below this row count, training collects to the driver and runs a
-    * local Lloyd loop (the reference's own algorithm, indexes.py:228-265)
-    * — centroids are KB-scale state either way, and a driver loop skips
-    * MLlib's per-iteration job scheduling. Above it, MLlib KMeans owns
-    * the distributed loop. */
-  val localTrainMaxRows: Long = 200000L
+  /** Below this FLOAT-COUNT (rows x dimension), training collects to
+    * the driver and runs a local Lloyd loop (the reference's own
+    * algorithm, indexes.py:228-265) — centroids are KB-scale state
+    * either way, and a driver loop skips MLlib's per-iteration job
+    * scheduling. Above it, MLlib KMeans owns the distributed loop.
+    * 16M floats = 64 MB of Float — bounded regardless of dimension
+    * (200k rows at dim 64, ~15k rows at the reference's dim 1024). */
+  val localTrainMaxElements: Long = 16000000L
 
   /**
    * Train centroids (k = min(nlist, n), <= `maxIter` Lloyd iterations,
@@ -72,7 +74,9 @@ object IvfModel {
     val vecs = chunks.filter(col(embCol).isNotNull).select(col(embCol))
     val n = vecs.count()
     val k = math.min(nlist.toLong, math.max(1L, n)).toInt
-    if (n <= localTrainMaxRows) {
+    val dim = if (n == 0) 1
+      else vecs.limit(1).collect()(0).getSeq[Float](0).length.max(1)
+    if (n * dim <= localTrainMaxElements) {
       val data = vecs.collect().map(_.getSeq[Float](0).toArray)
       IvfModel(lloydLocal(data, k, maxIter, seed))
     } else {

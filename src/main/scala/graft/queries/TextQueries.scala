@@ -138,7 +138,10 @@ object TextQueries {
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("id_a", "id_b")),
 
-    QueryDef("q36_simhash_fingerprints", None,
+    // SimHash is deterministic arithmetic (poly-31 string hash +
+    // splitmix finalizer + bit votes), so DuckDB replays it exactly —
+    // hash-compared, not rows-only.
+    QueryDef("q36_simhash_fingerprints", Some(q36OracleSql),
       (spark, dir) =>
         table(spark, dir, "documents")
           .select(col("doc_id"),
@@ -205,6 +208,29 @@ object TextQueries {
   private def floorModSql(h: String, m: Long): String =
     s"(((CASE WHEN ($h) >= 9223372036854775808 THEN ($h) - 18446744073709551616" +
       s" ELSE ($h) END) % $m + $m) % $m)"
+
+  private def q36OracleSql: String = {
+    // stringHash(token, seed=42): poly-31 over bytes (64-bit wrap; 31 is
+    // small enough that no operand split is needed), splitmix finalized
+    val tokenHash = mixSql(
+      "list_reduce(list_prepend(CAST(42 AS HUGEINT), " +
+        "[CAST(ord(c) AS HUGEINT) FOR c IN string_split(t, '')]), " +
+        "(acc, b) -> (acc * 31 + b) % 18446744073709551616)")
+    s"""SELECT doc_id,
+       |  CAST(CASE WHEN u >= 9223372036854775808 THEN u - 18446744073709551616
+       |    ELSE u END AS BIGINT) AS simhash
+       |FROM (
+       |  SELECT doc_id,
+       |    list_sum([CASE WHEN list_sum(
+       |        [CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0
+       |      THEN CAST(CAST(1 AS UBIGINT) << b AS HUGEINT) ELSE 0 END
+       |      FOR b IN range(0, 64)]) AS u
+       |  FROM (
+       |    SELECT doc_id, [CAST($tokenHash AS UBIGINT) FOR t IN
+       |      list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')] AS hs
+       |    FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
 
   private def q38OracleSql: String = {
     val byteChain = "list_reduce(list_prepend(CAST(1469598103934665603 AS HUGEINT), " +
