@@ -89,10 +89,14 @@ object Dedup {
     // bucket self-join — one shuffle and one execution of the
     // shingle+minhash pipeline instead of two, and at scale the
     // difference between shuffling ids and shuffling whole documents.
+    // The bucket key is the RAW signature slice (array<long>), not a
+    // re-hash of it: equality is the same relation minus re-hash
+    // collisions, grouping on a short array costs the same shuffle,
+    // and the whole pipeline stays replayable by the DuckDB oracle.
     val banded = shingleTable
       .withColumn("sig", minhash(col("shingles"), numHashes, seed))
       .select(col("id"), posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rows + 1, lit(rows)), b))).as(Seq("band", "bucket")))
+        b => slice(col("sig"), b * rows + 1, lit(rows)))).as(Seq("band", "bucket")))
 
     val candidates = bucketPairs(banded, "band" :: "bucket" :: Nil)
 

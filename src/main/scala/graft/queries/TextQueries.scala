@@ -128,11 +128,13 @@ object TextQueries {
           .limit(20)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
-    // --- hash-based fingerprints: engine-internal hashes, rows-only checks
-    QueryDef("q35_minhash_neardup", None,
+    // bands=32 (rows=2): LSH threshold (1/b)^(1/r) ~ 0.18, matched to
+    // the 0.2 verification cut so banding recall stays high. Slice
+    // banding + replayable hashes make even this approximate pipeline
+    // hash-comparable: the oracle recomputes the same minhash
+    // signatures, bands on the same slices, verifies the same jaccard.
+    QueryDef("q35_minhash_neardup", Some(q35OracleSql),
       (spark, dir) =>
-        // bands=32 (rows=2): LSH threshold (1/b)^(1/r) ~ 0.18, matched
-        // to the 0.2 verification cut so banding recall stays high
         Dedup.minHashNearDupPairs(table(spark, dir, "documents"), "doc_id", "text",
             shingleSize = 3, numHashes = 64, bands = 32, minJaccard = 0.2)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -208,6 +210,46 @@ object TextQueries {
   private def floorModSql(h: String, m: Long): String =
     s"(((CASE WHEN ($h) >= 9223372036854775808 THEN ($h) - 18446744073709551616" +
       s" ELSE ($h) END) % $m + $m) % $m)"
+
+  private def q35OracleSql: String = {
+    // stringHash(shingle, 42): poly-31 + splitmix finalizer
+    val baseHash = mixSql(
+      "list_reduce(list_prepend(CAST(42 AS HUGEINT), " +
+        "[CAST(ord(c) AS HUGEINT) FOR c IN string_split(shingle, '')]), " +
+        "(acc, b) -> (acc * 31 + b) % 18446744073709551616)")
+    // permutation j (0..63): splitmix(base ^ (seed + 0x9e3779b9*(j+1)))
+    val jHash = mixSql("CAST(xor(CAST(bh AS UBIGINT), " +
+      "CAST((42 + 2654435769 * (j + 1)) % 18446744073709551616 AS UBIGINT)) AS HUGEINT)")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS tk
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] FOR i IN range(1, greatest(len(tk) - 1, 1))]) AS shingles
+       |  FROM toks WHERE len(tk) >= 3),
+       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+       |distinct_sh AS (SELECT DISTINCT shingle FROM ex),
+       |shb AS (SELECT shingle, $baseHash AS bh FROM distinct_sh),
+       |shj AS (SELECT shingle, j, CAST($jHash AS UBIGINT) AS h
+       |  FROM shb, unnest(range(64)) AS u(j)),
+       |doc_j AS (
+       |  SELECT e.doc_id, s.j, min(s.h) AS mh
+       |  FROM ex e JOIN shj s USING (shingle)
+       |  GROUP BY e.doc_id, s.j),
+       |sigs AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM doc_j GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, b, sig[2*b+1:2*b+2] AS bucket FROM sigs, unnest(range(32)) AS u(b)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |  FROM banded a JOIN banded b2
+       |    ON a.b = b2.b AND a.bucket = b2.bucket AND a.doc_id < b2.doc_id),
+       |verify AS (
+       |  SELECT c.id_a, c.id_b,
+       |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+       |      len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+       |  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)
+       |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM verify
+       |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
+  }
 
   private def q36OracleSql: String = {
     // stringHash(token, seed=42): poly-31 over bytes (64-bit wrap; 31 is
