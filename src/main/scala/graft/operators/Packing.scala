@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.graft.expressions.HashBucket
+
+/**
+ * Pretraining-prep operators: packing documents into fixed-token-budget
+ * training sequences, and deterministic source mixing toward target
+ * weights. Both are pure functions of (id, token count, source) — no
+ * RNG, no collect — so runs are reproducible across clusters and both
+ * are DuckDB-replayable for the correctness gate.
+ */
+object Packing {
+
+  private def bucketOf(c: Column, n: Int): Column =
+    Bridge.column(HashBucket(Bridge.expression(c), n))
+
+  /**
+   * Assign each document to a training-sequence bin of ~`seqTokens`
+   * tokens: shard by id hash (so the cumulative windows parallelize —
+   * a single global window would serialize at scale), order
+   * deterministically by id within the shard, and cut bins by the
+   * running token count (contiguous-fill packing: a doc goes to the
+   * bin its cumulative START falls into). Output adds
+   * `shard`, `bin`, `bin_start_tok`.
+   *
+   * Docs longer than `seqTokens` deliberately keep their own bin
+   * (they span; chunking oversized docs is the upstream splitter's
+   * job, reference chunk semantics).
+   */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+      seqTokens: Int, shards: Int = 64): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col(idCol))
+    df.withColumn("shard", bucketOf(col(idCol).cast("long"), shards))
+      .withColumn("bin_start_tok",
+        coalesce(sum(col(tokensCol)).over(w) - col(tokensCol), lit(0L)))
+      .withColumn("bin", floor(col("bin_start_tok") / seqTokens).cast("long"))
+  }
+
+  /** Per-bin packing stats (docs, tokens, fill ratio vs the budget). */
+  def packingStats(packed: DataFrame, tokensCol: String, seqTokens: Int): DataFrame =
+    packed.groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol)).as("n_tokens"))
+      .withColumn("fill_ratio",
+        round(least(col("n_tokens").cast("double") / seqTokens, lit(1.0)), 6))
+
+  /**
+   * Deterministic source mixing: keep each document with per-source
+   * probability `weights(source)` (0..1), decided by the id's hash
+   * bucket — the distributed, reproducible form of weighted sampling
+   * for training-mix construction. Unlisted sources keep everything.
+   */
+  def mixBySource(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double], buckets: Int = 10000): DataFrame = {
+    val b = bucketOf(col(idCol).cast("long"), buckets)
+    val keepExpr = weights.foldLeft(lit(true)) { case (acc, (src, w)) =>
+      when(col(sourceCol) === src, b < (w * buckets).toInt).otherwise(acc)
+    }
+    df.filter(keepExpr)
+  }
+}

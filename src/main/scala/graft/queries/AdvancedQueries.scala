@@ -263,12 +263,67 @@ object AdvancedQueries {
           .orderBy("source", "split")
       }),
 
+    // Sequence packing: documents -> fixed-token-budget training bins,
+    // sharded by id hash so the cumulative window parallelizes. Pure
+    // function of (id, token count): DuckDB replays the splitmix shard
+    // AND the running-sum bin cut exactly.
+    QueryDef("q64_sequence_packing", Some(
+      s"""WITH h1 AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tok,
+         |    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z
+         |  FROM documents),
+         |${smStages(carry = ", n_tok")}
+         |b AS (SELECT doc_id, n_tok, CAST(xor(z, z >> 31) % 8 AS INTEGER) AS shard FROM h3),
+         |packed AS (
+         |  SELECT shard, doc_id, n_tok,
+         |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) - n_tok, 0) AS BIGINT) AS bin_start_tok
+         |  FROM b),
+         |binned AS (
+         |  SELECT shard, CAST(floor(bin_start_tok / 1024) AS BIGINT) AS bin, doc_id, n_tok FROM packed)
+         |SELECT shard, bin, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  round(least(CAST(sum(n_tok) AS DOUBLE) / 1024, 1.0), 6) AS fill_ratio
+         |FROM binned GROUP BY shard, bin ORDER BY shard, bin""".stripMargin),
+      (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+        val packed = graft.operators.Packing.packSequences(docs, "doc_id", "n_tok",
+          seqTokens = 1024, shards = 8)
+        graft.operators.Packing.packingStats(packed, "n_tok", seqTokens = 1024)
+          .withColumnRenamed("n_docs", "n_docs")
+          .orderBy("shard", "bin")
+      }),
+
+    // Deterministic source mixing toward target weights: membership is
+    // a pure hash of the id, thresholded per source.
+    QueryDef("q65_mix_sampling", Some(
+      s"""WITH h1 AS (
+         |  SELECT doc_id, source,
+         |    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z
+         |  FROM documents),
+         |${smStages()}
+         |b AS (SELECT doc_id, source, CAST(xor(z, z >> 31) % 10000 AS INTEGER) AS bucket FROM h3),
+         |kept AS (
+         |  SELECT doc_id, source FROM b
+         |  WHERE CASE WHEN source = 'src0' THEN bucket < 2500
+         |             WHEN source = 'src1' THEN bucket < 5000
+         |             WHEN source = 'src2' THEN bucket < 0
+         |             ELSE TRUE END)
+         |SELECT source, count(*) AS n FROM kept GROUP BY source ORDER BY source""".stripMargin),
+      (spark, dir) =>
+        graft.operators.Packing.mixBySource(table(spark, dir, "documents"),
+            "doc_id", "source",
+            Map("src0" -> 0.25, "src1" -> 0.5, "src2" -> 0.0))
+          .groupBy("source").agg(count(lit(1)).as("n"))
+          .orderBy("source")),
+
     QueryDef("q63_sample_10pct", Some(
       s"""WITH h1 AS (
          |  SELECT doc_id,
          |    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z
          |  FROM documents),
-         |${smStages(withSource = false)}
+         |${smStages(carry = "")}
          |b AS (SELECT doc_id, CAST(xor(z, z >> 31) % 100 AS INTEGER) AS bucket FROM h3)
          |SELECT doc_id, bucket FROM b WHERE bucket < 10 ORDER BY doc_id""".stripMargin),
       (spark, dir) =>
@@ -288,12 +343,11 @@ object AdvancedQueries {
   /** The two splitmix64 multiply stages as DuckDB CTEs: 64-bit
     * wraparound multiplication done in HUGEINT by splitting the left
     * operand into 32-bit halves (the full 128-bit product would
-    * overflow INT128). */
-  private def smStages(withSource: Boolean = true): String = {
-    val src = if (withSource) ", source" else ""
+    * overflow INT128). `carry` = extra columns threaded through. */
+  private def smStages(carry: String = ", source"): String = {
     def stage(name: String, from: String, shift: Int, const: String) =
       s"""$name AS (
-         |  SELECT doc_id$src,
+         |  SELECT doc_id$carry,
          |    CAST(((CAST(xor(z, z >> $shift) AS HUGEINT) // 4294967296 * $const) % 18446744073709551616 * 4294967296
          |      + (CAST(xor(z, z >> $shift) AS HUGEINT) % 4294967296) * $const) % 18446744073709551616 AS UBIGINT) AS z
          |  FROM $from),""".stripMargin

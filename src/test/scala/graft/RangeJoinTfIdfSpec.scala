@@ -122,6 +122,37 @@ class RangeJoinTfIdfSpec extends SparkSpec {
     assert(bucketed.filter($"id" === 7L).select("b").as[Int].head() == expected)
   }
 
+  test("packSequences: bins respect the token budget; oversized docs span alone") {
+    import graft.operators.Packing
+    val docs = Seq((1L, 300L), (2L, 300L), (3L, 300L), (4L, 2000L), (5L, 100L))
+      .toDF("doc_id", "n_tok")
+    val packed = Packing.packSequences(docs, "doc_id", "n_tok",
+      seqTokens = 1024, shards = 1) // one shard: deterministic id order
+    val bins = packed.select($"doc_id", $"bin").as[(Long, Long)].collect().toMap
+    // cumulative starts: 0,300,600,900,2900 -> bins 0,0,0,0,2
+    assert(bins(1L) == 0 && bins(2L) == 0 && bins(3L) == 0)
+    assert(bins(4L) == 0)  // starts at 900, spans (oversized handled upstream)
+    assert(bins(5L) == 2)  // starts at 2900
+    val stats = Packing.packingStats(packed, "n_tok", 1024)
+      .select($"bin", $"fill_ratio").as[(Long, Double)].collect().toMap
+    assert(stats(0L) == 1.0) // capped
+  }
+
+  test("mixBySource keeps ~weight fraction per source, deterministically") {
+    import graft.operators.Packing
+    val docs = (0L until 4000L).map(i => (i, s"src${i % 2}")).toDF("doc_id", "source")
+    val kept = Packing.mixBySource(docs, "doc_id", "source",
+      Map("src0" -> 0.25, "src1" -> 1.0))
+    val bySrc = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("src1") == 2000L)                       // weight 1.0 keeps all
+    assert(bySrc("src0") > 350 && bySrc("src0") < 650)   // ~25% of 2000
+    // deterministic: same call, same rows
+    val again = Packing.mixBySource(docs, "doc_id", "source",
+      Map("src0" -> 0.25, "src1" -> 1.0))
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(again == bySrc)
+  }
+
   test("rangeJoin plans as an equi-join (no nested-loop) on key+band") {
     val left = Seq((1L, 7L, ts("2024-01-01 10:00:00"))).toDF("lid", "user_id", "ts")
     val right = Seq((7L, ts("2024-01-01 10:10:00"), 1.0)).toDF("user_id", "ts", "value")
