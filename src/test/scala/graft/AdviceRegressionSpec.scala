@@ -83,6 +83,32 @@ class AdviceRegressionSpec extends SparkSpec {
     assert(cat.getChunk("fixed-id").toOption.get.metadata("v") == "2")
   }
 
+  test("catalog write path is thread-safe under concurrent CRUD") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val cat = new VectorCatalog(spark)
+    val lib = cat.createLibrary("L").toOption.get
+    val doc = cat.createDocument(lib.id, "D").toOption.get
+    // 8 writers x 25 ops: creates (some with fixed ids), updates, deletes;
+    // crosses the compaction threshold (64) several times concurrently
+    val futures = (0 until 8).map { w =>
+      Future {
+        (0 until 25).foreach { i =>
+          val id = s"w$w-c$i"
+          cat.createChunk(doc.id, s"text $w $i", id = Some(id))
+          if (i % 5 == 0) cat.updateChunk(id, text = Some(s"updated $w $i"))
+          if (i % 7 == 0) cat.deleteChunk(id)
+        }
+      }
+    }
+    Await.result(Future.sequence(futures), 120.seconds)
+    // per writer: 25 created, ids with i%7==0 deleted (i in 0,7,14,21 -> 4)
+    assert(cat.chunks.count() == 8L * (25 - 4))
+    assert(cat.getChunk("w3-c10").toOption.exists(_.text == "updated 3 10"))
+    assert(cat.getChunk("w3-c14").isLeft) // deleted
+  }
+
   test("refreshIndex trains an IVF index once chunk count crosses nlist") {
     val cat = new VectorCatalog(spark)
     val lib = cat.createLibrary("L", indexType = "ivf").toOption.get
