@@ -128,6 +128,33 @@ object TextQueries {
           .limit(20)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // High-threshold variant: exercises ngramJaccardPairs' OTHER plan —
+    // PPJoin-style rarest-first prefix filtering (chosen at >= 0.4) —
+    // against the same inverted-index oracle shape.
+    QueryDef("q66_jaccard_prefix_filter", Some(
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] FOR i IN range(1, greatest(len(tk) - 1, 1))]) AS shingles
+        |  FROM toks WHERE len(tk) >= 3),
+        |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+        |    count(*) AS common
+        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b, round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) AS jaccard
+        |FROM pairs
+        |WHERE CAST(common AS DOUBLE) / (n_a + n_b - common) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin),
+      (spark, dir) =>
+        Dedup.ngramJaccardPairs(table(spark, dir, "documents"), "doc_id", "text",
+            shingleSize = 3, minJaccard = 0.6)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")),
+
     // bands=32 (rows=2): LSH threshold (1/b)^(1/r) ~ 0.18, matched to
     // the 0.2 verification cut so banding recall stays high. Slice
     // banding + replayable hashes make even this approximate pipeline
