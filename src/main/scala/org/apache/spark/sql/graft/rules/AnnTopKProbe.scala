@@ -68,13 +68,21 @@ object AnnTopKProbe extends Rule[LogicalPlan] {
               // embedding space must not hijack the plan
               if idx.model.centroids.headOption.exists(_.length == query.length)
             } yield {
-              val probed = idx.model.probe(query, idx.nprobe)
-              val probeFilter = In(NearestCentroid(emb, idx.model.centroids),
-                probed.map(i => Literal(i)))
+              val probed = idx.model.probe(query, idx.nprobe).map(i => Literal(i))
+              // Prefer filtering an EXISTING cluster_id column (the
+              // persisted assigned table): on a partitionBy("cluster_id")
+              // layout the IN becomes PartitionFilters — file pruning,
+              // zero per-row work. Synthesize nearest_centroid(emb) only
+              // when no assignment column exists in the subtree.
+              val (anchor: Expression, probeFilter) = clusterAttr(child) match {
+                case Some(attr) => (attr, In(attr, probed))
+                case None =>
+                  (emb, In(NearestCentroid(emb, idx.model.centroids), probed))
+              }
               if (hasFilter(child, probeFilter)) limit
               else limit.transformUp {
                 case s: Sort if s eq sort =>
-                  s.copy(child = injectLowest(child, emb, probeFilter))
+                  s.copy(child = injectLowest(child, anchor, probeFilter))
               }
             }
             rewritten.getOrElse(limit)
@@ -106,6 +114,18 @@ object AnnTopKProbe extends Rule[LogicalPlan] {
     }
   }
 
+  /** A `cluster_id` attribute anywhere in the subtree (the pre-assigned
+    * table), lowest occurrence preferred. */
+  private def clusterAttr(plan: LogicalPlan): Option[Attribute] = {
+    var found: Option[Attribute] = None
+    plan.foreachUp {
+      case p if found.isEmpty =>
+        found = p.output.find(_.name == "cluster_id")
+      case _ =>
+    }
+    found
+  }
+
   /** True when an equivalent probe filter is already in place (makes the
     * rewrite a no-op on the optimizer's next fixed-point pass). */
   private def hasFilter(plan: LogicalPlan, probeFilter: Expression): Boolean =
@@ -114,14 +134,14 @@ object AnnTopKProbe extends Rule[LogicalPlan] {
       case _ => false
     }
 
-  /** Wrap the LOWEST node where the embedding expression's inputs are
-    * all present — closest to the scan, so Catalyst pushdown has the
+  /** Wrap the LOWEST node where the anchor expression's inputs are all
+    * present — closest to the scan, so Catalyst pushdown has the
     * shortest distance to travel. */
-  private def injectLowest(plan: LogicalPlan, emb: Expression,
+  private def injectLowest(plan: LogicalPlan, anchor: Expression,
       cond: Expression): LogicalPlan = {
     var done = false
     plan.transformUp {
-      case p if !done && emb.references.subsetOf(p.outputSet) =>
+      case p if !done && anchor.references.subsetOf(p.outputSet) =>
         done = true
         Filter(cond, p)
     }

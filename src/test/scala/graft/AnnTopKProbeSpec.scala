@@ -61,6 +61,37 @@ class AnnTopKProbeSpec extends SparkSpec {
     }
   }
 
+  test("on a persisted cluster-partitioned table, the probe becomes PARTITION pruning") {
+    val model = IvfModel.train(corpus, "embedding", nlist = 8)
+    val q = corpus.filter($"vec_id" === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val path = java.nio.file.Files.createTempDirectory("annprobe").toString
+    graft.index.IndexStore.writeIvfAssigned(model.assign(corpus, "embedding"), path)
+    val table = spark.read.parquet(path)
+
+    AnnRegistry.register("spec-part", model, nprobe = 2)
+    spark.conf.set("spark.graft.ann.autoProbe", "spec-part")
+    try {
+      val df = table
+        .withColumn("score", cosine_sim(col("embedding"), typedLit(q)))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(5)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // the rule filtered the EXISTING cluster_id column (no
+      // nearest_centroid evaluation), and since the table is stored
+      // partitionBy("cluster_id"), the IN landed in PartitionFilters —
+      // the scan reads only the probed directories
+      assert(!plan.contains("nearest_centroid"), s"should reuse cluster_id:\n$plan")
+      assert(plan.contains("PartitionFilters: [") &&
+        plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+          .contains("cluster_id"),
+        s"probe must prune partitions:\n$plan")
+    } finally {
+      spark.conf.unset("spark.graft.ann.autoProbe")
+      AnnRegistry.unregister("spec-part")
+    }
+  }
+
   test("probe filter reaches the plan and prunes scored rows") {
     val model = IvfModel.train(corpus, "embedding", nlist = 8)
     val q = corpus.filter($"vec_id" === 7).select("embedding")
