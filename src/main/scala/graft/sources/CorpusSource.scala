@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 /**
  * Uniform corpus ingestion across the formats a training-data pipeline
- * actually receives: parquet, JSONL, and CSV — with an enforced schema
+ * actually receives: parquet, ORC, JSONL, and CSV — with an enforced schema
  * (no runaway inference jobs over TB-scale text), permissive parsing
  * with a corrupt-record column, and a normalizing projection so every
  * downstream operator sees the same shape regardless of wire format.
@@ -25,7 +25,7 @@ object CorpusSource {
     StructType(documentSchema.fields :+ StructField("_corrupt_record", StringType))
 
   /**
-   * Read a documents corpus. `format`: parquet | jsonl | csv.
+   * Read a documents corpus. `format`: parquet | orc | jsonl | csv.
    * Malformed JSONL/CSV rows are dropped (counted rows carry null
    * doc_id after permissive parse) rather than failing the job — at
    * corpus scale a bad record must never kill the pipeline.
@@ -33,6 +33,7 @@ object CorpusSource {
   def readDocuments(spark: SparkSession, path: String, format: String = "parquet"): DataFrame = {
     val raw = format.toLowerCase match {
       case "parquet" => spark.read.schema(documentSchema).parquet(path)
+      case "orc" => spark.read.schema(documentSchema).orc(path)
       case "jsonl" | "json" =>
         spark.read.schema(schemaWithCorrupt)
           .option("mode", "PERMISSIVE")
@@ -55,6 +56,7 @@ object CorpusSource {
   def writeDocuments(df: DataFrame, path: String, format: String = "parquet"): Unit =
     format.toLowerCase match {
       case "parquet" => df.write.mode("overwrite").parquet(path)
+      case "orc" => df.write.mode("overwrite").orc(path)
       case "jsonl" | "json" => df.write.mode("overwrite").json(path)
       case "csv" => df.write.mode("overwrite").option("header", "true").csv(path)
       case other => throw new IllegalArgumentException(s"unsupported format: $other")

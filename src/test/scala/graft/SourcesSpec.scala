@@ -11,18 +11,19 @@ class SourcesSpec extends SparkSpec {
 
   private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
 
-  test("documents round-trip through jsonl and csv with identical content") {
+  test("documents round-trip through jsonl, csv, and orc with identical content") {
     val dir = Files.createTempDirectory("graft-src").toString
     CorpusSource.writeDocuments(docs, s"$dir/j", "jsonl")
     CorpusSource.writeDocuments(docs, s"$dir/c", "csv")
-    val fromJson = CorpusSource.readDocuments(spark, s"$dir/j", "jsonl")
-      .orderBy("doc_id").collect().map(_.toSeq).toSeq
-    val fromCsv = CorpusSource.readDocuments(spark, s"$dir/c", "csv")
-      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    CorpusSource.writeDocuments(docs, s"$dir/o", "orc")
     val orig = docs.select(CorpusSource.documentSchema.fieldNames.map(col): _*)
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
-    assert(fromJson == orig)
-    assert(fromCsv == orig)
+    for (fmt <- Seq("jsonl", "csv", "orc")) {
+      val got = CorpusSource.readDocuments(spark,
+          s"$dir/${fmt.take(1)}", fmt)
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(got == orig, s"round-trip mismatch for $fmt")
+    }
   }
 
   test("malformed jsonl records are dropped, not fatal") {
