@@ -99,11 +99,18 @@ object Dedup {
         b => slice(col("sig"), b * rows + 1, lit(rows)))).as(Seq("band", "bucket")))
 
     val candidates = bucketPairs(banded, "band" :: "bucket" :: Nil)
+    verifyJaccard(candidates, shingleTable, minJaccard)
+  }
 
-    // Exact verification with ONE corpus scan: melt each candidate pair
-    // into two (pair, role, id) rows, join the shingle table once, and
-    // reassemble the two arrays per pair in the aggregate. Joining the
-    // arrays per side would scan + re-shingle the corpus twice.
+  /**
+   * Exact Jaccard verification of candidate id pairs with ONE scan of
+   * the shingle table: melt each pair into two (pair, role, id) rows,
+   * join the arrays once, reassemble both sides per pair in the
+   * aggregate. Joining the arrays per side would scan + re-shingle the
+   * corpus twice.
+   */
+  private def verifyJaccard(candidates: DataFrame, shingleTable: DataFrame,
+      minJaccard: Double): DataFrame = {
     val melted = candidates.select(col("id_a"), col("id_b"),
         explode(array(struct(lit("a").as("role"), col("id_a").as("id")),
           struct(lit("b").as("role"), col("id_b").as("id")))).as("m"))
@@ -146,10 +153,18 @@ object Dedup {
    * shingles per pair, then Jaccard = common / (|A| + |B| - common).
    * Scales as the classic similarity-join plan (shuffle on shingle);
    * stop-shingle removal (df > maxShingleFreq) bounds the worst bucket.
+   *
+   * `usePrefixFilter` opts into PPJoin-style prefix filtering — worth
+   * it ONLY for long documents over a long-tail shingle vocabulary
+   * (prefixes are then selective). On short docs / small vocabularies
+   * the rarest shingles are still common, candidates explode, and the
+   * default counting plan wins at every threshold (measured: 10x on
+   * the synthetic corpus at t=0.6).
    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, minJaccard: Double = 0.5,
-      maxShingleFreq: Long = Long.MaxValue): DataFrame = {
+      maxShingleFreq: Long = Long.MaxValue,
+      usePrefixFilter: Boolean = false): DataFrame = {
     val sh = df.select(col(idCol).as("id"),
         TextAnalysis.shingles(col(textCol), shingleSize).as("shingles"))
       .filter(size(col("shingles")) > 0)
@@ -168,17 +183,15 @@ object Dedup {
         sh.join(broadcast(heavy), Seq("shingle"), "left_anti")
       }
 
-    if (minJaccard < 0.4) {
-      // Low threshold: prefixes would keep most shingles (prefix len =
-      // |S| - ceil(t|S|) + 1), so candidate generation saves little and
-      // array-based verification costs more than counting. The
-      // inverted-index self-join STREAMS each co-shingle occurrence as
-      // one narrow row straight into the counting hash aggregate —
-      // unlike an in-bucket pair expansion, nothing quadratic is ever
-      // materialized per hot shingle. The explicit repartition makes
-      // both join sides IDENTICAL plans partitioned on the join key:
-      // one exchange, executed once, reused by the other side
-      // (ReuseExchange) — the tokenize+shingle pipeline runs once.
+    if (!usePrefixFilter) {
+      // Counting plan (default): the inverted-index self-join STREAMS
+      // each co-shingle occurrence as one narrow row straight into the
+      // counting hash aggregate — unlike an in-bucket pair expansion,
+      // nothing quadratic is ever materialized per hot shingle. The
+      // explicit repartition makes both join sides IDENTICAL plans
+      // partitioned on the join key: one exchange, executed once,
+      // reused by the other side (ReuseExchange) — the tokenize+
+      // shingle pipeline runs once.
       val byShingle = pruned.repartition(col("shingle"))
       val a = byShingle.select(col("shingle"), col("id").as("id_a"), col("n_sh").as("n_a"))
       val b = byShingle.select(col("shingle"), col("id").as("id_b"), col("n_sh").as("n_b"))
@@ -196,7 +209,8 @@ object Dedup {
       // any pair with Jaccard >= t must share a shingle within each
       // side's first (|S| - ceil(t*|S|) + 1) shingles. Only prefixes
       // join, collapsing the candidate space from sum(df^2) over ALL
-      // shingles to the rare-shingle prefixes.
+      // shingles to the rare-shingle prefixes — WHEN rare shingles are
+      // actually selective (long-tail vocabularies; see scaladoc).
       // per-shingle document frequency via aggregation (no hot-bucket
       // sort), joined back for the rarest-first per-doc ranking
       val freq = pruned.groupBy("shingle").agg(count(lit(1)).as("df_count"))
@@ -207,22 +221,21 @@ object Dedup {
         .withColumn("prefix_len",
           col("n_sh") - ceil(col("n_sh") * minJaccard).cast("int") + 1)
       val prefix = ranked.filter(col("rn") <= col("prefix_len"))
-        .select(col("shingle"), col("id"))
+        .select(col("shingle"), col("id"), col("n_sh"))
 
-      val candidates = bucketPairs(prefix, Seq("shingle"))
+      // PPJoin length filter: jaccard >= t forces the set sizes within
+      // a factor of t of each other — applied at pair expansion, before
+      // any array work, it kills the size-mismatched candidate mass.
+      val candidates = bucketPairs(prefix, Seq("shingle"), payload = Seq("n_sh"))
+        .filter(col("n_sh_a") >= ceil(col("n_sh_b") * minJaccard) &&
+          col("n_sh_b") >= ceil(col("n_sh_a") * minJaccard))
+        .select("id_a", "id_b")
 
-      // exact verification on candidates via the full shingle arrays
+      // exact verification: single scan of the shingle arrays
       val arrays = df.select(col(idCol).as("id"),
           TextAnalysis.shingles(col(textCol), shingleSize).as("shingles"))
         .filter(size(col("shingles")) > 0)
-      candidates
-        .join(arrays.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
-        .join(arrays.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
-        .withColumn("jaccard",
-          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))))
-        .filter(col("jaccard") >= minJaccard)
-        .select("id_a", "id_b", "jaccard")
+      verifyJaccard(candidates, arrays, minJaccard)
     }
   }
 

@@ -128,9 +128,11 @@ object TextQueries {
           .limit(20)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
-    // High-threshold variant: exercises ngramJaccardPairs' OTHER plan —
-    // PPJoin-style rarest-first prefix filtering (chosen at >= 0.4) —
-    // against the same inverted-index oracle shape.
+    // High-threshold jaccard variant (t=0.6). Uses the default counting
+    // plan — prefix filtering is opt-in and loses on this corpus's
+    // small shingle vocabulary (see ngramJaccardPairs scaladoc); the
+    // prefix plan is differentially tested against this one in
+    // DedupSpec.
     QueryDef("q66_jaccard_prefix_filter", Some(
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk

@@ -48,6 +48,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("prefix-filter plan returns exactly the counting plan's pairs") {
+    // the opt-in PPJoin path must be a pure plan change, not a
+    // semantics change — differentially checked on the real fixture
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    def run(prefix: Boolean) =
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          shingleSize = 3, minJaccard = 0.6, usePrefixFilter = prefix)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("j"))
+        .as[(Long, Long, Double)].collect().toSet
+    val counting = run(false)
+    assert(counting.nonEmpty)
+    assert(run(true) == counting)
+  }
+
   test("simhash: identical tokens => identical hash; near dup within small hamming") {
     val sims = corpus
       .select($"doc_id", Dedup.simhash(TextAnalysis.tokens($"text")).as("h"))
