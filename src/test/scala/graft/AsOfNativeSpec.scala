@@ -34,6 +34,21 @@ class AsOfNativeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("native and window as-of agree when the matched row carries NULLs") {
+    // regression lock for the ADVICE finding: the matched row's NULL
+    // must surface as NULL on BOTH implementations (no stale carry)
+    val left = Seq((1L, 5L, ts("2024-01-01 12:00:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (5L, ts("2024-01-01 09:00:00"), 1L, Some(7.0)),
+      (5L, ts("2024-01-01 11:00:00"), 2L, None: Option[Double])
+    ).toDF("user_id", "ts", "sig_id", "value")
+    val a = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts", Seq("value"), "sig_id")
+      .select($"asof_value").as[Option[Double]].head()
+    val b = AsOfJoin.asOfNative(left, right, Seq("user_id"), "ts", "ts", Seq("value"), "sig_id")
+      .select($"asof_value").as[Option[Double]].head()
+    assert(a.isEmpty && b.isEmpty)
+  }
+
   test("native as-of matches window as-of on the events table (self as-of)") {
     val ev = Tables.table(spark, sfDir, "events")
     val clicks = ev.filter(col("event_type") === "click").select("event_id", "user_id", "ts")
