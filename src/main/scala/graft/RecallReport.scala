@@ -54,7 +54,24 @@ object RecallReport {
       println(f"| $tables | $bits | $recall%.2f | $frac%.3f |")
     }
 
-    println("\n## IVF (MLlib k-means, seeded)\n")
+    println("\n## Multi-probe LSH (Lv et al. 2007; flips = extra low-|dot| bit probes per table)\n")
+    println("| tables | bits | flips | mean recall@10 | mean candidate fraction |")
+    println("|---|---|---|---|---|")
+    for (bits <- Seq(8, 10); flips <- Seq(0, 1, 2, 4)) {
+      val lsh = LshModel(numTables = 8, bitsPerTable = bits, dim = 64)
+      val sigs = lsh.build(emb, "vec_id", "embedding").cache()
+      val stats = queries.map { case (id, q) =>
+        val cands = lsh.multiProbeCandidates(sigs, q, flips)
+          .collect().map(_.getLong(0)).toSet
+        (cands.intersect(exact(id)).size / 10.0, cands.size.toDouble / n)
+      }
+      sigs.unpersist()
+      val recall = stats.map(_._1).sum / stats.length
+      val frac = stats.map(_._2).sum / stats.length
+      println(f"| 8 | $bits | $flips | $recall%.2f | $frac%.3f |")
+    }
+
+    println("\n## IVF (k-means, seeded)\n")
     println("| nlist | nprobe | mean recall@10 | mean candidate fraction |")
     println("|---|---|---|---|")
     for (nlist <- Seq(8, 16, 32); nprobe <- Seq(1, 2, 4, 8) if nprobe <= nlist) {

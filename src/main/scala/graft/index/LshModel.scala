@@ -54,4 +54,20 @@ final case class LshModel(
     signatures.filter(col("bucket").isin(qBuckets.toIndexedSeq.map(Long.box): _*))
       .select("id").dropDuplicates("id")
   }
+
+  /** Driver-side multi-probe bucket keys: base + single-bit-flip
+    * variants of the `flips` lowest-|dot| planes per table (Lv et al.
+    * 2007) — near-miss neighbors at (1 + flips)x the probe cost,
+    * recall the reference's fixed-probe LSH cannot reach (see
+    * RECALL.md). */
+  def multiProbeBucketsOf(v: Array[Float], flips: Int): Array[Long] =
+    LshPlanes.multiProbeBucketsOf(v, numTables, bitsPerTable, dim, seed, flips)
+
+  /** Candidates with multi-probe expansion; `flips = 0` == `candidates`. */
+  def multiProbeCandidates(signatures: DataFrame, query: Array[Float],
+      flips: Int): DataFrame = {
+    val qBuckets = multiProbeBucketsOf(query, flips)
+    signatures.filter(col("bucket").isin(qBuckets.toIndexedSeq.map(Long.box): _*))
+      .select("id").dropDuplicates("id")
+  }
 }

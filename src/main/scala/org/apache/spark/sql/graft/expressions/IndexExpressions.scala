@@ -52,6 +52,42 @@ object LshPlanes {
     new GenericArrayData(out)
   }
 
+  /**
+   * Driver-side multi-probe buckets (Lv et al. 2007, sign-bit form):
+   * per table, the base bucket plus one variant per flipped bit for the
+   * `flips` planes with the smallest |dot| — the bits most likely to be
+   * on the wrong side for a near neighbor. (1 + flips) probes/table.
+   */
+  def multiProbeBucketsOf(v: Array[Float], numTables: Int, bits: Int,
+      dim: Int, seed: Long, flips: Int): Array[Long] = {
+    val ps = planes(numTables, bits, dim, seed)
+    val out = Array.newBuilder[Long]
+    var t = 0
+    while (t < numTables) {
+      var sig = 0L
+      val absDots = new Array[(Double, Int)](bits)
+      var b = 0
+      while (b < bits) {
+        val plane = ps(t * bits + b)
+        var dot = 0.0
+        val n = math.min(plane.length, v.length)
+        var i = 0
+        while (i < n) { dot += plane(i) * v(i); i += 1 }
+        if (dot >= 0) sig |= (1L << b)
+        absDots(b) = (math.abs(dot), b)
+        b += 1
+      }
+      val base = (t.toLong << bits) | sig
+      out += base
+      val lowConfidence = absDots.sortBy(_._1).take(math.max(0, flips))
+      lowConfidence.foreach { case (_, bit) =>
+        out += (t.toLong << bits) | (sig ^ (1L << bit))
+      }
+      t += 1
+    }
+    out.result()
+  }
+
   /** Driver-side buckets for a query vector. */
   def bucketsOf(v: Array[Float], numTables: Int, bits: Int, dim: Int, seed: Long): Array[Long] = {
     val ps = planes(numTables, bits, dim, seed)

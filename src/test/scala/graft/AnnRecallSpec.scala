@@ -43,6 +43,28 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean >= 0.3, s"LSH recall collapsed: $mean")
   }
 
+  test("multi-probe LSH: superset candidates, recall strictly improves") {
+    val lsh = LshModel(numTables = 8, bitsPerTable = 8, dim = 64)
+    val sigs = lsh.build(emb, "vec_id", "embedding").cache()
+    var singleRecall = 0.0
+    var multiRecall = 0.0
+    (0L until 10L).foreach { qid =>
+      val q = queryVec(qid)
+      val single = lsh.candidates(sigs, q).collect().map(_.getLong(0)).toSet
+      val multi = lsh.multiProbeCandidates(sigs, q, flips = 3)
+        .collect().map(_.getLong(0)).toSet
+      assert(single.subsetOf(multi)) // flips only ADD probes
+      val exact = exactTopK(q, 10)
+      singleRecall += single.intersect(exact).size / 10.0
+      multiRecall += multi.intersect(exact).size / 10.0
+    }
+    info(f"candidate recall@10: single=${singleRecall / 10}%.2f multi=${multiRecall / 10}%.2f")
+    assert(multiRecall > singleRecall,
+      s"multi-probe should find more of the true top-10 ($multiRecall vs $singleRecall)")
+    // probe-count contract: (1 + flips) buckets per table
+    assert(lsh.multiProbeBucketsOf(queryVec(0), 3).length == 8 * 4)
+  }
+
   test("IVF recall@10 with nprobe=4 of nlist=16") {
     val model = IvfModel.train(emb, "embedding", nlist = 16)
     assert(model.nlist == 16)
