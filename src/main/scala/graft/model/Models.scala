@@ -109,6 +109,9 @@ object GraftConfig {
   val lshHashLength: Int = 12               // config.py:30
   val ivfNlist: Int = 100                   // config.py:31
   val ivfNprobe: Int = 5                    // config.py:32
+  /** Multi-probe LSH bit flips per table (beyond parity; 0 = the
+    * reference's fixed single-probe behavior). */
+  @volatile var lshMultiProbeFlips: Int = 0
   /** k<=0 => default, k>max => max (config.py:62-68). */
   def clampK(k: Int): Int = if (k <= 0) defaultK else math.min(k, maxK)
 }

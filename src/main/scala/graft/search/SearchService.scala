@@ -70,7 +70,10 @@ final class SearchService(catalog: VectorCatalog) {
   private def lshSearch(libraryId: String, universe: DataFrame,
       queryVec: Array[Float], k: Int): Seq[SearchResult] = {
     val state = catalog.indexState(libraryId).get
-    val candidates = state.lsh.get.candidates(state.signatures.get, queryVec)
+    // flips=0 is exactly the reference's single-probe candidates;
+    // >0 adds Lv-et-al multi-probe buckets (opt-in, GraftConfig)
+    val candidates = state.lsh.get.multiProbeCandidates(
+      state.signatures.get, queryVec, GraftConfig.lshMultiProbeFlips)
     if (candidates.isEmpty) exactTopK(universe, queryVec, k)
     else exactTopK(universe.join(candidates, Seq("id"), "left_semi"), queryVec, k)
   }
