@@ -451,6 +451,47 @@ final class VectorCatalog(val spark: SparkSession,
       .start()
   }
 
+  /** Persist built index state alongside `save`: models (KB-scale) and
+    * the derived tables in their probe-pruned layouts (IndexStore).
+    * A loaded catalog then probes WITHOUT rebuilding. */
+  def saveIndexes(path: String): Unit =
+    indexes.snapshot().foreach { case (libId, state) =>
+      (state.lsh, state.signatures) match {
+        case (Some(m), Some(sigs)) =>
+          graft.index.IndexStore.writeLshModel(spark, m, s"$path/indexes/$libId/lsh_model")
+          graft.index.IndexStore.writeLshSignatures(sigs, s"$path/indexes/$libId/lsh_sigs")
+        case _ =>
+      }
+      (state.ivf, state.assigned) match {
+        case (Some(m), Some(assigned)) =>
+          graft.index.IndexStore.writeIvfModel(spark, m, s"$path/indexes/$libId/ivf_model")
+          graft.index.IndexStore.writeIvfAssigned(assigned, s"$path/indexes/$libId/ivf_assigned")
+        case _ =>
+      }
+    }
+
+  /** Restore index state written by `saveIndexes` for one library. */
+  def loadIndex(path: String, libraryId: String): Either[ApiError, IndexState] =
+    getLibrary(libraryId).map { _ =>
+      val base = s"$path/indexes/$libraryId"
+      val fs = new java.io.File(base)
+      val state =
+        if (new java.io.File(s"$base/lsh_model").exists()) {
+          val m = graft.index.IndexStore.readLshModel(spark, s"$base/lsh_model")
+          val sigs = spark.read.parquet(s"$base/lsh_sigs").select("id", "bucket")
+          IndexState(IndexType.Lsh, Some(sigs), None, Some(m), None, version.get())
+        } else if (new java.io.File(s"$base/ivf_model").exists()) {
+          val m = graft.index.IndexStore.readIvfModel(spark, s"$base/ivf_model")
+          val assigned = spark.read.parquet(s"$base/ivf_assigned")
+          IndexState(IndexType.Ivf, None, Some(assigned), None, Some(m), version.get())
+        } else {
+          require(fs.exists(), s"no saved index for $libraryId under $path")
+          IndexState(IndexType.Exact, None, None, None, None, version.get())
+        }
+      indexes.put(libraryId, state)
+      state
+    }
+
   /** Persist the full catalog: chunks partitioned by library (partition
     * pruning on the per-library scan path, SURVEY.md §4) + the
     * library/document registries as parquet dimension tables. */

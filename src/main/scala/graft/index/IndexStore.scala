@@ -54,4 +54,35 @@ object IndexStore {
   def readIvfClusters(spark: SparkSession, path: String, clusters: Seq[Int]): DataFrame =
     spark.read.parquet(path)
       .filter(col("cluster_id").isin(clusters.map(Int.box): _*))
+
+  // ---- model state (KB-scale; parquet keeps the dependency surface zero)
+
+  /** Persist IVF centroids as (cluster_id, centroid) rows. */
+  def writeIvfModel(spark: SparkSession, model: IvfModel, path: String): Unit = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def readIvfModel(spark: SparkSession, path: String): IvfModel = {
+    val rows = spark.read.parquet(path)
+      .select("cluster_id", "centroid").orderBy("cluster_id").collect()
+    IvfModel(rows.map(_.getSeq[Float](1).toArray))
+  }
+
+  /** Persist LSH parameters (hyperplanes regenerate from the seed). */
+  def writeLshModel(spark: SparkSession, model: LshModel, path: String): Unit = {
+    import spark.implicits._
+    Seq((model.numTables, model.bitsPerTable, model.dim, model.seed))
+      .toDF("num_tables", "bits", "dim", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def readLshModel(spark: SparkSession, path: String): LshModel = {
+    val r = spark.read.parquet(path)
+      .select("num_tables", "bits", "dim", "seed").collect()(0)
+    LshModel(r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
+  }
 }

@@ -14,6 +14,30 @@ class IndexStoreSpec extends SparkSpec {
 
   private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
+  test("catalog save/load round-trips built indexes: search works without rebuild") {
+    import graft.catalog.VectorCatalog
+    import graft.model.SearchQuery
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-rt").toString
+    val cat = new VectorCatalog(spark)
+    val lib = cat.createLibrary("L", indexType = "lsh", id = Some("lib-rt")).toOption.get
+    val doc = cat.createDocument(lib.id, "D").toOption.get
+    cat.createChunks(doc.id, (1 to 30).map(i => (s"document text number $i topic${i % 5}", Map.empty[String, String])))
+    cat.indexLibrary(lib.id, "lsh")
+    cat.save(dir); cat.saveIndexes(dir)
+
+    val restored = new VectorCatalog(spark)
+    restored.load(dir)
+    restored.createLibrary("L", indexType = "lsh", id = Some("lib-rt")) // registry entry
+    val st = restored.loadIndex(dir, "lib-rt").toOption.get
+    assert(st.lsh.isDefined && st.signatures.isDefined)
+    assert(st.signatures.get.count() > 0)
+
+    val svc = new graft.search.SearchService(restored)
+    val resp = svc.search("lib-rt", SearchQuery(queryText = Some("document topic1"), k = 3))
+      .toOption.get
+    assert(resp.results.nonEmpty) // probes the RESTORED signatures, no rebuild
+  }
+
   test("LSH signatures round-trip with partition pruning") {
     val dir = Files.createTempDirectory("graft-lsh").toString
     val lsh = LshModel(numTables = 8, bitsPerTable = 8, dim = 64)
