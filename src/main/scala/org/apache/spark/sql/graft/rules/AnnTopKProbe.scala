@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.graft.expressions.{CosineSimilarity, NearestCentroid}
+import org.apache.spark.sql.graft.expressions.{CosineSimilarity, EuclideanDistance, NearestCentroid}
 import org.apache.spark.sql.types.{ArrayType, FloatType}
 
 import graft.index.AnnRegistry
@@ -61,9 +61,9 @@ object AnnTopKProbe extends Rule[LogicalPlan] {
           // column pruning may slide Projects between the limit and the
           // sort — see through them
           case limit @ Limit(_, SortBelowProjects(sort @ Sort(
-              SortOrder(sortExpr, Descending, _, _) +: _, true, child, _))) =>
+              SortOrder(sortExpr, direction, _, _) +: _, true, child, _))) =>
             val rewritten = for {
-              (emb, query) <- cosineTarget(sortExpr, child)
+              (emb, query) <- similarityTarget(sortExpr, direction, child)
               // dimension sanity: a registered index for a different
               // embedding space must not hijack the plan
               if idx.model.centroids.headOption.exists(_.length == query.length)
@@ -91,9 +91,11 @@ object AnnTopKProbe extends Rule[LogicalPlan] {
   }
 
   /** The (embedding expression, query vector) pair, if the sort
-    * expression is (an alias of) `cosine_sim` against an
-    * `array<float>` literal. */
-  private def cosineTarget(sortExpr: Expression,
+    * expression is (an alias of) a similarity top-k shape against an
+    * `array<float>` literal: `cosine_sim DESC` (most similar first) or
+    * `euclidean_dist ASC` (nearest first — the metric IVF centroids
+    * are actually trained on). */
+  private def similarityTarget(sortExpr: Expression, direction: SortDirection,
       child: LogicalPlan): Option[(Expression, Array[Float])] = {
     val aliases = child.collect {
       case p: Project => p.projectList.collect {
@@ -105,10 +107,14 @@ object AnnTopKProbe extends Rule[LogicalPlan] {
       case ar: AttributeReference if aliases.contains(ar.exprId) => resolve(aliases(ar.exprId))
       case other => other
     }
-    resolve(sortExpr) match {
-      case CosineSimilarity(emb, Literal(q: ArrayData, ArrayType(FloatType, _))) =>
+    (resolve(sortExpr), direction) match {
+      case (CosineSimilarity(emb, Literal(q: ArrayData, ArrayType(FloatType, _))), Descending) =>
         Some((emb, q.toFloatArray()))
-      case CosineSimilarity(Literal(q: ArrayData, ArrayType(FloatType, _)), emb) =>
+      case (CosineSimilarity(Literal(q: ArrayData, ArrayType(FloatType, _)), emb), Descending) =>
+        Some((emb, q.toFloatArray()))
+      case (EuclideanDistance(emb, Literal(q: ArrayData, ArrayType(FloatType, _))), Ascending) =>
+        Some((emb, q.toFloatArray()))
+      case (EuclideanDistance(Literal(q: ArrayData, ArrayType(FloatType, _)), emb), Ascending) =>
         Some((emb, q.toFloatArray()))
       case _ => None
     }

@@ -92,6 +92,28 @@ class AnnTopKProbeSpec extends SparkSpec {
     }
   }
 
+  test("euclidean-ASC top-k rewrites the same way as cosine-DESC") {
+    import graft.functions.GraftFunctions.euclidean_dist
+    val model = IvfModel.train(corpus, "embedding", nlist = 8)
+    val q = corpus.filter($"vec_id" === 5).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    def nn(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("d", euclidean_dist(col("embedding"), typedLit(q)))
+        .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+        .select("vec_id").as[Long].collect().toSeq
+    spark.conf.unset("spark.graft.ann.autoProbe")
+    val exact = nn(corpus)
+    val explicitProbe = nn(model.candidates(model.assign(corpus, "embedding"), q, nprobe = 2))
+    AnnRegistry.register("spec-l2", model, nprobe = 2)
+    spark.conf.set("spark.graft.ann.autoProbe", "spec-l2")
+    try assert(nn(corpus) == explicitProbe)
+    finally {
+      spark.conf.unset("spark.graft.ann.autoProbe")
+      AnnRegistry.unregister("spec-l2")
+    }
+    assert(exact.head == explicitProbe.head) // self row survives the probe
+  }
+
   test("probe filter reaches the plan and prunes scored rows") {
     val model = IvfModel.train(corpus, "embedding", nlist = 8)
     val q = corpus.filter($"vec_id" === 7).select("embedding")
