@@ -257,6 +257,16 @@ object Dedup {
   val localCcMaxEdges: Long = 1000000L
 
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // The local fast path requires integral ids (a cast("long") on
+    // string ids would silently null them out); any other id type goes
+    // distributed, which is type-generic.
+    val integralIds = pairs.schema.take(2).forall(f => f.dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType => true
+      case _ => false
+    })
+    if (!integralIds) return connectedComponentsDistributed(pairs, maxIter)
     // size-guarded collect: ONE execution of the (possibly expensive)
     // pair pipeline decides the path AND feeds the local solver — a
     // count() first would run the pipeline twice

@@ -90,6 +90,12 @@ class RangeJoinTfIdfSpec extends SparkSpec {
       assert((10L to 12L).forall(m(_) == 10L))
       assert(m(20L) == 20L && m(21L) == 20L)
     }
+    // string ids must route to the (type-generic) distributed path,
+    // never the long-casting local solver
+    val strPairs = Seq(("b", "a"), ("b", "c"), ("x", "y")).toDF("id_a", "id_b")
+    val sm = graft.operators.Dedup.connectedComponents(strPairs)
+      .as[(String, String)].collect().toMap
+    assert(sm == Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
   test("rangeJoin: null timestamps never match, non-null rows unaffected") {
