@@ -37,6 +37,10 @@ object AsOfJoin {
       leftTime: String, rightTime: String,
       rightVals: Seq[String], tieBreak: String,
       toleranceSeconds: Option[Long] = None): DataFrame = {
+    // the tiebreak is cast to long for ordering; a non-numeric column
+    // would silently null out and de-determinize equal-timestamp ties
+    require(right.schema(tieBreak).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"tieBreak column $tieBreak must be numeric, got ${right.schema(tieBreak).dataType}")
     val leftCols = left.columns.toSeq
 
     val lAligned = left

@@ -18,6 +18,18 @@ object Packing {
   private def bucketOf(c: Column, n: Int): Column =
     Bridge.column(HashBucket(Bridge.expression(c), n))
 
+  /** Fail loudly on non-integral id columns: cast("long") on strings
+    * yields nulls and every row would silently land in one split. */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val ok = df.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    require(ok, s"$idCol must be an integral type for hash assignment, " +
+      s"got ${df.schema(idCol).dataType}")
+  }
+
   /**
    * Assign each document to a training-sequence bin of ~`seqTokens`
    * tokens: shard by id hash (so the cumulative windows parallelize —
@@ -33,6 +45,7 @@ object Packing {
    */
   def packSequences(df: DataFrame, idCol: String, tokensCol: String,
       seqTokens: Int, shards: Int = 64): DataFrame = {
+    requireIntegralId(df, idCol)
     val w = Window.partitionBy("shard").orderBy(col(idCol))
     df.withColumn("shard", bucketOf(col(idCol).cast("long"), shards))
       .withColumn("bin_start_tok",
@@ -55,6 +68,7 @@ object Packing {
    */
   def mixBySource(df: DataFrame, idCol: String, sourceCol: String,
       weights: Map[String, Double], buckets: Int = 10000): DataFrame = {
+    requireIntegralId(df, idCol)
     val b = bucketOf(col(idCol).cast("long"), buckets)
     val keepExpr = weights.foldLeft(lit(true)) { case (acc, (src, w)) =>
       when(col(sourceCol) === src, b < (w * buckets).toInt).otherwise(acc)
