@@ -318,6 +318,27 @@ object AdvancedQueries {
           .groupBy("source").agg(count(lit(1)).as("n"))
           .orderBy("source")),
 
+    QueryDef("q67_rank_functions", Some(
+      """SELECT c_custkey,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM customer
+        |WHERE c_nationkey = 7
+        |WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_custkey""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+        table(spark, dir, "customer")
+          .filter(col("c_nationkey") === 7)
+          .select(col("c_custkey"),
+            ntile(4).over(w).as("quartile"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"))
+          .orderBy("c_custkey")
+      }),
+
     QueryDef("q63_sample_10pct", Some(
       s"""WITH h1 AS (
          |  SELECT doc_id,
