@@ -318,6 +318,22 @@ object AdvancedQueries {
           .groupBy("source").agg(count(lit(1)).as("n"))
           .orderBy("source")),
 
+    // Positional lateral explode (posexplode / unnest-with-index):
+    // the generator-operator shape tokenized pipelines use constantly.
+    QueryDef("q68_posexplode", Some(
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents WHERE doc_id < 20)
+        |SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, tk[i] AS token
+        |FROM toks, unnest(range(1, len(tk) + 1)) AS u(i)
+        |ORDER BY doc_id, pos""".stripMargin),
+      (spark, dir) =>
+        table(spark, dir, "documents")
+          .filter(col("doc_id") < 20)
+          .select(col("doc_id"),
+            posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "token")))
+          .orderBy("doc_id", "pos")),
+
     QueryDef("q67_rank_functions", Some(
       """SELECT c_custkey,
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
