@@ -76,9 +76,16 @@ final class VectorCatalog(val spark: SparkSession,
   private var base: DataFrame = emptyChunks
   private val upserts = scala.collection.mutable.LinkedHashMap.empty[String, ChunkRow]
   private val chunkTombstones = scala.collection.mutable.HashSet.empty[String]
-  private val docTombstones = scala.collection.mutable.HashSet.empty[String]
-  private val libTombstones = scala.collection.mutable.HashSet.empty[String]
-  private var streamedAppends = Vector.empty[DataFrame]
+  // Cascade tombstones are sequence-stamped (id -> mutationSeq at delete)
+  // so they hide only data that existed at delete time: a streamed batch
+  // appended AFTER a delete+re-create of the same library/document id
+  // must NOT be filtered by the earlier tombstone. chunk-id tombstones
+  // stay global: they implement upsert-wins (hide any older copy of a
+  // re-written id), which IS retroactive by design.
+  private val docTombstones = scala.collection.mutable.HashMap.empty[String, Long]
+  private val libTombstones = scala.collection.mutable.HashMap.empty[String, Long]
+  private var streamedAppends = Vector.empty[(DataFrame, Long)] // (batch, seq at append)
+  private var mutationSeq = 0L
   private var mutationsSinceCompact = 0
 
   private def emptyChunks: DataFrame =
@@ -130,7 +137,7 @@ final class VectorCatalog(val spark: SparkSession,
       documents.filterInPlace { case (_, d) => d.library_id != id }
       mutate {
         upserts.filterInPlace((_, c) => c.library_id != id)
-        libTombstones += id
+        libTombstones(id) = mutationSeq
       }
     }
 
@@ -171,7 +178,7 @@ final class VectorCatalog(val spark: SparkSession,
       documents.remove(id)
       mutate {
         upserts.filterInPlace((_, c) => c.document_id != id)
-        docTombstones += id
+        docTombstones(id) = mutationSeq
       }
     }
 
@@ -389,6 +396,7 @@ final class VectorCatalog(val spark: SparkSession,
   /** Apply a buffered mutation under the state lock, bump the index-
     * staleness version, and fold the log when it crosses the threshold. */
   private def mutate(f: => Unit): Unit = stateLock.synchronized {
+    mutationSeq += 1
     f
     version.incrementAndGet()
     mutationsSinceCompact += 1
@@ -402,11 +410,22 @@ final class VectorCatalog(val spark: SparkSession,
     * Callers hold stateLock; the returned plan is an immutable snapshot
     * (buffer contents are copied into it). */
   private def assembleView(): DataFrame = {
-    val withStreams = (base +: streamedAppends).reduce(_.unionByName(_))
-    var v = withStreams
+    // Cascade tombstones hide only rows that existed when the delete ran:
+    // base predates everything; a streamed batch is filtered only by
+    // tombstones stamped after its append seq. chunk-id tombstones
+    // (upsert-wins) apply everywhere.
+    def cascadeFiltered(df: DataFrame, appendedAt: Long): DataFrame = {
+      var v = df
+      val dt = docTombstones.collect { case (id, s) if s > appendedAt => id }.toSeq
+      val lt = libTombstones.collect { case (id, s) if s > appendedAt => id }.toSeq
+      if (dt.nonEmpty) v = v.filter(!$"document_id".isin(dt: _*))
+      if (lt.nonEmpty) v = v.filter(!$"library_id".isin(lt: _*))
+      v
+    }
+    val parts = cascadeFiltered(base, Long.MinValue) +:
+      streamedAppends.map { case (df, seq) => cascadeFiltered(df, seq) }
+    var v = parts.reduce(_.unionByName(_))
     if (chunkTombstones.nonEmpty) v = v.filter(!$"id".isin(chunkTombstones.toSeq: _*))
-    if (docTombstones.nonEmpty) v = v.filter(!$"document_id".isin(docTombstones.toSeq: _*))
-    if (libTombstones.nonEmpty) v = v.filter(!$"library_id".isin(libTombstones.toSeq: _*))
     if (upserts.isEmpty) v
     else v.unionByName(spark.createDataFrame(
       upserts.values.map(chunkToRow).toSeq.asJava, Schemas.chunks))
@@ -446,7 +465,7 @@ final class VectorCatalog(val spark: SparkSession,
         // localCheckpoint: the micro-batch source is transient; pin the
         // rows so the catalog's chunk table outlives the batch
         val pinned = withEmb.localCheckpoint(true)
-        mutate { streamedAppends :+= pinned }
+        mutate { streamedAppends :+= ((pinned, mutationSeq)) }
       }
       .start()
   }
