@@ -47,25 +47,32 @@ object Bench {
         .filter(col("rn") <= 3).orderBy("l_orderkey").limit(10)
         .write.format("noop").mode("overwrite").save()
     }
-    // Two timed runs per query, report the min: single-shot numbers on
-    // a shared VM carry GC/scheduler noise swings of 2-3x on individual
-    // queries; min-of-2 reports achievable steady latency and is stable
-    // run-to-run (methodology note in NOTES.md).
+    // Three timed runs per query; the headline number stays the min
+    // (achievable steady latency on a shared VM — single-shot numbers
+    // carry 2-3x GC/scheduler swings), but min alone HID a real 4.5x
+    // regression story in round 3, so the JSON now also carries the
+    // median and n per query ("queries_detail") for stability analysis.
+    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.allQueries.map { q =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to runsPerQuery).map { _ =>
         val t0 = System.nanoTime()
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
-      }
-      q.name -> times.min
+      }.sorted
+      val median = times(times.length / 2)
+      (q.name, times.min, median)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    val qs = results.map { case (k, mn, _) => "\"" + k + f"""\":$mn%.3f""" }
       .mkString("{", ",", "}")
+    val detail = results.map { case (k, mn, md) =>
+      "\"" + k + f"""\":{"min":$mn%.3f,"median":$md%.3f}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+      f""""queries_detail":$detail,"n_runs":$runsPerQuery,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

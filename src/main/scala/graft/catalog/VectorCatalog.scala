@@ -489,26 +489,40 @@ final class VectorCatalog(val spark: SparkSession,
       }
     }
 
-  /** Restore index state written by `saveIndexes` for one library. */
+  /** Restore index state written by `saveIndexes` for one library.
+    * Existence checks go through the Hadoop FileSystem of the path
+    * (saveIndexes writes via Spark's Hadoop-capable writers, so the
+    * index may live on HDFS/S3 where `java.io.File` always says no);
+    * a missing save surfaces as a NotFound Left, never an exception. */
   def loadIndex(path: String, libraryId: String): Either[ApiError, IndexState] =
-    getLibrary(libraryId).map { _ =>
+    getLibrary(libraryId).flatMap { _ =>
       val base = s"$path/indexes/$libraryId"
-      val fs = new java.io.File(base)
-      val state =
-        if (new java.io.File(s"$base/lsh_model").exists()) {
-          val m = graft.index.IndexStore.readLshModel(spark, s"$base/lsh_model")
-          val sigs = spark.read.parquet(s"$base/lsh_sigs").select("id", "bucket")
-          IndexState(IndexType.Lsh, Some(sigs), None, Some(m), None, version.get())
-        } else if (new java.io.File(s"$base/ivf_model").exists()) {
-          val m = graft.index.IndexStore.readIvfModel(spark, s"$base/ivf_model")
-          val assigned = spark.read.parquet(s"$base/ivf_assigned")
-          IndexState(IndexType.Ivf, None, Some(assigned), None, Some(m), version.get())
-        } else {
-          require(fs.exists(), s"no saved index for $libraryId under $path")
-          IndexState(IndexType.Exact, None, None, None, None, version.get())
-        }
-      indexes.put(libraryId, state)
-      state
+      val hconf = spark.sparkContext.hadoopConfiguration
+      def exists(p: String): Boolean = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(hconf).exists(hp)
+      }
+      if (exists(s"$base/lsh_model")) {
+        val m = graft.index.IndexStore.readLshModel(spark, s"$base/lsh_model")
+        val sigs = spark.read.parquet(s"$base/lsh_sigs").select("id", "bucket")
+        val state = IndexState(IndexType.Lsh, Some(sigs), None, Some(m), None, version.get())
+        indexes.put(libraryId, state)
+        Right(state)
+      } else if (exists(s"$base/ivf_model")) {
+        val m = graft.index.IndexStore.readIvfModel(spark, s"$base/ivf_model")
+        val assigned = spark.read.parquet(s"$base/ivf_assigned")
+        val state = IndexState(IndexType.Ivf, None, Some(assigned), None, Some(m), version.get())
+        indexes.put(libraryId, state)
+        Right(state)
+      } else if (exists(base)) {
+        // saveIndexes writes nothing for an Exact library — an existing
+        // base dir with no model is still a valid (exact) restore.
+        val state = IndexState(IndexType.Exact, None, None, None, None, version.get())
+        indexes.put(libraryId, state)
+        Right(state)
+      } else {
+        Left(ApiError.NotFound(s"No saved index for library $libraryId under $path"))
+      }
     }
 
   /** Persist the full catalog: chunks partitioned by library (partition

@@ -71,11 +71,16 @@ object IvfModel {
   def train(chunks: DataFrame, embCol: String,
       nlist: Int = GraftConfig.ivfNlist, maxIter: Int = 10,
       seed: Long = 42L): IvfModel = {
-    val vecs = chunks.filter(col(embCol).isNotNull).select(col(embCol))
+    // Cast defensively: callers may hold array<double> embeddings (e.g. a
+    // parquet written by a different producer); getSeq[Float] on a double
+    // array would ClassCastException at element access.
+    val vecs = chunks.filter(col(embCol).isNotNull)
+      .select(col(embCol).cast("array<float>"))
     val n = vecs.count()
+    require(n > 0, s"IvfModel.train: no non-null '$embCol' vectors to train on " +
+      "(use trainIfReady for the n >= nlist trigger semantics)")
     val k = math.min(nlist.toLong, math.max(1L, n)).toInt
-    val dim = if (n == 0) 1
-      else vecs.limit(1).collect()(0).getSeq[Float](0).length.max(1)
+    val dim = vecs.limit(1).collect()(0).getSeq[Float](0).length.max(1)
     if (n * dim <= localTrainMaxElements) {
       val data = vecs.collect().map(_.getSeq[Float](0).toArray)
       IvfModel(lloydLocal(data, k, maxIter, seed))

@@ -171,30 +171,32 @@ object Dedup {
       .select(col("id"), size(col("shingles")).as("n_sh"),
         explode(col("shingles")).as("shingle"))
 
-    // Stop-shingle pruning to bound bucket skew at scale: heavy shingles
-    // are FEW (broadcast-able) — a groupBy + broadcast anti-join beats a
-    // window count, which would sort-and-buffer the hottest bucket in
-    // one task (exactly the partition that breaks at 100 TB).
-    val pruned =
-      if (maxShingleFreq == Long.MaxValue) sh
-      else {
-        val heavy = sh.groupBy("shingle").agg(count(lit(1)).as("df_count"))
-          .filter(col("df_count") > maxShingleFreq).select("shingle")
-        sh.join(broadcast(heavy), Seq("shingle"), "left_anti")
-      }
-
     if (!usePrefixFilter) {
       // Counting plan (default): the inverted-index self-join STREAMS
       // each co-shingle occurrence as one narrow row straight into the
       // counting hash aggregate — unlike an in-bucket pair expansion,
       // nothing quadratic is ever materialized per hot shingle. The
-      // explicit repartition makes both join sides IDENTICAL plans
+      // explicit repartition makes every consumer an IDENTICAL plan
       // partitioned on the join key: one exchange, executed once,
       // reused by the other side (ReuseExchange) — the tokenize+
       // shingle pipeline runs once.
-      val byShingle = pruned.repartition(col("shingle"))
-      val a = byShingle.select(col("shingle"), col("id").as("id_a"), col("n_sh").as("n_a"))
-      val b = byShingle.select(col("shingle"), col("id").as("id_b"), col("n_sh").as("n_b"))
+      val byShingle = sh.repartition(col("shingle"))
+      // Stop-shingle pruning to bound bucket skew at scale: heavy
+      // shingles are FEW (broadcast-able) — a groupBy + broadcast
+      // anti-join beats a window count, which would sort-and-buffer the
+      // hottest bucket in one task (exactly the partition that breaks
+      // at 100 TB). The df aggregate hangs off the SAME shingle
+      // exchange as the join sides, so pruning does not re-execute the
+      // tokenize+shingle pipeline.
+      val pruned =
+        if (maxShingleFreq == Long.MaxValue) byShingle
+        else {
+          val heavy = byShingle.groupBy("shingle").agg(count(lit(1)).as("df_count"))
+            .filter(col("df_count") > maxShingleFreq).select("shingle")
+          byShingle.join(broadcast(heavy), Seq("shingle"), "left_anti")
+        }
+      val a = pruned.select(col("shingle"), col("id").as("id_a"), col("n_sh").as("n_a"))
+      val b = pruned.select(col("shingle"), col("id").as("id_b"), col("n_sh").as("n_b"))
       a.join(b, Seq("shingle"))
         .filter(col("id_a") < col("id_b"))
         .groupBy("id_a", "id_b", "n_a", "n_b")
@@ -213,6 +215,13 @@ object Dedup {
       // actually selective (long-tail vocabularies; see scaladoc).
       // per-shingle document frequency via aggregation (no hot-bucket
       // sort), joined back for the rarest-first per-doc ranking
+      val pruned =
+        if (maxShingleFreq == Long.MaxValue) sh
+        else {
+          val heavy = sh.groupBy("shingle").agg(count(lit(1)).as("df_count"))
+            .filter(col("df_count") > maxShingleFreq).select("shingle")
+          sh.join(broadcast(heavy), Seq("shingle"), "left_anti")
+        }
       val freq = pruned.groupBy("shingle").agg(count(lit(1)).as("df_count"))
       val ranked = pruned.join(freq, Seq("shingle"))
         .withColumn("rn", row_number().over(
@@ -303,6 +312,14 @@ object Dedup {
       labels = next.drop("__chg")
       iter += 1
     }
+    // A silent exit here returns WRONG labels (two docs in one duplicate
+    // group with different labels) and downstream dedup keeps both —
+    // fail loudly instead. min-label needs O(component diameter) rounds;
+    // real dedup graphs are shallow, so hitting 50 means something
+    // pathological (a chain) — raise maxIter deliberately, not silently.
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponentsDistributed did not converge after $maxIter rounds " +
+        s"($changed labels still changing); raise maxIter — labels would be wrong")
     labels
   }
 

@@ -19,8 +19,10 @@ object Packing {
     Bridge.column(HashBucket(Bridge.expression(c), n))
 
   /** Fail loudly on non-integral id columns: cast("long") on strings
-    * yields nulls and every row would silently land in one split. */
-  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    * yields nulls and every row would silently land in one split.
+    * Shared with CorpusPipeline's split stage — any hash-of-id
+    * assignment needs this guard. */
+  private[graft] def requireIntegralId(df: DataFrame, idCol: String): Unit = {
     import org.apache.spark.sql.types._
     val ok = df.schema(idCol).dataType match {
       case LongType | IntegerType | ShortType | ByteType => true

@@ -72,11 +72,14 @@ object CorpusPipeline {
     val embed = Embedder.embedColumn(HashingEmbedder(dimension = cfg.embedDim))
     val embedded = nearDeduped.withColumn("embedding", embed(col(textCol)))
 
-    // 6. deterministic split assignment (pure function of the id)
+    // 6. deterministic split assignment (pure function of the id).
+    // Guard first: cast("long") on a string/UUID id yields nulls and
+    // every row would silently land in "test".
     if (cfg.trainPct <= 0) embedded
     else {
       import org.apache.spark.sql.graft.Bridge
       import org.apache.spark.sql.graft.expressions.HashBucket
+      graft.operators.Packing.requireIntegralId(embedded, idCol)
       val bucket = Bridge.column(HashBucket(
         Bridge.expression(col(idCol).cast("long")), 100))
       embedded.withColumn("split",

@@ -102,6 +102,11 @@ object TextQueries {
         Dedup.exactDuplicateGroups(table(spark, dir, "documents"), "doc_id", "text")
           .orderBy("text_hash")),
 
+    // Stop-shingle prune at df > 1000 on BOTH sides (engine + oracle):
+    // inert on this corpus (max df 25 at sf0.1) but load-bearing at
+    // 100x, where one boilerplate shingle with df = m would stream m^2
+    // rows into the counting aggregate. A shingle in >1000 docs carries
+    // no similarity signal — it only costs quadratic join mass.
     QueryDef("q34_ngram_jaccard_topk", Some(
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
@@ -111,10 +116,12 @@ object TextQueries {
         |    list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] FOR i IN range(1, greatest(len(tk) - 1, 1))]) AS shingles
         |  FROM toks WHERE len(tk) >= 3),
         |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+        |freq AS (SELECT shingle, count(*) AS dfc FROM ex GROUP BY shingle),
+        |exf AS (SELECT e.* FROM ex e JOIN freq USING (shingle) WHERE dfc <= 1000),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
         |    count(*) AS common
-        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  FROM exf a JOIN exf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2, 3, 4)
         |SELECT id_a, id_b, round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) AS jaccard
         |FROM pairs
@@ -123,7 +130,7 @@ object TextQueries {
         |LIMIT 20""".stripMargin),
       (spark, dir) =>
         Dedup.ngramJaccardPairs(table(spark, dir, "documents"), "doc_id", "text",
-            shingleSize = 3, minJaccard = 0.2)
+            shingleSize = 3, minJaccard = 0.2, maxShingleFreq = 1000L)
           .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
           .limit(20)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
@@ -142,10 +149,12 @@ object TextQueries {
         |    list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] FOR i IN range(1, greatest(len(tk) - 1, 1))]) AS shingles
         |  FROM toks WHERE len(tk) >= 3),
         |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+        |freq AS (SELECT shingle, count(*) AS dfc FROM ex GROUP BY shingle),
+        |exf AS (SELECT e.* FROM ex e JOIN freq USING (shingle) WHERE dfc <= 1000),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
         |    count(*) AS common
-        |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  FROM exf a JOIN exf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2, 3, 4)
         |SELECT id_a, id_b, round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) AS jaccard
         |FROM pairs
@@ -153,7 +162,7 @@ object TextQueries {
         |ORDER BY id_a, id_b""".stripMargin),
       (spark, dir) =>
         Dedup.ngramJaccardPairs(table(spark, dir, "documents"), "doc_id", "text",
-            shingleSize = 3, minJaccard = 0.6)
+            shingleSize = 3, minJaccard = 0.6, maxShingleFreq = 1000L)
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("id_a", "id_b")),
 

@@ -109,6 +109,59 @@ class AdviceRegressionSpec extends SparkSpec {
     assert(cat.getChunk("w3-c14").isLeft) // deleted
   }
 
+  // ---- round-3 ADVICE backlog (VERDICT r3 "What's wrong" 1-4) ----
+
+  test("IvfModel.train handles array<double> embeddings on the local path") {
+    val df = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)),
+      (3L, Array(0.0, 1.0)), (4L, Array(0.1, 0.9))
+    ).toDF("id", "embedding") // array<double>, not array<float>
+    val model = graft.index.IvfModel.train(df, "embedding", nlist = 2)
+    assert(model.nlist == 2) // would ClassCastException before the cast fix
+  }
+
+  test("IvfModel.train fails loudly (not NoSuchElementException) on empty input") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      graft.index.IvfModel.train(empty, "embedding", nlist = 4)
+    }
+    assert(ex.getMessage.contains("no non-null"))
+  }
+
+  test("CorpusPipeline.curate rejects string ids for split assignment") {
+    val docs = Seq(("uuid-a", "some quality text here with words"),
+      ("uuid-b", "other quality text here with words")).toDF("id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      graft.pipeline.CorpusPipeline.curate(docs, "id", "text")
+    }
+    assert(ex.getMessage.contains("integral")) // was: silent all-rows-in-"test"
+    // trainPct = 0 skips the split stage and string ids are fine
+    val cfg = graft.pipeline.CorpusPipeline.CurationConfig(trainPct = 0)
+    assert(graft.pipeline.CorpusPipeline.curate(docs, "id", "text", cfg).count() >= 0)
+  }
+
+  test("loadIndex on a missing path returns Left(NotFound), no exception") {
+    val cat = new VectorCatalog(spark)
+    val lib = cat.createLibrary("L").toOption.get
+    val out = cat.loadIndex("/tmp/graft-test-definitely-absent", lib.id)
+    assert(out.isLeft)
+    assert(out.swap.toOption.exists(_.isInstanceOf[graft.model.ApiError.NotFound]))
+  }
+
+  test("connectedComponentsDistributed throws on non-convergence at maxIter") {
+    // a 6-node chain needs >1 min-label round; maxIter=1 must not return
+    // silently-wrong labels
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      graft.operators.Dedup.connectedComponentsDistributed(chain, maxIter = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+    // and with enough rounds the same graph converges to one component
+    val labels = graft.operators.Dedup.connectedComponentsDistributed(chain, maxIter = 10)
+    assert(labels.select("label").distinct().count() == 1)
+  }
+
   test("refreshIndex trains an IVF index once chunk count crosses nlist") {
     val cat = new VectorCatalog(spark)
     val lib = cat.createLibrary("L", indexType = "ivf").toOption.get
