@@ -57,8 +57,8 @@ object RecallReport {
     println("\n## Multi-probe LSH (Lv et al. 2007; flips = extra low-|dot| bit probes per table)\n")
     println("| tables | bits | flips | mean recall@10 | mean candidate fraction |")
     println("|---|---|---|---|---|")
-    for (bits <- Seq(8, 10); flips <- Seq(0, 1, 2, 4)) {
-      val lsh = LshModel(numTables = 8, bitsPerTable = bits, dim = 64)
+    for (tables <- Seq(8, 16); bits <- Seq(6, 8, 10); flips <- Seq(0, 1, 2, 3, 4)) {
+      val lsh = LshModel(numTables = tables, bitsPerTable = bits, dim = 64)
       val sigs = lsh.build(emb, "vec_id", "embedding").cache()
       val stats = queries.map { case (id, q) =>
         val cands = lsh.multiProbeCandidates(sigs, q, flips)
@@ -68,7 +68,7 @@ object RecallReport {
       sigs.unpersist()
       val recall = stats.map(_._1).sum / stats.length
       val frac = stats.map(_._2).sum / stats.length
-      println(f"| 8 | $bits | $flips | $recall%.2f | $frac%.3f |")
+      println(f"| $tables | $bits | $flips | $recall%.2f | $frac%.3f |")
     }
 
     println("\n## IVF (k-means, seeded)\n")

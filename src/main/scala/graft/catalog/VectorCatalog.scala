@@ -281,7 +281,14 @@ final class VectorCatalog(val spark: SparkSession,
         case IndexType.Exact =>
           IndexState(it, None, None, None, None, version.get())
         case IndexType.Lsh =>
-          val model = LshModel(dim = embeddingDim)
+          // Reference-parity sizing by default (8x12, config.py:29-30);
+          // an active recall preset (GraftConfig.lshActivePreset,
+          // measured in RECALL.md) overrides tables x bits opt-in.
+          val model = GraftConfig.lshActivePreset match {
+            case Some(p) => LshModel(numTables = p.numTables,
+              bitsPerTable = p.bitsPerTable, dim = embeddingDim)
+            case None => LshModel(dim = embeddingDim)
+          }
           val sigs = model.build(libChunks, "id", "embedding").cache()
           sigs.count() // materialize now: the build is the batch job
           IndexState(it, Some(sigs), None, Some(model), None, version.get())
@@ -459,7 +466,18 @@ final class VectorCatalog(val spark: SparkSession,
       .queryName(queryName)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // Validate against the LIVE registries at append time: a late
+        // batch for a deleted (and not re-created) library/document must
+        // not become permanently-visible orphan chunks — its sequence
+        // stamp postdates the cascade tombstone, so nothing downstream
+        // would ever hide it. The registry snapshot is driver-side
+        // dimension data (thousands of (doc, lib) pairs): broadcast
+        // semi-join, no shuffle of the batch.
+        val validPairs = documents.values
+          .map(d => (d.id, d.library_id)).toSeq
+          .toDF("document_id", "library_id")
         val withEmb = batch
+          .join(broadcast(validPairs), Seq("document_id", "library_id"), "left_semi")
           .withColumn("embedding", embedUdf(col("text")))
           .select(Schemas.chunks.fieldNames.toIndexedSeq.map(col): _*)
         // localCheckpoint: the micro-batch source is transient; pin the

@@ -114,4 +114,24 @@ object GraftConfig {
   @volatile var lshMultiProbeFlips: Int = 0
   /** k<=0 => default, k>max => max (config.py:62-68). */
   def clampK(k: Int): Int = if (k <= 0) defaultK else math.min(k, maxK)
+
+  /** An LSH sizing + probe preset (tables x bits, multi-probe flips). */
+  final case class LshPreset(numTables: Int, bitsPerTable: Int, flips: Int)
+
+  /** Recall-targeted preset, measured in RECALL.md on the uniform
+    * synthetic corpus: 16 tables x 8 bits with 2 low-|dot| bit-flip
+    * probes per table = 0.59 recall@10 at 0.198 candidate fraction —
+    * the measured sign-LSH frontier point nearest the 0.6-recall /
+    * 0.15-fraction target (no config on that corpus reaches both; its
+    * wide-angle neighbors are the worst case for sign-bit LSH — see
+    * RECALL.md takeaways). Corpora with duplicate-like neighbors (the
+    * reference's own sizing assumption) sit well above this floor at
+    * the same cost. */
+  val lshRecallPreset: LshPreset = LshPreset(numTables = 16, bitsPerTable = 8, flips = 2)
+
+  /** Opt-in active preset: None (default) keeps exact reference parity
+    * (8x12 single-probe, config.py:29-30). Assign `Some(lshRecallPreset)`
+    * before `indexLibrary` to build recall-targeted LSH indexes; search
+    * picks up the preset's flips for libraries indexed under it. */
+  @volatile var lshActivePreset: Option[LshPreset] = None
 }

@@ -40,6 +40,31 @@ object AdvancedQueries {
             round(element_at(col("q_price"), 2), 4).as("p75_price"))
           .orderBy(col("l_returnflag"))),
 
+    // The 100x-scale percentile path. q52's exact percentile() buffers
+    // every group's values in the agg buffer — per-task OOM once a
+    // group is billions of rows. percentile_approx is a mergeable
+    // Greenwald-Khanna sketch: map-side partial aggregation, constant
+    // memory per group, rank error <= n/accuracy (= 0.01% of rows at
+    // accuracy 10000 — the bound AdviceRegressionSpec asserts against
+    // the exact order statistics). No SQL oracle by design: the sketch
+    // is engine-internal, so the driver records rows-only; accuracy is
+    // verified in-test, the exact q52 keeps the hash-compared oracle.
+    QueryDef("q69_percentiles_approx", None,
+      (spark, dir) =>
+        table(spark, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            percentile_approx(col("l_quantity"),
+              array(lit(0.5), lit(0.9)), lit(10000)).as("q_qty"),
+            percentile_approx(col("l_extendedprice"),
+              array(lit(0.25), lit(0.75)), lit(10000)).as("q_price"))
+          .select(col("l_returnflag"),
+            element_at(col("q_qty"), 1).as("median_qty"),
+            element_at(col("q_qty"), 2).as("p90_qty"),
+            element_at(col("q_price"), 1).as("p25_price"),
+            element_at(col("q_price"), 2).as("p75_price"))
+          .orderBy(col("l_returnflag"))),
+
     QueryDef("q53_pivot", Some(
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
         |  CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,

@@ -71,9 +71,12 @@ final class SearchService(catalog: VectorCatalog) {
       queryVec: Array[Float], k: Int): Seq[SearchResult] = {
     val state = catalog.indexState(libraryId).get
     // flips=0 is exactly the reference's single-probe candidates;
-    // >0 adds Lv-et-al multi-probe buckets (opt-in, GraftConfig)
+    // >0 adds Lv-et-al multi-probe buckets (opt-in, GraftConfig —
+    // either the explicit flips knob or the active recall preset)
+    val flips = GraftConfig.lshActivePreset.map(_.flips)
+      .getOrElse(GraftConfig.lshMultiProbeFlips)
     val candidates = state.lsh.get.multiProbeCandidates(
-      state.signatures.get, queryVec, GraftConfig.lshMultiProbeFlips)
+      state.signatures.get, queryVec, flips)
     if (candidates.isEmpty) exactTopK(universe, queryVec, k)
     else exactTopK(universe.join(candidates, Seq("id"), "left_semi"), queryVec, k)
   }

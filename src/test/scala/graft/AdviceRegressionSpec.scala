@@ -162,6 +162,35 @@ class AdviceRegressionSpec extends SparkSpec {
     assert(labels.select("label").distinct().count() == 1)
   }
 
+  test("q69 approx percentiles sit within the GK rank-error bound of exact") {
+    // accuracy 10000 => rank error <= n/10000; at test scale that is
+    // < 1 row, so every approx value must be an order statistic within
+    // +-2 positions of the target rank.
+    val q69 = SparkEntry.allQueries.find(_.name == "q69_percentiles_approx").get
+    val approx = q69.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val byFlag = li.select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .groupBy(_.getString(0))
+    def bound(sorted: Array[Double], f: Double, v: Double): Boolean = {
+      val n = sorted.length
+      val r = math.floor(f * (n - 1)).toInt
+      val lo = sorted(math.max(0, r - 2))
+      val hi = sorted(math.min(n - 1, r + 2))
+      v >= lo && v <= hi
+    }
+    byFlag.foreach { case (flag, rows) =>
+      val qty = rows.map(_.getDouble(1)).sorted
+      val price = rows.map(_.getDouble(2)).sorted
+      val (medQ, p90Q, p25P, p75P) = approx(flag)
+      assert(bound(qty, 0.5, medQ), s"$flag median_qty $medQ outside bound")
+      assert(bound(qty, 0.9, p90Q), s"$flag p90_qty $p90Q outside bound")
+      assert(bound(price, 0.25, p25P), s"$flag p25_price $p25P outside bound")
+      assert(bound(price, 0.75, p75P), s"$flag p75_price $p75P outside bound")
+    }
+  }
+
   test("refreshIndex trains an IVF index once chunk count crosses nlist") {
     val cat = new VectorCatalog(spark)
     val lib = cat.createLibrary("L", indexType = "ivf").toOption.get

@@ -65,6 +65,34 @@ class AnnRecallSpec extends SparkSpec {
     assert(lsh.multiProbeBucketsOf(queryVec(0), 3).length == 8 * 4)
   }
 
+  test("recall preset: opt-in resizes the built index, default keeps parity") {
+    import graft.model.GraftConfig
+    val cat = new graft.catalog.VectorCatalog(spark)
+    // default: reference-parity sizing (8 tables x 12 bits, config.py:29-30)
+    val lib0 = cat.createLibrary("parity", indexType = "lsh").toOption.get
+    val d0 = cat.createDocument(lib0.id, "D").toOption.get
+    cat.createChunks(d0.id, (1 to 20).map(i => (s"parity text $i", Map.empty[String, String])))
+    cat.indexLibrary(lib0.id, "lsh")
+    val parityModel = cat.indexState(lib0.id).get.lsh.get
+    assert(parityModel.numTables == GraftConfig.lshNumTables &&
+      parityModel.bitsPerTable == GraftConfig.lshHashLength)
+
+    // preset active: built model takes the preset's sizing; search works
+    GraftConfig.lshActivePreset = Some(GraftConfig.lshRecallPreset)
+    try {
+      val lib = cat.createLibrary("preset", indexType = "lsh").toOption.get
+      val d = cat.createDocument(lib.id, "D").toOption.get
+      cat.createChunks(d.id, (1 to 20).map(i => (s"preset text $i", Map.empty[String, String])))
+      cat.indexLibrary(lib.id, "lsh")
+      val m = cat.indexState(lib.id).get.lsh.get
+      assert(m.numTables == 16 && m.bitsPerTable == 8)
+      val svc = new graft.search.SearchService(cat)
+      val resp = svc.search(lib.id,
+        graft.model.SearchQuery(queryText = Some("preset text 7"), k = 3)).toOption.get
+      assert(resp.results.nonEmpty)
+    } finally GraftConfig.lshActivePreset = None
+  }
+
   test("IVF recall@10 with nprobe=4 of nlist=16") {
     val model = IvfModel.train(emb, "embedding", nlist = 16)
     assert(model.nlist == 16)

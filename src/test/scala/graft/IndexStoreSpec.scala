@@ -153,6 +153,78 @@ class IndexStoreSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamed batches respect delete + re-create cascade semantics") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import IndexStoreSpec.In
+    implicit val sqlCtx = spark.sqlContext
+    val cat = new graft.catalog.VectorCatalog(spark)
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    def row(id: String, doc: String = "doc1", lib: String = "lib1") =
+      In(id, doc, lib, s"text $id", Map.empty, now, now)
+
+    cat.createLibrary("L", id = Some("lib1"))
+    cat.createDocument("lib1", "D", id = Some("doc1"))
+    val input = MemoryStream[In]
+    val q = cat.startIngest(input.toDF(), "ingest_cascade_test")
+    try {
+      // pre-delete batch must stay hidden after the delete...
+      input.addData(row("c1"), row("c2"))
+      q.processAllAvailable()
+      assert(cat.chunks.count() == 2)
+      cat.deleteDocument("doc1").toOption.get
+      assert(cat.chunks.count() == 0)
+      // ...including across the re-create of the SAME document id
+      cat.createDocument("lib1", "D again", id = Some("doc1"))
+      assert(cat.chunks.count() == 0)
+      // a post-re-create batch IS visible (tombstone predates its seq)
+      input.addData(row("c3"), row("c4"))
+      q.processAllAvailable()
+      assert(cat.chunks.as[graft.model.ChunkRow].collect().map(_.id).sorted.toSeq
+        == Seq("c3", "c4"))
+
+      // repeat the cycle at library granularity, with a compact interleaved
+      cat.deleteLibrary("lib1").toOption.get
+      assert(cat.chunks.count() == 0)
+      cat.compact()
+      cat.createLibrary("L2", id = Some("lib1"))
+      cat.createDocument("lib1", "D2", id = Some("doc1"))
+      input.addData(row("c5"))
+      q.processAllAvailable()
+      assert(cat.chunks.as[graft.model.ChunkRow].collect().map(_.id).toSeq == Seq("c5"))
+
+      // second delete/re-create cycle on the same ids still behaves
+      cat.deleteDocument("doc1").toOption.get
+      cat.createDocument("lib1", "D3", id = Some("doc1"))
+      input.addData(row("c6"))
+      q.processAllAvailable()
+      assert(cat.chunks.as[graft.model.ChunkRow].collect().map(_.id).toSeq == Seq("c6"))
+    } finally q.stop()
+  }
+
+  test("late streamed batch for a deleted entity is dropped, not orphaned") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import IndexStoreSpec.In
+    implicit val sqlCtx = spark.sqlContext
+    val cat = new graft.catalog.VectorCatalog(spark)
+    val now = new java.sql.Timestamp(System.currentTimeMillis())
+    cat.createLibrary("L", id = Some("lib1"))
+    cat.createDocument("lib1", "D", id = Some("doc1"))
+    val input = MemoryStream[In]
+    val q = cat.startIngest(input.toDF(), "ingest_orphan_test")
+    try {
+      cat.deleteDocument("doc1").toOption.get
+      // doc1 is gone and NOT re-created: a late batch for it must be
+      // dropped at append (its seq postdates the tombstone, so nothing
+      // else would ever hide these rows)
+      input.addData(
+        In("late1", "doc1", "lib1", "late data", Map.empty, now, now),
+        In("late2", "never-existed", "lib1", "bogus doc", Map.empty, now, now))
+      q.processAllAvailable()
+      assert(cat.chunks.count() == 0)
+      assert(cat.validateRelationships()("orphan_chunks") == 0)
+    } finally q.stop()
+  }
+
   test("GraftExtensions-injected SQL functions work (session built with spark.sql.extensions)") {
     val got = spark.sql(
       "SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 1.0F)) AS c," +

@@ -74,6 +74,35 @@ class PlanAuditSpec extends SparkSpec {
       s"aggregation must map-side combine:\n$plan")
   }
 
+  test("restored IVF probe plans partition pruning on cluster_id") {
+    // The persisted assigned table is partitionBy("cluster_id")
+    // (IndexStore.writeIvfAssigned); after a catalog restore, an
+    // nprobe-of-nlist probe must become PARTITION pruning — reading
+    // nprobe directories, the Spark analog of the reference scanning
+    // only the probed inverted lists (indexes.py:346-356).
+    val cat = new graft.catalog.VectorCatalog(spark)
+    val lib = cat.createLibrary("L", indexType = "ivf").toOption.get
+    val doc = cat.createDocument(lib.id, "D").toOption.get
+    cat.createChunks(doc.id,
+      (1 to 120).map(i => (s"probe text $i word${i % 13}", Map.empty[String, String])))
+    cat.indexLibrary(lib.id, "ivf")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-prune").toString
+    cat.saveIndexes(dir)
+
+    val restored = new graft.catalog.VectorCatalog(spark)
+    restored.createLibrary("L", indexType = "ivf", id = Some(lib.id))
+    val state = restored.loadIndex(dir, lib.id).toOption.get
+    assert(state.ivf.isDefined && state.assigned.isDefined)
+    val qv = restored.embedder.embedOne("probe text 7")
+    val probed = state.ivf.get.candidates(state.assigned.get, qv)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"probe must partition-prune:\n$plan")
+    val pf = plan.split("PartitionFilters: ", 2).last.take(300)
+    assert(pf.contains("cluster_id"),
+      s"PartitionFilters must constrain cluster_id:\n$pf")
+    assert(!pf.startsWith("[]"), s"PartitionFilters must be non-empty:\n$pf")
+  }
+
   test("whole-stage codegen covers the scan->filter->project spine of q02") {
     val df = run("q02_filter_scan")
     df.collect() // finalize the adaptive plan so codegen stages print
