@@ -320,6 +320,52 @@ object AdvancedQueries {
           .orderBy("shard", "bin")
       }),
 
+    // Cardinality sketch — the at-scale counterpart to q11's exact
+    // count(distinct): HyperLogLog++ partial-aggregates map-side in
+    // constant memory (one sketch per group, merged across partitions)
+    // where exact distinct shuffles every distinct value. Rows-only by
+    // design (the sketch is engine-internal); the relative-error bound
+    // (rsd 0.02 => ~2%) is asserted against exact counts in
+    // AdviceRegressionSpec.
+    QueryDef("q70_distinct_approx", None,
+      (spark, dir) =>
+        table(spark, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+            approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"))
+          .orderBy("l_returnflag")),
+
+    // Deterministic stratified sampling: EXACTLY n docs per source,
+    // selected by splitmix64 hash rank (stable across runs/engines —
+    // DuckDB replays the hash, so this is hash-compared, unlike any
+    // RNG sample). The rank filter plans a WindowGroupLimit: each
+    // partition keeps only its local top-n before the shuffle, so the
+    // per-group sort never materializes a full group.
+    QueryDef("q71_stratified_sample", Some(
+      s"""WITH h1 AS (
+         |  SELECT doc_id, source,
+         |    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z
+         |  FROM documents),
+         |${smStages()}
+         |b AS (SELECT doc_id, source, CAST(xor(z, z >> 31) % 10000 AS INTEGER) AS bucket FROM h3),
+         |r AS (SELECT doc_id, source, bucket,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY bucket, doc_id) AS INTEGER) AS rn
+         |  FROM b)
+         |SELECT source, rn, doc_id FROM r WHERE rn <= 5
+         |ORDER BY source, rn""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source")
+          .orderBy(col("bucket"), col("doc_id"))
+        table(spark, dir, "documents")
+          .withColumn("bucket", hashBucket(col("doc_id"), 10000))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select("source", "rn", "doc_id")
+          .orderBy("source", "rn")
+      }),
+
     // Deterministic source mixing toward target weights: membership is
     // a pure hash of the id, thresholded per source.
     QueryDef("q65_mix_sampling", Some(

@@ -191,6 +191,23 @@ class AdviceRegressionSpec extends SparkSpec {
     }
   }
 
+  test("q70 approx distinct counts sit within the HLL++ rsd bound of exact") {
+    val q70 = SparkEntry.allQueries.find(_.name == "q70_distinct_approx").get
+    val approx = q70.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("o"), countDistinct(col("l_partkey")).as("p"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // rsd 0.02 is the STANDARD DEVIATION of relative error; 5 sigma
+    // gives a deterministic-in-practice bound for a fixed-seed sketch
+    exact.foreach { case (flag, (o, p)) =>
+      val (ao, ap) = approx(flag)
+      assert(math.abs(ao - o).toDouble / o <= 0.10, s"$flag orders: $ao vs $o")
+      assert(math.abs(ap - p).toDouble / p <= 0.10, s"$flag parts: $ap vs $p")
+    }
+  }
+
   test("refreshIndex trains an IVF index once chunk count crosses nlist") {
     val cat = new VectorCatalog(spark)
     val lib = cat.createLibrary("L", indexType = "ivf").toOption.get

@@ -74,6 +74,19 @@ class PlanAuditSpec extends SparkSpec {
       s"aggregation must map-side combine:\n$plan")
   }
 
+  test("q71 stratified sample: rank filter plans a map-side WindowGroupLimit") {
+    val plan = planOf("q71_stratified_sample")
+    // partial WindowGroupLimit BEFORE the exchange: each task keeps its
+    // local top-n per group, so a group never materializes fully —
+    // the property that makes exact-n-per-group sampling 100x-safe
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning")
+    val wglIdx = plan.indexOf("WindowGroupLimit")
+    assert(wglIdx >= 0, s"rank<=n must plan WindowGroupLimit:\n$plan")
+    assert(plan.indexOf("WindowGroupLimit", exchangeIdx) >= 0 &&
+      "WindowGroupLimit".r.findAllIn(plan).length >= 2,
+      s"expected partial+final WindowGroupLimit around the exchange:\n$plan")
+  }
+
   test("restored IVF probe plans partition pruning on cluster_id") {
     // The persisted assigned table is partitionBy("cluster_id")
     // (IndexStore.writeIvfAssigned); after a catalog restore, an
