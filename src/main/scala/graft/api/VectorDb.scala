@@ -12,8 +12,8 @@ import graft.search.SearchService
 /**
  * The reference's full REST surface (18 endpoints, app/main.py:54-57 +
  * SURVEY.md §2.12) as a typed Scala facade: one method per route, the
- * same 404/400 semantics via Either[ApiError, _]. An HTTP layer would
- * be a thin codec over this object; the engine itself is the Spark
+ * same 404/400 semantics via Either[ApiError, _]. `HttpApi` serves this
+ * object over HTTP route-for-route; the engine itself is the Spark
  * catalog + search service underneath.
  */
 final class VectorDb(spark: SparkSession, embedder: Embedder = Embedder.default,
@@ -162,9 +162,28 @@ object JsonCodec {
 
   /** Serialize a search response to the reference's JSON shape
     * (models.py:123-135): results with chunk + similarity_score +
-    * distance, total_results, execution_time_ms. */
-  def searchResponseJson(resp: graft.model.SearchResponse): String = {
+    * distance, total_results, execution_time_ms; the HTTP layer passes
+    * the parsed query so the response echoes it (SearchResponse.query,
+    * models.py:130). */
+  def searchResponseJson(resp: graft.model.SearchResponse,
+      query: Option[graft.model.SearchQuery] = None): String = {
     val root = mapper.createObjectNode()
+    query.foreach { q =>
+      val qn = mapper.createObjectNode()
+      q.queryText match { case Some(t) => qn.put("query_text", t); case None => qn.putNull("query_text") }
+      q.queryEmbedding match {
+        case Some(e) =>
+          val a = mapper.createArrayNode()
+          e.foreach(f => a.add(f.toDouble))
+          qn.set[com.fasterxml.jackson.databind.JsonNode]("query_embedding", a)
+        case None => qn.putNull("query_embedding")
+      }
+      qn.put("k", q.k)
+      val mf = mapper.createObjectNode()
+      q.metadataFilters.foreach { case (k, v) => mf.put(k, v) }
+      qn.set[com.fasterxml.jackson.databind.JsonNode]("metadata_filters", mf)
+      root.set[com.fasterxml.jackson.databind.JsonNode]("query", qn)
+    }
     val results = mapper.createArrayNode()
     resp.results.foreach { r =>
       val o = mapper.createObjectNode()
