@@ -32,6 +32,35 @@ object TextAnalysis {
     Bridge.column(org.apache.spark.sql.graft.expressions.WordShingles(Bridge.expression(text), n))
   }
 
+  /**
+   * Split documents into overlapping token-window chunks — the
+   * upstream splitter the reference's chunk model assumes (its chunks
+   * arrive pre-split; SURVEY §1.4). Windows of `size` tokens start
+   * every `stride` tokens; the last window keeps the tail, so every
+   * token lands in at least one chunk and consecutive chunks share
+   * `size - stride` tokens of overlap context. Deterministic (pure
+   * function of the text), a narrow map with no shuffle; output adds
+   * `chunk_idx`, `chunk_text`, `chunk_tokens`.
+   */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+      size: Int = 64, stride: Int = 48): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val toks = tokens(col(textCol))
+    val n = org.apache.spark.sql.functions.size(toks)
+    // 1 window when n <= size, else 1 + ceil((n - size) / stride)
+    val nWindows = when(n <= size, lit(1))
+      .otherwise(lit(1) + ceil((n - size).cast("double") / stride).cast("int"))
+    df.filter(n > 0)
+      .select(col(idCol), toks.as("__toks"),
+        posexplode(sequence(lit(0), nWindows - 1)).as(Seq("chunk_idx", "__w")))
+      .select(col(idCol), col("chunk_idx"),
+        slice(col("__toks"), col("chunk_idx") * stride + 1, lit(size)).as("__win"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(col("__win"), " ").as("chunk_text"),
+        org.apache.spark.sql.functions.size(col("__win")).as("chunk_tokens"))
+  }
+
   /** Character n-gram shingles of the lowercased text. */
   def charShingles(text: Column, n: Int): Column = {
     val t = lower(text)

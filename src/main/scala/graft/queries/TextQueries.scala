@@ -166,6 +166,31 @@ object TextQueries {
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("id_a", "id_b")),
 
+    // Token-window chunking — the upstream document splitter (windows
+    // of 64 tokens every 48, tail kept, 16-token overlap). Pure
+    // function of the text: DuckDB replays the window arithmetic and
+    // slicing exactly, so the split is hash-compared end-to-end.
+    QueryDef("q72_chunk_split", Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, $toksSql AS tk FROM documents),
+         |w AS (
+         |  SELECT doc_id, tk,
+         |    CASE WHEN len(tk) <= 64 THEN 1
+         |      ELSE 1 + CAST(ceil((len(tk) - 64) / 48.0) AS INTEGER) END AS nw
+         |  FROM toks WHERE len(tk) > 0),
+         |e AS (
+         |  SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         |    tk[i*48+1 : i*48+64] AS win
+         |  FROM w, unnest(range(0, nw)) AS u(i))
+         |SELECT doc_id, chunk_idx,
+         |  array_to_string(win, ' ') AS chunk_text,
+         |  CAST(len(win) AS INTEGER) AS chunk_tokens
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin),
+      (spark, dir) =>
+        TextAnalysis.chunkByTokens(table(spark, dir, "documents"),
+            "doc_id", "text", size = 64, stride = 48)
+          .orderBy("doc_id", "chunk_idx")),
+
     // bands=32 (rows=2): LSH threshold (1/b)^(1/r) ~ 0.18, matched to
     // the 0.2 verification cut so banding recall stays high. Slice
     // banding + replayable hashes make even this approximate pipeline

@@ -130,6 +130,39 @@ class HttpApiSpec extends SparkSpec {
     request("DELETE", s"/api/v1/libraries/$libId")
   }
 
+  test("concurrent clients: parallel CRUD + search stays consistent") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val lib = json(request("POST", "/api/v1/libraries", """{"name":"conc"}"""))
+    val libId = lib.get("id").asText
+    val doc = json(request("POST", s"/api/v1/documents?library_id=$libId",
+      """{"name":"d"}"""))
+    val docId = doc.get("id").asText
+    // 6 writers x 10 chunks each, with interleaved searches from 2 readers
+    val writers = (0 until 6).map { w =>
+      Future {
+        (0 until 10).foreach { i =>
+          val r = request("POST", s"/api/v1/chunks?document_id=$docId",
+            s"""{"text":"writer $w chunk $i content","metadata":{"w":"$w"}}""")
+          assert(r.statusCode == 200)
+        }
+      }
+    }
+    val readers = (0 until 2).map { _ =>
+      Future {
+        (0 until 5).foreach { _ =>
+          val r = request("POST", s"/api/v1/search/libraries/$libId",
+            """{"query_text":"chunk content","k":3}""")
+          assert(r.statusCode == 200) // sees a consistent snapshot at any point
+        }
+      }
+    }
+    Await.result(Future.sequence(writers ++ readers), 120.seconds)
+    assert(json(request("GET", s"/api/v1/chunks/document/$docId")).size == 60)
+    request("DELETE", s"/api/v1/libraries/$libId")
+  }
+
   test("health and info endpoints") {
     val h = json(request("GET", "/health"))
     assert(h.get("status").asText == "healthy")

@@ -1,4 +1,5 @@
 package graft
+// (chunker tests at the bottom of this suite)
 
 import java.sql.Timestamp
 
@@ -103,6 +104,29 @@ class OperatorSpec extends SparkSpec {
     assert(e.embed(Seq("a b", "c d")).map(_.toSeq) ==
       Seq(e.embedOne("a b").toSeq, e.embedOne("c d").toSeq))
     assert(e.embedOne("").forall(_ == 0f)) // empty text -> zero vector
+  }
+
+  test("chunkByTokens: windows, overlap, tail, and full coverage") {
+    import graft.operators.TextAnalysis
+    val doc = (1 to 150).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "short text"), (3L, "")).toDF("id", "text")
+    val out = TextAnalysis.chunkByTokens(df, "id", "text", size = 64, stride = 48)
+      .orderBy("id", "chunk_idx")
+      .select($"id", $"chunk_idx", $"chunk_text", $"chunk_tokens")
+      .as[(Long, Int, String, Int)].collect()
+    // doc 1: 150 tokens -> windows at 0, 48, 96 => 3 chunks
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2).toSeq == Seq(0, 1, 2))
+    assert(d1(0)._4 == 64 && d1(1)._4 == 64 && d1(2)._4 == 54) // tail keeps 97..150
+    assert(d1(0)._3.startsWith("t1 ") && d1(1)._3.startsWith("t49 ")
+      && d1(2)._3.startsWith("t97 ") && d1(2)._3.endsWith(" t150"))
+    // overlap: window 1 repeats window 0's last 16 tokens
+    assert(d1(0)._3.split(" ").takeRight(16).toSeq == d1(1)._3.split(" ").take(16).toSeq)
+    // every token covered exactly once per covering window set
+    assert(d1.flatMap(_._3.split(" ")).toSet == (1 to 150).map(i => s"t$i").toSet)
+    // doc 2: n <= size -> one whole-doc chunk; doc 3: empty -> no chunks
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "short text", 2)))
+    assert(!out.exists(_._1 == 3L))
   }
 
   test("asOf tolerance nulls out stale matches") {
