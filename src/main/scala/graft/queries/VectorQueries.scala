@@ -171,6 +171,41 @@ object VectorQueries {
           .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
       }),
 
+    // INT8 quantization (storage path; Quantize scaladoc). Output is
+    // scalar checksums of the quantized vector (sum/sumsq/min/max/first
+    // are exact integer arithmetic — no float-rounding ambiguity), so
+    // the whole per-element quantization is hash-compared without
+    // putting arrays through the compare.
+    QueryDef("q73_quantize_int8", Some(
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx FROM v),
+        |q AS (SELECT vec_id, mx,
+        |    CASE WHEN mx = 0 THEN list_transform(e, x -> 0)
+        |      ELSE list_transform(e, x -> CAST(floor(x * (127.0 / mx) + 0.5) AS INTEGER)) END AS qv
+        |  FROM m)
+        |SELECT vec_id,
+        |  round(CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END, 6) AS scale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_sumsq,
+        |  CAST(list_min(qv) AS INTEGER) AS q_min,
+        |  CAST(list_max(qv) AS INTEGER) AS q_max,
+        |  qv[1] AS q_first
+        |FROM q ORDER BY vec_id""".stripMargin),
+      (spark, dir) => {
+        import graft.operators.Quantize
+        table(spark, dir, "embeddings")
+          .select(col("vec_id"),
+            Quantize.quantizeInt8(col("embedding")).as("qv"),
+            round(Quantize.int8Scale(col("embedding")), 6).as("scale"))
+          .select(col("vec_id"), col("scale"),
+            aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+            aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x).as("q_sumsq"),
+            array_min(col("qv")).as("q_min"),
+            array_max(col("qv")).as("q_max"),
+            element_at(col("qv"), 1).as("q_first"))
+          .orderBy("vec_id")
+      }),
+
     QueryDef("q28_ivf_batch", None,
       (spark, dir) => {
         val e = table(spark, dir, "embeddings")

@@ -124,6 +124,34 @@ class AnnRecallSpec extends SparkSpec {
     approx.foreach { case (id, s) => assert(math.abs(s - exact(id)) < 1e-12) }
   }
 
+  test("int8-quantized candidate tier keeps high recall vs float exact") {
+    import graft.operators.Quantize
+    val deq = emb.select(col("vec_id"), col("label"),
+      Quantize.dequantizeInt8(
+        Quantize.quantizeInt8(col("embedding")),
+        Quantize.int8Scale(col("embedding"))).as("embedding"))
+    val recalls = (0L until 10L).map { qid =>
+      val q = queryVec(qid)
+      val approx = Similarity.knnExact(deq, "vec_id", "embedding", q, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      approx.intersect(exactTopK(q, 10)).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"int8 candidate recall@10 = $mean%.2f")
+    // int8 on 64-dim unit-norm vectors: quantization noise is far below
+    // neighbor score gaps — candidate tier must stay near-exact
+    assert(mean >= 0.9, s"int8 quantization lost too much recall: $mean")
+    // round-trip error bound: |x - q/scale| <= 0.5/scale (half a step)
+    val row = emb.select(col("embedding")).limit(1).collect()(0)
+      .getSeq[Float](0).toArray
+    val mx = row.map(math.abs(_)).max.toDouble
+    val scale = 127.0 / mx
+    row.foreach { x =>
+      val q = math.floor(x * scale + 0.5)
+      assert(math.abs(x - q / scale) <= 0.5 / scale + 1e-12)
+    }
+  }
+
   test("batch kNN matches single-query kNN") {
     val q = emb.filter(col("vec_id") === 5)
     val batch = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding", 10)
