@@ -49,5 +49,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => MinHashSignature(es(0), es(1).eval().asInstanceOf[Int])))
     ext.injectFunction(fn("hash_bucket", classOf[HashBucket],
       es => HashBucket(es(0), es(1).eval().asInstanceOf[Int])))
+    ext.injectFunction(fn("quantize_int8", classOf[QuantizeInt8],
+      es => QuantizeInt8(es(0))))
+    ext.injectFunction(fn("int8_scale", classOf[Int8Scale],
+      es => Int8Scale(es(0))))
   }
 }

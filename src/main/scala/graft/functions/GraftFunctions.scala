@@ -31,6 +31,12 @@ object GraftFunctions {
   def hash_bucket(id: Column, n: Int): Column =
     Bridge.column(HashBucket(Bridge.expression(id), n))
 
+  def quantize_int8(a: Column): Column =
+    Bridge.column(QuantizeInt8(Bridge.expression(a)))
+
+  def int8_scale(a: Column): Column =
+    Bridge.column(Int8Scale(Bridge.expression(a)))
+
   /** Register every graft expression for SQL (`SELECT cosine_sim(a,b) ...`). */
   def registerAll(spark: SparkSession): Unit = {
     Bridge.registerFunction(spark, "cosine_sim", es => CosineSimilarity(es(0), es(1)))
@@ -40,5 +46,7 @@ object GraftFunctions {
     Bridge.registerFunction(spark, "normalize_vec", es => NormalizeVector(es(0)))
     Bridge.registerFunction(spark, "hash_bucket",
       es => HashBucket(es(0), es(1).eval().asInstanceOf[Int]))
+    Bridge.registerFunction(spark, "quantize_int8", es => QuantizeInt8(es(0)))
+    Bridge.registerFunction(spark, "int8_scale", es => Int8Scale(es(0)))
   }
 }

@@ -17,24 +17,18 @@ import org.apache.spark.sql.functions._
  * so DuckDB replays the quantization bit-for-bit (q73's oracle).
  */
 object Quantize {
-
-  private def maxAbs(v: Column): Column = array_max(transform(v, x => abs(x)))
+  import org.apache.spark.sql.graft.Bridge
+  import org.apache.spark.sql.graft.expressions.{Int8Scale, QuantizeInt8}
 
   /** `array<int>` of q_i = floor(x_i * 127/max|x| + 0.5); all-zero
-    * vectors quantize to all zeros. */
-  def quantizeInt8(emb: Column): Column = {
-    val v = emb.cast("array<double>")
-    val mx = maxAbs(v)
-    when(mx.isNull.or(mx === 0.0), transform(v, _ => lit(0)))
-      .otherwise(transform(v,
-        x => floor(x * (lit(127.0) / mx) + lit(0.5)).cast("int")))
-  }
+    * vectors quantize to all zeros. Native expression: one tight loop
+    * per row, not an interpreted per-element lambda. */
+  def quantizeInt8(emb: Column): Column =
+    Bridge.column(QuantizeInt8(Bridge.expression(emb)))
 
   /** The scale (127/max|x|) needed to dequantize; 0 for zero vectors. */
-  def int8Scale(emb: Column): Column = {
-    val mx = maxAbs(emb.cast("array<double>"))
-    when(mx.isNull.or(mx === 0.0), lit(0.0)).otherwise(lit(127.0) / mx)
-  }
+  def int8Scale(emb: Column): Column =
+    Bridge.column(Int8Scale(Bridge.expression(emb)))
 
   /** Reconstruct approximate floats: x_i ~ q_i / scale. */
   def dequantizeInt8(qvec: Column, scale: Column): Column =

@@ -235,3 +235,86 @@ case class NormalizeVector(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * `quantize_int8(a)` — symmetric per-vector INT8 quantization:
+ * q_i = floor(x_i * (127/max|x|) + 0.5); all-zero vectors => all zeros.
+ * Exact op order (`t = 127.0/mx`, then `x*t + 0.5`, floor) is part of
+ * the contract: the DuckDB oracle replays it bit-for-bit (q73). One
+ * tight loop per row — replaces the interpreted per-element lambda of
+ * the `transform()` HOF form.
+ */
+case class QuantizeInt8(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "quantize_int8"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val x = new Array[Double](n)
+    var mx = 0.0; var i = 0
+    while (i < n) {
+      val d = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      x(i) = d
+      val ad = math.abs(d)
+      if (ad > mx) mx = ad
+      i += 1
+    }
+    val out = new Array[Int](n)
+    if (mx != 0.0) {
+      val t = 127.0 / mx
+      i = 0; while (i < n) { out(i) = math.floor(x(i) * t + 0.5).toInt; i += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `int8_scale(a)` — the 127/max|x| factor `quantize_int8` used (0.0
+  * for zero vectors); `dequantize = q_i / scale`. */
+case class Int8Scale(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "int8_scale"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+  private def isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var mx = 0.0; var i = 0
+    while (i < n) {
+      val d = math.abs(if (isFloat) a.getFloat(i).toDouble else a.getDouble(i))
+      if (d > mx) mx = d
+      i += 1
+    }
+    if (mx == 0.0) 0.0 else 127.0 / mx
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val mx = ctx.freshName("mx"); val d = ctx.freshName("d")
+      val g = if (isFloat) s"(double) $v.getFloat($i)" else s"$v.getDouble($i)"
+      s"""
+         |int $n = $v.numElements();
+         |double $mx = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = Math.abs($g);
+         |  if ($d > $mx) $mx = $d;
+         |}
+         |${ev.value} = ($mx == 0.0) ? 0.0 : 127.0 / $mx;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

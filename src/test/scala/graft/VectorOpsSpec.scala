@@ -1,4 +1,5 @@
 package graft
+// (int8 quantization tests appended at the bottom)
 
 import org.apache.spark.sql.functions._
 
@@ -105,5 +106,40 @@ class VectorOpsSpec extends SparkSpec {
       val c2 = one(cosine_sim($"a", $"b"), a.map(_ * k), a.map(_ * 2f))
       assert(math.abs(c1 - c2) < 1e-6)
     }
+  }
+
+  test("quantize_int8: exact floor semantics, zero vector, max maps to +-127") {
+    import graft.operators.Quantize
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)),   // mx=1.0: q = (64, -127, 32)
+      (2L, Array(0f, 0f, 0f)),           // zero vector -> zeros, scale 0
+      (3L, Array(-2.0f, 1.0f, 0.0f))     // mx=2.0: q = (-127, 64, 0)
+    ).toDF("id", "v")
+    val out = df.select($"id",
+        Quantize.quantizeInt8($"v").as("q"),
+        Quantize.int8Scale($"v").as("s"))
+      .orderBy("id")
+      .as[(Long, Seq[Int], Double)].collect()
+    assert(out(0)._2 == Seq(64, -127, 32)) // floor(0.5*127+0.5)=64 (round half up)
+    assert(out(0)._3 == 127.0)
+    assert(out(1)._2 == Seq(0, 0, 0) && out(1)._3 == 0.0)
+    assert(out(2)._2 == Seq(-127, 64, 0) && out(2)._3 == 63.5)
+    // property: every q_i in [-127, 127] and round-trip within half a step
+    val rnd = new scala.util.Random(11)
+    randomVecs(20).filter(_.exists(_ != 0f)).foreach { a =>
+      val mx = a.map(x => math.abs(x.toDouble)).max
+      val t = 127.0 / mx
+      val q = a.map(x => math.floor(x * t + 0.5).toInt)
+      assert(q.forall(v => v >= -127 && v <= 127))
+      a.zip(q).foreach { case (x, qi) =>
+        assert(math.abs(x - qi / t) <= 0.5 / t + 1e-12)
+      }
+    }
+    // SQL surface
+    graft.functions.GraftFunctions.registerAll(spark)
+    val sql = spark.sql(
+      "SELECT quantize_int8(array(0.5F, -1.0F)) AS q, int8_scale(array(0.5F, -1.0F)) AS s")
+      .collect()(0)
+    assert(sql.getSeq[Int](0) == Seq(64, -127) && sql.getDouble(1) == 127.0)
   }
 }
