@@ -346,6 +346,75 @@ object Dedup {
   }
 
   /**
+   * Incremental near-dup: which `incoming` docs duplicate the already-
+   * deduped `existing` corpus or each other — the production shape of
+   * dedup (a new crawl lands against a 100 TB corpus; re-deduping the
+   * whole corpus would re-pay the full existing-existing pair mass for
+   * pairs that by construction cannot exist). Both sides band as in
+   * `minHashNearDupPairs`; pair generation then keeps only pairs with
+   * an incoming side. Returns (id_a, id_b, jaccard) with id_b always
+   * incoming; id_a may be existing (dup of corpus) or incoming
+   * (dup within the batch, id_a < id_b).
+   */
+  def incrementalMinHashPairs(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, minJaccard: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val flagged = existing.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .withColumn("__new", lit(0))
+      .unionByName(incoming.select(col(idCol).as("id"), col(textCol).as("__text"))
+        .withColumn("__new", lit(1)))
+    val shingleTable = flagged.select(col("id"), col("__new"),
+        TextAnalysis.shingles(col("__text"), shingleSize).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val banded = shingleTable
+      .withColumn("sig", minhash(col("shingles"), numHashes, seed))
+      .select(col("id"), col("__new"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => slice(col("sig"), b * rows + 1, lit(rows)))).as(Seq("band", "bucket")))
+    // existing-existing pairs dropped at expansion (both flags 0):
+    // the quadratic mass inside a bucket full of old docs never forms
+    val candidates = bucketPairs(banded, Seq("band", "bucket"), payload = Seq("__new"))
+      .filter(col("__new_a") + col("__new_b") >= 1)
+      .select("id_a", "id_b")
+    val verified = verifyJaccard(candidates,
+      shingleTable.select("id", "shingles"), minJaccard)
+    // orient: id_b must be the incoming side (sorted pair may put an
+    // incoming id first when both are incoming — already fine; flip
+    // when id_b is the existing one)
+    val newIds = incoming.select(col(idCol).as("__nid")).distinct()
+    verified
+      .join(newIds.withColumnRenamed("__nid", "id_b"), Seq("id_b"), "left_semi")
+      .unionByName(
+        verified.join(newIds.withColumnRenamed("__nid", "id_b"), Seq("id_b"), "left_anti")
+          .select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("jaccard")))
+  }
+
+  /** Incoming docs that survive incremental dedup: not a near-dup of
+    * the existing corpus (existing is authoritative and always kept),
+    * and the min-id representative within any incoming-only dup group. */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String, shingleSize: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, minJaccard: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    val pairs = incrementalMinHashPairs(existing, incoming, idCol, textCol,
+      shingleSize, numHashes, bands, minJaccard, seed)
+    val existingIds = existing.select(col(idCol).as("id_a"))
+    // dup of corpus -> drop the incoming side outright
+    val dupOfExisting = pairs.join(existingIds, Seq("id_a"), "left_semi")
+      .select(col("id_b").as(idCol)).distinct()
+    val survivors0 = incoming.join(dupOfExisting, Seq(idCol), "left_anti")
+    // within-batch groups (both sides incoming) -> keep min id per component
+    val newPairs = pairs.join(existingIds, Seq("id_a"), "left_anti")
+    val drop = connectedComponents(newPairs.select("id_a", "id_b"))
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as(idCol))
+    survivors0.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Embedding cosine near-duplicate pairs. Candidate generation via
    * random-hyperplane LSH sign-buckets (same family as the reference's
    * LSH index, indexes.py:86-101); exact cosine verification on

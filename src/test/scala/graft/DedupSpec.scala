@@ -62,6 +62,41 @@ class DedupSpec extends SparkSpec {
     assert(run(true) == counting)
   }
 
+  test("incremental minhash: same pairs as full dedup, minus existing-existing") {
+    // real fixture split into an "already deduped" corpus and a new batch
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val existing = docs.filter($"doc_id" % 3 =!= 0)
+    val incoming = docs.filter($"doc_id" % 3 === 0)
+    val full = Dedup.minHashNearDupPairs(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 32, minJaccard = 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val newIds = incoming.select("doc_id").as[Long].collect().toSet
+    // expectation: exactly full's pairs that touch an incoming doc,
+    // oriented so id_b is the incoming side
+    val expected = full.filter { case (a, b) => newIds(a) || newIds(b) }
+      .map { case (a, b) => if (newIds(b)) (a, b) else (b, a) }
+    val inc = Dedup.incrementalMinHashPairs(existing, incoming, "doc_id", "text",
+        shingleSize = 3, numHashes = 64, bands = 32, minJaccard = 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(inc == expected)
+    assert(inc.forall { case (_, b) => newIds(b) })
+  }
+
+  test("incremental dedup: corpus dups dropped, batch groups keep one") {
+    val existing = Seq((10L, base), (11L, "some other existing document text here"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (20L, base),                                    // dup of existing 10
+      (21L, "a brand new unique document about spark"),
+      (22L, "catalog systems for petabyte scale analytics engines"),
+      (23L, "catalog systems for petabyte scale analytics engines")  // dup of 22
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(existing, incoming, "doc_id", "text",
+        shingleSize = 2, numHashes = 64, bands = 32, minJaccard = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(21L, 22L)) // 20 dup-of-corpus, 23 loses to 22
+  }
+
   test("simhash: identical tokens => identical hash; near dup within small hamming") {
     val sims = corpus
       .select($"doc_id", Dedup.simhash(TextAnalysis.tokens($"text")).as("h"))
