@@ -89,6 +89,50 @@ object CorpusPipeline {
     }
   }
 
+  /**
+   * Incremental curation: run the same gates over a NEW batch only,
+   * then dedup it against an authoritative already-curated corpus
+   * (exact within the batch, near-dup vs corpus + within batch via
+   * `Dedup.incrementalDedup` — the existing-existing pair mass never
+   * forms, which is what makes re-curation affordable at 100 TB).
+   * Returns the curated rows of the NEW batch only; append them to
+   * `existing` to advance the corpus.
+   */
+  def curateIncremental(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String,
+      cfg: CurationConfig = CurationConfig()): DataFrame = {
+    val withMetrics = incoming
+      .withColumn("__m", TextAnalysis.textMetrics(col(textCol)))
+      .withColumn("quality_score", col("__m.quality_score"))
+      .withColumn("lang_pred", col("__m.lang_pred"))
+      .withColumn("n_tokens", col("__m.n_tokens"))
+      .drop("__m")
+    val gated = {
+      val q = withMetrics.filter(col("quality_score") >= cfg.minQuality)
+      if (cfg.keepLangs.isEmpty) q
+      else q.filter(col("lang_pred").isin(cfg.keepLangs.toSeq: _*))
+    }
+    val exactDeduped = Dedup.exactDedup(gated, idCol, textCol)
+    val survivors = Dedup.incrementalDedup(
+      existing.select(col(idCol), col(textCol)), exactDeduped, idCol, textCol,
+      shingleSize = cfg.shingleSize, numHashes = 64, bands = 32,
+      minJaccard = cfg.nearDupJaccard)
+    val embed = Embedder.embedColumn(HashingEmbedder(dimension = cfg.embedDim))
+    val embedded = survivors.withColumn("embedding", embed(col(textCol)))
+    if (cfg.trainPct <= 0) embedded
+    else {
+      import org.apache.spark.sql.graft.Bridge
+      import org.apache.spark.sql.graft.expressions.HashBucket
+      graft.operators.Packing.requireIntegralId(embedded, idCol)
+      val bucket = Bridge.column(HashBucket(
+        Bridge.expression(col(idCol).cast("long")), 100))
+      embedded.withColumn("split",
+        when(bucket < cfg.trainPct, "train")
+          .when(bucket < cfg.trainPct + cfg.valPct, "val")
+          .otherwise("test"))
+    }
+  }
+
   /** Per-stage survival counts (one action per stage; diagnostics). */
   def curationReport(docs: DataFrame, idCol: String, textCol: String,
       cfg: CurationConfig = CurationConfig()): Map[String, Long] = {

@@ -70,6 +70,26 @@ class PipelineSpec extends SparkSpec {
     assert(r("after_near_dedup") >= 1)
   }
 
+  test("incremental curation: batch deduped against the existing corpus") {
+    // first batch curated the usual way becomes the corpus
+    val cfg = CurationConfig(minQuality = 0.0, nearDupJaccard = 0.5)
+    val existing = CorpusPipeline.curate(corpus, "doc_id", "text", cfg)
+      .select("doc_id", "text")
+    // new batch: a dup of corpus doc 1, an internal dup pair, a keeper
+    val batch = Seq(
+      (101L, base),                                       // dup of existing 1
+      (102L, "fresh unique content about distributed joins and shuffles"),
+      (103L, "fresh unique content about distributed joins and shuffles today"), // near dup of 102
+      (104L, "entirely novel writing on streaming watermark semantics")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.curateIncremental(existing, batch, "doc_id", "text", cfg)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(102L, 104L), s"got $ids") // 101 corpus-dup, 103 loses to 102
+    assert(out.columns.contains("embedding") && out.columns.contains("split"))
+    // the kept batch rows never contain existing ids (batch-only output)
+    assert(!ids.contains(1L))
+  }
+
   test("curation on the real documents table survives at fixture scale") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val out = CorpusPipeline.curate(docs, "doc_id", "text",
