@@ -146,6 +146,55 @@ object TextAnalysis {
   }
 
   /**
+   * PII redaction: emails, then dashed/dotted phone numbers, then
+   * IPv4 addresses are replaced with typed placeholder tokens — the
+   * standard pre-training scrub pass. Patterns use only syntax common
+   * to Java regex and RE2 (no lookarounds, no backrefs), with a FIXED
+   * application order, so DuckDB replays the redaction exactly (q74).
+   * A narrow codegen'd map — no shuffle, scales linearly.
+   */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>"),
+      ipv4Pattern, "<IP>")
+
+  /** Count of PII matches (pre-redaction) by kind, as a struct.
+    * Group index 0 = the whole match (the patterns have no groups). */
+  def piiCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(emailPattern), lit(0))).as("n_email"),
+    size(regexp_extract_all(text, lit(phonePattern), lit(0))).as("n_phone"),
+    size(regexp_extract_all(regexp_replace(text, phonePattern, " "),
+      lit(ipv4Pattern), lit(0))).as("n_ip"))
+
+  /**
+   * Benchmark decontamination: corpus docs sharing >= `minOverlap`
+   * word `n`-gram shingles with any single benchmark document — the
+   * "is this eval data?" gate every pretraining corpus needs. The
+   * benchmark side is SMALL by construction (eval sets), so its
+   * exploded shingle table broadcasts and the check is a map-side
+   * join: the 100 TB corpus is never shuffled. Returns
+   * (id, bench_id, n_shared) per contaminated (doc, benchmark) pair.
+   */
+  def contaminationPairs(corpus: DataFrame, corpusId: String, corpusText: String,
+      benchmark: DataFrame, benchId: String, benchText: String,
+      n: Int = 8, minOverlap: Int = 1): DataFrame = {
+    val corpusSh = corpus.select(col(corpusId).as("id"),
+        explode(shingles(col(corpusText), n)).as("shingle"))
+    val benchSh = benchmark.select(col(benchId).as("bench_id"),
+        explode(shingles(col(benchText), n)).as("shingle"))
+    corpusSh.join(broadcast(benchSh), Seq("shingle"))
+      .groupBy("id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+  }
+
+  /**
    * TF-IDF top-`k` terms per document. Term frequency is the raw token
    * count within the doc; idf = ln((N+1)/(df+1)) (add-one smoothed,
    * division-safe); score = tf * idf with deterministic (score desc,

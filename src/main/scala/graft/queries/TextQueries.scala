@@ -166,6 +166,70 @@ object TextQueries {
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("id_a", "id_b")),
 
+    // PII redaction. The corpus is synthetic, so each doc is seeded
+    // with deterministic PII (an email, a phone, an IP derived from
+    // doc_id) on BOTH sides, then redacted; outputs the md5 of the
+    // redacted text plus per-kind match counts. Patterns use only the
+    // Java-regex/RE2 common subset with a fixed application order, so
+    // the redaction replays exactly.
+    QueryDef("q74_pii_redact", Some(
+      s"""WITH seeded AS (
+         |  SELECT doc_id,
+         |    text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+         |    '@example.com or call 555-123-4567 from 10.0.0.' ||
+         |    CAST(doc_id % 256 AS VARCHAR) AS s
+         |  FROM documents)
+         |SELECT doc_id,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(s,
+         |    '${TextAnalysis.emailPattern}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.phonePattern}', '<PHONE>', 'g'),
+         |    '${TextAnalysis.ipv4Pattern}', '<IP>', 'g')) AS redacted_hash,
+         |  CAST(len(regexp_extract_all(s, '${TextAnalysis.emailPattern}')) AS INTEGER) AS n_email,
+         |  CAST(len(regexp_extract_all(s, '${TextAnalysis.phonePattern}')) AS INTEGER) AS n_phone,
+         |  CAST(len(regexp_extract_all(regexp_replace(s, '${TextAnalysis.phonePattern}', ' ', 'g'),
+         |    '${TextAnalysis.ipv4Pattern}')) AS INTEGER) AS n_ip
+         |FROM seeded ORDER BY doc_id""".stripMargin),
+      (spark, dir) =>
+        table(spark, dir, "documents")
+          .withColumn("s", concat(col("text"),
+            lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com or call 555-123-4567 from 10.0.0."),
+            (col("doc_id") % 256).cast("string")))
+          .select(col("doc_id"),
+            md5(TextAnalysis.redactPii(col("s"))).as("redacted_hash"),
+            TextAnalysis.piiCounts(col("s")).getField("n_email").as("n_email"),
+            TextAnalysis.piiCounts(col("s")).getField("n_phone").as("n_phone"),
+            TextAnalysis.piiCounts(col("s")).getField("n_ip").as("n_ip"))
+          .orderBy("doc_id")),
+
+    // Benchmark decontamination: src0 docs play the eval set, the rest
+    // the corpus; a doc sharing any 8-token shingle with a benchmark
+    // doc is contaminated. The benchmark shingle table broadcasts —
+    // the corpus side never shuffles (the property that matters at
+    // 100 TB; asserted in PlanAuditSpec).
+    QueryDef("q75_decontaminate", Some(
+      """WITH toks AS (
+        |  SELECT doc_id, source, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    list_distinct([array_to_string(tk[i:i+7], ' ') FOR i IN range(1, greatest(len(tk) - 6, 1))]) AS shingles
+        |  FROM toks WHERE len(tk) >= 8),
+        |c AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE source <> 'src0'),
+        |b AS (SELECT doc_id AS bench_id, unnest(shingles) AS shingle FROM sh WHERE source = 'src0')
+        |SELECT c.doc_id AS id, b.bench_id, count(*) AS n_shared
+        |FROM c JOIN b USING (shingle)
+        |GROUP BY 1, 2
+        |ORDER BY id, bench_id""".stripMargin),
+      (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+        TextAnalysis.contaminationPairs(
+            docs.filter(col("source") =!= "src0"), "doc_id", "text",
+            docs.filter(col("source") === "src0"), "doc_id", "text",
+            n = 8, minOverlap = 1)
+          .orderBy("id", "bench_id")
+      }),
+
     // Token-window chunking — the upstream document splitter (windows
     // of 64 tokens every 48, tail kept, 16-token overlap). Pure
     // function of the text: DuckDB replays the window arithmetic and

@@ -106,6 +106,41 @@ class OperatorSpec extends SparkSpec {
     assert(e.embedOne("").forall(_ == 0f)) // empty text -> zero vector
   }
 
+  test("redactPii: email/phone/ip forms replaced in order; counts match") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "reach me at jane.doe+x@corp.example.org or 555-123-4567 host 192.168.1.10"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.co c@d.io and dotted phone 555.123.4567")
+    ).toDF("id", "text")
+    val out = df.select($"id",
+        TextAnalysis.redactPii($"text").as("r"),
+        TextAnalysis.piiCounts($"text").as("c"))
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "reach me at <EMAIL> or <PHONE> host <IP>")
+    val c1 = out(0).getStruct(2)
+    assert((c1.getInt(0), c1.getInt(1), c1.getInt(2)) == ((1, 1, 1)))
+    assert(out(1).getString(1) == "no pii here at all")
+    assert(out(2).getString(1) == "two mails <EMAIL> <EMAIL> and dotted phone <PHONE>")
+    // a dotted phone must NOT double-count as an IP (order contract)
+    val c3 = out(2).getStruct(2)
+    assert((c3.getInt(0), c3.getInt(1), c3.getInt(2)) == ((2, 1, 0)))
+  }
+
+  test("contaminationPairs: shared-shingle docs flagged, clean docs not") {
+    import graft.operators.TextAnalysis
+    val bench = Seq((100L, "what is the capital of france and why does it matter"))
+      .toDF("qid", "q")
+    val corpus = Seq(
+      (1L, "trivia night asked what is the capital of france and why does it matter to you"),
+      (2L, "a completely unrelated discussion of spark shuffle partitioning internals today")
+    ).toDF("doc_id", "text")
+    val hits = TextAnalysis.contaminationPairs(corpus, "doc_id", "text",
+        bench, "qid", "q", n = 8, minOverlap = 1)
+      .select("id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(hits == Set((1L, 100L)))
+  }
+
   test("chunkByTokens: windows, overlap, tail, and full coverage") {
     import graft.operators.TextAnalysis
     val doc = (1 to 150).map(i => s"t$i").mkString(" ")

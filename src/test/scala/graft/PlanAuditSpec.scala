@@ -74,6 +74,19 @@ class PlanAuditSpec extends SparkSpec {
       s"aggregation must map-side combine:\n$plan")
   }
 
+  test("q75 decontamination: benchmark side broadcasts, corpus never shuffles") {
+    val df = run("q75_decontaminate")
+    df.collect() // finalize adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark shingles must broadcast:\n$plan")
+    // the only exchanges allowed are the broadcast and the final
+    // aggregation/sort — no hash exchange BELOW the join (that would
+    // mean the corpus shingle table shuffled to meet the benchmark)
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side shuffle join defeats the broadcast design:\n$plan")
+  }
+
   test("q71 stratified sample: rank filter plans a map-side WindowGroupLimit") {
     val plan = planOf("q71_stratified_sample")
     // partial WindowGroupLimit BEFORE the exchange: each task keeps its
