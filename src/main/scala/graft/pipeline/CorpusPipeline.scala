@@ -32,12 +32,20 @@ object CorpusPipeline {
       // (splitmix64 bucket), so splits are stable across runs/engines.
       // Requires a numeric id column; set trainPct = 0 to skip.
       trainPct: Int = 80,
-      valPct: Int = 10)
+      valPct: Int = 10,
+      // redact emails/phones/IPs BEFORE metrics and dedup (so near-dup
+      // comparison sees the scrubbed text, and no PII reaches the
+      // embedder). Off by default: scrubbing changes the text column.
+      redactPii: Boolean = false)
 
   /** Returns the curated corpus: original columns + quality metrics +
     * `embedding`. */
-  def curate(docs: DataFrame, idCol: String, textCol: String,
+  def curate(docs0: DataFrame, idCol: String, textCol: String,
       cfg: CurationConfig = CurationConfig()): DataFrame = {
+
+    // 0. optional PII scrub (before metrics/dedup/embedding see text)
+    val docs = if (!cfg.redactPii) docs0
+      else docs0.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
 
     // 1-2. metrics + gates
     val withMetrics = docs
@@ -98,9 +106,11 @@ object CorpusPipeline {
    * Returns the curated rows of the NEW batch only; append them to
    * `existing` to advance the corpus.
    */
-  def curateIncremental(existing: DataFrame, incoming: DataFrame,
+  def curateIncremental(existing: DataFrame, incoming0: DataFrame,
       idCol: String, textCol: String,
       cfg: CurationConfig = CurationConfig()): DataFrame = {
+    val incoming = if (!cfg.redactPii) incoming0
+      else incoming0.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
     val withMetrics = incoming
       .withColumn("__m", TextAnalysis.textMetrics(col(textCol)))
       .withColumn("quality_score", col("__m.quality_score"))

@@ -90,6 +90,19 @@ class PipelineSpec extends SparkSpec {
     assert(!ids.contains(1L))
   }
 
+  test("redactPii stage scrubs text before dedup and embedding") {
+    val docs = Seq(
+      (1L, base + " mail me at a@b.co for details and more things"),
+      (2L, base + " mail me at x@y.io for details and more things") // same after scrub
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.curate(docs, "doc_id", "text",
+      CurationConfig(minQuality = 0.0, nearDupJaccard = 0.9, redactPii = true))
+    val rows = out.select("doc_id", "text").as[(Long, String)].collect().toMap
+    // scrubbed texts are identical -> exact dedup keeps only doc 1
+    assert(rows.keySet == Set(1L))
+    assert(rows(1L).contains("<EMAIL>") && !rows(1L).contains("a@b.co"))
+  }
+
   test("curation on the real documents table survives at fixture scale") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val out = CorpusPipeline.curate(docs, "doc_id", "text",
