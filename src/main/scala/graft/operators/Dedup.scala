@@ -74,6 +74,22 @@ object Dedup {
    * Exact Jaccard (on distinct shingles) verifies candidates >= minJaccard.
    * Output: (id_a, id_b, jaccard) with id_a < id_b.
    */
+  /** Banded minhash signature table (id, band, bucket) for a text
+    * column — the joinable form of the LSH index. Shared by the batch
+    * pair generators and the stream-static flagger (CorpusStream). */
+  def minHashBanded(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    df.select(col(idCol).as("id"),
+        TextAnalysis.shingles(col(textCol), shingleSize).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("sig", minhash(col("shingles"), numHashes, seed))
+      .select(col("id"), posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => slice(col("sig"), b * rows + 1, lit(rows)))).as(Seq("band", "bucket")))
+  }
+
   def minHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
       minJaccard: Double = 0.5, seed: Long = 42L): DataFrame = {
