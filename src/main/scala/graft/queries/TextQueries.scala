@@ -267,6 +267,23 @@ object TextQueries {
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("id_a", "id_b")),
 
+    // Incremental near-dup against an authoritative corpus: docs with
+    // doc_id % 3 = 0 play the incoming batch. Same replayable banding
+    // machinery as q35; the oracle filters/orients the full pair set
+    // (equivalent by banding id-agnosticism, proven differentially in
+    // DedupSpec) — so the production incremental path is hash-compared.
+    QueryDef("q76_incremental_neardup", Some(q76OracleSql),
+      (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+        Dedup.incrementalMinHashPairs(
+            docs.filter(col("doc_id") % 3 =!= 0),
+            docs.filter(col("doc_id") % 3 === 0),
+            "doc_id", "text",
+            shingleSize = 3, numHashes = 64, bands = 32, minJaccard = 0.2)
+          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("id_a", "id_b")
+      }),
+
     // SimHash is deterministic arithmetic (poly-31 string hash +
     // splitmix finalizer + bit votes), so DuckDB replays it exactly —
     // hash-compared, not rows-only.
@@ -338,7 +355,12 @@ object TextQueries {
     s"(((CASE WHEN ($h) >= 9223372036854775808 THEN ($h) - 18446744073709551616" +
       s" ELSE ($h) END) % $m + $m) % $m)"
 
-  private def q35OracleSql: String = {
+  /** Shared minhash-banding oracle prelude (CTEs through `verify`):
+    * DuckDB replays shingling, the poly-31+splitmix hashes, slice
+    * banding, candidate generation, and exact-jaccard verification.
+    * `finalSelect` is appended — q35 takes every pair, q76 filters and
+    * orients for the incremental path. */
+  private def minhashOraclePrelude: String = {
     // stringHash(shingle, 42): poly-31 + splitmix finalizer
     val baseHash = mixSql(
       "list_reduce(list_prepend(CAST(42 AS HUGEINT), " +
@@ -373,10 +395,28 @@ object TextQueries {
        |  SELECT c.id_a, c.id_b,
        |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
        |      len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
-       |  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)
+       |  FROM cand c JOIN sh sa ON sa.doc_id = c.id_a JOIN sh sb ON sb.doc_id = c.id_b)""".stripMargin
+  }
+
+  private def q35OracleSql: String =
+    s"""$minhashOraclePrelude
        |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM verify
        |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
-  }
+
+  /** Incremental pairs (docs with doc_id % 3 = 0 play the new batch):
+    * the full pair set filtered to incoming-touching and oriented so
+    * id_b is the incoming side — banding is id-agnostic, so this
+    * equals the incremental operator's output exactly (the same
+    * equivalence DedupSpec proves differentially). */
+  private def q76OracleSql: String =
+    s"""$minhashOraclePrelude,
+       |inc AS (SELECT id_a, id_b, jaccard FROM verify
+       |  WHERE jaccard >= 0.2 AND (id_a % 3 = 0 OR id_b % 3 = 0))
+       |SELECT
+       |  CASE WHEN id_b % 3 = 0 THEN id_a ELSE id_b END AS id_a,
+       |  CASE WHEN id_b % 3 = 0 THEN id_b ELSE id_a END AS id_b,
+       |  round(jaccard, 6) AS jaccard
+       |FROM inc ORDER BY id_a, id_b""".stripMargin
 
   private def q36OracleSql: String = {
     // stringHash(token, seed=42): poly-31 over bytes (64-bit wrap; 31 is
