@@ -95,8 +95,9 @@ object IvfModel {
 
   /** Reference-shaped Lloyd loop (indexes.py:228-265): seeded sample
     * init from the data, assign/mean iterations, empty cluster keeps its
-    * old centroid, converge when max relative centroid movement < 1e-4. */
-  private def lloydLocal(data: Array[Array[Float]], k: Int,
+    * old centroid, converge when max relative centroid movement < 1e-4.
+    * Shared with PqModel's per-subspace codebook training. */
+  private[index] def lloydLocal(data: Array[Array[Float]], k: Int,
       maxIter: Int, seed: Long): Array[Array[Float]] = {
     val rnd = new scala.util.Random(seed)
     val d = data.head.length

@@ -32,6 +32,11 @@ object VectorQueries {
     ivfCache.getOrElseUpdate((dir, nlist),
       IvfModel.train(table(spark, dir, "embeddings"), "embedding", nlist = nlist))
 
+  private val pqCache = new scala.collection.concurrent.TrieMap[String, graft.index.PqModel]()
+  private def pqModel(spark: org.apache.spark.sql.SparkSession, dir: String): graft.index.PqModel =
+    pqCache.getOrElseUpdate(dir,
+      graft.index.PqModel.train(table(spark, dir, "embeddings"), "embedding", m = 8, k = 16))
+
   private val cosSql =
     "list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) / " +
       "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * " +
@@ -204,6 +209,25 @@ object VectorQueries {
             array_max(col("qv")).as("q_max"),
             element_at(col("qv"), 1).as("q_first"))
           .orderBy("vec_id")
+      }),
+
+    // PQ two-tier search: ADC top-50 candidate fetch over 8x16 codes
+    // (32x-compressed), exact cosine rerank to top-10. Rows-only like
+    // the other seeded-ANN paths (codebooks come from seeded k-means);
+    // candidate-tier recall is measured in AnnRecallSpec.
+    QueryDef("q77_knn_pq", None,
+      (spark, dir) => {
+        val e = table(spark, dir, "embeddings")
+        val pq = pqModel(spark, dir)
+        val q = e.filter(col("vec_id") === 0).select("embedding")
+          .collect()(0).getSeq[Float](0).toArray
+        val encoded = e.select(col("vec_id"), pq.encodeColumn(col("embedding")).as("codes"))
+        val cands = pq.candidates(encoded, "codes", q, n = 50).select("vec_id")
+        e.join(cands, Seq("vec_id"), "left_semi")
+          .withColumn("raw_score", cosine_sim(col("embedding"), typedlit(q.toSeq)))
+          .orderBy(col("raw_score").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), col("label"), round(col("raw_score"), 6).as("score"))
       }),
 
     QueryDef("q28_ivf_batch", None,

@@ -152,6 +152,32 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("PQ: 32x-compressed codes, ADC candidate tier keeps usable recall") {
+    import graft.index.PqModel
+    val pq = PqModel.train(emb, "embedding", m = 8, k = 16)
+    assert(pq.dim == 64 && pq.m == 8 && pq.k == 16)
+    val encoded = emb.select(col("vec_id"), col("label"),
+      pq.encodeColumn(col("embedding")).as("codes")).cache()
+    // codes are m small ints in [0, k) — the 32x storage claim
+    val codes = encoded.select("codes").limit(5).collect()
+      .map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length == 8 && c.forall(x => x >= 0 && x < 16)))
+
+    val recalls = (0L until 10L).map { qid =>
+      val q = queryVec(qid)
+      // candidate tier: ADC top-50 of 500 (10% fetch), exact rerank top-10
+      val cands = pq.candidates(encoded, "codes", q, n = 50).select("vec_id")
+      val universe = emb.join(cands, Seq("vec_id"), "left_semi")
+      val approx = Similarity.knnExact(universe, "vec_id", "embedding", q, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      approx.intersect(exactTopK(q, 10)).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"PQ(8x16) ADC candidate recall@10 at 10%% fetch = $mean%.2f")
+    assert(mean >= 0.5, s"PQ candidate recall collapsed: $mean")
+    encoded.unpersist()
+  }
+
   test("batch kNN matches single-query kNN") {
     val q = emb.filter(col("vec_id") === 5)
     val batch = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding", 10)
