@@ -1,0 +1,80 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * IVF-PQ — the composed index that serves billion-vector corpora
+ * (Jegou et al. 2011 §V; the architecture behind FAISS's IVFPQ): a
+ * coarse k-means quantizer partitions the corpus into `nlist` cells
+ * (probes become partition pruning, as with plain IVF), and a product
+ * quantizer encodes each vector's RESIDUAL from its cell centroid —
+ * residuals concentrate near zero, so the same codebook budget buys
+ * far less quantization error than PQ over raw vectors.
+ *
+ * Encoding: assign cluster (codegen nearest-centroid), subtract the
+ * cell centroid (broadcast literal lookup + zip_with), PQ-encode the
+ * residual (codegen per-subspace nearest-centroid). Search: probe the
+ * top-`nprobe` cells; each probed cell gets its own ADC table built
+ * from the query's residual against THAT cell's centroid; candidates
+ * come from a union of per-cell pruned scans; exact rerank on the
+ * survivors. All driver state (centroids + codebooks) stays KB-scale.
+ */
+final case class IvfPqModel(ivf: IvfModel, pq: PqModel) {
+
+  /** residual = emb - centroid[cluster_id] (element-wise). */
+  def residualColumn(emb: Column, clusterId: Column): Column =
+    IvfPqModel.residual(emb, clusterId, ivf.centroids)
+
+  /** Encoded table: (original columns minus embedding payload) +
+    * `cluster_id` + `codes`. Write partitionBy("cluster_id") at scale. */
+  def encode(chunks: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val assigned = chunks.filter(col(embCol).isNotNull)
+      .withColumn("cluster_id", ivf.assignColumn(col(embCol)))
+    assigned
+      .withColumn("codes", pq.encodeColumn(
+        residualColumn(col(embCol), col("cluster_id"))))
+      .select(col(idCol).as("id"), col("cluster_id"), col("codes"))
+  }
+
+  /** Top-`n` candidate ids by per-cell residual ADC over the probed
+    * clusters. */
+  def candidates(encoded: DataFrame, query: Array[Float],
+      nprobe: Int = graft.model.GraftConfig.ivfNprobe, n: Int = 100): DataFrame = {
+    val probed = ivf.probe(query, nprobe)
+    val perCell = probed.map { c =>
+      val centroid = ivf.centroids(c)
+      val residualQuery = query.indices.map(i =>
+        query(i) - (if (i < centroid.length) centroid(i) else 0f)).toArray
+      encoded.filter(col("cluster_id") === c)
+        .withColumn("adc_dist", pq.adcDistance(col("codes"), residualQuery))
+    }
+    perCell.reduce(_.unionByName(_))
+      .orderBy(col("adc_dist").asc)
+      .limit(n)
+      .select("id", "cluster_id", "adc_dist")
+  }
+}
+
+object IvfPqModel {
+
+  /** Element-wise emb - centroid[cluster_id] via broadcast literal. */
+  def residual(emb: Column, clusterId: Column,
+      centroids: Array[Array[Float]]): Column =
+    zip_with(emb,
+      element_at(typedlit(centroids.map(_.toSeq).toSeq), clusterId + 1),
+      (a, b) => a - b)
+
+  /** Train coarse quantizer on the vectors, then PQ on their residuals. */
+  def train(df: DataFrame, embCol: String,
+      nlist: Int = graft.model.GraftConfig.ivfNlist,
+      m: Int = 8, k: Int = 16, seed: Long = 42L): IvfPqModel = {
+    val ivf = IvfModel.train(df, embCol, nlist = nlist, seed = seed)
+    val residuals = df.filter(col(embCol).isNotNull)
+      .withColumn("cluster_id", ivf.assignColumn(col(embCol)))
+      .select(residual(col(embCol), col("cluster_id"), ivf.centroids)
+        .cast("array<float>").as("residual"))
+    val pq = PqModel.train(residuals, "residual", m = m, k = k, seed = seed)
+    IvfPqModel(ivf, pq)
+  }
+}

@@ -32,6 +32,7 @@ object VectorQueries {
     ivfCache.getOrElseUpdate((dir, nlist),
       IvfModel.train(table(spark, dir, "embeddings"), "embedding", nlist = nlist))
 
+  private val ivfpqCache = new scala.collection.concurrent.TrieMap[String, graft.index.IvfPqModel]()
   private val pqCache = new scala.collection.concurrent.TrieMap[String, graft.index.PqModel]()
   private def pqModel(spark: org.apache.spark.sql.SparkSession, dir: String): graft.index.PqModel =
     pqCache.getOrElseUpdate(dir,
@@ -223,6 +224,26 @@ object VectorQueries {
           .collect()(0).getSeq[Float](0).toArray
         val encoded = e.select(col("vec_id"), pq.encodeColumn(col("embedding")).as("codes"))
         val cands = pq.candidates(encoded, "codes", q, n = 50).select("vec_id")
+        e.join(cands, Seq("vec_id"), "left_semi")
+          .withColumn("raw_score", cosine_sim(col("embedding"), typedlit(q.toSeq)))
+          .orderBy(col("raw_score").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), col("label"), round(col("raw_score"), 6).as("score"))
+      }),
+
+    // IVF-PQ two-tier search: probe 8 of 16 cells, residual-ADC top-50,
+    // exact rerank — the composed billion-vector index architecture.
+    // Rows-only (seeded k-means); recall measured in AnnRecallSpec.
+    QueryDef("q78_knn_ivfpq", None,
+      (spark, dir) => {
+        val e = table(spark, dir, "embeddings")
+        val model = ivfpqCache.getOrElseUpdate(dir,
+          graft.index.IvfPqModel.train(e, "embedding", nlist = 16, m = 8, k = 16))
+        val q = e.filter(col("vec_id") === 0).select("embedding")
+          .collect()(0).getSeq[Float](0).toArray
+        val encoded = model.encode(e, "vec_id", "embedding")
+        val cands = model.candidates(encoded, q, nprobe = 8, n = 50)
+          .select(col("id").as("vec_id"))
         e.join(cands, Seq("vec_id"), "left_semi")
           .withColumn("raw_score", cosine_sim(col("embedding"), typedlit(q.toSeq)))
           .orderBy(col("raw_score").desc, col("vec_id"))

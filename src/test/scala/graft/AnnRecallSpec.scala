@@ -178,6 +178,47 @@ class AnnRecallSpec extends SparkSpec {
     encoded.unpersist()
   }
 
+  test("IVF-PQ: residual coding beats raw PQ at equal code budget") {
+    import graft.index.{IvfPqModel, PqModel}
+    val ivfpq = IvfPqModel.train(emb, "embedding", nlist = 16, m = 8, k = 16)
+    val encoded = ivfpq.encode(emb, "vec_id", "embedding").cache()
+    assert(encoded.count() == emb.count())
+    // one cell per row; codes stay 8x4-bit
+    assert(encoded.select("codes").limit(3).collect()
+      .forall(_.getSeq[Int](0).length == 8))
+
+    def recallOf(cands: Long => org.apache.spark.sql.DataFrame): Double =
+      (0L until 10L).map { qid =>
+        val q = queryVec(qid)
+        val universe = emb.join(cands(qid).select(col("id").as("vec_id")),
+          Seq("vec_id"), "left_semi")
+        val approx = Similarity.knnExact(universe, "vec_id", "embedding", q, 10)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        approx.intersect(exactTopK(q, 10)).size / 10.0
+      }.sum / 10.0
+
+    // probe 8 of 16 cells, ADC top-50, exact rerank
+    val r = recallOf(qid => ivfpq.candidates(encoded, queryVec(qid), nprobe = 8, n = 50))
+    info(f"IVF-PQ (nprobe 8/16, top-50) candidate recall@10 = $r%.2f")
+    assert(r >= 0.5, s"IVF-PQ recall collapsed: $r")
+
+    // same code budget, raw PQ: residual coding should not lose
+    val raw = PqModel.train(emb, "embedding", m = 8, k = 16)
+    val rawEnc = emb.select(col("vec_id"), raw.encodeColumn(col("embedding")).as("codes")).cache()
+    val rRaw = (0L until 10L).map { qid =>
+      val q = queryVec(qid)
+      val cands = raw.candidates(rawEnc, "codes", q, n = 50).select("vec_id")
+      val universe = emb.join(cands, Seq("vec_id"), "left_semi")
+      val approx = Similarity.knnExact(universe, "vec_id", "embedding", q, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      approx.intersect(exactTopK(q, 10)).size / 10.0
+    }.sum / 10.0
+    info(f"raw PQ (top-50) candidate recall@10 = $rRaw%.2f")
+    assert(r >= rRaw - 0.15, // residuals should be at least comparable
+      s"residual coding much worse than raw PQ: $r vs $rRaw")
+    encoded.unpersist(); rawEnc.unpersist()
+  }
+
   test("batch kNN matches single-query kNN") {
     val q = emb.filter(col("vec_id") === 5)
     val batch = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding", 10)

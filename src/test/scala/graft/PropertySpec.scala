@@ -125,4 +125,32 @@ class PropertySpec extends AnyFunSuite {
       rh(p + a) == rh(p + a) && ((a == b) || rh(p + a) != rh(p + b) || a.isEmpty || b.isEmpty)
     }, "rolling hash")
   }
+
+  test("quantize_int8: bounds, scale consistency, round-trip, scale invariance") {
+    def quant(v: Array[Float]): Seq[Int] =
+      QuantizeInt8(lit(v)).eval().asInstanceOf[GenericArrayData]
+        .toIntArray().toSeq
+    def scale(v: Array[Float]): Double =
+      Int8Scale(lit(v)).eval().asInstanceOf[Double]
+    check(Prop.forAll(genVec) { v =>
+      val q = quant(v); val s = scale(v)
+      val inBounds = q.forall(x => x >= -127 && x <= 127)
+      val zeroCase = v.forall(_ == 0f)
+      val roundTrip = zeroCase || v.zip(q).forall { case (x, qi) =>
+        math.abs(x - qi / s) <= 0.5 / s + 1e-9
+      }
+      // the max-|x| element maps to +-127 exactly
+      val maxHits = zeroCase || {
+        val mx = v.map(x => math.abs(x.toDouble)).max
+        v.zip(q).exists { case (x, qi) =>
+          math.abs(x.toDouble) == mx && math.abs(qi) == 127
+        }
+      }
+      inBounds && roundTrip && maxHits && (if (zeroCase) s == 0.0 else s > 0.0)
+    }, "quantize bounds/round-trip")
+    // positive-scale invariance: codes are a function of direction only
+    check(Prop.forAll(genVec, Gen.choose(0.1f, 8.0f)) { (v, k) =>
+      v.forall(_ == 0f) || quant(v) == quant(v.map(_ * k))
+    }, "quantize scale invariance")
+  }
 }
