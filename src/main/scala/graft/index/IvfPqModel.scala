@@ -38,18 +38,33 @@ final case class IvfPqModel(ivf: IvfModel, pq: PqModel) {
   }
 
   /** Top-`n` candidate ids by per-cell residual ADC over the probed
-    * clusters. */
+    * clusters — ONE pruned scan: the isin filter is partition pruning
+    * on a cluster-partitioned table, and the per-cell ADC tables stack
+    * into a single cluster-indexed broadcast literal (nlist x m x k
+    * floats — KB-scale), so every probed row pays m lookups keyed by
+    * its own cluster_id. A union of per-cell subplans would re-execute
+    * the encode pipeline once per probed cell. */
   def candidates(encoded: DataFrame, query: Array[Float],
       nprobe: Int = graft.model.GraftConfig.ivfNprobe, n: Int = 100): DataFrame = {
     val probed = ivf.probe(query, nprobe)
-    val perCell = probed.map { c =>
-      val centroid = ivf.centroids(c)
-      val residualQuery = query.indices.map(i =>
-        query(i) - (if (i < centroid.length) centroid(i) else 0f)).toArray
-      encoded.filter(col("cluster_id") === c)
-        .withColumn("adc_dist", pq.adcDistance(col("codes"), residualQuery))
+    val probedSet = probed.toSet
+    val stacked: Seq[Seq[Seq[Float]]] = ivf.centroids.indices.map { c =>
+      if (!probedSet(c)) Seq.empty // filtered out before any lookup
+      else {
+        val centroid = ivf.centroids(c)
+        val residualQuery = query.indices.map(i =>
+          query(i) - (if (i < centroid.length) centroid(i) else 0f)).toArray
+        pq.adcTable(residualQuery).map(_.toSeq).toSeq
+      }
     }
-    perCell.reduce(_.unionByName(_))
+    val t = typedlit(stacked)
+    val cellTable = element_at(t, col("cluster_id") + 1)
+    val adc = (0 until pq.m).map { s =>
+      element_at(element_at(cellTable, s + 1), element_at(col("codes"), s + 1) + 1)
+        .cast("double")
+    }.reduce(_ + _)
+    encoded.filter(col("cluster_id").isin(probed.map(Int.box): _*))
+      .withColumn("adc_dist", adc)
       .orderBy(col("adc_dist").asc)
       .limit(n)
       .select("id", "cluster_id", "adc_dist")
