@@ -201,9 +201,13 @@ object Dedup {
       // shingles are FEW (broadcast-able) — a groupBy + broadcast
       // anti-join beats a window count, which would sort-and-buffer the
       // hottest bucket in one task (exactly the partition that breaks
-      // at 100 TB). The df aggregate hangs off the SAME shingle
-      // exchange as the join sides, so pruning does not re-execute the
-      // tokenize+shingle pipeline.
+      // at 100 TB). Measured honesty: the df aggregate's exchange has
+      // partial-agg beneath it, so ReuseExchange does NOT dedup it with
+      // the join-side exchange (the a/b sides do reuse) — the prune
+      // costs one extra narrow codegen'd scan. The alternative (group
+      // by shingle, cap, expand pairs in-group — one scan, no join)
+      // measured ~10% SLOWER at sf0.1: collect_list materialization +
+      // interpreted HOF expansion cost more than the extra scan.
       val pruned =
         if (maxShingleFreq == Long.MaxValue) byShingle
         else {
