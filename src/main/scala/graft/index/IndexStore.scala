@@ -55,6 +55,20 @@ object IndexStore {
     spark.read.parquet(path)
       .filter(col("cluster_id").isin(clusters.map(Int.box): _*))
 
+  /** Persist an IVF-PQ encoded table (id, cluster_id, codes) in the
+    * same cluster-partitioned layout: an ADC probe over nprobe cells
+    * reads nprobe directories of 8-byte codes — the I/O floor of the
+    * composed index. */
+  def writeIvfPqEncoded(encoded: DataFrame, path: String): Unit =
+    encoded
+      .repartition(col("cluster_id"))
+      .write.mode("overwrite")
+      .partitionBy("cluster_id")
+      .parquet(path)
+
+  def readIvfPqEncoded(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   // ---- model state (KB-scale; parquet keeps the dependency surface zero)
 
   /** Persist IVF centroids as (cluster_id, centroid) rows. */

@@ -74,6 +74,25 @@ class PlanAuditSpec extends SparkSpec {
       s"aggregation must map-side combine:\n$plan")
   }
 
+  test("persisted IVF-PQ probe plans partition pruning on cluster_id") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val model = graft.index.IvfPqModel.train(emb, "embedding", nlist = 16, m = 8, k = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-prune").toString
+    graft.index.IndexStore.writeIvfPqEncoded(
+      model.encode(emb, "vec_id", "embedding"), dir)
+    val restored = graft.index.IndexStore.readIvfPqEncoded(spark, dir)
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val probed = model.candidates(restored, q, nprobe = 4, n = 20)
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"ADC probe must partition-prune:\n$plan")
+    val pf = plan.split("PartitionFilters: ", 2).last.take(300)
+    assert(pf.contains("cluster_id") && !pf.startsWith("[]"),
+      s"PartitionFilters must constrain cluster_id:\n$pf")
+    // and the probe actually returns ranked candidates from the restored table
+    assert(probed.count() == 20)
+  }
+
   test("q75 decontamination: benchmark side broadcasts, corpus never shuffles") {
     val df = run("q75_decontaminate")
     df.collect() // finalize adaptive plan
