@@ -143,6 +143,28 @@ object CorpusPipeline {
     }
   }
 
+  /** Per-stage survival counts for an incremental batch (diagnostics;
+    * one action per stage, mirrors curationReport). */
+  def incrementalReport(existing: DataFrame, incoming: DataFrame,
+      idCol: String, textCol: String,
+      cfg: CurationConfig = CurationConfig()): Map[String, Long] = {
+    val scrubbed = if (!cfg.redactPii) incoming
+      else incoming.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+    val withMetrics = scrubbed
+      .withColumn("__m", TextAnalysis.textMetrics(col(textCol)))
+    val quality = withMetrics.filter(col("__m.quality_score") >= cfg.minQuality)
+    val lang = if (cfg.keepLangs.isEmpty) quality
+      else quality.filter(col("__m.lang_pred").isin(cfg.keepLangs.toSeq: _*))
+    val exact = Dedup.exactDedup(lang.drop("__m"), idCol, textCol)
+    val curated = curateIncremental(existing, incoming, idCol, textCol, cfg)
+    Map(
+      "batch_input" -> incoming.count(),
+      "after_quality" -> quality.count(),
+      "after_lang" -> lang.count(),
+      "after_exact_dedup" -> exact.count(),
+      "after_incremental_dedup" -> curated.count())
+  }
+
   /** Per-stage survival counts (one action per stage; diagnostics). */
   def curationReport(docs: DataFrame, idCol: String, textCol: String,
       cfg: CurationConfig = CurationConfig()): Map[String, Long] = {

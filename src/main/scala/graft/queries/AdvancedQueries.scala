@@ -426,6 +426,37 @@ object AdvancedQueries {
           .orderBy("c_custkey")
       }),
 
+    // Value-navigation window functions (first/last/nth) with explicit
+    // frames — the remaining window family member the suite lacked.
+    // Frame semantics matter: last_value needs the full-partition frame
+    // (the default RANGE ... CURRENT ROW would return the current row).
+    QueryDef("q79_value_windows", Some(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(first_value(o_orderkey) OVER w AS BIGINT) AS first_order,
+        |  CAST(last_value(o_orderkey) OVER w AS BIGINT) AS last_order,
+        |  CAST(nth_value(o_orderkey, 2) OVER w AS BIGINT) AS second_order,
+        |  round(o_totalprice - first_value(o_totalprice) OVER w, 2) AS price_vs_first
+        |FROM orders
+        |WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        table(spark, dir, "orders")
+          .filter(col("o_custkey") < 50)
+          .select(col("o_custkey"), col("o_orderkey"),
+            first(col("o_orderkey")).over(w).as("first_order"),
+            last(col("o_orderkey")).over(w).as("last_order"),
+            nth_value(col("o_orderkey"), 2).over(w).as("second_order"),
+            round(col("o_totalprice") - first(col("o_totalprice")).over(w), 2)
+              .as("price_vs_first"))
+          .orderBy("o_custkey", "o_orderkey")
+      }),
+
     QueryDef("q63_sample_10pct", Some(
       s"""WITH h1 AS (
          |  SELECT doc_id,

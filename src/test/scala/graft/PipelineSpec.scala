@@ -88,6 +88,11 @@ class PipelineSpec extends SparkSpec {
     assert(out.columns.contains("embedding") && out.columns.contains("split"))
     // the kept batch rows never contain existing ids (batch-only output)
     assert(!ids.contains(1L))
+    // diagnostics mirror the stages
+    val r = CorpusPipeline.incrementalReport(existing, batch, "doc_id", "text", cfg)
+    assert(r("batch_input") == 4)
+    assert(r("after_exact_dedup") == 4)       // no exact dups within batch
+    assert(r("after_incremental_dedup") == 2) // 101 + 103 dropped
   }
 
   test("redactPii stage scrubs text before dedup and embedding") {
