@@ -52,18 +52,27 @@ object Bench {
     // carry 2-3x GC/scheduler swings), but min alone HID a real 4.5x
     // regression story in round 3, so the JSON now also carries the
     // median and n per query ("queries_detail") for stability analysis.
+    // Rounds are interleaved (run ALL queries, then repeat the sweep)
+    // rather than back-to-back per query: on this shared VM a single
+    // 30s contention burst poisoned all 3 consecutive samples of
+    // whichever query it landed on (BENCH_r04 showed q66 at 15.6s
+    // min-of-3 vs 1.4s in isolation). Spreading a query's samples
+    // across the whole run makes the min robust to bursty noise.
     val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = SparkEntry.allQueries.map { q =>
-      val times = (1 to runsPerQuery).map { _ =>
-        val t0 = System.nanoTime()
-        try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      val median = times(times.length / 2)
-      (q.name, times.min, median)
+    val queries = SparkEntry.allQueries
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (_ <- 1 to runsPerQuery; q <- queries) {
+      val t0 = System.nanoTime()
+      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      }
+      samples(q.name) = ((System.nanoTime() - t0) / 1e9) :: samples(q.name)
+    }
+    val results = queries.map { q =>
+      val times = samples(q.name).sorted
+      (q.name, times.min, times(times.length / 2))
     }
     val qs = results.map { case (k, mn, _) => "\"" + k + f"""\":$mn%.3f""" }
       .mkString("{", ",", "}")
@@ -71,8 +80,20 @@ object Bench {
       "\"" + k + f"""\":{"min":$mn%.3f,"median":$md%.3f}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
-      f""""queries_detail":$detail,"n_runs":$runsPerQuery,"sf":"$sfDir"}""")
+    // Key order matters: the driver records only the LAST ~3KB of
+    // stdout, so queries_detail (the longest map) goes first and the
+    // headline metric/value/queries go at the END of the line where
+    // the tail window is guaranteed to capture them. JSON object key
+    // order is semantically irrelevant to any real parser.
+    val line = f"""{"queries_detail":$detail,"n_runs":$runsPerQuery,""" +
+      f""""sf":"$sfDir","queries":$qs,"metric":"total","value":$total%.3f,"unit":"sec"}"""
+    println(line)
+    // Full JSON also lands in the repo as a sidecar so per-query detail
+    // survives even when stdout is truncated.
+    try {
+      val out = java.nio.file.Paths.get("BENCH_LOCAL.json")
+      java.nio.file.Files.write(out, line.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }
