@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType}
+
+/**
+ * Distributed EXACT grouped quantiles via two-pass range-partitioned
+ * rank selection (the TeraSort-style selection plan).
+ *
+ * Why not `percentile()`: Spark's exact percentile aggregate buffers
+ * every value of a group inside one aggregation buffer — a per-task
+ * OOM once a single group is billions of rows. Why not a window rank:
+ * `row_number().over(partitionBy(group))` materializes the whole group
+ * in ONE task — the same wall, shuffled.
+ *
+ * This plan's per-task memory is one *range partition*, independent of
+ * group size:
+ *
+ *  0. A `percentile_approx` sweep computes per-group approximately
+ *     equi-probable cut points, collected to the driver and re-emitted
+ *     as a LITERAL boundary table. (Why not `repartitionByRange`: its
+ *     RangePartitioner seeds sampling with the RDD id, which changes
+ *     per job — two jobs over the same plan land different boundaries;
+ *     measured, not theorized. A literal table makes every downstream
+ *     pass a pure deterministic function of the data.)
+ *  1. Each row gets `bucket = #boundaries < value` via a broadcast
+ *     join with the literal table — codegen'd, no UDF, no shuffle.
+ *     Bucket sizes are ~n_g/P regardless of skew in group sizes.
+ *  2. Pass A counts rows per (group, bucket) — map-side partial
+ *     aggregation, so only |groups| x P tiny rows shuffle. Prefix
+ *     sums in bucket order give each (group, bucket) its global rank
+ *     offset; group totals give the target ranks floor/ceil((n-1)*f)+1
+ *     for each fraction f (the `quantile_cont` positions).
+ *  3. Pass B hash-repartitions by (group, bucket) — the one full
+ *     shuffle — sorts within partitions by (group, bucket, value) and
+ *     streams each partition once, emitting ONLY the rows whose global
+ *     rank (offset + local index) is a target — at most
+ *     |groups| x |fractions| x 2 rows leave the executors.
+ *  4. Linear interpolation on those few rows on the driver.
+ *
+ * Driver state is |groups| x P boundaries/counts plus the selected
+ * rows — this is a grouped-quantile operator, so |groups| is assumed
+ * driver-small (the usual case: report dimensions), while values per
+ * group are unbounded. The boundary sketch only steers partition
+ * BALANCE; the result is exact whatever the sketch error. The 100 TB
+ * constant-memory alternative with bounded rank error is
+ * `percentile_approx` (q69); this operator is the exact path that
+ * stays hash-identical to a single-node oracle.
+ *
+ * Reference behavior: percentile aggregations over chunk metadata
+ * (reference app/api analytics endpoints compute exact order
+ * statistics single-node); re-expressed here as a distributed plan.
+ */
+object Quantiles {
+
+  /**
+   * Exact `quantile_cont`-semantics quantiles of `valueCol` per
+   * `groupCol`. Returns one row per group: (groupCol: string,
+   * qs: array<double> aligned with `fractions`). Null values are
+   * excluded (aggregate semantics); null group keys form their own
+   * group only if present in the data as SQL would not — callers
+   * filter nulls upstream if they need ANSI GROUP BY null handling.
+   */
+  def exactGroupedQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      fractions: Seq[Double],
+      numPartitions: Int = 64): DataFrame = {
+    require(fractions.nonEmpty, "at least one fraction")
+    require(fractions.forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must be in [0,1], got $fractions")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val slim = df
+      .select(col(groupCol).cast(StringType).as("g"),
+        col(valueCol).cast(DoubleType).as("v"))
+      .where(col("v").isNotNull && col("g").isNotNull)
+
+    // Pass 0: per-group approximate equi-probable cut points, collected
+    // and re-emitted as a literal table so every later pass is a pure
+    // deterministic function of the input (see scaladoc).
+    val cutFractions = (1 until numPartitions).map(_.toDouble / numPartitions)
+    val boundRows: Seq[(String, Seq[Double])] =
+      if (cutFractions.isEmpty)
+        slim.select("g").distinct().as[String].collect().toSeq
+          .map(g => (g, Seq.empty[Double]))
+      else
+        slim.groupBy("g")
+          .agg(percentile_approx(col("v"),
+            array(cutFractions.map(lit): _*), lit(1000)).as("bounds"))
+          .as[(String, Seq[Double])]
+          .collect()
+          .toSeq
+    if (boundRows.isEmpty) return boundRows.toDF(groupCol, "qs")
+    val boundsLit = broadcast(boundRows.toDF("g", "bounds"))
+
+    // bucket = number of cut points strictly below v: monotone in v,
+    // so global rank composes as (rows in lower buckets) + local rank.
+    val bucketed = slim.join(boundsLit, "g")
+      .withColumn("b", size(filter(col("bounds"), x => col("v") > x)))
+      .select("g", "b", "v")
+
+    // Pass A: per-(group, bucket) counts — map-side combine, tiny shuffle.
+    val counts: Seq[(String, Int, Long)] = bucketed
+      .groupBy("g", "b").count()
+      .collect()
+      .toSeq
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+
+    val byGroup = counts.groupBy(_._1)
+    val totals: Map[String, Long] =
+      byGroup.map { case (g, rows) => g -> rows.map(_._3).sum }
+    // Target 1-based global ranks per group for quantile_cont at each
+    // fraction: the values at floor(k)+1 and ceil(k)+1 where k=(n-1)*f.
+    val needed: Map[String, Set[Long]] = totals.map { case (g, n) =>
+      g -> fractions.flatMap { f =>
+        val k = (n - 1) * f
+        Seq(math.floor(k).toLong + 1L, math.ceil(k).toLong + 1L)
+      }.toSet
+    }
+    val offsets: Map[(String, Int), Long] = byGroup.toSeq.flatMap {
+      case (g, rows) =>
+        var acc = 0L
+        rows.sortBy(_._2).map { case (_, b, c) =>
+          val o = acc; acc += c; ((g, b), o)
+        }
+    }.toMap
+
+    val bNeeded = spark.sparkContext.broadcast(needed)
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+
+    // Pass B: selection — the one full shuffle. Rows arrive sorted by
+    // (g, b, v) within the partition, so (group, bucket) runs are
+    // contiguous and one counter suffices.
+    val selected: Array[(String, Long, Double)] = bucketed
+      .repartition(numPartitions, col("g"), col("b"))
+      .sortWithinPartitions("g", "b", "v")
+      .as[(String, Int, Double)]
+      .mapPartitions { it =>
+        var curG: String = null
+        var curB = Int.MinValue
+        var local = 0L
+        var off = 0L
+        var want: Set[Long] = Set.empty
+        it.flatMap { case (g, b, v) =>
+          if (g != curG || b != curB) {
+            if (g != curG) want = bNeeded.value.getOrElse(g, Set.empty)
+            curG = g
+            curB = b
+            local = 0L
+            off = bOffsets.value.getOrElse((g, b), 0L)
+          }
+          local += 1L
+          if (want.contains(off + local)) Iterator.single((g, off + local, v))
+          else Iterator.empty
+        }
+      }
+      .collect()
+
+    val valByRank: Map[String, Map[Long, Double]] = selected
+      .groupBy(_._1)
+      .map { case (g, rows) => g -> rows.map(r => r._2 -> r._3).toMap }
+    val out = totals.toSeq.sortBy(_._1).map { case (g, n) =>
+      val ranks = valByRank(g)
+      val qs = fractions.map { f =>
+        val k = (n - 1) * f
+        val vl = ranks(math.floor(k).toLong + 1L)
+        val vh = ranks(math.ceil(k).toLong + 1L)
+        vl + (vh - vl) * (k - math.floor(k))
+      }
+      (g, qs)
+    }
+    out.toDF(groupCol, "qs")
+  }
+}

@@ -65,6 +65,38 @@ object AdvancedQueries {
             element_at(col("q_price"), 2).as("p75_price"))
           .orderBy(col("l_returnflag"))),
 
+    // The exact-AND-distributed percentile path: two-pass range-
+    // partitioned rank selection (operators/Quantiles.scala). Same
+    // oracle as q52 — bit-identical results — but per-task memory is
+    // one range partition instead of one group's entire value set, so
+    // this is the plan that survives a group of billions of rows
+    // without the sketch error of q69.
+    QueryDef("q80_percentiles_exact2p", Some(
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
+      (spark, dir) => {
+        val li = table(spark, dir, "lineitem")
+        val qty = graft.operators.Quantiles
+          .exactGroupedQuantiles(li, "l_returnflag", "l_quantity",
+            Seq(0.5, 0.9), numPartitions = 32)
+          .select(col("l_returnflag"),
+            round(element_at(col("qs"), 1), 4).as("median_qty"),
+            round(element_at(col("qs"), 2), 4).as("p90_qty"))
+        val price = graft.operators.Quantiles
+          .exactGroupedQuantiles(li, "l_returnflag", "l_extendedprice",
+            Seq(0.25, 0.75), numPartitions = 32)
+          .select(col("l_returnflag"),
+            round(element_at(col("qs"), 1), 4).as("p25_price"),
+            round(element_at(col("qs"), 2), 4).as("p75_price"))
+        qty.join(price, "l_returnflag").orderBy("l_returnflag")
+      }),
+
     QueryDef("q53_pivot", Some(
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
         |  CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS urgent,

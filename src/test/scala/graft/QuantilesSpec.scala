@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Quantiles
+
+/**
+ * Differential tests for the two-pass distributed exact quantile
+ * against Spark's own exact `percentile` aggregate (which implements
+ * the same quantile_cont interpolation), across partition counts that
+ * force groups to span many range partitions.
+ */
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fractions = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+
+  private def viaPercentile(df: org.apache.spark.sql.DataFrame,
+      g: String, v: String): Map[String, Seq[Double]] =
+    df.groupBy(col(g).cast("string").as("g"))
+      .agg(percentile(col(v).cast("double"),
+        array(fractions.map(lit): _*)).as("qs"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toSeq)
+      .toMap
+
+  private def via2p(df: org.apache.spark.sql.DataFrame,
+      g: String, v: String, parts: Int): Map[String, Seq[Double]] =
+    Quantiles.exactGroupedQuantiles(df, g, v, fractions, parts)
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1).toSeq)
+      .toMap
+
+  private def assertSame(a: Map[String, Seq[Double]],
+      b: Map[String, Seq[Double]]): Unit = {
+    assert(a.keySet == b.keySet)
+    for (g <- a.keySet; i <- fractions.indices)
+      assert(math.abs(a(g)(i) - b(g)(i)) < 1e-9,
+        s"group $g fraction ${fractions(i)}: ${a(g)(i)} vs ${b(g)(i)}")
+  }
+
+  test("matches exact percentile() on seeded multi-group data") {
+    // Deterministic pseudo-random values, 5 groups x 4000 rows —
+    // with 16 range partitions every group spans several partitions.
+    val df = spark.range(20000)
+      .select((col("id") % 5).cast("string").as("g"),
+        pmod(hash(col("id")), lit(100000)).cast("double").as("v"))
+    assertSame(viaPercentile(df, "g", "v"), via2p(df, "g", "v", 16))
+  }
+
+  test("matches on lineitem at sf0.001 across partition counts") {
+    val li = queries.Tables.table(spark, sfDir, "lineitem")
+    val exact = viaPercentile(li, "l_returnflag", "l_extendedprice")
+    for (parts <- Seq(1, 7, 32))
+      assertSame(exact, via2p(li, "l_returnflag", "l_extendedprice", parts))
+  }
+
+  test("single-row group, constant group, and duplicate values") {
+    val df = Seq(
+      ("solo", 42.0),
+      ("const", 7.0), ("const", 7.0), ("const", 7.0),
+      ("dups", 1.0), ("dups", 1.0), ("dups", 2.0), ("dups", 2.0),
+      ("dups", 3.0)).toDF("g", "v")
+    assertSame(viaPercentile(df, "g", "v"), via2p(df, "g", "v", 8))
+  }
+
+  test("nulls are excluded like the aggregate") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)))
+      .toDF("g", "v")
+    val got = via2p(df, "g", "v", 4)
+    // 2 non-null values {1,3}: median = 2.0, p0 = 1.0, p100 = 3.0
+    assert(math.abs(got("a")(2) - 2.0) < 1e-9)
+    assert(math.abs(got("a")(0) - 1.0) < 1e-9)
+    assert(math.abs(got("a")(4) - 3.0) < 1e-9)
+  }
+}
