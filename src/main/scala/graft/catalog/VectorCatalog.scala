@@ -400,6 +400,46 @@ final class VectorCatalog(val spark: SparkSession,
       }
     }
 
+  // ---- WAL replay hooks (DurableCatalog). Replay must reproduce the
+  // EXACT post-op state, so these restore logged results verbatim —
+  // no id/timestamp generation, no existence-check Spark jobs — while
+  // still flowing through `mutate` so staleness versions and
+  // compaction behave as in the original run.
+  private[graft] def restoreLibrary(row: LibraryRow, indexType: Option[IndexType]): Unit = {
+    libraries.put(row.id, row)
+    indexType.foreach { it =>
+      if (!indexes.contains(row.id))
+        indexes.put(row.id, IndexState(it, None, None, None, None, -1L))
+    }
+  }
+  private[graft] def restoreDocument(row: DocumentRow): Unit =
+    documents.put(row.id, row)
+  private[graft] def restoreChunks(rows: Seq[ChunkRow]): Unit =
+    appendChunks(rows)
+  private[graft] def restoreDeleteLibrary(id: String): Unit = {
+    libraries.remove(id)
+    indexes.remove(id)
+    documents.filterInPlace { case (_, d) => d.library_id != id }
+    mutate {
+      upserts.filterInPlace((_, c) => c.library_id != id)
+      libTombstones(id) = mutationSeq
+    }
+  }
+  private[graft] def restoreDeleteDocument(id: String): Unit = {
+    documents.remove(id)
+    mutate {
+      upserts.filterInPlace((_, c) => c.document_id != id)
+      docTombstones(id) = mutationSeq
+    }
+  }
+  private[graft] def restoreDeleteChunk(id: String): Unit =
+    mutate {
+      upserts.remove(id)
+      chunkTombstones += id
+    }
+  private[graft] def indexTypeOf(libraryId: String): Option[IndexType] =
+    indexes.get(libraryId).map(_.indexType)
+
   /** Apply a buffered mutation under the state lock, bump the index-
     * staleness version, and fold the log when it crosses the threshold. */
   private def mutate(f: => Unit): Unit = stateLock.synchronized {

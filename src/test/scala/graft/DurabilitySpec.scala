@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.catalog.DurableCatalog
+import graft.model.ChunkRow
+
+/**
+ * WAL + checkpoint durability: every acknowledged mutation must
+ * survive a "crash" (recovering a brand-new catalog from the same
+ * root) byte-identically — generated ids, timestamps, embeddings,
+ * cascade semantics and all.
+ */
+class DurabilitySpec extends SparkSpec {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-wal").toString
+
+  private def chunkRows(c: DurableCatalog): Seq[ChunkRow] = {
+    import c.inner.spark.implicits._
+    c.inner.chunks.as[ChunkRow].collect().toSeq.sortBy(_.id)
+  }
+
+  private def assertSameState(a: DurableCatalog, b: DurableCatalog): Unit = {
+    assert(a.inner.listLibraries() == b.inner.listLibraries())
+    val libs = a.inner.listLibraries().map(_.id)
+    for (l <- libs)
+      assert(a.inner.listDocuments(l) == b.inner.listDocuments(l))
+    val (ca, cb) = (chunkRows(a), chunkRows(b))
+    assert(ca.map(_.id) == cb.map(_.id))
+    ca.zip(cb).foreach { case (x, y) =>
+      assert(x.copy(embedding = None) == y.copy(embedding = None))
+      assert(x.embedding.isDefined == y.embedding.isDefined)
+      x.embedding.zip(y.embedding).foreach { case (e1, e2) =>
+        assert(e1.sameElements(e2))
+      }
+    }
+  }
+
+  test("recover replays the full CRUD history byte-identically") {
+    val root = freshRoot()
+    val cat = DurableCatalog.recover(spark, root)
+    val lib = cat.createLibrary("wiki", Some("docs"), Map("tier" -> "a"), "ivf").toOption.get
+    val lib2 = cat.createLibrary("news", None, Map.empty, "exact").toOption.get
+    val doc = cat.createDocument(lib.id, "intro").toOption.get
+    val doc2 = cat.createDocument(lib2.id, "daily", Some("d"), Map("k" -> "v")).toOption.get
+    val c1 = cat.createChunk(doc.id, "the quick brown fox", Map("p" -> "1")).toOption.get
+    cat.createChunks(doc.id, Seq(("jumps over", Map("p" -> "2")), ("the lazy dog", Map.empty))).toOption.get
+    cat.createChunk(doc2.id, "breaking news").toOption.get
+    cat.updateLibrary(lib.id, name = Some("wiki2")).toOption.get
+    cat.updateDocument(doc.id, description = Some("updated")).toOption.get
+    cat.updateChunk(c1.id, text = Some("rewritten text")).toOption.get
+
+    val rec = DurableCatalog.recover(spark, root)
+    assertSameState(cat, rec)
+    // index type survived (lib_create carries it)
+    assert(rec.inner.indexState(lib.id).map(_.indexType.toString) == Some("Ivf"))
+    assert(rec.inner.indexState(lib2.id).map(_.indexType.toString) == Some("Exact"))
+  }
+
+  test("deletes and cascades replay: doc delete, chunk delete, lib delete") {
+    val root = freshRoot()
+    val cat = DurableCatalog.recover(spark, root)
+    val lib = cat.createLibrary("a").toOption.get
+    val keepLib = cat.createLibrary("b").toOption.get
+    val d1 = cat.createDocument(lib.id, "d1").toOption.get
+    val d2 = cat.createDocument(lib.id, "d2").toOption.get
+    val kd = cat.createDocument(keepLib.id, "kd").toOption.get
+    cat.createChunk(d1.id, "gone with the doc").toOption.get
+    val c2 = cat.createChunk(d2.id, "individually deleted").toOption.get
+    val c3 = cat.createChunk(d2.id, "survives").toOption.get
+    cat.createChunk(kd.id, "other library").toOption.get
+    cat.deleteDocument(d1.id).toOption.get
+    cat.deleteChunk(c2.id).toOption.get
+
+    val rec = DurableCatalog.recover(spark, root)
+    assertSameState(cat, rec)
+    assert(chunkRows(rec).map(_.id).toSet == Set(c3.id) ++ chunkRows(rec).filter(_.library_id == keepLib.id).map(_.id))
+
+    // now cascade-delete the whole library and recover again
+    cat.deleteLibrary(lib.id).toOption.get
+    val rec2 = DurableCatalog.recover(spark, root)
+    assertSameState(cat, rec2)
+    assert(rec2.inner.listLibraries().map(_.id) == Seq(keepLib.id).sorted)
+    assert(chunkRows(rec2).forall(_.library_id == keepLib.id))
+  }
+
+  test("checkpoint truncates the log and recovery = snapshot + tail") {
+    val root = freshRoot()
+    val cat = DurableCatalog.recover(spark, root)
+    val lib = cat.createLibrary("ckpt").toOption.get
+    val doc = cat.createDocument(lib.id, "d").toOption.get
+    for (i <- 1 to 5) cat.createChunk(doc.id, s"chunk $i").toOption.get
+    cat.checkpoint()
+    val walFiles = new java.io.File(s"$root/wal").listFiles()
+    assert(walFiles == null || walFiles.isEmpty, "checkpoint must truncate the WAL")
+
+    // tail after the checkpoint
+    val c6 = cat.createChunk(doc.id, "post-checkpoint").toOption.get
+    cat.deleteChunk(c6.id).toOption.get
+    val c7 = cat.createChunk(doc.id, "post-checkpoint survivor").toOption.get
+
+    val rec = DurableCatalog.recover(spark, root)
+    assertSameState(cat, rec)
+    assert(chunkRows(rec).exists(_.id == c7.id))
+    assert(!chunkRows(rec).exists(_.id == c6.id))
+  }
+
+  test("recover on an empty root yields an empty catalog") {
+    val rec = DurableCatalog.recover(spark, freshRoot())
+    assert(rec.inner.listLibraries().isEmpty)
+    assert(rec.inner.chunks.count() == 0L)
+  }
+
+  test("delete then re-create with the same id preserves replay order") {
+    val root = freshRoot()
+    val cat = DurableCatalog.recover(spark, root)
+    val lib = cat.createLibrary("lib").toOption.get
+    val doc = cat.createDocument(lib.id, "doc").toOption.get
+    val c = cat.createChunk(doc.id, "v1", id = Some("fixed-id")).toOption.get
+    assert(c.id == "fixed-id")
+    cat.deleteChunk("fixed-id").toOption.get
+    cat.createChunk(doc.id, "v2", id = Some("fixed-id")).toOption.get
+
+    val rec = DurableCatalog.recover(spark, root)
+    val rows = chunkRows(rec).filter(_.id == "fixed-id")
+    assert(rows.size == 1 && rows.head.text == "v2")
+  }
+
+  test("search works against a recovered catalog") {
+    val root = freshRoot()
+    val cat = DurableCatalog.recover(spark, root)
+    val lib = cat.createLibrary("s", indexType = "exact").toOption.get
+    val doc = cat.createDocument(lib.id, "d").toOption.get
+    cat.createChunk(doc.id, "alpha beta gamma").toOption.get
+    cat.createChunk(doc.id, "delta epsilon").toOption.get
+
+    val rec = DurableCatalog.recover(spark, root)
+    val svc = new graft.search.SearchService(rec.inner)
+    val res = svc.search(lib.id, graft.model.SearchQuery(
+      queryText = Some("alpha beta gamma"), k = 1))
+    assert(res.toOption.get.results.head.chunk.text == "alpha beta gamma")
+  }
+}
