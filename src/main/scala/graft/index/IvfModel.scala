@@ -66,7 +66,11 @@ object IvfModel {
   /**
    * Train centroids (k = min(nlist, n), <= `maxIter` Lloyd iterations,
    * fixed seed, convergence tolerance 1e-4 — mirroring indexes.py:244-262).
-   * Small inputs train on the driver; large inputs via MLlib `KMeans`.
+   * Small inputs train on the driver; large inputs via the sampled +
+   * distributed-refinement path (`trainSampled`), which costs
+   * 1 + `refineIters` data scans instead of MLlib's `maxIter` cached
+   * full passes — at the 100 TB target the data cannot be cached, so
+   * pass count IS the cost model.
    */
   def train(chunks: DataFrame, embCol: String,
       nlist: Int = GraftConfig.ivfNlist, maxIter: Int = 10,
@@ -85,12 +89,74 @@ object IvfModel {
       val data = vecs.collect().map(_.getSeq[Float](0).toArray)
       IvfModel(lloydLocal(data, k, maxIter, seed))
     } else {
-      val model = new KMeans()
-        .setK(k).setMaxIter(maxIter).setTol(1e-4).setSeed(seed)
-        .fit(chunks.filter(col(embCol).isNotNull)
-          .select(array_to_vector(col(embCol).cast("array<double>")).as("features")))
-      IvfModel(model.clusterCenters.map(_.toArray.map(_.toFloat)))
+      trainSampled(chunks, embCol, nlist, maxIter, seed)
     }
+  }
+
+  /**
+   * Scale path: k-means on a seeded uniform SAMPLE sized to the driver
+   * budget (`localTrainMaxElements` floats, floored at 10 rows per
+   * centroid), then `refineIters` distributed Lloyd refinements — each
+   * one codegen'd nearest-centroid assignment plus a
+   * `Summarizer.mean`-per-cluster aggregate, i.e. one scan and a
+   * k x dim partial-aggregate shuffle, no caching requirement. Sampled
+   * init gets within a few percent of full k-means inertia (classic
+   * sketch-then-refine; cf. mini-batch k-means, Sculley WWW'10), and
+   * the refinement passes close most of the rest; both stages are
+   * seeded and deterministic. Empty clusters keep their previous
+   * centroid (indexes.py:258-259 semantics).
+   */
+  def trainSampled(chunks: DataFrame, embCol: String,
+      nlist: Int = GraftConfig.ivfNlist, maxIter: Int = 10,
+      seed: Long = 42L, refineIters: Int = 2,
+      sampleBudgetElements: Long = localTrainMaxElements): IvfModel = {
+    import org.apache.spark.ml.linalg.{Vector => MlVector}
+    import org.apache.spark.ml.stat.Summarizer
+    val vecs = chunks.filter(col(embCol).isNotNull)
+      .select(col(embCol).cast("array<float>").as("v"))
+    val n = vecs.count()
+    require(n > 0, s"IvfModel.trainSampled: no non-null '$embCol' vectors")
+    val k = math.min(nlist.toLong, math.max(1L, n)).toInt
+    val dim = vecs.limit(1).collect()(0).getSeq[Float](0).length.max(1)
+    val targetRows = math.max(sampleBudgetElements / dim, 10L * k)
+    val sample =
+      if (n <= targetRows) vecs
+      // seeded Bernoulli sample, hard-capped so a sampling overshoot
+      // can never blow the driver budget
+      else vecs.sample(withReplacement = false,
+        math.min(1.0, targetRows.toDouble / n), seed)
+        .limit(targetRows.toInt)
+    val data = sample.collect().map(_.getSeq[Float](0).toArray)
+    require(data.length >= k,
+      s"sample (${data.length}) smaller than k ($k) — raise the sample budget")
+    var centroids = lloydLocal(data, k, maxIter, seed)
+    for (_ <- 1 to refineIters) {
+      val model = IvfModel(centroids)
+      val means = vecs
+        .withColumn("cluster_id", model.assignColumn(col("v")))
+        .select(col("cluster_id"),
+          array_to_vector(col("v").cast("array<double>")).as("fv"))
+        .groupBy("cluster_id")
+        .agg(Summarizer.mean(col("fv")).as("m"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getAs[MlVector]("m").toArray.map(_.toFloat))
+        .toMap
+      centroids = centroids.zipWithIndex.map { case (c, i) => means.getOrElse(i, c) }
+    }
+    IvfModel(centroids)
+  }
+
+  /** MLlib's full distributed loop, kept for differential testing and
+    * for deployments that prefer it (it caches the input and runs
+    * `maxIter` full passes). */
+  def trainMllib(chunks: DataFrame, embCol: String,
+      nlist: Int = GraftConfig.ivfNlist, maxIter: Int = 10,
+      seed: Long = 42L): IvfModel = {
+    val model = new KMeans()
+      .setK(nlist).setMaxIter(maxIter).setTol(1e-4).setSeed(seed)
+      .fit(chunks.filter(col(embCol).isNotNull)
+        .select(array_to_vector(col(embCol).cast("array<double>")).as("features")))
+    IvfModel(model.clusterCenters.map(_.toArray.map(_.toFloat)))
   }
 
   /** Reference-shaped Lloyd loop (indexes.py:228-265): seeded sample

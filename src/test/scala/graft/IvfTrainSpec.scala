@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.index.IvfModel
+
+/**
+ * Sampled + distributed-refinement k-means (the 100 TB training path):
+ * determinism, quality vs the full local Lloyd train, and that
+ * refinement passes actually help a deliberately-crippled init.
+ */
+class IvfTrainSpec extends SparkSpec {
+
+  private lazy val emb: DataFrame =
+    queries.Tables.table(spark, sfDir, "embeddings")
+
+  private lazy val data: Array[Array[Float]] =
+    emb.select(col("embedding").cast("array<float>")).collect()
+      .map(_.getSeq[Float](0).toArray)
+
+  /** Mean squared L2 distance to the nearest centroid. */
+  private def inertia(m: IvfModel): Double = {
+    val total = data.map { v =>
+      m.centroids.map { c =>
+        var d = 0.0; var j = 0
+        while (j < v.length) { val x = v(j) - c(j); d += x * x; j += 1 }
+        d
+      }.min
+    }.sum
+    total / data.length
+  }
+
+  test("trainSampled is deterministic") {
+    val a = IvfModel.trainSampled(emb, "embedding", nlist = 8,
+      sampleBudgetElements = 64L * 100, refineIters = 2)
+    val b = IvfModel.trainSampled(emb, "embedding", nlist = 8,
+      sampleBudgetElements = 64L * 100, refineIters = 2)
+    assert(a.centroids.length == b.centroids.length)
+    a.centroids.zip(b.centroids).foreach { case (x, y) =>
+      assert(x.sameElements(y))
+    }
+  }
+
+  test("sampling + refinement lands near full-train quality") {
+    // full train: all 500 rows fit the local path
+    val full = IvfModel.train(emb, "embedding", nlist = 8)
+    // forced sampling: budget of 100 rows (20% of the data), 2 refinements
+    val sampled = IvfModel.trainSampled(emb, "embedding", nlist = 8,
+      sampleBudgetElements = 64L * 100, refineIters = 2)
+    val (fi, si) = (inertia(full), inertia(sampled))
+    assert(si <= fi * 1.3,
+      s"sampled-train inertia $si too far above full-train $fi")
+  }
+
+  test("refinement improves a crippled 10%-sample init") {
+    val raw = IvfModel.trainSampled(emb, "embedding", nlist = 8,
+      sampleBudgetElements = 64L * 50, refineIters = 0)
+    val refined = IvfModel.trainSampled(emb, "embedding", nlist = 8,
+      sampleBudgetElements = 64L * 50, refineIters = 2)
+    assert(inertia(refined) <= inertia(raw) * 1.0001,
+      "Lloyd refinement must not worsen inertia")
+  }
+
+  test("large-k and array<double> inputs survive the sampled path") {
+    val doubled = emb.select(col("embedding").cast("array<double>").as("e"))
+    val m = IvfModel.trainSampled(doubled, "e", nlist = 64,
+      sampleBudgetElements = 64L * 400, refineIters = 1)
+    assert(m.nlist == 64)
+    assert(m.centroids.forall(_.length == 64))
+  }
+}
