@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.graft.expressions.{MinHashSignature, SimHash64}
+import org.apache.spark.sql.graft.expressions.{MinHashSignature, SimHash64, StringHash64}
 import graft.functions.GraftFunctions
 
 /**
@@ -459,5 +459,61 @@ object Dedup {
       .withColumn("cosine", GraftFunctions.cosine_sim(col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
+  }
+
+  // ------------------------------------------------------ repeated spans
+
+  /** Fingerprinted full token windows: (idCol, span_idx, span_hash).
+    * Only FULL windows count — a short tail window would fingerprint a
+    * different-length span and poison cross-doc matching (Lee et al.
+    * 2021's substring dedup uses fixed-length windows for the same
+    * reason). Shuffle payload downstream is (hash, id) pairs — the
+    * span text never leaves the map side. */
+  private def spanTable(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int, stride: Int): DataFrame =
+    TextAnalysis.chunkByTokens(df, idCol, textCol, spanTokens, stride)
+      .filter(col("chunk_tokens") === spanTokens)
+      .select(col(idCol), col("chunk_idx").as("span_idx"),
+        Bridge.column(StringHash64(
+          Bridge.expression(col("chunk_text")))).as("span_hash"))
+
+  /**
+   * Repeated token spans across the corpus: spans of `spanTokens`
+   * tokens (every `stride`) whose fingerprint occurs in >= `minDocs`
+   * distinct documents — the detection half of substring-level dedup
+   * (memorization-prone boilerplate: licenses, headers, templates).
+   * Output: (span_hash, n_docs, n_occ).
+   */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 8, stride: Int = 4, minDocs: Int = 2): DataFrame =
+    spanTable(df, idCol, textCol, spanTokens, stride)
+      .groupBy("span_hash")
+      .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+
+  /**
+   * Per-document repetition profile: how much of each document is made
+   * of cross-document repeated spans — the quality-filter signal that
+   * thresholds out boilerplate-heavy documents. One aggregate by hash
+   * (to mark repeated spans), one join back, one aggregate by id; the
+   * span table hangs off a single repartition exchange so the
+   * tokenize+window+hash pipeline executes once (ReuseExchange).
+   * Documents shorter than one full window carry no spans and are
+   * excluded (no signal either way).
+   * Output: (idCol, n_spans, n_repeated, repeated_frac).
+   */
+  def repetitionProfile(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 8, stride: Int = 4, minDocs: Int = 2): DataFrame = {
+    val spans = spanTable(df, idCol, textCol, spanTokens, stride)
+      .repartition(col("span_hash"))
+    val docCounts = spans
+      .groupBy("span_hash")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    spans.join(docCounts, Seq("span_hash"), "left")
+      .withColumn("rep", when(col("n_docs") >= minDocs, 1L).otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"), sum(col("rep")).as("n_repeated"))
+      .withColumn("repeated_frac",
+        round(col("n_repeated").cast("double") / col("n_spans"), 6))
   }
 }

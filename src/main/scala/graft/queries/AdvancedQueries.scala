@@ -320,6 +320,39 @@ object AdvancedQueries {
           .orderBy("source", "split")
       }),
 
+    // Deterministic global corpus shuffle, the sharded formulation:
+    // shard = splitmix64(id) mod S, position within shard by the full
+    // mixed value (unsigned order — Spark compares the signed long
+    // xor'd with Long.MinValue, which is exactly UBIGINT order). The
+    // (shard, pos) composite defines the global permutation without a
+    // single-partition global window; orderBy(rand()) is neither
+    // stable across runs nor replayable by another engine.
+    QueryDef("q82_shuffle_shards", Some(
+      s"""WITH h1 AS (
+         |  SELECT doc_id,
+         |    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z
+         |  FROM documents),
+         |${smStages(carry = "")}
+         |b AS (SELECT doc_id, CAST(xor(z, z >> 31) % 16 AS INTEGER) AS shard,
+         |  xor(z, z >> 31) AS zf FROM h3)
+         |SELECT shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY zf, doc_id) AS BIGINT) AS pos,
+         |  doc_id
+         |FROM b ORDER BY shard, pos""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.graft.Bridge
+        import org.apache.spark.sql.graft.expressions.SplitMix64
+        val z = Bridge.column(SplitMix64(Bridge.expression(col("doc_id"))))
+        table(spark, dir, "documents")
+          .select(col("doc_id"), hashBucket(col("doc_id"), 16).as("shard"), z.as("z"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("shard")
+              .orderBy(col("z").bitwiseXOR(lit(Long.MinValue)), col("doc_id"))).cast("long"))
+          .select("shard", "pos", "doc_id")
+          .orderBy("shard", "pos")
+      }),
+
     // Sequence packing: documents -> fixed-token-budget training bins,
     // sharded by id hash so the cumulative window parallelizes. Pure
     // function of (id, token count): DuckDB replays the splitmix shard

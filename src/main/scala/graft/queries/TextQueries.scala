@@ -315,6 +315,18 @@ object TextQueries {
           .orderBy("doc_id")
       }),
 
+    // Substring-level dedup signal (Lee et al. 2021's fixed-length
+    // window formulation): fingerprint full 8-token windows every 4
+    // tokens, mark spans whose hash occurs in >= 2 distinct docs, and
+    // profile each document by its repeated fraction. Everything after
+    // tokenization shuffles only (hash, id) pairs; the poly-31+splitmix
+    // span hash replays exactly in DuckDB HUGEINT.
+    QueryDef("q81_repeated_spans", Some(q81OracleSql),
+      (spark, dir) =>
+        Dedup.repetitionProfile(table(spark, dir, "documents"),
+            "doc_id", "text", spanTokens = 8, stride = 4, minDocs = 2)
+          .orderBy("doc_id")),
+
     // Multimodal plumbing through the driver surface: documents bytes
     // play the media payload; the deterministic stub codec decodes
     // shape + features (real decode is a MediaCodec impl away).
@@ -439,6 +451,36 @@ object TextQueries {
        |      list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')] AS hs
        |    FROM documents))
        |ORDER BY doc_id""".stripMargin
+  }
+
+  private def q81OracleSql: String = {
+    // stringHash(span, 42): poly-31 over bytes + splitmix finalizer —
+    // the same replay as the shingle hash (corpus is ASCII, ord == byte)
+    val spanHash = mixSql(
+      "list_reduce(list_prepend(CAST(42 AS HUGEINT), " +
+        "[CAST(ord(c) AS HUGEINT) FOR c IN string_split(span, '')]), " +
+        "(acc, b) -> (acc * 31 + b) % 18446744073709551616)")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS tk
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, tk,
+       |    CASE WHEN len(tk) <= 8 THEN 1
+       |      ELSE 1 + CAST(ceil((len(tk) - 8) / 4.0) AS INTEGER) END AS nw
+       |  FROM toks WHERE len(tk) > 0),
+       |e AS (
+       |  SELECT doc_id, array_to_string(tk[i*4+1 : i*4+8], ' ') AS span
+       |  FROM w, unnest(range(0, nw)) AS u(i)
+       |  WHERE len(tk[i*4+1 : i*4+8]) = 8),
+       |h AS (SELECT doc_id, CAST($spanHash AS UBIGINT) AS bh FROM e),
+       |dc AS (SELECT bh, count(DISTINCT doc_id) AS n_docs FROM h GROUP BY bh),
+       |prof AS (
+       |  SELECT h.doc_id, count(*) AS n_spans,
+       |    CAST(sum(CASE WHEN dc.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated
+       |  FROM h JOIN dc USING (bh) GROUP BY h.doc_id)
+       |SELECT doc_id, n_spans, n_repeated,
+       |  round(CAST(n_repeated AS DOUBLE) / n_spans, 6) AS repeated_frac
+       |FROM prof ORDER BY doc_id""".stripMargin
   }
 
   private def q38OracleSql: String = {

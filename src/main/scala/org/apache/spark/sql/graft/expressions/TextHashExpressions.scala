@@ -110,6 +110,47 @@ case class HashBucket(child: Expression, buckets: Int)
     copy(child = newChild)
 }
 
+/** `splitmix64(id)` — the raw splitmix64 mix of a long: the ordering
+  * key for deterministic corpus shuffling (a reproducible pseudo-random
+  * permutation, pure function of the id — `orderBy(rand())` is neither
+  * stable across runs nor replayable by another engine). */
+case class SplitMix64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "splitmix64"
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    TextHash.splitmix64(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.expressions.TextHash.splitmix64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `string_hash64(s)` — poly-31-over-bytes + splitmix64 finalizer
+  * (the dedup suite's shingle hash) as a standalone scalar: the span
+  * fingerprint for repeated-substring detection. */
+case class StringHash64(child: Expression, seed: Long = 42L)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "string_hash64"
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    TextHash.stringHash(v.asInstanceOf[UTF8String], seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.graft.expressions.TextHash.stringHash($c, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /**
  * `simhash64(tokens)` — 64-bit SimHash over an array of token strings
  * (Charikar 2002): each token votes its hash's bits up/down; the sign of

@@ -120,4 +120,45 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L))) // identical embeddings share all buckets
   }
+
+  test("repeated spans: shared boilerplate detected, unique text not") {
+    val boiler = (1 to 8).map(i => s"lic$i").mkString(" ") // one full 8-token window
+    val docs = Seq(
+      (1L, s"$boiler alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"$boiler iota kappa lambda mu nu xi omicron pi"),
+      (3L, "entirely unique words that no other document carries here ok"))
+      .toDF("doc_id", "text")
+    val rep = Dedup.repeatedSpans(docs, "doc_id", "text",
+      spanTokens = 8, stride = 4, minDocs = 2).collect()
+    // the boilerplate window (at offset 0) appears in docs 1 and 2
+    assert(rep.exists(r => r.getLong(1) == 2L), s"expected a 2-doc span, got ${rep.toSeq}")
+
+    val prof = Dedup.repetitionProfile(docs, "doc_id", "text",
+      spanTokens = 8, stride = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(prof(1L) > 0.0 && prof(2L) > 0.0)
+    assert(prof(3L) == 0.0)
+  }
+
+  test("repetition profile: exact duplicate docs are fully repeated") {
+    val text = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val prof = Dedup.repetitionProfile(docs, "doc_id", "text",
+      spanTokens = 8, stride = 4, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(prof(1L) == 1.0 && prof(2L) == 1.0)
+  }
+
+  test("splitmix64 / string_hash64 expressions match the JVM reference") {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.graft.expressions.{SplitMix64, StringHash64, TextHash}
+    val got = Seq((7L, "hello world")).toDF("id", "s")
+      .select(
+        Bridge.column(SplitMix64(Bridge.expression($"id"))).as("m"),
+        Bridge.column(StringHash64(Bridge.expression($"s"))).as("h"))
+      .collect()(0)
+    assert(got.getLong(0) == TextHash.splitmix64(7L))
+    assert(got.getLong(1) == TextHash.stringHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello world"), 42L))
+  }
 }
