@@ -476,6 +476,12 @@ object Dedup {
       .select(col(idCol), col("chunk_idx").as("span_idx"),
         Bridge.column(StringHash64(
           Bridge.expression(col("chunk_text")))).as("span_hash"))
+      // explicit so BOTH consumers of the shared exchange carry the
+      // same inferred-nonnull form — otherwise the optimizer adds
+      // isnotnull only on the aggregate side, the canonical subtrees
+      // diverge, and ReuseExchange silently stops deduping the
+      // tokenize pipeline (it runs twice)
+      .filter(col("span_hash").isNotNull)
 
   /**
    * Repeated token spans across the corpus: spans of `spanTokens`

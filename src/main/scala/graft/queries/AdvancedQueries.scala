@@ -81,19 +81,27 @@ object AdvancedQueries {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin),
       (spark, dir) => {
+        // the two value columns are independent selection pipelines —
+        // run them as concurrent driver jobs (Spark schedules both
+        // stages at once) instead of back-to-back
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
         val li = table(spark, dir, "lineitem")
-        val qty = graft.operators.Quantiles
+        val qtyF = Future(graft.operators.Quantiles
           .exactGroupedQuantiles(li, "l_returnflag", "l_quantity",
             Seq(0.5, 0.9), numPartitions = 32)
           .select(col("l_returnflag"),
             round(element_at(col("qs"), 1), 4).as("median_qty"),
-            round(element_at(col("qs"), 2), 4).as("p90_qty"))
-        val price = graft.operators.Quantiles
+            round(element_at(col("qs"), 2), 4).as("p90_qty")))
+        val priceF = Future(graft.operators.Quantiles
           .exactGroupedQuantiles(li, "l_returnflag", "l_extendedprice",
             Seq(0.25, 0.75), numPartitions = 32)
           .select(col("l_returnflag"),
             round(element_at(col("qs"), 1), 4).as("p25_price"),
-            round(element_at(col("qs"), 2), 4).as("p75_price"))
+            round(element_at(col("qs"), 2), 4).as("p75_price")))
+        val qty = Await.result(qtyF, Duration.Inf)
+        val price = Await.result(priceF, Duration.Inf)
         qty.join(price, "l_returnflag").orderBy("l_returnflag")
       }),
 

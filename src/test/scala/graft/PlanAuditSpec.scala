@@ -74,6 +74,34 @@ class PlanAuditSpec extends SparkSpec {
       s"aggregation must map-side combine:\n$plan")
   }
 
+  test("q81 repeated spans: one tokenize pipeline via ReuseExchange, id-only shuffles") {
+    // AQE reuses stages at runtime, which the pre-execution plan can't
+    // show — turn it off to assert the static reuse condition (the
+    // canonical-identical exchange subtrees AQE's reuse also needs)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = planOf("q81_repeated_spans")
+      // the span table feeds both the doc-count aggregate and the join;
+      // hanging both off one repartition exchange must dedup the
+      // tokenize+window+hash subtree
+      assert(plan.contains("ReusedExchange"),
+        s"span pipeline must execute once (ReuseExchange):\n$plan")
+      // the text column must not survive past the span table projection
+      // into any exchange (only hash/id/span_idx shuffle)
+      val exchangeLines = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(exchangeLines.nonEmpty && exchangeLines.forall(!_.contains("text#")),
+        s"no exchange may carry the text column:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q80 exact-2p quantiles: bucket assignment broadcasts the boundary table") {
+    val plan = run("q80_percentiles_exact2p").queryExecution.executedPlan.toString
+    // final assembly is a tiny local join of two collected results —
+    // what matters is it stays broadcast, never a shuffle join
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("LocalTableScan"),
+      s"q80 assembly must not plan a shuffled join:\n$plan")
+  }
+
   test("persisted IVF-PQ probe plans partition pruning on cluster_id") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val model = graft.index.IvfPqModel.train(emb, "embedding", nlist = 16, m = 8, k = 16)
