@@ -53,5 +53,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => QuantizeInt8(es(0))))
     ext.injectFunction(fn("int8_scale", classOf[Int8Scale],
       es => Int8Scale(es(0))))
+    ext.injectFunction(fn("splitmix64", classOf[SplitMix64],
+      es => SplitMix64(es(0))))
+    ext.injectFunction(fn("string_hash64", classOf[StringHash64],
+      es => StringHash64(es(0))))
   }
 }

@@ -17,16 +17,27 @@ import graft.search.SearchService
  * catalog + search service underneath.
  */
 final class VectorDb(spark: SparkSession, embedder: Embedder = Embedder.default,
-    embeddingDim: Int = 64) {
+    embeddingDim: Int = 64, durableRoot: Option[String] = None) {
 
-  val catalog = new VectorCatalog(spark, embedder, embeddingDim)
+  // With a durableRoot, every CRUD mutation routes through the
+  // write-ahead-logged DurableCatalog (recovering prior state at
+  // construction); reads and search always hit the underlying catalog.
+  private val durable: Option[graft.catalog.DurableCatalog] =
+    durableRoot.map(root =>
+      graft.catalog.DurableCatalog.recover(spark, root, embedder, embeddingDim))
+  val catalog: VectorCatalog =
+    durable.map(_.inner).getOrElse(new VectorCatalog(spark, embedder, embeddingDim))
   private val searchService = new SearchService(catalog)
+
+  /** Fold the WAL into a parquet snapshot (no-op without durableRoot). */
+  def checkpoint(): Unit = durable.foreach(_.checkpoint())
 
   // -------- libraries (app/api/routes/libraries.py)
   /** POST /api/v1/libraries/ (:11-17) */
   def createLibrary(name: String, description: Option[String] = None,
       metadata: Map[String, String] = Map.empty, indexType: String = "lsh") =
-    catalog.createLibrary(name, description, metadata, indexType)
+    durable.fold(catalog.createLibrary(name, description, metadata, indexType))(
+      _.createLibrary(name, description, metadata, indexType))
   /** GET /api/v1/libraries/ (:20-26) */
   def listLibraries(): Seq[LibraryRow] = catalog.listLibraries()
   /** GET /api/v1/libraries/{id} (:29-42) */
@@ -34,9 +45,11 @@ final class VectorDb(spark: SparkSession, embedder: Embedder = Embedder.default,
   /** PUT /api/v1/libraries/{id} (:45-59) */
   def updateLibrary(id: String, name: Option[String] = None,
       description: Option[String] = None, metadata: Option[Map[String, String]] = None) =
-    catalog.updateLibrary(id, name, description, metadata)
+    durable.fold(catalog.updateLibrary(id, name, description, metadata))(
+      _.updateLibrary(id, name, description, metadata))
   /** DELETE /api/v1/libraries/{id} — cascade (:62-75) */
-  def deleteLibrary(id: String) = catalog.deleteLibrary(id)
+  def deleteLibrary(id: String) =
+    durable.fold(catalog.deleteLibrary(id))(_.deleteLibrary(id))
   /** POST /api/v1/libraries/{id}/index?index_type= (:78-103) */
   def indexLibrary(id: String, indexType: String): Either[ApiError, IndexState] =
     catalog.indexLibrary(id, indexType)
@@ -45,15 +58,18 @@ final class VectorDb(spark: SparkSession, embedder: Embedder = Embedder.default,
   /** POST /api/v1/documents/?library_id= (:9-20) */
   def createDocument(libraryId: String, name: String,
       description: Option[String] = None, metadata: Map[String, String] = Map.empty) =
-    catalog.createDocument(libraryId, name, description, metadata)
+    durable.fold(catalog.createDocument(libraryId, name, description, metadata))(
+      _.createDocument(libraryId, name, description, metadata))
   /** GET /api/v1/documents/{id} (:23-36) */
   def getDocument(id: String) = catalog.getDocument(id)
   /** PUT /api/v1/documents/{id} (:39-53) */
   def updateDocument(id: String, name: Option[String] = None,
       description: Option[String] = None, metadata: Option[Map[String, String]] = None) =
-    catalog.updateDocument(id, name, description, metadata)
+    durable.fold(catalog.updateDocument(id, name, description, metadata))(
+      _.updateDocument(id, name, description, metadata))
   /** DELETE /api/v1/documents/{id} — cascade (:56-69) */
-  def deleteDocument(id: String) = catalog.deleteDocument(id)
+  def deleteDocument(id: String) =
+    durable.fold(catalog.deleteDocument(id))(_.deleteDocument(id))
   /** GET /api/v1/documents/library/{library_id} (:72-80) */
   def documentsByLibrary(libraryId: String): Seq[DocumentRow] = catalog.listDocuments(libraryId)
   /** GET /api/v1/documents/library/{id}/filter?metadata_filter= (:82-103);
@@ -66,15 +82,18 @@ final class VectorDb(spark: SparkSession, embedder: Embedder = Embedder.default,
   /** POST /api/v1/chunks/?document_id= — embeds at create (:9-20) */
   def createChunk(documentId: String, text: String,
       metadata: Map[String, String] = Map.empty) =
-    catalog.createChunk(documentId, text, metadata)
+    durable.fold(catalog.createChunk(documentId, text, metadata))(
+      _.createChunk(documentId, text, metadata))
   /** GET /api/v1/chunks/{id} (:22-35) */
   def getChunk(id: String) = catalog.getChunk(id)
   /** PUT /api/v1/chunks/{id} — re-embeds on text change (:38-52) */
   def updateChunk(id: String, text: Option[String] = None,
       metadata: Option[Map[String, String]] = None) =
-    catalog.updateChunk(id, text, metadata)
+    durable.fold(catalog.updateChunk(id, text, metadata))(
+      _.updateChunk(id, text, metadata))
   /** DELETE /api/v1/chunks/{id} (:55-68) */
-  def deleteChunk(id: String) = catalog.deleteChunk(id)
+  def deleteChunk(id: String) =
+    durable.fold(catalog.deleteChunk(id))(_.deleteChunk(id))
   /** GET /api/v1/chunks/document/{document_id} (:71-79) */
   def chunksByDocument(documentId: String): Either[ApiError, Seq[ChunkRow]] =
     catalog.getDocument(documentId).map(_ => collectChunks(catalog.chunksByDocument(documentId)))

@@ -127,6 +127,37 @@ class DurabilitySpec extends SparkSpec {
     assert(rows.size == 1 && rows.head.text == "v2")
   }
 
+  test("VectorDb facade with durableRoot survives a restart end-to-end") {
+    val root = freshRoot()
+    val db = new graft.api.VectorDb(spark, durableRoot = Some(root))
+    val lib = db.createLibrary("persistent", indexType = "exact").toOption.get
+    val doc = db.createDocument(lib.id, "d").toOption.get
+    db.createChunk(doc.id, "the quick brown fox").toOption.get
+    db.createChunk(doc.id, "jumps over the lazy dog").toOption.get
+    db.checkpoint()
+    db.createChunk(doc.id, "post-checkpoint chunk").toOption.get
+
+    val db2 = new graft.api.VectorDb(spark, durableRoot = Some(root))
+    assert(db2.listLibraries().map(_.id) == Seq(lib.id))
+    assert(db2.chunksByDocument(doc.id).toOption.get.size == 3)
+    val res = db2.search(lib.id, graft.model.SearchQuery(
+      queryText = Some("the quick brown fox"), k = 1)).toOption.get
+    assert(res.results.head.chunk.text == "the quick brown fox")
+    // without durableRoot nothing persists and checkpoint is a no-op
+    val plain = new graft.api.VectorDb(spark)
+    plain.checkpoint()
+    assert(plain.listLibraries().isEmpty)
+  }
+
+  test("splitmix64 / string_hash64 are registered SQL functions") {
+    val r = spark.sql(
+      "SELECT splitmix64(7L) AS m, string_hash64('hello world') AS h").collect()(0)
+    import org.apache.spark.sql.graft.expressions.TextHash
+    assert(r.getLong(0) == TextHash.splitmix64(7L))
+    assert(r.getLong(1) == TextHash.stringHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString("hello world"), 42L))
+  }
+
   test("search works against a recovered catalog") {
     val root = freshRoot()
     val cat = DurableCatalog.recover(spark, root)
