@@ -327,6 +327,46 @@ object TextQueries {
             "doc_id", "text", spanTokens = 8, stride = 4, minDocs = 2)
           .orderBy("doc_id")),
 
+    // The capstone composition: the full training-set preparation
+    // pipeline as ONE replayable query — quality gate (q31 formula) ->
+    // exact dedup (q33) -> near-dup removal via jaccard pairs +
+    // connected components (q34/q61) -> deterministic split (q62) ->
+    // shard + token-budget packing (q64/q82). One splitmix stream
+    // drives split AND shard (shard is a parallelism unit, not an
+    // independent statistical draw, so stream reuse is harmless and
+    // keeps the oracle one expression). Output: bin occupancy per
+    // (split, shard, bin) — the shape a trainer consumes.
+    QueryDef("q83_training_set_prep", Some(q83OracleSql),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = table(spark, dir, "documents")
+        val gated = docs
+          .withColumn("__m", TextAnalysis.textMetrics(col("text")))
+          .filter(round(col("__m.quality_score"), 6) >= 0.5)
+          .withColumn("n_tok", col("__m.n_tokens").cast("long"))
+          .select("doc_id", "text", "n_tok")
+        val ded = Dedup.exactDedup(gated, "doc_id", "text")
+        val pairs = Dedup.ngramJaccardPairs(ded, "doc_id", "text",
+          shingleSize = 3, minJaccard = 0.6, maxShingleFreq = 1000L)
+        val comps = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
+        val dropIds = comps.filter(col("id") =!= col("label"))
+          .select(col("id").as("doc_id"))
+        val surv = ded.join(dropIds, Seq("doc_id"), "left_anti")
+        val assigned = surv
+          .withColumn("b100", bucketCol(col("doc_id"), 100))
+          .withColumn("split", when(col("b100") < 80, "train")
+            .when(col("b100") < 90, "val").otherwise("test"))
+          .withColumn("shard", bucketCol(col("doc_id"), 8))
+        val w = Window.partitionBy("split", "shard").orderBy("doc_id")
+        assigned
+          .withColumn("bin_start",
+            coalesce(sum(col("n_tok")).over(w) - col("n_tok"), lit(0L)))
+          .withColumn("bin", floor(col("bin_start") / 1024).cast("long"))
+          .groupBy("split", "shard", "bin")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+          .orderBy("split", "shard", "bin")
+      }),
+
     // Multimodal plumbing through the driver surface: documents bytes
     // play the media payload; the deterministic stub codec decodes
     // shape + features (real decode is a MediaCodec impl away).
@@ -451,6 +491,74 @@ object TextQueries {
        |      list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')] AS hs
        |    FROM documents))
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** `hash_bucket` column (splitmix64 + unsigned mod). */
+  private def bucketCol(c: org.apache.spark.sql.Column, n: Int) = {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.graft.expressions.HashBucket
+    Bridge.column(HashBucket(Bridge.expression(c), n))
+  }
+
+  /** q83: every stage replayed — quality formula (q31), exact dedup by
+    * text, capped jaccard pairs (q34), recursive-CTE components (q61),
+    * one splitmix stream for split%100 and shard%8 (q62/q82), and the
+    * running-sum bin cut (q64). */
+  private def q83OracleSql: String = {
+    val scores = TextAnalysis.stopwords.sortBy(_._1).map { case (lang, _) =>
+      s"CAST(len(list_intersect(list_distinct(toks), ${stopList(lang)})) AS INTEGER) AS s_$lang"
+    }.mkString(", ")
+    val docMix = mixSql("CAST(doc_id AS HUGEINT)")
+    s"""WITH RECURSIVE t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+       |s AS (SELECT doc_id, text, toks, $scores FROM t),
+       |g AS (SELECT *, greatest(s_de, s_en, s_es, s_fr, s_zh) AS gm FROM s),
+       |q AS (SELECT doc_id, text, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+       |  round(
+       |    (CASE WHEN len(toks) BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END) * 0.3 +
+       |    (CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> list_contains($allStopSql, x))) AS DOUBLE) / len(toks) END) BETWEEN 0.01 AND 0.7 THEN 1.0 ELSE 0.0 END) * 0.3 +
+       |    (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"\\-\\(\\)]', '', 'g')) AS DOUBLE) / length(text) END) < 0.2 THEN 1.0 ELSE 0.0 END) * 0.2 +
+       |    (CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS qs
+       |  FROM g),
+       |gated AS (SELECT doc_id, text, toks, n_tok FROM q WHERE qs >= 0.5),
+       |ded AS (SELECT * FROM gated QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, greatest(len(toks) - 1, 1))]) AS shingles
+       |  FROM ded WHERE len(toks) >= 3),
+       |ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+       |freq AS (SELECT shingle, count(*) AS dfc FROM ex GROUP BY shingle),
+       |exf AS (SELECT e.* FROM ex e JOIN freq USING (shingle) WHERE dfc <= 1000),
+       |prs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+       |    count(*) AS common
+       |  FROM exf a JOIN exf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |jac AS (SELECT id_a, id_b FROM prs
+       |  WHERE CAST(common AS DOUBLE) / (n_a + n_b - common) >= 0.6),
+       |edges AS (SELECT id_a AS a, id_b AS b FROM jac
+       |  UNION ALL SELECT id_b, id_a FROM jac),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT e.b AS id, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+       |labels AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+       |dropids AS (SELECT id FROM labels WHERE id <> label),
+       |surv AS (SELECT d.doc_id, d.n_tok FROM ded d
+       |  LEFT JOIN dropids ON d.doc_id = dropids.id WHERE dropids.id IS NULL),
+       |hx AS (SELECT doc_id, n_tok, CAST($docMix AS UBIGINT) AS m FROM surv),
+       |sp AS (SELECT doc_id, n_tok,
+       |  CASE WHEN m % 100 < 80 THEN 'train' WHEN m % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+       |  CAST(m % 8 AS INTEGER) AS shard FROM hx),
+       |packed AS (
+       |  SELECT split, shard, n_tok,
+       |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY split, shard ORDER BY doc_id) - n_tok, 0) AS BIGINT) AS bin_start
+       |  FROM sp),
+       |binned AS (SELECT split, shard,
+       |  CAST(floor(bin_start / 1024) AS BIGINT) AS bin, n_tok FROM packed)
+       |SELECT split, shard, bin, count(*) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |FROM binned GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   }
 
   private def q81OracleSql: String = {
