@@ -328,6 +328,82 @@ object AdvancedQueries {
           .orderBy("source", "split")
       }),
 
+    // Rank-distribution window trio (percent_rank / cume_dist / ntile)
+    // over per-supplier revenue within each return flag. Revenue is
+    // rounded BEFORE ranking on both sides: the rank order must not
+    // depend on cross-engine float-summation noise, and ntile
+    // additionally depends on exact row order, so the ordering key is
+    // (rounded revenue, suppkey) — fully deterministic. Aggregate-
+    // then-window: the window input is |flags| x |suppliers| rows,
+    // not lineitem.
+    QueryDef("q84_rank_distribution", Some(
+      """WITH rev AS (
+        |  SELECT l_returnflag, l_suppkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_suppkey, revenue,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM rev
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY revenue, l_suppkey)
+        |ORDER BY l_returnflag, l_suppkey""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("revenue"), col("l_suppkey"))
+        table(spark, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_suppkey"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .select(col("l_returnflag"), col("l_suppkey"), col("revenue"),
+            round(percent_rank().over(w), 6).as("pct_rank"),
+            round(cume_dist().over(w), 6).as("cume"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy("l_returnflag", "l_suppkey")
+      }),
+
+    // Time-series gap filling: hourly purchase revenue on a dense
+    // generated spine, missing hours forward-filled with the last
+    // observed value (last(_, ignoreNulls) over an unbounded-preceding
+    // frame). The global window is bounded by the TIME RANGE (720
+    // hours here), not the data volume — the aggregate runs first, so
+    // this is safe at any corpus scale; shard by a coarser unit (day,
+    // series id) if the spine itself ever grows unbounded.
+    QueryDef("q85_gap_fill", Some(
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, count(*) AS n_events,
+        |    round(sum(value), 2) AS rev
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |spine AS (
+        |  SELECT unnest(generate_series((SELECT min(h) FROM hourly),
+        |    (SELECT max(h) FROM hourly), INTERVAL 1 HOUR)) AS h),
+        |j AS (SELECT s.h, hourly.n_events, hourly.rev
+        |  FROM spine s LEFT JOIN hourly ON s.h = hourly.h)
+        |SELECT h, CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+        |  last_value(rev IGNORE NULLS) OVER
+        |    (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_filled,
+        |  CAST(CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap
+        |FROM j ORDER BY h""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val hourly = table(spark, dir, "events")
+          .filter(col("event_type") === "purchase")
+          .groupBy(date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("rev"))
+        val spine = hourly.agg(min("h").as("mn"), max("h").as("mx"))
+          .select(explode(sequence(col("mn"), col("mx"),
+            expr("interval 1 hour"))).as("h"))
+        val w = Window.orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine.join(hourly, Seq("h"), "left")
+          .select(col("h"),
+            coalesce(col("n_events"), lit(0L)).as("n_events"),
+            last(col("rev"), ignoreNulls = true).over(w).as("revenue_filled"),
+            col("n_events").isNull.cast("int").as("is_gap"))
+          .orderBy("h")
+      }),
+
     // Deterministic global corpus shuffle, the sharded formulation:
     // shard = splitmix64(id) mod S, position within shard by the full
     // mixed value (unsigned order — Spark compares the signed long
