@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Layout
+
+/**
+ * Physical-layout levers, proven at the plan/footer level:
+ * co-bucketed joins must plan ZERO exchanges (the write-once shuffle
+ * amortization that makes fact-fact joins viable at 100 TB), and
+ * range-clustered parquet must carry near-disjoint per-file min/max
+ * so pushed predicates can skip files/row groups.
+ */
+class LayoutSpec extends SparkSpec {
+
+  test("co-bucketed tables join with zero exchanges and skip the sort") {
+    val li = queries.Tables.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val ord = queries.Tables.table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    Layout.writeBucketed(li, "li_bucketed", "l_orderkey", 8)
+    Layout.writeBucketed(ord, "ord_bucketed", "o_orderkey", 8)
+    // disable broadcast so the join exercises the bucketed SMJ path
+    // (at real scale neither side broadcasts), and AQE so the static
+    // plan is assertable
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val j = Layout.bucketedTable(spark, "li_bucketed")
+        .join(Layout.bucketedTable(spark, "ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+      // sorted buckets: the SMJ consumes bucket order, no extra Sort
+      // on the scan side beyond the join's required ordering
+      assert(plan.contains("Sort") == false || !plan.contains("Exchange"), plan)
+      // and the result is still correct
+      val n = j.count()
+      val expected = queries.Tables.table(spark, sfDir, "lineitem")
+        .join(queries.Tables.table(spark, sfDir, "orders"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(n == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
+  test("bucketed aggregation on the bucket key plans no exchange") {
+    val li = queries.Tables.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    Layout.writeBucketed(li, "li_agg_bucketed", "l_orderkey", 8)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val agg = Layout.bucketedTable(spark, "li_agg_bucketed")
+        .groupBy("l_orderkey").agg(sum("l_quantity"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"aggregation on the bucket key must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS li_agg_bucketed")
+    }
+  }
+
+  test("range-clustered parquet has near-disjoint per-file key ranges") {
+    val dir = Files.createTempDirectory("graft-clustered").toString + "/li"
+    val li = queries.Tables.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    Layout.writeClustered(li, dir, numFiles = 8, "l_orderkey")
+    // per-file min/max of the cluster key via a file-grouped scan
+    val stats = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), col("l_orderkey"))
+      .groupBy("f").agg(min("l_orderkey").as("mn"), max("l_orderkey").as("mx"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(stats.length >= 4, s"expected several files, got ${stats.length}")
+    // ranges must not overlap (allowing touching boundaries: rows with
+    // the same key can land either side of a range split)
+    stats.sliding(2).foreach {
+      case Array((_, mxA), (mnB, _)) =>
+        assert(mnB >= mxA, s"file ranges overlap: ${stats.toSeq}")
+      case _ =>
+    }
+    // a point-lookup filter's I/O bound: the matching range is ONE file
+    val key = stats(2)._1
+    val containing = stats.count { case (mn, mx) => key >= mn && key <= mx }
+    assert(containing <= 2, s"key $key spans $containing files")
+  }
+}
