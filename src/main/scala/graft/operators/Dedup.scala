@@ -196,7 +196,17 @@ object Dedup {
       // partitioned on the join key: one exchange, executed once,
       // reused by the other side (ReuseExchange) — the tokenize+
       // shingle pipeline runs once.
-      val byShingle = sh.repartition(col("shingle"))
+      // Join on the 64-bit shingle FINGERPRINT, not the string: the
+      // exchange row shrinks from (~20-40B string, id, n_sh) to
+      // (8B long, id, n_sh) — the co-occurrence count is identical
+      // unless two distinct shingles collide in 64 bits (~2^-64 per
+      // pair; the hash-compared oracle, which joins on strings, would
+      // catch exactly that).
+      val byShingle = sh
+        .select(Bridge.column(StringHash64(
+          Bridge.expression(col("shingle")))).as("shingle"),
+          col("id"), col("n_sh"))
+        .repartition(col("shingle"))
       // Stop-shingle pruning to bound bucket skew at scale: heavy
       // shingles are FEW (broadcast-able) — a groupBy + broadcast
       // anti-join beats a window count, which would sort-and-buffer the
