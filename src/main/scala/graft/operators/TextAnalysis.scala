@@ -184,10 +184,21 @@ object TextAnalysis {
   def contaminationPairs(corpus: DataFrame, corpusId: String, corpusText: String,
       benchmark: DataFrame, benchId: String, benchText: String,
       n: Int = 8, minOverlap: Int = 1): DataFrame = {
+    // join on the 64-bit span fingerprint, not the n-token string: the
+    // broadcast table shrinks ~5x (8 bytes vs a ~50-byte 8-gram), and a
+    // false contamination flag needs a 2^-64 collision — the oracle
+    // (which joins strings) would catch one
+    def h(c: org.apache.spark.sql.Column) = {
+      import org.apache.spark.sql.graft.Bridge
+      import org.apache.spark.sql.graft.expressions.StringHash64
+      Bridge.column(StringHash64(Bridge.expression(c)))
+    }
     val corpusSh = corpus.select(col(corpusId).as("id"),
-        explode(shingles(col(corpusText), n)).as("shingle"))
+        explode(shingles(col(corpusText), n)).as("__s"))
+      .select(col("id"), h(col("__s")).as("shingle"))
     val benchSh = benchmark.select(col(benchId).as("bench_id"),
-        explode(shingles(col(benchText), n)).as("shingle"))
+        explode(shingles(col(benchText), n)).as("__s"))
+      .select(col("bench_id"), h(col("__s")).as("shingle"))
     corpusSh.join(broadcast(benchSh), Seq("shingle"))
       .groupBy("id", "bench_id")
       .agg(count(lit(1)).as("n_shared"))
