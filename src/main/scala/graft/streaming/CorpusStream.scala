@@ -34,4 +34,36 @@ object CorpusStream {
         Seq("band", "bucket"))
       .select(col("id"), col("corpus_id"), col("band"))
   }
+
+  /**
+   * The batch curation GATES on a stream: optional PII scrub, the
+   * fused metrics struct, and the quality/language filter run per
+   * micro-batch unchanged — Catalyst expressions are execution-mode-
+   * agnostic, so this IS `CorpusPipeline.curate` steps 0-2, not a
+   * reimplementation. Stateless (append-mode streamable, no
+   * watermark); near-dup screening composes via `nearDupFlagStream`
+   * against a static banded corpus, and exact cross-batch dedup
+   * belongs to the ingest layer (`EventStream.dedupStream` pattern) —
+   * cross-batch NEAR-dup would need stateful shingle storage, scoped
+   * out just like the reference has no streaming surface at all.
+   * Output: input columns + quality_score/lang_pred/n_tokens.
+   */
+  def curateStream(docs: DataFrame, textCol: String,
+      minQuality: Double = 0.5,
+      keepLangs: Set[String] = Set.empty,
+      redactPii: Boolean = false): DataFrame = {
+    import graft.operators.TextAnalysis
+    val scrubbed =
+      if (!redactPii) docs
+      else docs.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
+    val withMetrics = scrubbed
+      .withColumn("__m", TextAnalysis.textMetrics(col(textCol)))
+      .withColumn("quality_score", col("__m.quality_score"))
+      .withColumn("lang_pred", col("__m.lang_pred"))
+      .withColumn("n_tokens", col("__m.n_tokens"))
+      .drop("__m")
+    val gated = withMetrics.filter(col("quality_score") >= minQuality)
+    if (keepLangs.isEmpty) gated
+    else gated.filter(col("lang_pred").isin(keepLangs.toSeq: _*))
+  }
 }

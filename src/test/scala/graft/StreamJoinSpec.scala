@@ -92,6 +92,37 @@ class StreamJoinSpec extends SparkSpec {
     assert(batchPairs == got.filter { case (_, c) => c >= 10L && c < 20L })
   }
 
+  test("streaming curation gates == batch curation gates on the same docs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps running for a while"),
+      (2L, "x"), // too short: quality-gated out
+      (3L, "another reasonable english document that talks about data and the system today"))
+
+    val in = MemoryStream[(Long, String)]
+    val curated = graft.streaming.CorpusStream.curateStream(
+      in.toDF().toDF("doc_id", "text"), "text", minQuality = 0.5)
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("curated_stream").start()
+    val got = try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      spark.sql("SELECT doc_id, quality_score, lang_pred, n_tokens FROM curated_stream")
+        .as[(Long, Double, String, Int)].collect().toSet
+    } finally q.stop()
+
+    // batch mirror: identical expressions over the same rows
+    val batch = docs.toDF("doc_id", "text")
+      .withColumn("__m", graft.operators.TextAnalysis.textMetrics($"text"))
+      .filter($"__m.quality_score" >= 0.5)
+      .select($"doc_id", $"__m.quality_score", $"__m.lang_pred", $"__m.n_tokens")
+      .as[(Long, Double, String, Int)].collect().toSet
+    assert(got == batch)
+    assert(!got.exists(_._1 == 2L))
+    assert(got.map(_._1) == Set(1L, 3L))
+  }
+
   test("watermark bounds join state (plan has watermarks on both sides)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
