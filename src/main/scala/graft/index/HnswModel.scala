@@ -1,0 +1,304 @@
+package graft.index
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * HNSW graph (Malkov & Yashunin 2018, "Efficient and robust approximate
+ * nearest neighbor search using Hierarchical Navigable Small World
+ * graphs") — the driver-resident graph tier of the index family.
+ *
+ * Where it sits in the 100 TB architecture: the graph holds a BOUNDED
+ * set of vectors (capped at `maxGraphVectors`, like IVF centroids and
+ * PQ codebooks it is driver/broadcast state, not data-plane state).
+ * Two deployments:
+ *
+ *  1. **Coarse quantizer**: at billion-vector scale `nlist` grows to
+ *     ~sqrt(n) (100k-1M centroids) and the brute-force top-`nprobe`
+ *     centroid scan in [[IvfModel.probe]] becomes the per-query
+ *     bottleneck. An HNSW graph over the centroids answers the same
+ *     top-`nprobe` selection in O(log n) hops — exactly how FAISS
+ *     composes `IndexHNSWFlat` as the coarse quantizer of an IVF index.
+ *     [[probeCells]] is that drop-in.
+ *  2. **Broadcast candidate tier**: for a corpus that fits the cap, the
+ *     graph broadcasts to executors once and a *distributed* set of
+ *     queries each navigates it locally ([[knnCandidates]]) — zero
+ *     shuffle of the corpus, candidate generation cost O(ef log n) per
+ *     query, exact rerank downstream removes graph error from the final
+ *     ranking (the same two-tier contract as PQ/int8).
+ *
+ * Determinism: level draws come from a seeded RNG consumed in insertion
+ * order, and insertion order is the caller-sorted input order — the
+ * same (data, seed) always builds the same graph, which is what lets
+ * AnnRecallSpec assert recall numbers instead of distributions.
+ *
+ * Distances are squared L2 over optionally pre-normalized vectors —
+ * with `normalize=true` (default) L2 order equals cosine order, so the
+ * graph ranks like the cosine searches it feeds (reference search
+ * semantics, app/services/search_service.py).
+ */
+final class HnswModel private (
+    val ids: Array[Long],
+    private val vectors: Array[Array[Float]],
+    private val neighbors: Array[Array[Array[Int]]], // node -> level -> nbrs
+    private val entryPoint: Int,
+    private val topLevel: Int,
+    val normalized: Boolean) extends Serializable {
+
+  def size: Int = ids.length
+
+  private def dist(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val x = a(i) - b(i); d += x * x; i += 1 }
+    d
+  }
+
+  /** Greedy best-first search of one layer; returns up to `ef` closest
+    * nodes as (dist, node), closest first. */
+  private def searchLayer(q: Array[Float], entry: Int, ef: Int,
+      level: Int): mutable.ArrayBuffer[(Double, Int)] = {
+    val visited = new java.util.HashSet[Integer]()
+    // candidates: min-heap by distance; results: max-heap (worst first)
+    val cand = mutable.PriorityQueue.empty[(Double, Int)](
+      Ordering.by[(Double, Int), Double](_._1).reverse)
+    val res = mutable.PriorityQueue.empty[(Double, Int)](
+      Ordering.by[(Double, Int), Double](_._1))
+    val d0 = dist(q, vectors(entry))
+    cand.enqueue((d0, entry)); res.enqueue((d0, entry)); visited.add(entry)
+    while (cand.nonEmpty) {
+      val (dc, c) = cand.dequeue()
+      if (dc > res.head._1 && res.size >= ef) { cand.clear() }
+      else {
+        val nbrs = neighbors(c)(level)
+        var i = 0
+        while (i < nbrs.length) {
+          val e = nbrs(i)
+          if (visited.add(e)) {
+            val de = dist(q, vectors(e))
+            if (res.size < ef || de < res.head._1) {
+              cand.enqueue((de, e)); res.enqueue((de, e))
+              if (res.size > ef) res.dequeue()
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    val out = mutable.ArrayBuffer.from(res)
+    out.sortInPlaceBy(_._1)
+    out
+  }
+
+  /** Top-`k` (id, squaredDist) by graph navigation: greedy descent
+    * through the upper layers, beam of width `ef` at layer 0. */
+  def search(query: Array[Float], k: Int, ef: Int = 64): Seq[(Long, Double)] = {
+    require(size > 0, "empty graph")
+    val q = if (normalized) HnswModel.unit(query) else query
+    var ep = entryPoint
+    var lvl = topLevel
+    while (lvl > 0) {
+      ep = searchLayer(q, ep, 1, lvl).head._2
+      lvl -= 1
+    }
+    searchLayer(q, ep, math.max(ef, k), 0)
+      .take(k).map { case (d, n) => (ids(n), d) }.toSeq
+  }
+
+  /** Coarse-quantizer form: the graph was built over IVF centroids with
+    * `ids` = cell ids; returns the top-`nprobe` cell ids for a query
+    * (the O(log n) replacement for [[IvfModel.probe]]'s linear scan). */
+  def probeCells(query: Array[Float], nprobe: Int, ef: Int = 64): Seq[Int] =
+    search(query, nprobe, math.max(ef, 2 * nprobe)).map(_._1.toInt)
+
+  /**
+   * Distributed candidate generation: broadcast the graph, navigate it
+   * from every query row. Output (query_id, neighbor_id, graph_dist) —
+   * `k` candidates per query for a downstream exact rerank. The corpus
+   * never shuffles; per-executor cost is one broadcast of the graph
+   * (bounded by `maxGraphVectors`) plus O(ef log n) per query.
+   */
+  def knnCandidates(spark: SparkSession, queries: DataFrame, qidCol: String,
+      embCol: String, k: Int, ef: Int = 64): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(this)
+    queries
+      .select(col(qidCol).cast("long"), col(embCol).cast("array<float>"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val g = bc.value
+        it.flatMap { case (qid, q) =>
+          g.search(q, k, ef).map { case (id, d) => (qid, id, d) }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "graph_dist")
+  }
+}
+
+object HnswModel {
+
+  /** Driver/broadcast budget guard: the graph tier is bounded state by
+    * design (centroids, a representative corpus slice, or a corpus that
+    * genuinely fits). 200k x dim 64 floats ≈ 51 MB of vectors + the
+    * adjacency — comfortably broadcastable; anything larger belongs in
+    * the IVF(-PQ) data plane with HNSW on top as coarse quantizer. */
+  val maxGraphVectors: Int = 200000
+
+  private[index] def unit(v: Array[Float]): Array[Float] = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) v
+    else {
+      val out = new Array[Float](v.length)
+      i = 0
+      while (i < v.length) { out(i) = (v(i) / n).toFloat; i += 1 }
+      out
+    }
+  }
+
+  /** Build from a DataFrame: collects up to `maxGraphVectors` (id,
+    * embedding) rows sorted by id (deterministic insertion order). */
+  def build(df: DataFrame, idCol: String, embCol: String, m: Int = 16,
+      efConstruction: Int = 200, seed: Long = 42L,
+      normalize: Boolean = true): HnswModel = {
+    val rows = df.filter(col(embCol).isNotNull)
+      .select(col(idCol).cast("long"), col(embCol).cast("array<float>"))
+      .orderBy(col(idCol))
+      .limit(maxGraphVectors)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    fromVectors(rows.map(_._1), rows.map(_._2), m, efConstruction, seed, normalize)
+  }
+
+  /** Build over IVF centroids (cell id = centroid index) — the coarse
+    * quantizer composition. Centroids are already driver state. */
+  def overCentroids(model: IvfModel, m: Int = 16, efConstruction: Int = 200,
+      seed: Long = 42L): HnswModel =
+    fromVectors(Array.tabulate(model.nlist)(_.toLong), model.centroids,
+      m, efConstruction, seed, normalize = false)
+
+  /** In-memory build (Algorithm 1 of the paper; neighbor selection is
+    * the diversity heuristic of Algorithm 4 without the extend/prune
+    * extensions). */
+  def fromVectors(rawIds: Array[Long], rawVecs: Array[Array[Float]],
+      m: Int = 16, efConstruction: Int = 200, seed: Long = 42L,
+      normalize: Boolean = true): HnswModel = {
+    require(rawIds.length == rawVecs.length, "ids/vectors length mismatch")
+    require(rawIds.nonEmpty, "HnswModel: no vectors")
+    require(rawIds.length <= maxGraphVectors,
+      s"HnswModel holds bounded driver state: ${rawIds.length} > $maxGraphVectors")
+    val n = rawIds.length
+    val vecs = if (normalize) rawVecs.map(unit) else rawVecs
+    val mL = 1.0 / math.log(m.toDouble)
+    val rnd = new scala.util.Random(seed)
+    val m0 = 2 * m
+
+    def dist(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      val len = math.min(a.length, b.length)
+      while (i < len) { val x = a(i) - b(i); d += x * x; i += 1 }
+      d
+    }
+
+    val levels = Array.fill(n)(0)
+    var i = 0
+    while (i < n) {
+      levels(i) = math.floor(-math.log(math.max(rnd.nextDouble(), 1e-12)) * mL).toInt
+      i += 1
+    }
+    // adjacency under construction: node -> level -> buffer of neighbors
+    val adj: Array[Array[mutable.ArrayBuffer[Int]]] =
+      Array.tabulate(n)(v => Array.fill(levels(v) + 1)(mutable.ArrayBuffer.empty[Int]))
+
+    // diversity heuristic: keep c only if closer to q than to every kept
+    def selectNeighbors(q: Array[Float], cands: Seq[(Double, Int)],
+        want: Int): Seq[Int] = {
+      val sorted = cands.sortBy(_._1)
+      val kept = mutable.ArrayBuffer.empty[Int]
+      val it = sorted.iterator
+      while (it.hasNext && kept.length < want) {
+        val (dq, c) = it.next()
+        if (kept.forall(s => dist(vecs(c), vecs(s)) >= dq)) kept += c
+      }
+      // backfill with nearest rejected if diversity starved the list
+      if (kept.length < want)
+        sorted.iterator.map(_._2).filterNot(kept.contains)
+          .take(want - kept.length).foreach(kept += _)
+      kept.toSeq
+    }
+
+    def searchLayerB(q: Array[Float], entry: Int, ef: Int,
+        level: Int): mutable.ArrayBuffer[(Double, Int)] = {
+      val visited = new java.util.HashSet[Integer]()
+      val cand = mutable.PriorityQueue.empty[(Double, Int)](
+        Ordering.by[(Double, Int), Double](_._1).reverse)
+      val res = mutable.PriorityQueue.empty[(Double, Int)](
+        Ordering.by[(Double, Int), Double](_._1))
+      val d0 = dist(q, vecs(entry))
+      cand.enqueue((d0, entry)); res.enqueue((d0, entry)); visited.add(entry)
+      while (cand.nonEmpty) {
+        val (dc, c) = cand.dequeue()
+        if (dc > res.head._1 && res.size >= ef) { cand.clear() }
+        else {
+          val nbrs = adj(c)(level)
+          var j = 0
+          while (j < nbrs.length) {
+            val e = nbrs(j)
+            if (visited.add(e)) {
+              val de = dist(q, vecs(e))
+              if (res.size < ef || de < res.head._1) {
+                cand.enqueue((de, e)); res.enqueue((de, e))
+                if (res.size > ef) res.dequeue()
+              }
+            }
+            j += 1
+          }
+        }
+      }
+      val out = mutable.ArrayBuffer.from(res)
+      out.sortInPlaceBy(_._1)
+      out
+    }
+
+    var entry = 0
+    var top = levels(0)
+    i = 1
+    while (i < n) {
+      val q = vecs(i)
+      val l = levels(i)
+      var ep = entry
+      var lvl = top
+      while (lvl > l) {
+        ep = searchLayerB(q, ep, 1, lvl).head._2
+        lvl -= 1
+      }
+      var level = math.min(l, top)
+      while (level >= 0) {
+        val cands = searchLayerB(q, ep, efConstruction, level)
+        ep = cands.head._2
+        val maxConn = if (level == 0) m0 else m
+        val sel = selectNeighbors(q, cands.toSeq, m)
+        sel.foreach { s =>
+          adj(i)(level) += s
+          val back = adj(s)(level)
+          back += i
+          if (back.length > maxConn) {
+            // re-select the neighbor's list with the same heuristic
+            val scored = back.map(b => (dist(vecs(s), vecs(b)), b)).toSeq
+            val keep = selectNeighbors(vecs(s), scored, maxConn)
+            back.clear(); back ++= keep
+          }
+        }
+        level -= 1
+      }
+      if (l > top) { top = l; entry = i }
+      i += 1
+    }
+
+    new HnswModel(rawIds, vecs,
+      adj.map(_.map(_.toArray)), entry, top, normalize)
+  }
+}

@@ -34,6 +34,7 @@ object VectorQueries {
 
   private val ivfpqCache = new scala.collection.concurrent.TrieMap[String, graft.index.IvfPqModel]()
   private val pqCache = new scala.collection.concurrent.TrieMap[String, graft.index.PqModel]()
+  private val hnswCache = new scala.collection.concurrent.TrieMap[String, graft.index.HnswModel]()
   private def pqModel(spark: org.apache.spark.sql.SparkSession, dir: String): graft.index.PqModel =
     pqCache.getOrElseUpdate(dir,
       graft.index.PqModel.train(table(spark, dir, "embeddings"), "embedding", m = 8, k = 16))
@@ -245,6 +246,25 @@ object VectorQueries {
         val cands = model.candidates(encoded, q, nprobe = 8, n = 50)
           .select(col("id").as("vec_id"))
         e.join(cands, Seq("vec_id"), "left_semi")
+          .withColumn("raw_score", cosine_sim(col("embedding"), typedlit(q.toSeq)))
+          .orderBy(col("raw_score").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), col("label"), round(col("raw_score"), 6).as("score"))
+      }),
+
+    // HNSW graph-tier search: seeded graph build (broadcast-bounded
+    // driver state), 50 graph candidates, exact cosine rerank to top-10.
+    // Rows-only like the other seeded-ANN paths; graph recall and the
+    // coarse-quantizer composition are measured in AnnRecallSpec.
+    QueryDef("q86_knn_hnsw", None,
+      (spark, dir) => {
+        val e = table(spark, dir, "embeddings")
+        val g = hnswCache.getOrElseUpdate(dir,
+          graft.index.HnswModel.build(e, "vec_id", "embedding"))
+        val q = e.filter(col("vec_id") === 0).select("embedding")
+          .collect()(0).getSeq[Float](0).toArray
+        val cands = g.search(q, k = 50, ef = 100).map(_._1)
+        e.filter(col("vec_id").isin(cands.map(Long.box): _*))
           .withColumn("raw_score", cosine_sim(col("embedding"), typedlit(q.toSeq)))
           .orderBy(col("raw_score").desc, col("vec_id"))
           .limit(10)

@@ -226,4 +226,58 @@ class AnnRecallSpec extends SparkSpec {
     val single = exactTopK(queryVec(5L), 10)
     assert(batch == single)
   }
+
+  test("HNSW graph tier: candidate recall@10 beats every other ANN tier") {
+    import graft.index.HnswModel
+    val g = HnswModel.build(emb, "vec_id", "embedding")
+    val recalls = (0L until 20L).map { qid =>
+      val q = queryVec(qid)
+      val cands = g.search(q, k = 50, ef = 100).map(_._1).toSet
+      assert(cands.contains(qid)) // the query's own vector must be found
+      val universe = emb.filter(col("vec_id").isin(cands.toSeq.map(Long.box): _*))
+      val approx = Similarity.knnExact(universe, "vec_id", "embedding", q, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      approx.intersect(exactTopK(q, 10)).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"HNSW (ef=100, top-50) candidate recall@10 = $mean%.2f")
+    assert(mean >= 0.8, s"HNSW recall collapsed: $mean")
+  }
+
+  test("HNSW build is deterministic for fixed (data, seed)") {
+    import graft.index.HnswModel
+    val a = HnswModel.build(emb, "vec_id", "embedding", seed = 7L)
+    val b = HnswModel.build(emb, "vec_id", "embedding", seed = 7L)
+    val q = queryVec(3L)
+    assert(a.search(q, 20, ef = 80) == b.search(q, 20, ef = 80))
+  }
+
+  test("HNSW broadcast candidate tier equals driver-side navigation") {
+    import graft.index.HnswModel
+    val g = HnswModel.build(emb, "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+    val dist = g.knnCandidates(spark, queries, "vec_id", "embedding", k = 10, ef = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = (0L until 5L).flatMap { qid =>
+      g.search(queryVec(qid), 10, ef = 64).map { case (id, _) => (qid, id) }
+    }.toSet
+    assert(dist == local) // same graph, same navigation, any partitioning
+  }
+
+  test("HNSW coarse quantizer agrees with brute-force centroid probe") {
+    import graft.index.HnswModel
+    val ivf = IvfModel.train(emb, "embedding", nlist = 16)
+    val g = HnswModel.overCentroids(ivf)
+    val overlaps = (0L until 20L).map { qid =>
+      val q = queryVec(qid)
+      val brute = ivf.probe(q, nprobe = 4).toSet
+      val graph = g.probeCells(q, nprobe = 4, ef = 16).toSet
+      brute.intersect(graph).size / 4.0
+    }
+    val mean = overlaps.sum / overlaps.size
+    info(f"HNSW-vs-brute probe overlap @4/16 cells = $mean%.2f")
+    // the graph replaces a LINEAR centroid scan; near-perfect agreement
+    // expected at this nlist (it searches the same 16 points)
+    assert(mean >= 0.9, s"coarse-quantizer probe disagreement: $mean")
+  }
 }
