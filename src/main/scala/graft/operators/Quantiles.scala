@@ -175,4 +175,152 @@ object Quantiles {
     }
     out.toDF(groupCol, "qs")
   }
+
+  /**
+   * Multi-column form: exact grouped quantiles for SEVERAL value
+   * columns (each with its own fraction list) in SHARED passes. The
+   * single-column operator costs 3 scans of the input per column
+   * (bounds sweep, counts, selection); at 100 TB the scan is the
+   * dominant cost, so k columns melt into one (group, column, value)
+   * relation via `posexplode` and every pass runs once: 3 scans total,
+   * with the melted shuffles carrying k-fold rows but each row only
+   * (string, int, int, double) wide. Selection targets stay per-column
+   * (each (group, column) has its own total/ranks), which is the
+   * round-5 NOTES design: "bounds/counts share a scan; selections stay
+   * per-column".
+   *
+   * Returns one row per group: (groupCol, `<col>_qs`: array<double>
+   * aligned with that column's fractions; null if the column had no
+   * non-null values in the group).
+   */
+  def exactGroupedQuantilesMulti(
+      df: DataFrame,
+      groupCol: String,
+      valueCols: Seq[(String, Seq[Double])],
+      numPartitions: Int = 64): DataFrame = {
+    require(valueCols.nonEmpty, "at least one value column")
+    valueCols.foreach { case (c, fs) =>
+      require(fs.nonEmpty, s"no fractions for $c")
+      require(fs.forall(f => f >= 0.0 && f <= 1.0), s"fractions out of [0,1] for $c")
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val k = valueCols.length
+    // melt: (g, c, v) — one row per non-null (row, column) pair
+    val melted = df
+      .select(col(groupCol).cast(StringType).as("g"),
+        posexplode(array(valueCols.map { case (c, _) => col(c).cast(DoubleType) }: _*))
+          .as(Seq("c", "v")))
+      .where(col("g").isNotNull && col("v").isNotNull)
+
+    val cutFractions = (1 until numPartitions).map(_.toDouble / numPartitions)
+    val boundRows: Seq[(String, Int, Seq[Double])] =
+      if (cutFractions.isEmpty)
+        melted.select("g", "c").distinct().as[(String, Int)].collect().toSeq
+          .map { case (g, c) => (g, c, Seq.empty[Double]) }
+      else
+        melted.groupBy("g", "c")
+          .agg(percentile_approx(col("v"),
+            array(cutFractions.map(lit): _*), lit(1000)).as("bounds"))
+          .as[(String, Int, Seq[Double])]
+          .collect()
+          .toSeq
+    if (boundRows.isEmpty) {
+      val schema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField(groupCol, StringType) +:
+          valueCols.map { case (c, _) =>
+            org.apache.spark.sql.types.StructField(s"${c}_qs",
+              org.apache.spark.sql.types.ArrayType(DoubleType))
+          })
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    val boundsLit = broadcast(boundRows.toDF("g", "c", "bounds"))
+
+    val bucketed = melted.join(boundsLit, Seq("g", "c"))
+      .withColumn("b", size(filter(col("bounds"), x => col("v") > x)))
+      .select("g", "c", "b", "v")
+
+    val counts: Seq[((String, Int), Int, Long)] = bucketed
+      .groupBy("g", "c", "b").count()
+      .collect()
+      .toSeq
+      .map(r => ((r.getString(0), r.getInt(1)), r.getInt(2), r.getLong(3)))
+
+    val byKey = counts.groupBy(_._1)
+    val totals: Map[(String, Int), Long] =
+      byKey.map { case (key, rows) => key -> rows.map(_._3).sum }
+    val fractionsOf: Map[Int, Seq[Double]] =
+      valueCols.zipWithIndex.map { case ((_, fs), i) => i -> fs }.toMap
+    val needed: Map[(String, Int), Set[Long]] = totals.map { case (key @ (_, c), n) =>
+      key -> fractionsOf(c).flatMap { f =>
+        val t = (n - 1) * f
+        Seq(math.floor(t).toLong + 1L, math.ceil(t).toLong + 1L)
+      }.toSet
+    }
+    val offsets: Map[(String, Int, Int), Long] = byKey.toSeq.flatMap {
+      case (key @ (g, c), rows) =>
+        var acc = 0L
+        rows.sortBy(_._2).map { case (_, b, cnt) =>
+          val o = acc; acc += cnt; ((g, c, b), o)
+        }
+    }.toMap
+
+    val bNeeded = spark.sparkContext.broadcast(needed)
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+
+    val selected: Array[(String, Int, Long, Double)] = bucketed
+      .repartition(numPartitions, col("g"), col("c"), col("b"))
+      .sortWithinPartitions("g", "c", "b", "v")
+      .as[(String, Int, Int, Double)]
+      .mapPartitions { it =>
+        var curG: String = null
+        var curC = Int.MinValue
+        var curB = Int.MinValue
+        var local = 0L
+        var off = 0L
+        var want: Set[Long] = Set.empty
+        it.flatMap { case (g, c, b, v) =>
+          if (g != curG || c != curC || b != curB) {
+            if (g != curG || c != curC) want = bNeeded.value.getOrElse((g, c), Set.empty)
+            curG = g; curC = c; curB = b
+            local = 0L
+            off = bOffsets.value.getOrElse((g, c, b), 0L)
+          }
+          local += 1L
+          if (want.contains(off + local)) Iterator.single((g, c, off + local, v))
+          else Iterator.empty
+        }
+      }
+      .collect()
+
+    val valByRank: Map[(String, Int), Map[Long, Double]] = selected
+      .groupBy(r => (r._1, r._2))
+      .map { case (key, rows) => key -> rows.map(r => r._3 -> r._4).toMap }
+    val groups = totals.keys.map(_._1).toSeq.distinct.sorted
+    val rows = groups.map { g =>
+      val qsPerCol: Seq[Seq[Double]] = (0 until k).map { c =>
+        totals.get((g, c)) match {
+          case Some(n) =>
+            val ranks = valByRank((g, c))
+            fractionsOf(c).map { f =>
+              val t = (n - 1) * f
+              val vl = ranks(math.floor(t).toLong + 1L)
+              val vh = ranks(math.ceil(t).toLong + 1L)
+              vl + (vh - vl) * (t - math.floor(t))
+            }
+          case None => null
+        }
+      }
+      org.apache.spark.sql.Row.fromSeq(g +: qsPerCol)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(groupCol, StringType) +:
+        valueCols.map { case (c, _) =>
+          org.apache.spark.sql.types.StructField(s"${c}_qs",
+            org.apache.spark.sql.types.ArrayType(DoubleType))
+        })
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
 }

@@ -73,4 +73,62 @@ class QuantilesSpec extends SparkSpec {
     assert(math.abs(got("a")(0) - 1.0) < 1e-9)
     assert(math.abs(got("a")(4) - 3.0) < 1e-9)
   }
+
+  // --- multi-column shared passes ---
+
+  private def viaMulti(df: org.apache.spark.sql.DataFrame, g: String,
+      cols: Seq[(String, Seq[Double])], parts: Int): Map[String, Seq[Seq[Double]]] =
+    Quantiles.exactGroupedQuantilesMulti(df, g, cols, parts)
+      .collect()
+      .map(r => r.getString(0) ->
+        cols.indices.map(i => Option(r.getSeq[Double](i + 1)).map(_.toSeq).orNull))
+      .toMap
+
+  test("multi-column equals per-column single runs on lineitem") {
+    val li = queries.Tables.table(spark, sfDir, "lineitem")
+    val cols = Seq("l_quantity" -> fractions, "l_extendedprice" -> fractions)
+    val multi = viaMulti(li, "l_returnflag", cols, 16)
+    for ((c, fs) <- cols) {
+      val single = Quantiles.exactGroupedQuantiles(li, "l_returnflag", c, fs, 16)
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
+      val idx = cols.indexWhere(_._1 == c)
+      assert(single.keySet == multi.keySet)
+      for (g <- single.keySet; i <- fs.indices)
+        assert(math.abs(single(g)(i) - multi(g)(idx)(i)) < 1e-9,
+          s"col $c group $g fraction ${fs(i)}")
+    }
+  }
+
+  test("multi-column: per-column fractions and partition-count invariance") {
+    val df = spark.range(9000)
+      .select((col("id") % 3).cast("string").as("g"),
+        pmod(hash(col("id")), lit(1000)).cast("double").as("a"),
+        pmod(hash(col("id") * 7), lit(500)).cast("double").as("b"))
+    val cols = Seq("a" -> Seq(0.5), "b" -> Seq(0.1, 0.9))
+    val r8 = viaMulti(df, "g", cols, 8)
+    val r32 = viaMulti(df, "g", cols, 32)
+    assert(r8 == r32)
+    // spot-check vs percentile()
+    val exact = df.groupBy("g")
+      .agg(percentile(col("a"), lit(0.5)).as("am"),
+        percentile(col("b"), array(lit(0.1), lit(0.9))).as("bq"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getSeq[Double](2).toSeq))
+      .toMap
+    for ((g, (am, bq)) <- exact) {
+      assert(math.abs(r8(g)(0)(0) - am) < 1e-9)
+      for (i <- bq.indices) assert(math.abs(r8(g)(1)(i) - bq(i)) < 1e-9)
+    }
+  }
+
+  test("multi-column: all-null column in one group yields null qs") {
+    val df = Seq(
+      ("a", Some(1.0), Some(10.0)), ("a", Some(2.0), Some(20.0)),
+      ("b", Some(5.0), None), ("b", Some(6.0), None)).toDF("g", "x", "y")
+    val got = viaMulti(df, "g", Seq("x" -> Seq(0.5), "y" -> Seq(0.5)), 4)
+    assert(math.abs(got("a")(0)(0) - 1.5) < 1e-9)
+    assert(math.abs(got("a")(1)(0) - 15.0) < 1e-9)
+    assert(math.abs(got("b")(0)(0) - 5.5) < 1e-9)
+    assert(got("b")(1) == null)
+  }
 }
