@@ -166,9 +166,18 @@ object IvfModel {
   private[index] def lloydLocal(data: Array[Array[Float]], k: Int,
       maxIter: Int, seed: Long): Array[Array[Float]] = {
     val rnd = new scala.util.Random(seed)
+    lloydFrom(data, rnd.shuffle(data.indices.toVector).take(k)
+      .map(i => data(i).clone).toArray, maxIter)
+  }
+
+  /** Lloyd iterations from EXPLICIT initial centroids (warm start) —
+    * each assign/mean pass is non-increasing in within-cluster SSE,
+    * which is what lets OPQ's alternation claim monotone convergence. */
+  private[index] def lloydFrom(data: Array[Array[Float]],
+      init: Array[Array[Float]], maxIter: Int): Array[Array[Float]] = {
+    val k = init.length
     val d = data.head.length
-    val centroids = rnd.shuffle(data.indices.toVector).take(k)
-      .map(i => data(i).clone).toArray
+    val centroids = init.map(_.clone)
     val assign = new Array[Int](data.length)
     var iter = 0
     var converged = false

@@ -91,6 +91,14 @@ object PqModel {
       .limit(maxTrainVectors)
       .collect().map(_.getSeq[Float](0).toArray)
     require(vecs.nonEmpty, "PqModel.train: no non-null vectors")
+    trainLocal(vecs, m, k, maxIter, seed)
+  }
+
+  /** Codebook training on driver-resident vectors (shared with
+    * [[OpqModel]], which re-trains per rotation iteration). */
+  def trainLocal(vecs: Array[Array[Float]], m: Int, k: Int,
+      maxIter: Int = 10, seed: Long = 42L): PqModel = {
+    require(vecs.nonEmpty, "PqModel.trainLocal: no vectors")
     val dim = vecs(0).length
     require(dim % m == 0, s"dim $dim must be divisible by m=$m subspaces")
     val dsub = dim / m
@@ -99,6 +107,19 @@ object PqModel {
       // distinct seed per subspace so identical subspace distributions
       // do not produce identical (wasted) codebooks
       IvfModel.lloydLocal(sub, math.min(k, sub.length), maxIter, seed + s)
+    }
+    PqModel(codebooks)
+  }
+
+  /** Warm-started retraining: Lloyd from `prev`'s codebooks (no
+    * re-seeding), so each OPQ alternation step is non-increasing in
+    * the shared quantization objective. */
+  def trainLocalFrom(vecs: Array[Array[Float]], prev: PqModel,
+      maxIter: Int = 10): PqModel = {
+    val dsub = prev.dsub
+    val codebooks = Array.tabulate(prev.m) { s =>
+      val sub = vecs.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      IvfModel.lloydFrom(sub, prev.codebooks(s), maxIter)
     }
     PqModel(codebooks)
   }

@@ -35,6 +35,7 @@ object VectorQueries {
   private val ivfpqCache = new scala.collection.concurrent.TrieMap[String, graft.index.IvfPqModel]()
   private val pqCache = new scala.collection.concurrent.TrieMap[String, graft.index.PqModel]()
   private val hnswCache = new scala.collection.concurrent.TrieMap[String, graft.index.HnswModel]()
+  private val opqCache = new scala.collection.concurrent.TrieMap[String, graft.index.OpqModel]()
   private def pqModel(spark: org.apache.spark.sql.SparkSession, dir: String): graft.index.PqModel =
     pqCache.getOrElseUpdate(dir,
       graft.index.PqModel.train(table(spark, dir, "embeddings"), "embedding", m = 8, k = 16))
@@ -245,6 +246,26 @@ object VectorQueries {
         val encoded = model.encode(e, "vec_id", "embedding")
         val cands = model.candidates(encoded, q, nprobe = 8, n = 50)
           .select(col("id").as("vec_id"))
+        e.join(cands, Seq("vec_id"), "left_semi")
+          .withColumn("raw_score", cosine_sim(col("embedding"), typedlit(q.toSeq)))
+          .orderBy(col("raw_score").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), col("label"), round(col("raw_score"), 6).as("score"))
+      }),
+
+    // OPQ two-tier search: learned-rotation PQ (Ge 2014) — rotate via
+    // the codegen MatVec expression, 8x16 codes, ADC top-50 in rotated
+    // space, exact cosine rerank. Rows-only (seeded k-means + SVD);
+    // quantization-error monotonicity and recall in AnnRecallSpec.
+    QueryDef("q88_knn_opq", None,
+      (spark, dir) => {
+        val e = table(spark, dir, "embeddings")
+        val opq = opqCache.getOrElseUpdate(dir,
+          graft.index.OpqModel.train(e, "embedding", m = 8, k = 16, iters = 4))
+        val q = e.filter(col("vec_id") === 0).select("embedding")
+          .collect()(0).getSeq[Float](0).toArray
+        val encoded = e.select(col("vec_id"), opq.encodeColumn(col("embedding")).as("codes"))
+        val cands = opq.candidates(encoded, "codes", q, n = 50).select("vec_id")
         e.join(cands, Seq("vec_id"), "left_semi")
           .withColumn("raw_score", cosine_sim(col("embedding"), typedlit(q.toSeq)))
           .orderBy(col("raw_score").desc, col("vec_id"))

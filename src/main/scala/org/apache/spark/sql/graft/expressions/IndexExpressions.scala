@@ -176,3 +176,48 @@ object NearestCentroidEval {
     best
   }
 }
+
+/**
+ * Dense matrix-vector product over a broadcast-literal float matrix:
+ * `out = mat · v` (array<float> in, array<float> out). The rotation
+ * step of OPQ encoding (Ge et al. 2014) — the matrix is KB-scale
+ * driver state embedded as a codegen reference object, the per-row
+ * cost is one tight d² loop inside whole-stage codegen (no UDF
+ * serialization, no interpreted higher-order functions).
+ */
+case class MatVec(child: Expression, mat: Array[Array[Float]])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "mat_vec"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    MatVecEval.eval(v.asInstanceOf[ArrayData], mat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mat", mat, "float[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.expressions.MatVecEval.eval($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MatVecEval {
+  def eval(v: ArrayData, mat: Array[Array[Float]]): GenericArrayData = {
+    val rows = mat.length
+    val out = new Array[Any](rows)
+    var r = 0
+    while (r < rows) {
+      val row = mat(r)
+      var s = 0.0
+      val n = math.min(row.length, v.numElements())
+      var i = 0
+      while (i < n) { s += row(i) * v.getFloat(i); i += 1 }
+      out(r) = s.toFloat
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+}

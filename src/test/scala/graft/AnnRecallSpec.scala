@@ -264,6 +264,49 @@ class AnnRecallSpec extends SparkSpec {
     assert(dist == local) // same graph, same navigation, any partitioning
   }
 
+  test("OPQ: learned rotation is orthogonal and never hurts quantization error") {
+    import graft.index.OpqModel
+    val vecs = emb.select(col("embedding").cast("array<float>"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val plain = OpqModel.trainLocal(vecs, m = 8, k = 16, iters = 0)
+    val opq = OpqModel.trainLocal(vecs, m = 8, k = 16, iters = 4)
+    // R orthogonal: RᵀR ≈ I
+    val d = opq.dim
+    for (i <- 0 until d; j <- 0 until d) {
+      var s = 0.0
+      for (r <- 0 until d) s += opq.rotation(r)(i).toDouble * opq.rotation(r)(j)
+      assert(math.abs(s - (if (i == j) 1.0 else 0.0)) < 1e-3,
+        s"RtR($i,$j) = $s not ${if (i == j) 1 else 0}")
+    }
+    val ePlain = plain.quantizationError(vecs)
+    val eOpq = opq.quantizationError(vecs)
+    info(f"quantization MSE: plain PQ = $ePlain%.4f, OPQ(4 iters) = $eOpq%.4f")
+    assert(eOpq <= ePlain * 1.001, s"OPQ worsened quantization: $eOpq vs $ePlain")
+    // alternation is monotone (warm-started Lloyd + Procrustes)
+    val e2 = OpqModel.trainLocal(vecs, m = 8, k = 16, iters = 2).quantizationError(vecs)
+    assert(e2 <= ePlain * 1.001 && eOpq <= e2 * 1.001,
+      s"non-monotone: $ePlain -> $e2 -> $eOpq")
+  }
+
+  test("OPQ candidate tier keeps PQ-level recall with rotation applied") {
+    import graft.index.OpqModel
+    val opq = OpqModel.train(emb, "embedding", m = 8, k = 16, iters = 4)
+    val encoded = emb.select(col("vec_id"),
+      opq.encodeColumn(col("embedding")).as("codes")).cache()
+    val recalls = (0L until 10L).map { qid =>
+      val q = queryVec(qid)
+      val cands = opq.candidates(encoded, "codes", q, n = 50).select("vec_id")
+      val universe = emb.join(cands, Seq("vec_id"), "left_semi")
+      val approx = Similarity.knnExact(universe, "vec_id", "embedding", q, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      approx.intersect(exactTopK(q, 10)).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"OPQ (top-50) candidate recall@10 = $mean%.2f")
+    assert(mean >= 0.5, s"OPQ recall collapsed: $mean")
+    encoded.unpersist()
+  }
+
   test("HNSW coarse quantizer agrees with brute-force centroid probe") {
     import graft.index.HnswModel
     val ivf = IvfModel.train(emb, "embedding", nlist = 16)
