@@ -106,5 +106,32 @@ object EventQueries {
           .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
           .select(col("window.start").as("window_start"),
             col("window.end").as("window_end"), col("event_type"), col("n"), col("value_sum"))
-          .orderBy("window_start", "event_type")))
+          .orderBy("window_start", "event_type")),
+
+    // lead/lag navigation: per-user inter-event gaps and value deltas.
+    // Gaps as BIGINT microseconds (unix_micros/epoch_us on both sides —
+    // integer arithmetic, no fractional-second cast ambiguity); value
+    // deltas are identical double ops per row, rounded at 6 (float rule).
+    // The window partitions by user_id — parallel across users, and the
+    // per-user event count is bounded by activity, not corpus size.
+    QueryDef("q89_lead_lag", Some(
+      """SELECT user_id, event_id, ts,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+        |  round(value - lag(value) OVER w, 6) AS value_delta,
+        |  round(lead(value) OVER w - value, 6) AS next_delta
+        |FROM events
+        |WHERE user_id < 5
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts, event_id""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        table(spark, dir, "events")
+          .filter(col("user_id") < 5)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"),
+            round(col("value") - lag(col("value"), 1).over(w), 6).as("value_delta"),
+            round(lead(col("value"), 1).over(w) - col("value"), 6).as("next_delta"))
+          .orderBy("user_id", "ts", "event_id")
+      }))
 }

@@ -56,4 +56,63 @@ object Layout {
     df.repartitionByRange(numFiles, cols.map(col): _*)
       .sortWithinPartitions(cols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /**
+   * Z-order clustering (the multi-column skipping lever — what Delta's
+   * OPTIMIZE ZORDER BY does): lexicographic range-sort gives tight
+   * min/max only on the leading column; interleaving the bits of ALL
+   * clustering columns' rank-space positions makes every file cover a
+   * small hyper-rectangle, so predicates on ANY single column (or any
+   * subset) skip most files.
+   *
+   * Per column: an `approx_percentile` sweep (one scan, collected)
+   * yields 2^bits - 1 cut points, re-emitted as LITERALS — per-row
+   * bucket position is then a pure deterministic expression (the same
+   * job-stable-bucketing move as Quantiles: `repartitionByRange`'s
+   * sampler is re-seeded per job, literal boundaries are not). Rank
+   * space also equalizes skewed distributions, which raw bit
+   * interleaving of values does not. The z-value interleave itself is
+   * shiftleft/or arithmetic — codegen'd, no UDF.
+   */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
+      bits: Int, cols: String*): Unit = {
+    require(cols.nonEmpty, "at least one z-order column")
+    require(bits >= 1 && bits * cols.length <= 62,
+      s"bits=$bits x ${cols.length} cols must fit a long")
+    // one boundary sweep; the z column is dropped before the write
+    df.withColumn("__z", zValue(df, bits, cols: _*))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** The interleaved z-value expression for `cols` (exposed for tests
+    * and for callers that want to cluster by z-value themselves). */
+  def zValue(df: DataFrame, bits: Int, cols: String*): org.apache.spark.sql.Column = {
+    val buckets = (1 << bits) - 1 // positions 0 .. 2^bits - 1
+    val cutFractions = (1 to buckets).map(_.toDouble / (buckets + 1))
+    val boundsPerCol: Seq[Seq[Double]] = {
+      val sweep = df.select(
+        cols.map(c => percentile_approx(col(c).cast("double"),
+          array(cutFractions.map(lit): _*), lit(1000)).as(c)): _*)
+        .collect()(0)
+      cols.indices.map(i => Option(sweep.getSeq[Double](i)).getOrElse(Seq.empty))
+    }
+    // position of v among the cut points (count of bounds <= v), as a
+    // literal comparison chain: 0 .. 2^bits - 1, monotone in v
+    def position(c: String, bounds: Seq[Double]): org.apache.spark.sql.Column =
+      bounds.foldLeft(lit(0L)) { (acc, b) =>
+        acc + when(col(c).cast("double") >= lit(b), 1L).otherwise(0L)
+      }
+    // interleave: bit i of column c lands at position i * k + c
+    val k = cols.length
+    val parts = for {
+      (c, ci) <- cols.zipWithIndex
+      bit <- 0 until bits
+    } yield shiftleft(
+      shiftright(position(c, boundsPerCol(ci)), bit).bitwiseAND(lit(1L)),
+      bit * k + ci)
+    parts.reduce(_.bitwiseOR(_)).as(s"z_${cols.mkString("_")}")
+  }
 }

@@ -94,4 +94,47 @@ class LayoutSpec extends SparkSpec {
     val containing = stats.count { case (mn, mx) => key >= mn && key <= mx }
     assert(containing <= 2, s"key $key spans $containing files")
   }
+
+  test("z-order beats linear sort for skipping on the trailing column") {
+    val base = Files.createTempDirectory("graft-zorder").toString
+    // two independent high-cardinality clustering columns — linear sort
+    // can only serve one (low-cardinality columns collapse a z dimension,
+    // so pick keys with enough distinct values for rank space to spread)
+    val li = queries.Tables.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val files = 32
+    Layout.writeClustered(li, s"$base/linear", files, "l_orderkey", "l_partkey")
+    Layout.writeZOrdered(li, s"$base/zorder", files, bits = 4, "l_orderkey", "l_partkey")
+
+    // fraction of files whose [min,max] of `c` overlaps a 10%-wide band
+    // (= the fraction parquet footer pruning must READ for that filter)
+    def overlapFraction(dir: String, c: String): Double = {
+      val stats = spark.read.parquet(dir)
+        .select(input_file_name().as("f"), col(c).cast("long").as("v"))
+        .groupBy("f").agg(min("v").as("mn"), max("v").as("mx"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      val lo = li.select(percentile_approx(col(c).cast("long"), lit(0.45), lit(1000)))
+        .collect()(0).getLong(0)
+      val hi = li.select(percentile_approx(col(c).cast("long"), lit(0.55), lit(1000)))
+        .collect()(0).getLong(0)
+      stats.count { case (mn, mx) => mx >= lo && mn <= hi }.toDouble / stats.length
+    }
+
+    val linearLead = overlapFraction(s"$base/linear", "l_orderkey")
+    val linearTrail = overlapFraction(s"$base/linear", "l_partkey")
+    val zLead = overlapFraction(s"$base/zorder", "l_orderkey")
+    val zTrail = overlapFraction(s"$base/zorder", "l_partkey")
+    info(f"files overlapping a 10%% band — linear: lead=$linearLead%.2f trail=$linearTrail%.2f; " +
+      f"z-order: lead=$zLead%.2f trail=$zTrail%.2f")
+    // linear layout serves the leading column perfectly and the trailing
+    // column not at all; z-order must serve BOTH with real skipping
+    assert(linearTrail > 0.9, s"fixture surprise: linear trailing skips ($linearTrail)")
+    assert(zTrail < 0.7, s"z-order failed to skip on trailing column: $zTrail")
+    assert(zLead < 0.7, s"z-order failed to skip on leading column: $zLead")
+    // and the WORST column improves on linear's worst (the actual claim)
+    assert(math.max(zLead, zTrail) < linearTrail,
+      s"z-order worst column ($zLead/$zTrail) not better than linear's worst")
+    // and the data survives the rewrite intact
+    assert(spark.read.parquet(s"$base/zorder").count() == li.count())
+  }
 }
