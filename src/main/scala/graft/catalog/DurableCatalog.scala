@@ -45,90 +45,80 @@ import graft.model.{ApiError, ChunkRow, DocumentRow, LibraryRow}
  */
 final class DurableCatalog private (
     val inner: VectorCatalog,
-    private val wal: CatalogWal) {
+    private val wal: CatalogWal,
+    groupCommit: Boolean) {
 
-  // WAL order must equal application order; one lock serializes
-  // apply+log. CRUD throughput is driver-bound anyway (O(1) buffer
-  // mutations), so this is not the bottleneck — and group commit
-  // (batching records per fsync) is the standard lever if it becomes
-  // one.
+  // WAL order must equal application order: apply + STAGE happen under
+  // one lock. In the default mode the file write also happens under it
+  // (one commit file per mutation — simple, gapless). With
+  // `groupCommit` the write moves OUTSIDE the lock behind a
+  // leader-flush (LevelDB-style): concurrent callers pile up behind
+  // the flush, the first one in drains the whole queue into ONE
+  // segment file and completes everyone — mutations-per-file rises
+  // with contention, each caller still returns only after its record
+  // is durable, and a segment holds a CONTIGUOUS seq range written by
+  // a single leader, so a crash can only lose a clean tail (no gaps).
   private val logLock = new Object
+  private val appender: WalAppender =
+    if (groupCommit) new GroupCommitAppender(wal) else new ImmediateAppender(wal)
 
-  private def logged[A](op: Either[ApiError, A])(record: A => ObjectNode): Either[ApiError, A] =
-    op.map { a => wal.append(record(a)); a }
+  private def logged[A](op: => Either[ApiError, A])(record: A => ObjectNode): Either[ApiError, A] = {
+    val staged = logLock.synchronized { op.map { a => (a, appender.stage(record(a))) } }
+    staged.map { case (a, ticket) => appender.await(ticket); a }
+  }
 
   def createLibrary(name: String, description: Option[String] = None,
       metadata: Map[String, String] = Map.empty,
       indexType: String = "lsh", id: Option[String] = None): Either[ApiError, LibraryRow] =
-    logLock.synchronized {
-      logged(inner.createLibrary(name, description, metadata, indexType, id)) { row =>
-        WalCodec.libRecord("lib_create", row,
-          indexTypeName = inner.indexTypeOf(row.id).map(WalCodec.indexTypeName))
-      }
+    logged(inner.createLibrary(name, description, metadata, indexType, id)) { row =>
+      WalCodec.libRecord("lib_create", row,
+        indexTypeName = inner.indexTypeOf(row.id).map(WalCodec.indexTypeName))
     }
 
   def updateLibrary(id: String, name: Option[String] = None,
       description: Option[String] = None,
       metadata: Option[Map[String, String]] = None): Either[ApiError, LibraryRow] =
-    logLock.synchronized {
-      logged(inner.updateLibrary(id, name, description, metadata))(
-        WalCodec.libRecord("lib_update", _, None))
-    }
+    logged(inner.updateLibrary(id, name, description, metadata))(
+      WalCodec.libRecord("lib_update", _, None))
 
   def deleteLibrary(id: String): Either[ApiError, Unit] =
-    logLock.synchronized {
-      logged(inner.deleteLibrary(id))(_ => WalCodec.deleteRecord("lib_delete", id))
-    }
+    logged(inner.deleteLibrary(id))(_ => WalCodec.deleteRecord("lib_delete", id))
 
   def createDocument(libraryId: String, name: String,
       description: Option[String] = None,
       metadata: Map[String, String] = Map.empty,
       id: Option[String] = None): Either[ApiError, DocumentRow] =
-    logLock.synchronized {
-      logged(inner.createDocument(libraryId, name, description, metadata, id))(
-        WalCodec.docRecord("doc_put"))
-    }
+    logged(inner.createDocument(libraryId, name, description, metadata, id))(
+      WalCodec.docRecord("doc_put"))
 
   def updateDocument(id: String, name: Option[String] = None,
       description: Option[String] = None,
       metadata: Option[Map[String, String]] = None): Either[ApiError, DocumentRow] =
-    logLock.synchronized {
-      logged(inner.updateDocument(id, name, description, metadata))(
-        WalCodec.docRecord("doc_put"))
-    }
+    logged(inner.updateDocument(id, name, description, metadata))(
+      WalCodec.docRecord("doc_put"))
 
   def deleteDocument(id: String): Either[ApiError, Unit] =
-    logLock.synchronized {
-      logged(inner.deleteDocument(id))(_ => WalCodec.deleteRecord("doc_delete", id))
-    }
+    logged(inner.deleteDocument(id))(_ => WalCodec.deleteRecord("doc_delete", id))
 
   def createChunk(documentId: String, text: String,
       metadata: Map[String, String] = Map.empty,
       embedding: Option[Array[Float]] = None,
       id: Option[String] = None): Either[ApiError, ChunkRow] =
-    logLock.synchronized {
-      logged(inner.createChunk(documentId, text, metadata, embedding, id))(
-        row => WalCodec.chunkRecord(Seq(row)))
-    }
+    logged(inner.createChunk(documentId, text, metadata, embedding, id))(
+      row => WalCodec.chunkRecord(Seq(row)))
 
   /** Bulk create is ONE commit record — group commit for free. */
   def createChunks(documentId: String,
       items: Seq[(String, Map[String, String])]): Either[ApiError, Seq[ChunkRow]] =
-    logLock.synchronized {
-      logged(inner.createChunks(documentId, items))(WalCodec.chunkRecord)
-    }
+    logged(inner.createChunks(documentId, items))(WalCodec.chunkRecord)
 
   def updateChunk(id: String, text: Option[String] = None,
       metadata: Option[Map[String, String]] = None): Either[ApiError, ChunkRow] =
-    logLock.synchronized {
-      logged(inner.updateChunk(id, text, metadata))(
-        row => WalCodec.chunkRecord(Seq(row)))
-    }
+    logged(inner.updateChunk(id, text, metadata))(
+      row => WalCodec.chunkRecord(Seq(row)))
 
   def deleteChunk(id: String): Either[ApiError, Unit] =
-    logLock.synchronized {
-      logged(inner.deleteChunk(id))(_ => WalCodec.deleteRecord("chunk_delete", id))
-    }
+    logged(inner.deleteChunk(id))(_ => WalCodec.deleteRecord("chunk_delete", id))
 
   /** Snapshot + manifest swap + log truncation. Crash-ordering: the
     * snapshot is complete before the manifest points at it, and WAL
@@ -136,11 +126,79 @@ final class DurableCatalog private (
     * point recovers to a consistent state (at worst replaying a tail
     * the snapshot already contains is prevented by the seq fence). */
   def checkpoint(): Unit = logLock.synchronized {
+    appender.drainAll() // group mode: staged-but-unflushed records first
     val seq = wal.lastSeq
     val snap = wal.snapshotPath(seq)
     inner.save(snap)
     wal.commitManifest(seq, snap)
     wal.truncateThrough(seq)
+  }
+}
+
+/** How acknowledged mutation records reach the log. `stage` runs under
+  * the catalog's apply lock (so WAL order = application order);
+  * `await` runs outside it and returns once the ticket is durable. */
+private[catalog] sealed trait WalAppender {
+  def stage(record: ObjectNode): scala.concurrent.Promise[Unit]
+  def await(ticket: scala.concurrent.Promise[Unit]): Unit
+  def drainAll(): Unit
+}
+
+/** Default: one commit file per mutation, written under the apply lock
+  * — the simple gapless layout. */
+private[catalog] final class ImmediateAppender(wal: CatalogWal) extends WalAppender {
+  def stage(record: ObjectNode): scala.concurrent.Promise[Unit] = {
+    wal.append(record)
+    scala.concurrent.Promise.successful(())
+  }
+  def await(ticket: scala.concurrent.Promise[Unit]): Unit = ()
+  def drainAll(): Unit = ()
+}
+
+/**
+ * Leader-based group commit: staged records queue in application
+ * order; the first caller to reach the flush lock drains the WHOLE
+ * queue into one segment file and completes every queued ticket, so
+ * followers that arrive later find their ticket already done. Under
+ * contention the mutations-per-file ratio rises automatically; with a
+ * single caller it degenerates to one record per file. Every segment
+ * is written by exactly one leader and covers a contiguous seq range —
+ * a crash loses at most a clean tail, never a gap.
+ */
+private[catalog] final class GroupCommitAppender(wal: CatalogWal) extends WalAppender {
+  private val queue = scala.collection.mutable.ArrayBuffer
+    .empty[(ObjectNode, scala.concurrent.Promise[Unit])]
+  private val flushLock = new Object
+
+  def stage(record: ObjectNode): scala.concurrent.Promise[Unit] =
+    queue.synchronized {
+      val p = scala.concurrent.Promise[Unit]()
+      queue += ((record, p))
+      p
+    }
+
+  def await(ticket: scala.concurrent.Promise[Unit]): Unit = {
+    if (ticket.isCompleted) return
+    flushLock.synchronized {
+      if (!ticket.isCompleted) flushQueue()
+    }
+    // our record was in the queue, so either an earlier leader or our
+    // own flush above completed it
+    assert(ticket.isCompleted, "group-commit flush did not cover a staged record")
+  }
+
+  def drainAll(): Unit = flushLock.synchronized { flushQueue() }
+
+  private def flushQueue(): Unit = {
+    val batch = queue.synchronized {
+      val b = queue.toVector
+      queue.clear()
+      b
+    }
+    if (batch.nonEmpty) {
+      wal.appendBatch(batch.map(_._1))
+      batch.foreach(_._2.success(()))
+    }
   }
 }
 
@@ -151,7 +209,7 @@ object DurableCatalog {
     * sequence fence, in sequence order. */
   def recover(spark: SparkSession, root: String,
       embedder: graft.functions.Embedder = graft.functions.Embedder.default,
-      embeddingDim: Int = 64): DurableCatalog = {
+      embeddingDim: Int = 64, groupCommit: Boolean = false): DurableCatalog = {
     val inner = new VectorCatalog(spark, embedder, embeddingDim)
     val wal = new CatalogWal(spark, root)
     wal.readManifest().foreach { case (_, snapshot) =>
@@ -172,7 +230,7 @@ object DurableCatalog {
         case other => throw new IllegalStateException(s"Unknown WAL op: $other")
       }
     }
-    new DurableCatalog(inner, wal)
+    new DurableCatalog(inner, wal, groupCommit)
   }
 }
 
@@ -191,12 +249,23 @@ final class CatalogWal(spark: SparkSession, root: String) {
 
   @volatile private var seq: Long = {
     val f = fs(walDir)
-    if (f.exists(walDir))
-      f.listStatus(walDir).map(_.getPath.getName)
-        .filter(_.endsWith(".json"))
-        .map(_.stripSuffix(".json").toLong)
-        .foldLeft(-1L)(math.max)
-    else -1L
+    if (!f.exists(walDir)) -1L
+    else {
+      // file names carry the FIRST seq of a segment; the true last seq
+      // of the max-named file may be higher (group-commit batches)
+      val paths = f.listStatus(walDir).map(_.getPath)
+        .filter(_.getName.endsWith(".json"))
+        .map(p => (p.getName.stripSuffix(".json").toLong, p))
+      if (paths.isEmpty) -1L
+      else {
+        val (_, maxPath) = paths.maxBy(_._1)
+        val in = f.open(maxPath)
+        val node =
+          try mapper.readTree(in)
+          finally in.close()
+        recordsOf(node).map(_.get("seq").asLong()).max
+      }
+    }
   }
 
   def lastSeq: Long = seq
@@ -207,13 +276,30 @@ final class CatalogWal(spark: SparkSession, root: String) {
   def append(record: ObjectNode): Unit = synchronized {
     val next = seq + 1
     record.put("seq", next)
-    val p = new Path(walDir, f"$next%020d.json")
+    writeFile(next, record)
+    seq = next
+  }
+
+  /** Group-commit segment: the whole batch in ONE file (named by its
+    * first seq), records carrying their own dense seq numbers. */
+  def appendBatch(records: Seq[ObjectNode]): Unit = synchronized {
+    if (records.isEmpty) return
+    val first = seq + 1
+    records.zipWithIndex.foreach { case (r, i) => r.put("seq", first + i) }
+    val node = mapper.createObjectNode()
+    val arr = node.putArray("batch")
+    records.foreach(arr.add)
+    writeFile(first, node)
+    seq = first + records.length - 1
+  }
+
+  private def writeFile(atSeq: Long, node: ObjectNode): Unit = {
+    val p = new Path(walDir, f"$atSeq%020d.json")
     val f = fs(p)
     if (!f.exists(walDir)) f.mkdirs(walDir)
     val out = f.create(p, /* overwrite = */ false)
-    try out.write(mapper.writeValueAsBytes(record))
+    try out.write(mapper.writeValueAsBytes(node))
     finally out.close()
-    seq = next
   }
 
   def readManifest(): Option[(Long, String)] = {
@@ -245,6 +331,14 @@ final class CatalogWal(spark: SparkSession, root: String) {
       throw new IllegalStateException(s"Manifest rename failed at $manifestPath")
   }
 
+  /** Records inside one WAL file: singles hold one record, group-commit
+    * segments hold a `batch` array. */
+  private def recordsOf(node: JsonNode): Seq[JsonNode] =
+    Option(node.get("batch")) match {
+      case Some(arr: ArrayNode) => (0 until arr.size()).map(arr.get)
+      case _ => Seq(node)
+    }
+
   def truncateThrough(atSeq: Long): Unit = {
     val f = fs(walDir)
     if (f.exists(walDir))
@@ -252,6 +346,17 @@ final class CatalogWal(spark: SparkSession, root: String) {
         .filter { p =>
           p.getName.endsWith(".json") &&
             scala.util.Try(p.getName.stripSuffix(".json").toLong <= atSeq).getOrElse(false)
+        }
+        .filter { p =>
+          // a segment is deletable only if its LAST record is fenced
+          // (checkpoint drains staged records first, so a straddling
+          // segment cannot normally exist — this keeps truncation safe
+          // even if one does)
+          val in = f.open(p)
+          val node =
+            try mapper.readTree(in)
+            finally in.close()
+          recordsOf(node).forall(_.get("seq").asLong() <= atSeq)
         }
         .foreach(p => f.delete(p, false))
   }
@@ -262,17 +367,20 @@ final class CatalogWal(spark: SparkSession, root: String) {
     val files = f.listStatus(walDir).map(_.getPath)
       .filter(_.getName.endsWith(".json"))
       .map(p => (p.getName.stripSuffix(".json").toLong, p))
-      .filter(_._1 > fence)
       .sortBy(_._1)
     files.foreach { case (_, p) =>
       val in = f.open(p)
       val node =
         try mapper.readTree(in)
         finally in.close()
-      try apply(node)
-      catch {
-        case NonFatal(e) =>
-          throw new IllegalStateException(s"WAL replay failed at ${p.getName}", e)
+      // per-RECORD fence: a segment may straddle the fence even though
+      // whole files are sorted by first seq
+      recordsOf(node).filter(_.get("seq").asLong() > fence).foreach { rec =>
+        try apply(rec)
+        catch {
+          case NonFatal(e) =>
+            throw new IllegalStateException(s"WAL replay failed at ${p.getName}", e)
+        }
       }
     }
   }
