@@ -87,6 +87,45 @@ object RecallReport {
       val frac = stats.map(_._2).sum / stats.length
       println(f"| $nlist | $nprobe | $recall%.2f | $frac%.3f |")
     }
+
+    println("\n## PQ / OPQ (8x16 codes, ADC candidate tier, top-`fetch` fetched)\n")
+    println("| variant | fetch | mean recall@10 | mean candidate fraction |")
+    println("|---|---|---|---|")
+    locally {
+      val pq = graft.index.PqModel.train(emb, "embedding", m = 8, k = 16)
+      val opq = graft.index.OpqModel.train(emb, "embedding", m = 8, k = 16, iters = 4)
+      val pqEnc = emb.select(col("vec_id"), pq.encodeColumn(col("embedding")).as("codes")).cache()
+      val opqEnc = emb.select(col("vec_id"), opq.encodeColumn(col("embedding")).as("codes")).cache()
+      for (fetch <- Seq(20, 50, 100)) {
+        val sPq = queries.map { case (id, q) =>
+          val cands = pq.candidates(pqEnc, "codes", q, fetch)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          (cands.intersect(exact(id)).size / 10.0, cands.size.toDouble / n)
+        }
+        println(f"| PQ | $fetch | ${sPq.map(_._1).sum / sPq.length}%.2f | ${sPq.map(_._2).sum / sPq.length}%.3f |")
+        val sOpq = queries.map { case (id, q) =>
+          val cands = opq.candidates(opqEnc, "codes", q, fetch)
+            .select("vec_id").collect().map(_.getLong(0)).toSet
+          (cands.intersect(exact(id)).size / 10.0, cands.size.toDouble / n)
+        }
+        println(f"| OPQ (4 iters) | $fetch | ${sOpq.map(_._1).sum / sOpq.length}%.2f | ${sOpq.map(_._2).sum / sOpq.length}%.3f |")
+      }
+      pqEnc.unpersist(); opqEnc.unpersist()
+    }
+
+    println("\n## HNSW (M=16, efConstruction=200; driver graph, broadcast tier)\n")
+    println("| ef | fetch | mean recall@10 | mean candidate fraction |")
+    println("|---|---|---|---|")
+    locally {
+      val g = graft.index.HnswModel.build(emb, "vec_id", "embedding")
+      for (ef <- Seq(32, 64, 100); fetch <- Seq(10, 50) if fetch <= ef) {
+        val stats = queries.map { case (id, q) =>
+          val cands = g.search(q, fetch, ef).map(_._1).toSet
+          (cands.intersect(exact(id)).size / 10.0, cands.size.toDouble / n)
+        }
+        println(f"| $ef | $fetch | ${stats.map(_._1).sum / stats.length}%.2f | ${stats.map(_._2).sum / stats.length}%.3f |")
+      }
+    }
     spark.stop()
   }
 }
