@@ -67,7 +67,8 @@ object Quantiles {
       groupCol: String,
       valueCol: String,
       fractions: Seq[Double],
-      numPartitions: Int = 64): DataFrame = {
+      numPartitions: Int = 64,
+      boundsSampleFraction: Double = 1.0): DataFrame = {
     require(fractions.nonEmpty, "at least one fraction")
     require(fractions.forall(f => f >= 0.0 && f <= 1.0),
       s"fractions must be in [0,1], got $fractions")
@@ -81,26 +82,36 @@ object Quantiles {
 
     // Pass 0: per-group approximate equi-probable cut points, collected
     // and re-emitted as a literal table so every later pass is a pure
-    // deterministic function of the input (see scaladoc).
+    // deterministic function of the input (see scaladoc). The sweep may
+    // run on a seeded SAMPLE (boundsSampleFraction < 1): boundary error
+    // only affects partition BALANCE, never the result, and groups the
+    // sample missed fall back to one bucket via the left join below.
     val cutFractions = (1 until numPartitions).map(_.toDouble / numPartitions)
+    val sweepInput =
+      if (boundsSampleFraction >= 1.0) slim
+      else slim.sample(withReplacement = false, boundsSampleFraction, 42L)
     val boundRows: Seq[(String, Seq[Double])] =
       if (cutFractions.isEmpty)
         slim.select("g").distinct().as[String].collect().toSeq
           .map(g => (g, Seq.empty[Double]))
       else
-        slim.groupBy("g")
+        sweepInput.groupBy("g")
           .agg(percentile_approx(col("v"),
             array(cutFractions.map(lit): _*), lit(1000)).as("bounds"))
           .as[(String, Seq[Double])]
           .collect()
           .toSeq
-    if (boundRows.isEmpty) return boundRows.toDF(groupCol, "qs")
+    if (boundRows.isEmpty && boundsSampleFraction >= 1.0)
+      return boundRows.toDF(groupCol, "qs")
     val boundsLit = broadcast(boundRows.toDF("g", "bounds"))
 
     // bucket = number of cut points strictly below v: monotone in v,
     // so global rank composes as (rows in lower buckets) + local rank.
-    val bucketed = slim.join(boundsLit, "g")
-      .withColumn("b", size(filter(col("bounds"), x => col("v") > x)))
+    // LEFT join + empty-array fallback: a group the sampled sweep never
+    // saw still flows through (all its rows land in bucket 0).
+    val bucketed = slim.join(boundsLit, Seq("g"), "left")
+      .withColumn("b", size(filter(
+        coalesce(col("bounds"), array().cast("array<double>")), x => col("v") > x)))
       .select("g", "b", "v")
 
     // Pass A: per-(group, bucket) counts — map-side combine, tiny shuffle.
@@ -197,7 +208,8 @@ object Quantiles {
       df: DataFrame,
       groupCol: String,
       valueCols: Seq[(String, Seq[Double])],
-      numPartitions: Int = 64): DataFrame = {
+      numPartitions: Int = 64,
+      boundsSampleFraction: Double = 1.0): DataFrame = {
     require(valueCols.nonEmpty, "at least one value column")
     valueCols.foreach { case (c, fs) =>
       require(fs.nonEmpty, s"no fractions for $c")
@@ -215,18 +227,21 @@ object Quantiles {
       .where(col("g").isNotNull && col("v").isNotNull)
 
     val cutFractions = (1 until numPartitions).map(_.toDouble / numPartitions)
+    val sweepInput =
+      if (boundsSampleFraction >= 1.0) melted
+      else melted.sample(withReplacement = false, boundsSampleFraction, 42L)
     val boundRows: Seq[(String, Int, Seq[Double])] =
       if (cutFractions.isEmpty)
         melted.select("g", "c").distinct().as[(String, Int)].collect().toSeq
           .map { case (g, c) => (g, c, Seq.empty[Double]) }
       else
-        melted.groupBy("g", "c")
+        sweepInput.groupBy("g", "c")
           .agg(percentile_approx(col("v"),
             array(cutFractions.map(lit): _*), lit(1000)).as("bounds"))
           .as[(String, Int, Seq[Double])]
           .collect()
           .toSeq
-    if (boundRows.isEmpty) {
+    if (boundRows.isEmpty && boundsSampleFraction >= 1.0) {
       val schema = org.apache.spark.sql.types.StructType(
         org.apache.spark.sql.types.StructField(groupCol, StringType) +:
           valueCols.map { case (c, _) =>
@@ -238,8 +253,11 @@ object Quantiles {
     }
     val boundsLit = broadcast(boundRows.toDF("g", "c", "bounds"))
 
-    val bucketed = melted.join(boundsLit, Seq("g", "c"))
-      .withColumn("b", size(filter(col("bounds"), x => col("v") > x)))
+    // LEFT join: (group, column) pairs the sampled sweep missed still
+    // flow through with one bucket
+    val bucketed = melted.join(boundsLit, Seq("g", "c"), "left")
+      .withColumn("b", size(filter(
+        coalesce(col("bounds"), array().cast("array<double>")), x => col("v") > x)))
       .select("g", "c", "b", "v")
 
     val counts: Seq[((String, Int), Int, Long)] = bucketed

@@ -90,13 +90,13 @@ object AdvancedQueries {
         val li = table(spark, dir, "lineitem")
         val qtyF = Future(graft.operators.Quantiles
           .exactGroupedQuantiles(li, "l_returnflag", "l_quantity",
-            Seq(0.5, 0.9), numPartitions = 32)
+            Seq(0.5, 0.9), numPartitions = 32, boundsSampleFraction = 0.2)
           .select(col("l_returnflag"),
             round(element_at(col("qs"), 1), 4).as("median_qty"),
             round(element_at(col("qs"), 2), 4).as("p90_qty")))
         val priceF = Future(graft.operators.Quantiles
           .exactGroupedQuantiles(li, "l_returnflag", "l_extendedprice",
-            Seq(0.25, 0.75), numPartitions = 32)
+            Seq(0.25, 0.75), numPartitions = 32, boundsSampleFraction = 0.2)
           .select(col("l_returnflag"),
             round(element_at(col("qs"), 1), 4).as("p25_price"),
             round(element_at(col("qs"), 2), 4).as("p75_price")))
@@ -108,11 +108,12 @@ object AdvancedQueries {
     // Same result as q80, computed by the MULTI-column operator: both
     // value columns share the melt/bounds/counts/selection passes — 3
     // scans of lineitem total instead of 3 per column. Measured at
-    // sf0.1 local[32]: 3.9 s vs q80's 2.4 s — locally the scans are
+    // sf0.1 local[32]: ~4.4 s vs q80's ~2.8 s — locally the scans are
     // cheap and q80's concurrent per-column jobs overlap on idle
-    // cores, so latency favors q80; the shared plan halves the SCAN
-    // count, which is the term that dominates when the input is 100 TB
-    // and the cluster is saturated (no idle cores to hide a 2nd read).
+    // cores, so latency favors q80 (the gap is the serial three-job
+    // chain, not the sweep: sampling the bounds moved little); the
+    // shared plan halves the SCAN count, which is the term that
+    // dominates when the input is 100 TB and the cluster is saturated.
     QueryDef("q87_percentiles_shared", Some(
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
@@ -126,7 +127,7 @@ object AdvancedQueries {
         graft.operators.Quantiles
           .exactGroupedQuantilesMulti(table(spark, dir, "lineitem"), "l_returnflag",
             Seq("l_quantity" -> Seq(0.5, 0.9), "l_extendedprice" -> Seq(0.25, 0.75)),
-            numPartitions = 32)
+            numPartitions = 32, boundsSampleFraction = 0.2)
           .select(col("l_returnflag"),
             round(element_at(col("l_quantity_qs"), 1), 4).as("median_qty"),
             round(element_at(col("l_quantity_qs"), 2), 4).as("p90_qty"),

@@ -121,6 +121,30 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("sampled bounds sweep changes nothing but balance: results identical") {
+    val li = queries.Tables.table(spark, sfDir, "lineitem")
+    val full = Quantiles.exactGroupedQuantiles(li, "l_returnflag",
+      "l_extendedprice", fractions, 16)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
+    for (frac <- Seq(0.2, 0.01)) { // 0.01 on sf0.001 ≈ tens of rows
+      val sampled = Quantiles.exactGroupedQuantiles(li, "l_returnflag",
+        "l_extendedprice", fractions, 16, boundsSampleFraction = frac)
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
+      assertSame(full, sampled)
+    }
+    // multi-column path too
+    val cols = Seq("l_quantity" -> fractions, "l_extendedprice" -> fractions)
+    assert(viaMulti(li, "l_returnflag", cols, 16) ==
+      viaMulti(li, "l_returnflag", cols, 16) // determinism of the call
+    )
+    val m1 = Quantiles.exactGroupedQuantilesMulti(li, "l_returnflag", cols, 16)
+      .collect().map(_.toString).sorted.toSeq
+    val m2 = Quantiles.exactGroupedQuantilesMulti(li, "l_returnflag", cols, 16,
+        boundsSampleFraction = 0.2)
+      .collect().map(_.toString).sorted.toSeq
+    assert(m1 == m2)
+  }
+
   test("multi-column: all-null column in one group yields null qs") {
     val df = Seq(
       ("a", Some(1.0), Some(10.0)), ("a", Some(2.0), Some(20.0)),
