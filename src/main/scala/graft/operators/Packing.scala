@@ -77,4 +77,41 @@ object Packing {
     }
     df.filter(keepExpr)
   }
+
+  /**
+   * Temperature-scaled source mixing (the alpha-sampling recipe of
+   * multilingual pretraining, e.g. XLM-R / mT5: sampled share of
+   * source s is proportional to n_s^alpha, alpha < 1 flattening the
+   * source distribution toward uniform). Derived weights, not given
+   * ones: per-source keep probability k_s = (n_min / n_s)^(1-alpha),
+   * anchored so the SMALLEST source keeps everything and larger
+   * sources downsample toward the tempered share. Membership stays the
+   * deterministic id-hash bucket of [[mixBySource]].
+   *
+   * Per-source counts are one aggregate collected to the driver (a
+   * handful of sources); thresholds floor(buckets * k_s) are computed
+   * there. At alpha = 0.5 the power is evaluated as sqrt, which IEEE
+   * requires to be correctly rounded — an engine replaying the
+   * threshold arithmetic (DuckDB oracle) reproduces it bit-identically,
+   * which is NOT guaranteed for pow(x, y).
+   */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+      alpha: Double = 0.5, buckets: Int = 10000): DataFrame = {
+    requireIntegralId(df, idCol)
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1], got $alpha")
+    val counts: Map[String, Long] = df.groupBy(sourceCol).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "no sources to mix")
+    val nMin = counts.values.min
+    val thresholds: Map[String, Int] = counts.map { case (s, n) =>
+      val ratio = nMin.toDouble / n
+      val k = if (alpha == 0.5) math.sqrt(ratio) else math.pow(ratio, 1.0 - alpha)
+      s -> math.floor(buckets * k).toInt
+    }
+    val b = bucketOf(col(idCol).cast("long"), buckets)
+    val keepExpr = thresholds.foldLeft(lit(false)) { case (acc, (src, thr)) =>
+      when(col(sourceCol) === src, b < thr).otherwise(acc)
+    }
+    df.filter(keepExpr)
+  }
 }

@@ -568,6 +568,53 @@ object AdvancedQueries {
           .groupBy("source").agg(count(lit(1)).as("n"))
           .orderBy("source")),
 
+    // Temperature-scaled source mixing (alpha = 0.5): per-source keep
+    // probability (n_min/n_s)^(1-alpha), thresholds floor(10000*sqrt(
+    // n_min/n_s)) — sqrt is correctly rounded per IEEE so DuckDB
+    // replays the driver's threshold arithmetic bit-identically (pow
+    // would not guarantee that). Membership is the same splitmix64
+    // bucket as q62/q63/q65.
+    // The fixture's `source` is uniform (no skew to temper), so the
+    // query derives a skewed pseudo-source from doc_id — deterministic
+    // and engine-replayable — giving the thresholds real work: web 70%
+    // of docs, books 20%, code 10% → keep probs sqrt(0.1/0.7) etc.
+    QueryDef("q90_temperature_mix", Some(
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 < 7 THEN 'web'
+         |         WHEN doc_id % 10 < 9 THEN 'books' ELSE 'code' END AS source
+         |  FROM documents),
+         |c AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+         |mn AS (SELECT CAST(min(n) AS DOUBLE) AS nmin FROM c),
+         |t AS (SELECT source, n, CAST(floor(10000 * sqrt(mn.nmin / CAST(c.n AS DOUBLE))) AS INTEGER) AS thr FROM c, mn),
+         |h1 AS (
+         |  SELECT doc_id, source,
+         |    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z
+         |  FROM d),
+         |${smStages()}
+         |b AS (SELECT doc_id, source, CAST(xor(z, z >> 31) % 10000 AS INTEGER) AS bucket FROM h3),
+         |kept AS (
+         |  SELECT b.source, count(*) AS cnt
+         |  FROM b JOIN t USING (source) WHERE b.bucket < t.thr GROUP BY b.source)
+         |SELECT t.source, CAST(t.n AS BIGINT) AS n_docs,
+         |  CAST(coalesce(k.cnt, 0) AS BIGINT) AS n_kept
+         |FROM t LEFT JOIN kept k ON t.source = k.source
+         |ORDER BY t.source""".stripMargin),
+      (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 < 7, "web")
+              .when(col("doc_id") % 10 < 9, "books")
+              .otherwise("code").as("source"))
+        val kept = graft.operators.Packing
+          .temperatureMix(docs, "doc_id", "source", alpha = 0.5)
+          .groupBy("source").agg(count(lit(1)).as("n_kept"))
+        docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .join(kept, Seq("source"), "left")
+          .na.fill(0L, Seq("n_kept"))
+          .orderBy("source")
+      }),
+
     // Positional lateral explode (posexplode / unnest-with-index):
     // the generator-operator shape tokenized pipelines use constantly.
     QueryDef("q68_posexplode", Some(

@@ -177,4 +177,34 @@ class OperatorSpec extends SparkSpec {
     assert(out(1L).contains(7.0))  // 10 min old: within 30-min tolerance
     assert(out(2L).isEmpty)        // 130 min old: stale
   }
+
+  test("temperature mix flattens source shares toward uniform") {
+    import graft.operators.Packing
+    // skewed synthetic sources (the parquet fixture is uniform): 70/20/10
+    val docs = spark.range(1000).select(col("id").as("doc_id"),
+      when(col("id") % 10 < 7, "web")
+        .when(col("id") % 10 < 9, "books")
+        .otherwise("code").as("source"))
+    val orig = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = Packing.temperatureMix(docs, "doc_id", "source", alpha = 0.5)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMinSrc = orig.minBy(_._2)._1
+    // smallest source keeps everything (threshold = full bucket range)
+    assert(kept(nMinSrc) == orig(nMinSrc))
+    // shares move toward uniform: the max/min share ratio strictly shrinks
+    def ratio(m: Map[String, Long]) = m.values.max.toDouble / m.values.min
+    assert(ratio(kept) < ratio(orig),
+      s"tempering did not flatten: $orig -> $kept")
+    // alpha = 1 is a no-op (thresholds all = buckets)
+    val all = Packing.temperatureMix(docs, "doc_id", "source", alpha = 1.0)
+    assert(all.count() == docs.count())
+    // deterministic: same call, same rows
+    val again = Packing.temperatureMix(docs, "doc_id", "source", alpha = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val first = Packing.temperatureMix(docs, "doc_id", "source", alpha = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == first)
+  }
 }
