@@ -180,6 +180,42 @@ object HnswModel {
     fromVectors(Array.tabulate(model.nlist)(_.toLong), model.centroids,
       m, efConstruction, seed, normalize = false)
 
+  /**
+   * Persist a built graph: one parquet row per node (insertion index,
+   * external id, stored vector, per-level adjacency) + a single-row
+   * meta table (entry point, top level, normalization flag). The graph
+   * is driver/broadcast state, so this is KB-to-MB-scale I/O — but
+   * persisting it means a serving process restarts WITHOUT paying the
+   * O(n log n) rebuild (the same restart story as the IVF/PQ
+   * centroid tables).
+   */
+  def write(spark: SparkSession, model: HnswModel, path: String): Unit = {
+    import spark.implicits._
+    model.ids.indices.map { i =>
+      (i, model.ids(i), model.vectors(i).toSeq,
+        model.neighbors(i).map(_.toSeq).toSeq)
+    }.toDF("idx", "id", "vector", "adj")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/nodes")
+    Seq((model.entryPoint, model.topLevel, model.normalized))
+      .toDF("entry", "top", "normalized")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted graph; search results are identical to the
+    * pre-persistence model (the adjacency is stored, not rebuilt). */
+  def read(spark: SparkSession, path: String): HnswModel = {
+    val rows = spark.read.parquet(s"$path/nodes")
+      .select("idx", "id", "vector", "adj").orderBy("idx").collect()
+    val ids = rows.map(_.getLong(1))
+    val vecs = rows.map(_.getSeq[Float](2).toArray)
+    // inner rows deserialize as mutable ArraySeq — type with the
+    // collection.Seq supertype or the map() call ClassCastExceptions
+    val adj = rows.map(_.getSeq[scala.collection.Seq[Int]](3).map(_.toArray).toArray)
+    val m = spark.read.parquet(s"$path/meta")
+      .select("entry", "top", "normalized").collect()(0)
+    new HnswModel(ids, vecs, adj, m.getInt(0), m.getInt(1), m.getBoolean(2))
+  }
+
   /** In-memory build (Algorithm 1 of the paper; neighbor selection is
     * the diversity heuristic of Algorithm 4 without the extend/prune
     * extensions). */

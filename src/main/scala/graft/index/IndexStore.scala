@@ -99,4 +99,12 @@ object IndexStore {
       .select("num_tables", "bits", "dim", "seed").collect()(0)
     LshModel(r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
   }
+
+  /** Persist / restore a built HNSW graph (nodes + adjacency + meta) —
+    * restart without the O(n log n) rebuild. */
+  def writeHnswModel(spark: SparkSession, model: HnswModel, path: String): Unit =
+    HnswModel.write(spark, model, path)
+
+  def readHnswModel(spark: SparkSession, path: String): HnswModel =
+    HnswModel.read(spark, path)
 }

@@ -234,6 +234,25 @@ class IndexStoreSpec extends SparkSpec {
     assert(got.getLong(1) != 0L)
     assert(got.getSeq[String](2) == Seq("a b", "b c"))
   }
+
+  test("HNSW graph persists and restores with identical search results") {
+    import graft.index.{HnswModel, IndexStore}
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val g = HnswModel.build(emb, "vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-hnsw").toString
+    IndexStore.writeHnswModel(spark, g, path)
+    val restored = IndexStore.readHnswModel(spark, path)
+    assert(restored.size == g.size)
+    for (qid <- 0L until 5L) {
+      val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === qid)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      // stored adjacency, not a rebuild: navigation must be identical
+      assert(restored.search(q, 20, ef = 80) == g.search(q, 20, ef = 80))
+    }
+    // coarse-quantizer probes too
+    assert(restored.probeCells(Array.fill(64)(0.1f), nprobe = 4) ==
+      g.probeCells(Array.fill(64)(0.1f), nprobe = 4))
+  }
 }
 
 object IndexStoreSpec {
