@@ -182,4 +182,19 @@ class PlanAuditSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), s"scan spine must be codegen'd:\n$plan")
   }
+
+  test("OPQ encode (MatVec rotation + per-subspace codes) is codegen'd") {
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val opq = graft.index.OpqModel.train(emb, "embedding", m = 8, k = 16, iters = 1)
+    val encoded = emb.select(col("vec_id"), opq.encodeColumn(col("embedding")).as("codes"))
+    encoded.collect()
+    val plan = encoded.queryExecution.executedPlan.toString
+    // the rotate+encode projection sits inside a WholeStageCodegen
+    // stage — the custom expressions did not fall back to interpreted
+    // row-at-a-time eval
+    assert(plan.contains("*(1)"), s"OPQ encode must be codegen'd:\n$plan")
+    assert(plan.contains("mat_vec"), plan)
+    assert(plan.contains("nearest_centroid"), plan)
+  }
 }
