@@ -45,22 +45,41 @@ final case class IvfPqModel(ivf: IvfModel, pq: PqModel) {
     * its own cluster_id. A union of per-cell subplans would re-execute
     * the encode pipeline once per probed cell. */
   def candidates(encoded: DataFrame, query: Array[Float],
-      nprobe: Int = graft.model.GraftConfig.ivfNprobe, n: Int = 100): DataFrame = {
-    val probed = ivf.probe(query, nprobe)
+      nprobe: Int = graft.model.GraftConfig.ivfNprobe, n: Int = 100): DataFrame =
+    IvfPqModel.adcCandidates(encoded, ivf, pq.m, ivf.probe(query, nprobe),
+      c => pq.adcTable(IvfPqModel.residualQuery(query, ivf.centroids(c))), n)
+}
+
+object IvfPqModel {
+
+  /** Driver-side residual of `query` against one cell centroid. */
+  private[index] def residualQuery(query: Array[Float],
+      centroid: Array[Float]): Array[Float] =
+    query.indices.map(i =>
+      query(i) - (if (i < centroid.length) centroid(i) else 0f)).toArray
+
+  /**
+   * The shared probed-scan plan for residual-coded indexes: ONE pruned
+   * scan (the `isin` filter is partition pruning on a
+   * cluster-partitioned table) with the per-cell ADC tables stacked
+   * into a single cluster-indexed broadcast literal (nlist x m x k
+   * floats — KB-scale), so every probed row pays m lookups keyed by
+   * its own cluster_id. A union of per-cell subplans would re-execute
+   * the encode pipeline once per probed cell. `cellTable` builds the
+   * ADC table for one probed cell (plain residual for IVF-PQ, rotated
+   * residual for OPQ+IVF-PQ).
+   */
+  private[index] def adcCandidates(encoded: DataFrame, ivf: IvfModel, m: Int,
+      probed: Seq[Int], cellTable: Int => Array[Array[Float]], n: Int): DataFrame = {
     val probedSet = probed.toSet
     val stacked: Seq[Seq[Seq[Float]]] = ivf.centroids.indices.map { c =>
       if (!probedSet(c)) Seq.empty // filtered out before any lookup
-      else {
-        val centroid = ivf.centroids(c)
-        val residualQuery = query.indices.map(i =>
-          query(i) - (if (i < centroid.length) centroid(i) else 0f)).toArray
-        pq.adcTable(residualQuery).map(_.toSeq).toSeq
-      }
+      else cellTable(c).map(_.toSeq).toSeq
     }
     val t = typedlit(stacked)
-    val cellTable = element_at(t, col("cluster_id") + 1)
-    val adc = (0 until pq.m).map { s =>
-      element_at(element_at(cellTable, s + 1), element_at(col("codes"), s + 1) + 1)
+    val cell = element_at(t, col("cluster_id") + 1)
+    val adc = (0 until m).map { s =>
+      element_at(element_at(cell, s + 1), element_at(col("codes"), s + 1) + 1)
         .cast("double")
     }.reduce(_ + _)
     encoded.filter(col("cluster_id").isin(probed.map(Int.box): _*))
@@ -69,9 +88,6 @@ final case class IvfPqModel(ivf: IvfModel, pq: PqModel) {
       .limit(n)
       .select("id", "cluster_id", "adc_dist")
   }
-}
-
-object IvfPqModel {
 
   /** Element-wise emb - centroid[cluster_id] via broadcast literal. */
   def residual(emb: Column, clusterId: Column,

@@ -36,6 +36,7 @@ object VectorQueries {
   private val pqCache = new scala.collection.concurrent.TrieMap[String, graft.index.PqModel]()
   private val hnswCache = new scala.collection.concurrent.TrieMap[String, graft.index.HnswModel]()
   private val opqCache = new scala.collection.concurrent.TrieMap[String, graft.index.OpqModel]()
+  private val opqIvfpqCache = new scala.collection.concurrent.TrieMap[String, graft.index.OpqIvfPqModel]()
   private def pqModel(spark: org.apache.spark.sql.SparkSession, dir: String): graft.index.PqModel =
     pqCache.getOrElseUpdate(dir,
       graft.index.PqModel.train(table(spark, dir, "embeddings"), "embedding", m = 8, k = 16))
@@ -266,6 +267,28 @@ object VectorQueries {
           .collect()(0).getSeq[Float](0).toArray
         val encoded = e.select(col("vec_id"), opq.encodeColumn(col("embedding")).as("codes"))
         val cands = opq.candidates(encoded, "codes", q, n = 50).select("vec_id")
+        e.join(cands, Seq("vec_id"), "left_semi")
+          .withColumn("raw_score", cosine_sim(col("embedding"), typedlit(q.toSeq)))
+          .orderBy(col("raw_score").desc, col("vec_id"))
+          .limit(10)
+          .select(col("vec_id"), col("label"), round(col("raw_score"), 6).as("score"))
+      }),
+
+    // OPQ+IVF-PQ two-tier search — the full FAISS-style `OPQ,IVF,PQ`
+    // stack: probe 8 of 16 cells, learned-rotation residual ADC top-50,
+    // exact cosine rerank. Rows-only (seeded k-means + SVD); the
+    // rotated-residual MSE win and candidate recall are measured in
+    // AnnRecallSpec.
+    QueryDef("q91_knn_opq_ivfpq", None,
+      (spark, dir) => {
+        val e = table(spark, dir, "embeddings")
+        val model = opqIvfpqCache.getOrElseUpdate(dir,
+          graft.index.OpqIvfPqModel.train(e, "embedding", nlist = 16, m = 8, k = 16))
+        val q = e.filter(col("vec_id") === 0).select("embedding")
+          .collect()(0).getSeq[Float](0).toArray
+        val encoded = model.encode(e, "vec_id", "embedding")
+        val cands = model.candidates(encoded, q, nprobe = 8, n = 50)
+          .select(col("id").as("vec_id"))
         e.join(cands, Seq("vec_id"), "left_semi")
           .withColumn("raw_score", cosine_sim(col("embedding"), typedlit(q.toSeq)))
           .orderBy(col("raw_score").desc, col("vec_id"))

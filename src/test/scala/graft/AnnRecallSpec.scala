@@ -307,6 +307,44 @@ class AnnRecallSpec extends SparkSpec {
     encoded.unpersist()
   }
 
+  test("OPQ+IVF-PQ: rotated residual coding lowers residual MSE, keeps recall") {
+    import graft.index.{OpqIvfPqModel, OpqModel}
+    val model = OpqIvfPqModel.train(emb, "embedding", nlist = 16, m = 8, k = 16)
+    val encoded = model.encode(emb, "vec_id", "embedding").cache()
+    assert(encoded.count() == emb.count())
+
+    // the learned rotation must not worsen RESIDUAL quantization error
+    // vs plain residual PQ (identity rotation, same training data) —
+    // this is the whole point of putting OPQ inside IVF-PQ
+    val residuals = emb
+      .withColumn("cluster_id", model.ivf.assignColumn(col("embedding")))
+      .select(graft.index.IvfPqModel.residual(
+        col("embedding"), col("cluster_id"), model.ivf.centroids)
+        .cast("array<float>").as("r"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    val plain = OpqModel.trainLocal(residuals, m = 8, k = 16, iters = 0)
+    val ePlain = plain.quantizationError(residuals)
+    val eOpq = model.opq.quantizationError(residuals)
+    info(f"residual MSE: plain residual PQ = $ePlain%.4f, OPQ residual = $eOpq%.4f")
+    assert(eOpq <= ePlain * 1.001,
+      s"OPQ rotation worsened residual quantization: $eOpq vs $ePlain")
+
+    // candidate tier: probe 8/16, rotated-residual ADC top-50, rerank
+    val recalls = (0L until 10L).map { qid =>
+      val q = queryVec(qid)
+      val cands = model.candidates(encoded, q, nprobe = 8, n = 50)
+        .select(col("id").as("vec_id"))
+      val universe = emb.join(cands, Seq("vec_id"), "left_semi")
+      val approx = Similarity.knnExact(universe, "vec_id", "embedding", q, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      approx.intersect(exactTopK(q, 10)).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"OPQ+IVF-PQ (nprobe 8/16, top-50) candidate recall@10 = $mean%.2f")
+    assert(mean >= 0.5, s"OPQ+IVF-PQ recall collapsed: $mean")
+    encoded.unpersist()
+  }
+
   test("HNSW coarse quantizer agrees with brute-force centroid probe") {
     import graft.index.HnswModel
     val ivf = IvfModel.train(emb, "embedding", nlist = 16)
