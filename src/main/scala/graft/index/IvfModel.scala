@@ -36,8 +36,29 @@ final case class IvfModel(centroids: Array[Array[Float]]) {
     chunks.filter(col(embCol).isNotNull)
       .withColumn("cluster_id", assignColumn(col(embCol)))
 
-  /** Driver-side top-`nprobe` centroid ids by L2 distance (indexes.py:346-349). */
+  /** HNSW graph over the centroids, built lazily (seeded, deterministic)
+    * once `nlist` crosses [[GraftConfig.hnswCoarseMinNlist]] — at
+    * billion-vector scale nlist grows to ~sqrt(n) and the linear
+    * centroid scan below becomes the per-query bottleneck; the graph
+    * answers the same top-`nprobe` selection in O(log nlist) hops
+    * (FAISS's IndexHNSWFlat-as-coarse-quantizer composition). Driver
+    * state either way; the threshold is read once at first probe. */
+  @transient private lazy val coarseGraph: Option[HnswModel] =
+    if (nlist >= GraftConfig.hnswCoarseMinNlist) Some(HnswModel.overCentroids(this))
+    else None
+
+  /** Driver-side top-`nprobe` centroid ids (indexes.py:346-349): exact
+    * linear scan at reference-scale nlist, HNSW navigation past the
+    * config threshold. */
   def probe(query: Array[Float], nprobe: Int = GraftConfig.ivfNprobe): Seq[Int] =
+    coarseGraph match {
+      case Some(g) => g.probeCells(query, math.max(1, nprobe))
+      case None => probeLinear(query, nprobe)
+    }
+
+  /** The exact (brute-force) centroid scan, kept callable for
+    * differential tests against the graph path. */
+  def probeLinear(query: Array[Float], nprobe: Int = GraftConfig.ivfNprobe): Seq[Int] =
     centroids.zipWithIndex.map { case (c, i) =>
       var d = 0.0
       val n = math.min(c.length, query.length)

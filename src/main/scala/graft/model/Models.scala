@@ -112,6 +112,13 @@ object GraftConfig {
   /** Multi-probe LSH bit flips per table (beyond parity; 0 = the
     * reference's fixed single-probe behavior). */
   @volatile var lshMultiProbeFlips: Int = 0
+  /** Once a trained IVF model's nlist reaches this, its centroid probe
+    * runs over a seeded HNSW graph instead of the linear scan
+    * (IvfModel.coarseGraph). 1024 keeps every reference-scale index
+    * (nlist=100, config.py:31) on the exact scan while the ~sqrt(n)
+    * nlist of a billion-vector deployment gets O(log nlist) probes.
+    * Read once per model at first probe. */
+  @volatile var hnswCoarseMinNlist: Int = 1024
   /** k<=0 => default, k>max => max (config.py:62-68). */
   def clampK(k: Int): Int = if (k <= 0) defaultK else math.min(k, maxK)
 

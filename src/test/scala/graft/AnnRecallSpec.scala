@@ -351,7 +351,7 @@ class AnnRecallSpec extends SparkSpec {
     val g = HnswModel.overCentroids(ivf)
     val overlaps = (0L until 20L).map { qid =>
       val q = queryVec(qid)
-      val brute = ivf.probe(q, nprobe = 4).toSet
+      val brute = ivf.probeLinear(q, nprobe = 4).toSet
       val graph = g.probeCells(q, nprobe = 4, ef = 16).toSet
       brute.intersect(graph).size / 4.0
     }
@@ -360,5 +360,35 @@ class AnnRecallSpec extends SparkSpec {
     // the graph replaces a LINEAR centroid scan; near-perfect agreement
     // expected at this nlist (it searches the same 16 points)
     assert(mean >= 0.9, s"coarse-quantizer probe disagreement: $mean")
+  }
+
+  test("IVF probe auto-switches to the HNSW coarse quantizer past the nlist threshold") {
+    import graft.model.GraftConfig
+    val saved = GraftConfig.hnswCoarseMinNlist
+    try {
+      GraftConfig.hnswCoarseMinNlist = 16
+      // model constructed AFTER the threshold drop: its lazy coarse
+      // graph sees nlist (16) >= threshold (16) and builds
+      val graphModel = IvfModel.train(emb, "embedding", nlist = 16)
+      val overlaps = (0L until 20L).map { qid =>
+        val q = queryVec(qid)
+        val graph = graphModel.probe(q, nprobe = 4).toSet
+        val brute = graphModel.probeLinear(q, nprobe = 4).toSet
+        brute.intersect(graph).size / 4.0
+      }
+      val mean = overlaps.sum / overlaps.size
+      info(f"auto-switched probe vs linear overlap @4/16 = $mean%.2f")
+      assert(mean >= 0.9, s"graph probe disagreement: $mean")
+      // the switched probe drives the same pruned candidate scan
+      val assigned = graphModel.assign(emb, "embedding")
+      assert(graphModel.candidates(assigned, queryVec(0L), nprobe = 4).count() > 0)
+
+      // below the threshold the identical training stays on the exact scan
+      GraftConfig.hnswCoarseMinNlist = 1024
+      val exactModel = IvfModel.train(emb, "embedding", nlist = 16)
+      assert((0L until 5L).forall { qid =>
+        exactModel.probe(queryVec(qid), 4) == exactModel.probeLinear(queryVec(qid), 4)
+      })
+    } finally GraftConfig.hnswCoarseMinNlist = saved
   }
 }
