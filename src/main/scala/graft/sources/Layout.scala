@@ -90,29 +90,64 @@ object Layout {
   /** The interleaved z-value expression for `cols` (exposed for tests
     * and for callers that want to cluster by z-value themselves). */
   def zValue(df: DataFrame, bits: Int, cols: String*): org.apache.spark.sql.Column = {
-    val buckets = (1 << bits) - 1 // positions 0 .. 2^bits - 1
-    val cutFractions = (1 to buckets).map(_.toDouble / (buckets + 1))
-    val boundsPerCol: Seq[Seq[Double]] = {
-      val sweep = df.select(
-        cols.map(c => percentile_approx(col(c).cast("double"),
-          array(cutFractions.map(lit): _*), lit(1000)).as(c)): _*)
-        .collect()(0)
-      cols.indices.map(i => Option(sweep.getSeq[Double](i)).getOrElse(Seq.empty))
-    }
-    // position of v among the cut points (count of bounds <= v), as a
-    // literal comparison chain: 0 .. 2^bits - 1, monotone in v
-    def position(c: String, bounds: Seq[Double]): org.apache.spark.sql.Column =
-      bounds.foldLeft(lit(0L)) { (acc, b) =>
-        acc + when(col(c).cast("double") >= lit(b), 1L).otherwise(0L)
-      }
+    val positions = rankPositions(df, bits, cols: _*)
     // interleave: bit i of column c lands at position i * k + c
     val k = cols.length
     val parts = for {
-      (c, ci) <- cols.zipWithIndex
+      (p, ci) <- positions.zipWithIndex
       bit <- 0 until bits
-    } yield shiftleft(
-      shiftright(position(c, boundsPerCol(ci)), bit).bitwiseAND(lit(1L)),
-      bit * k + ci)
+    } yield shiftleft(shiftright(p, bit).bitwiseAND(lit(1L)), bit * k + ci)
     parts.reduce(_.bitwiseOR(_)).as(s"z_${cols.mkString("_")}")
+  }
+
+  /**
+   * Hilbert-curve clustering — same rank-space machinery as
+   * [[writeZOrdered]], but the two positions map to their distance
+   * along the Hilbert curve (codegen'd [[HilbertIndex2D]]) instead of
+   * bit interleaving. The Hilbert curve's consecutive indexes are
+   * always ADJACENT cells (the Z-curve jumps across the space at every
+   * quadrant boundary), so equal-size file cuts cover tighter
+   * rectangles — the documented upgrade path when two-column skipping
+   * at a given file count needs to beat Z's band overlap.
+   */
+  def writeHilbertClustered(df: DataFrame, path: String, numFiles: Int,
+      bits: Int, colX: String, colY: String): Unit = {
+    df.withColumn("__h", hilbertValue(df, bits, colX, colY))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Hilbert index of the two columns' rank-space positions. */
+  def hilbertValue(df: DataFrame, bits: Int, colX: String,
+      colY: String): org.apache.spark.sql.Column = {
+    require(bits >= 1 && 2 * bits <= 62, s"2 x bits=$bits must fit a long")
+    val Seq(px, py) = rankPositions(df, bits, colX, colY)
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(org.apache.spark.sql.graft.expressions.HilbertIndex2D(
+      Bridge.expression(px), Bridge.expression(py), bits))
+      .as(s"h_${colX}_$colY")
+  }
+
+  /** Rank-space positions (0 .. 2^bits - 1, monotone, skew-equalizing)
+    * for each of `cols`: ONE `approx_percentile` boundary sweep over
+    * `df`, re-emitted as literal comparison chains — job-stable where
+    * `repartitionByRange`'s re-seeded sampler is not, and pure
+    * expressions so downstream interleaving stays codegen'd. */
+  private def rankPositions(df: DataFrame, bits: Int,
+      cols: String*): Seq[org.apache.spark.sql.Column] = {
+    val buckets = (1 << bits) - 1 // positions 0 .. 2^bits - 1
+    val cutFractions = (1 to buckets).map(_.toDouble / (buckets + 1))
+    val sweep = df.select(
+      cols.map(c => percentile_approx(col(c).cast("double"),
+        array(cutFractions.map(lit): _*), lit(1000)).as(c)): _*)
+      .collect()(0)
+    cols.zipWithIndex.map { case (c, ci) =>
+      val bounds = Option(sweep.getSeq[Double](ci)).getOrElse(Seq.empty)
+      bounds.foldLeft(lit(0L)) { (acc, b) =>
+        acc + when(col(c).cast("double") >= lit(b), 1L).otherwise(0L)
+      }
+    }
   }
 }

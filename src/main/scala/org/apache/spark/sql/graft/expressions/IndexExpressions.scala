@@ -221,3 +221,57 @@ object MatVecEval {
     new GenericArrayData(out)
   }
 }
+
+/**
+ * 2-D Hilbert curve index of two rank-space positions (each in
+ * [0, 2^bits)) — the space-filling curve with strictly better locality
+ * than the Z-curve: consecutive Hilbert indexes are always adjacent
+ * cells (Z jumps across the space at quadrant boundaries), so files cut
+ * from a Hilbert-sorted layout cover tighter hyper-rectangles and
+ * single-column band predicates touch fewer files (Moon et al. 2001,
+ * "Analysis of the Clustering Properties of the Hilbert Space-Filling
+ * Curve"). The per-row transform is the classic iterative
+ * rotate-and-accumulate over bit planes; codegen emits one static call
+ * — no UDF, stays inside whole-stage codegen like the rest of the
+ * expression family.
+ */
+case class HilbertIndex2D(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "hilbert2d"
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(x: Any, y: Any): Any =
+    HilbertEval.xy2d(bits, x.asInstanceOf[Long], y.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = org.apache.spark.sql.graft.expressions.HilbertEval.xy2d($bits, $x, $y);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object HilbertEval {
+  /** (x, y) -> distance along the order-`bits` Hilbert curve: per bit
+    * plane (high to low), accumulate the quadrant's curve length and
+    * rotate/reflect the frame (the standard xy2d iteration). */
+  def xy2d(bits: Int, xIn: Long, yIn: Long): Long = {
+    var x = xIn
+    var y = yIn
+    var d = 0L
+    var s: Long = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+}

@@ -137,4 +137,56 @@ class LayoutSpec extends SparkSpec {
     // and the data survives the rewrite intact
     assert(spark.read.parquet(s"$base/zorder").count() == li.count())
   }
+
+  test("Hilbert curve: consecutive indexes are adjacent cells (Z jumps)") {
+    import org.apache.spark.sql.graft.expressions.HilbertEval
+    val bits = 4
+    val n = 1 << bits
+    // invert the curve: index -> cell, then check unit steps
+    val cells = new Array[(Long, Long)](n * n)
+    for (x <- 0 until n; y <- 0 until n)
+      cells(HilbertEval.xy2d(bits, x, y).toInt) = (x.toLong, y.toLong)
+    // bijective over the grid
+    assert(cells.forall(_ != null))
+    val steps = (1 until n * n).map { d =>
+      val (x0, y0) = cells(d - 1); val (x1, y1) = cells(d)
+      math.abs(x1 - x0) + math.abs(y1 - y0)
+    }
+    assert(steps.forall(_ == 1L), "Hilbert consecutive cells must be adjacent")
+  }
+
+  test("Hilbert clustering skips at least as well as z-order on both columns") {
+    val base = Files.createTempDirectory("graft-hilbert").toString
+    val li = queries.Tables.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val files = 32
+    Layout.writeZOrdered(li, s"$base/zorder", files, bits = 4, "l_orderkey", "l_partkey")
+    Layout.writeHilbertClustered(li, s"$base/hilbert", files, bits = 4,
+      "l_orderkey", "l_partkey")
+
+    def overlapFraction(dir: String, c: String): Double = {
+      val stats = spark.read.parquet(dir)
+        .select(input_file_name().as("f"), col(c).cast("long").as("v"))
+        .groupBy("f").agg(min("v").as("mn"), max("v").as("mx"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      val lo = li.select(percentile_approx(col(c).cast("long"), lit(0.45), lit(1000)))
+        .collect()(0).getLong(0)
+      val hi = li.select(percentile_approx(col(c).cast("long"), lit(0.55), lit(1000)))
+        .collect()(0).getLong(0)
+      stats.count { case (mn, mx) => mx >= lo && mn <= hi }.toDouble / stats.length
+    }
+
+    val zWorst = math.max(overlapFraction(s"$base/zorder", "l_orderkey"),
+      overlapFraction(s"$base/zorder", "l_partkey"))
+    val hLead = overlapFraction(s"$base/hilbert", "l_orderkey")
+    val hTrail = overlapFraction(s"$base/hilbert", "l_partkey")
+    val hWorst = math.max(hLead, hTrail)
+    info(f"10%% band overlap — z worst: $zWorst%.2f; hilbert: lead=$hLead%.2f trail=$hTrail%.2f")
+    // both columns must skip, and the worst column must not regress
+    // vs the Z layout at the same (bits, files) budget
+    assert(hWorst < 0.7, s"Hilbert failed to skip: $hLead / $hTrail")
+    assert(hWorst <= zWorst + 0.1,
+      s"Hilbert worst column ($hWorst) regressed vs z-order ($zWorst)")
+    assert(spark.read.parquet(s"$base/hilbert").count() == li.count())
+  }
 }
