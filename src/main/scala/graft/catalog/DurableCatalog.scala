@@ -133,6 +133,15 @@ final class DurableCatalog private (
     wal.commitManifest(seq, snap)
     wal.truncateThrough(seq)
   }
+
+  /** Merge the accumulated commit files into one segment WITHOUT the
+    * cost of a snapshot — the maintenance move for long-lived roots
+    * between checkpoints (see [[CatalogWal.compact]]). Replay after
+    * compaction is record-identical. */
+  def compactWal(): Unit = logLock.synchronized {
+    appender.drainAll()
+    wal.compact()
+  }
 }
 
 /** How acknowledged mutation records reach the log. `stage` runs under
@@ -247,25 +256,39 @@ final class CatalogWal(spark: SparkSession, root: String) {
   private val walDir = new Path(root, "wal")
   private val manifestPath = new Path(root, "_manifest.json")
 
+  /** First sequence number encoded in a WAL file name: plain segments
+    * are `%020d.json`, compacted segments `%020dc%020d.json` (first and
+    * last seq — the last makes re-compaction after a crashed compaction
+    * idempotent by name). */
+  private def firstSeqOf(name: String): Option[Long] =
+    if (!name.endsWith(".json")) None
+    else scala.util.Try(name.stripSuffix(".json").split('c')(0).toLong).toOption
+
+  private def listWal(f: FileSystem): Array[(Long, Path)] =
+    if (!f.exists(walDir)) Array.empty
+    else f.listStatus(walDir).map(_.getPath)
+      .flatMap(p => firstSeqOf(p.getName).map(s => (s, p)))
+      .sortBy(_._1)
+
+  private def readRecords(f: FileSystem, p: Path): Seq[JsonNode] = {
+    val in = f.open(p)
+    val node =
+      try mapper.readTree(in)
+      finally in.close()
+    recordsOf(node)
+  }
+
   @volatile private var seq: Long = {
+    // scan ALL files' records, not just the max-named file: after a
+    // crashed compaction the merged segment (named by its FIRST seq)
+    // can hold the true maximum while higher-named originals are
+    // partially deleted — a name-only bootstrap would under-read and
+    // re-issue live sequence numbers
     val f = fs(walDir)
-    if (!f.exists(walDir)) -1L
-    else {
-      // file names carry the FIRST seq of a segment; the true last seq
-      // of the max-named file may be higher (group-commit batches)
-      val paths = f.listStatus(walDir).map(_.getPath)
-        .filter(_.getName.endsWith(".json"))
-        .map(p => (p.getName.stripSuffix(".json").toLong, p))
-      if (paths.isEmpty) -1L
-      else {
-        val (_, maxPath) = paths.maxBy(_._1)
-        val in = f.open(maxPath)
-        val node =
-          try mapper.readTree(in)
-          finally in.close()
-        recordsOf(node).map(_.get("seq").asLong()).max
-      }
+    val all = listWal(f).flatMap { case (_, p) =>
+      readRecords(f, p).map(_.get("seq").asLong())
     }
+    if (all.isEmpty) -1L else all.max
   }
 
   def lastSeq: Long = seq
@@ -341,43 +364,72 @@ final class CatalogWal(spark: SparkSession, root: String) {
 
   def truncateThrough(atSeq: Long): Unit = {
     val f = fs(walDir)
-    if (f.exists(walDir))
-      f.listStatus(walDir).map(_.getPath)
-        .filter { p =>
-          p.getName.endsWith(".json") &&
-            scala.util.Try(p.getName.stripSuffix(".json").toLong <= atSeq).getOrElse(false)
-        }
-        .filter { p =>
-          // a segment is deletable only if its LAST record is fenced
-          // (checkpoint drains staged records first, so a straddling
-          // segment cannot normally exist — this keeps truncation safe
-          // even if one does)
-          val in = f.open(p)
-          val node =
-            try mapper.readTree(in)
-            finally in.close()
-          recordsOf(node).forall(_.get("seq").asLong() <= atSeq)
-        }
-        .foreach(p => f.delete(p, false))
+    listWal(f)
+      .filter(_._1 <= atSeq)
+      .filter { case (_, p) =>
+        // a segment is deletable only if its LAST record is fenced
+        // (checkpoint drains staged records first, so a straddling
+        // segment cannot normally exist — this keeps truncation safe
+        // even if one does)
+        readRecords(f, p).forall(_.get("seq").asLong() <= atSeq)
+      }
+      .foreach { case (_, p) => f.delete(p, false) }
+  }
+
+  /**
+   * Merge every commit file into ONE compacted segment — the
+   * between-checkpoints file-count lever: a long-lived root in
+   * single-mutation mode holds one file per acknowledged mutation, and
+   * both recovery opens and object-store LIST costs grow with file
+   * count. Compaction is pure log rewriting (no snapshot write, no
+   * catalog involvement).
+   *
+   * Crash safety by ordering + idempotent replay: the merged segment
+   * (named `firstSeq c lastSeq`) is fully written FIRST, originals are
+   * deleted after. A crash in between leaves overlapping segments —
+   * `replayAfter` dedups by sequence number, and a re-run targets the
+   * same merged name (found complete, skipped) then finishes the
+   * deletes.
+   */
+  def compact(): Unit = synchronized {
+    val f = fs(walDir)
+    val files = listWal(f)
+    if (files.length <= 1) return
+    // read + sort + dedup (a prior crashed compaction may have left
+    // overlapping segments)
+    var last = Long.MinValue
+    val records = files.flatMap { case (_, p) => readRecords(f, p) }
+      .sortBy(_.get("seq").asLong())
+      .flatMap { r =>
+        val s = r.get("seq").asLong()
+        if (s <= last) None else { last = s; Some(r) }
+      }
+    val first = records.head.get("seq").asLong()
+    val merged = new Path(walDir, f"$first%020dc$last%020d.json")
+    if (!f.exists(merged)) {
+      val node = mapper.createObjectNode()
+      val arr = node.putArray("batch")
+      records.foreach(arr.add)
+      val out = f.create(merged, /* overwrite = */ false)
+      try out.write(mapper.writeValueAsBytes(node))
+      finally out.close()
+    }
+    files.map(_._2).filter(_.getName != merged.getName)
+      .foreach(p => f.delete(p, false))
   }
 
   def replayAfter(fence: Long)(apply: JsonNode => Unit): Unit = {
     val f = fs(walDir)
-    if (!f.exists(walDir)) return
-    val files = f.listStatus(walDir).map(_.getPath)
-      .filter(_.getName.endsWith(".json"))
-      .map(p => (p.getName.stripSuffix(".json").toLong, p))
-      .sortBy(_._1)
-    files.foreach { case (_, p) =>
-      val in = f.open(p)
-      val node =
-        try mapper.readTree(in)
-        finally in.close()
-      // per-RECORD fence: a segment may straddle the fence even though
-      // whole files are sorted by first seq
-      recordsOf(node).filter(_.get("seq").asLong() > fence).foreach { rec =>
-        try apply(rec)
-        catch {
+    // per-RECORD fence and sequence dedup: a segment may straddle the
+    // fence, and a crashed compaction may leave the same record in two
+    // segments — each seq is applied exactly once, in order
+    var applied = fence
+    listWal(f).foreach { case (_, p) =>
+      readRecords(f, p).filter(_.get("seq").asLong() > applied).foreach { rec =>
+        try {
+          apply(rec)
+          applied = rec.get("seq").asLong()
+        } catch {
           case NonFatal(e) =>
             throw new IllegalStateException(s"WAL replay failed at ${p.getName}", e)
         }

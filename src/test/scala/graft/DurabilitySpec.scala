@@ -173,6 +173,76 @@ class DurabilitySpec extends SparkSpec {
     assert(res.toOption.get.results.head.chunk.text == "alpha beta gamma")
   }
 
+  test("WAL compaction merges the log into one segment, replay identical") {
+    val root = freshRoot()
+    val cat = DurableCatalog.recover(spark, root)
+    val lib = cat.createLibrary("comp", indexType = "exact").toOption.get
+    val doc = cat.createDocument(lib.id, "d").toOption.get
+    (0 until 20).foreach(i => assert(cat.createChunk(doc.id, s"chunk $i").isRight))
+
+    def walFiles(): Seq[java.io.File] =
+      new java.io.File(s"$root/wal").listFiles().toSeq
+        .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+
+    assert(walFiles().size == 22) // one commit file per mutation
+    cat.compactWal()
+    assert(walFiles().size == 1, s"expected one merged segment: ${walFiles()}")
+    assertSameState(cat, DurableCatalog.recover(spark, root))
+
+    // sequence numbering continues correctly after compaction
+    cat.createChunk(doc.id, "after compact").toOption.get
+    assertSameState(cat, DurableCatalog.recover(spark, root))
+
+    // a second compaction folds the compacted segment + new singles
+    cat.compactWal()
+    assert(walFiles().size == 1)
+    assertSameState(cat, DurableCatalog.recover(spark, root))
+
+    // and checkpoint still truncates a compacted log
+    cat.checkpoint()
+    assert(walFiles().isEmpty)
+    assertSameState(cat, DurableCatalog.recover(spark, root))
+  }
+
+  test("crashed compaction (merged + originals both present) replays without duplication") {
+    val root = freshRoot()
+    val cat = DurableCatalog.recover(spark, root)
+    val lib = cat.createLibrary("crash", indexType = "exact").toOption.get
+    val doc = cat.createDocument(lib.id, "d").toOption.get
+    (0 until 10).foreach(i => assert(cat.createChunk(doc.id, s"c$i").isRight))
+
+    val walDir = java.nio.file.Paths.get(s"$root/wal")
+    // count commit files only (the Hadoop local FS adds .crc siblings)
+    def jsonCount(): Long = java.nio.file.Files.list(walDir).toArray
+      .map(_.toString).count(_.endsWith(".json"))
+    // snapshot the pre-compaction commit files
+    val originals = java.nio.file.Files.list(walDir).toArray.map(_.toString)
+      .filter(_.endsWith(".json"))
+      .map { p =>
+        val path = java.nio.file.Paths.get(p)
+        (path.getFileName.toString, java.nio.file.Files.readAllBytes(path))
+      }
+    cat.compactWal()
+    // simulate the crash window: merged segment written, originals not
+    // yet deleted — restore every original next to the merged file
+    originals.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(walDir.resolve(name), bytes)
+    }
+    assert(jsonCount() == originals.length + 1)
+
+    // recovery must dedup by sequence: 12 mutations, not 24
+    val rec = DurableCatalog.recover(spark, root)
+    assertSameState(cat, rec)
+    assert(chunkRows(rec).size == 10)
+    // appends against the recovered root keep live sequence numbers
+    rec.createChunk(doc.id, "post-crash append").toOption.get
+    assertSameState(rec, DurableCatalog.recover(spark, root))
+    // re-running compaction converges back to one segment
+    rec.compactWal()
+    assert(jsonCount() == 1)
+    assertSameState(rec, DurableCatalog.recover(spark, root))
+  }
+
   test("group commit: concurrent mutations batch into segments, replay intact") {
     val root = freshRoot()
     val cat = DurableCatalog.recover(spark, root, groupCommit = true)
