@@ -133,5 +133,50 @@ object EventQueries {
             round(col("value") - lag(col("value"), 1).over(w), 6).as("value_delta"),
             round(lead(col("value"), 1).over(w) - col("value"), 6).as("next_delta"))
           .orderBy("user_id", "ts", "event_id")
+      }),
+
+    // Ordered funnel (view -> click -> purchase): a user reaches step k
+    // only via events strictly AFTER their step k-1 time — the
+    // behavioral-analytics pattern windows can't express directly
+    // (each step's anchor is the previous step's aggregate). Three
+    // filtered aggregates chained by broadcast joins on user_id: the
+    // events table is scanned per step with the type filter pushed to
+    // parquet, and the join side is #users rows (tiny), so the plan is
+    // three pruned scans + broadcasts, no wide shuffle.
+    QueryDef("q94_funnel", Some(
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT 1 AS step, 'view' AS name, count(*) AS users FROM s1
+        |UNION ALL SELECT 2, 'view>click', count(*) FROM s2
+        |UNION ALL SELECT 3, 'view>click>purchase', count(*) FROM s3
+        |ORDER BY step""".stripMargin),
+      (spark, dir) => {
+        val e = table(spark, dir, "events").select("user_id", "event_type", "ts")
+        val s1 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val s2 = e.filter(col("event_type") === "click")
+          .join(broadcast(s1), "user_id")
+          .filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val s3 = e.filter(col("event_type") === "purchase")
+          .join(broadcast(s2), "user_id")
+          .filter(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        def row(step: Int, name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("users"))
+            .select(lit(step).as("step"), lit(name).as("name"), col("users"))
+        row(1, "view", s1)
+          .unionByName(row(2, "view>click", s2))
+          .unionByName(row(3, "view>click>purchase", s3))
+          .orderBy("step")
       }))
 }

@@ -415,5 +415,31 @@ object RelationalQueries {
             sum(col("l_quantity")).as("total_qty"),
             round(sum(col("l_extendedprice")), 2).as("total_price"))
           .orderBy(col("p_brand"), col("s_name"))
+      }),
+
+    // Bloom-filter semi-join reduction (BloomJoin scaladoc): the fact
+    // side is pre-filtered by a codegen'd might_contain(xxhash64(key))
+    // before the exact semi join, so at scale only ~matching rows pay
+    // the shuffle. No false negatives => the oracle is the PLAIN semi
+    // join; the reduction itself is asserted in BloomJoinSpec.
+    QueryDef("q92_bloom_semi_join", Some(
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
+      (spark, dir) => {
+        import graft.operators.BloomJoin
+        val l = table(spark, dir, "lineitem")
+        val urgent = table(spark, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+        BloomJoin.semiJoinReduced(l, "l_orderkey", urgent, "o_orderkey",
+            expectedItems = 100000L, fpp = 0.01)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice")), 2).as("revenue"))
+          .orderBy(col("l_returnflag"))
       }))
 }

@@ -383,6 +383,77 @@ object TextQueries {
             col("target_width"), col("target_height"),
             round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
           .orderBy("media_id")
+      }),
+
+    // Inverted index — the search-engine primitive: term -> document
+    // frequency, corpus frequency, and the full posting list. One
+    // tokenize + two hash aggregations (doc-term tf, then term);
+    // postings serialize as a sorted "doc:tf" string so the compare is
+    // order-insensitive on both engines. Top-30 terms by df keeps the
+    // output bounded; the plan's per-term postings are collect_list
+    // over the GROUPED tf rows (bounded by df), never per-row text.
+    QueryDef("q93_inverted_index", Some(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    t -> t <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2)
+        |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+        |  array_to_string(list_sort(list(doc_id || ':' || tf)), ',') AS postings
+        |FROM tf GROUP BY term
+        |ORDER BY df DESC, term LIMIT 30""".stripMargin),
+      (spark, dir) => {
+        import graft.operators.TextAnalysis
+        val tf = table(spark, dir, "documents")
+          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        tf.groupBy("term")
+          .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"),
+            concat_ws(",", array_sort(collect_list(
+              concat(col("doc_id").cast("string"), lit(":"),
+                col("tf").cast("string"))))).as("postings"))
+          .orderBy(col("df").desc, col("term").asc)
+          .limit(30)
+      }),
+
+    // Source token-budget planning — the data-recipe question "which
+    // sources fit under X% of the token budget": per-source doc/token
+    // totals, global share, and the cumulative share in descending
+    // token order (the greedy packing order). One tokenize, one
+    // aggregation, one window over #sources rows (tiny).
+    QueryDef("q95_source_token_budget", Some(
+      """WITH per_doc AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      t -> t <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |per_source AS (
+        |  SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
+        |  FROM per_doc GROUP BY source)
+        |SELECT source, n_docs, tokens,
+        |  round(CAST(tokens AS DOUBLE) / sum(tokens) OVER (), 6) AS share,
+        |  round(CAST(sum(tokens) OVER (ORDER BY tokens DESC, source) AS DOUBLE)
+        |    / sum(tokens) OVER (), 6) AS cum_share
+        |FROM per_source
+        |ORDER BY tokens DESC, source""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.operators.TextAnalysis
+        val perSource = table(spark, dir, "documents")
+          .select(col("source"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+        val all = Window.partitionBy()
+        val greedy = Window.partitionBy()
+          .orderBy(col("tokens").desc, col("source").asc)
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        perSource
+          .select(col("source"), col("n_docs"), col("tokens"),
+            round(col("tokens").cast("double") / sum(col("tokens")).over(all), 6).as("share"),
+            round(sum(col("tokens")).over(greedy).cast("double")
+              / sum(col("tokens")).over(all), 6).as("cum_share"))
+          .orderBy(col("tokens").desc, col("source").asc)
       }))
 
   // ---- DuckDB replay of the FakeCodec stub (Multimodal.FakeCodec) ----
