@@ -89,8 +89,10 @@ final class HttpApi(db: VectorDb, port: Int = 0) {
 
   private def librariesIndex(id: String, query: Map[String, String]): Response = {
     val indexType = query.getOrElse("index_type", "lsh")
-    if (!Set("lsh", "ivf").contains(indexType))
-      respond(400, detail("Invalid index type. Must be one of: lsh, ivf"))
+    // reference accepts lsh|ivf here (libraries.py); exact + hnsw are
+    // additive — reference clients' requests behave identically
+    if (!Set("lsh", "ivf", "exact", "hnsw").contains(indexType))
+      respond(400, detail("Invalid index type. Must be one of: lsh, ivf, exact, hnsw"))
     else db.indexLibrary(id, indexType).fold(err,
       _ => respond(200, obj("message" -> s"Library indexed successfully with $indexType index")))
   }

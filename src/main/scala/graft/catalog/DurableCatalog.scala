@@ -448,6 +448,7 @@ private[catalog] object WalCodec {
     case IndexType.Exact => "exact"
     case IndexType.Lsh => "lsh"
     case IndexType.Ivf => "ivf"
+    case IndexType.Hnsw => "hnsw"
   }
   def parseIndexType(s: String): IndexType =
     IndexType.parse(s).getOrElse(throw new IllegalStateException(s"Bad index type in WAL: $s"))

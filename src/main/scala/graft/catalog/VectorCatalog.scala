@@ -20,13 +20,24 @@ object IndexType {
   case object Exact extends IndexType
   case object Lsh extends IndexType
   case object Ivf extends IndexType
+  /** Beyond reference parity (config.py:25 knows only lsh|ivf): the
+    * graph tier as a first-class selectable index. Additive — a
+    * reference client never sends "hnsw", so parity is untouched. */
+  case object Hnsw extends IndexType
   def parse(s: String): Either[ApiError, IndexType] = s.toLowerCase match {
     case "flat" | "exact" => Right(Exact)
     case "lsh" => Right(Lsh)
     case "ivf" => Right(Ivf)
+    case "hnsw" => Right(Hnsw)
     case other => Left(ApiError.Validation(s"Invalid index type: $other"))
   }
 }
+
+/** Built HNSW graph for one library: graph node i holds the vector of
+  * chunk `chunkIds(i)` (chunk ids are uuids; the graph keys by dense
+  * node index internally). Bounded driver/broadcast state like the
+  * LSH/IVF models (HnswModel.maxGraphVectors). */
+final case class HnswState(graph: graft.index.HnswModel, chunkIds: Array[String])
 
 /** Versioned per-library index state: the Spark-native replacement for
   * the reference's mutable `IndexManager` registry + locks
@@ -38,7 +49,8 @@ final case class IndexState(
     assigned: Option[DataFrame],     // IVF: chunks + cluster_id
     lsh: Option[LshModel],
     ivf: Option[IvfModel],
-    builtAtVersion: Long)
+    builtAtVersion: Long,
+    hnsw: Option[HnswState] = None)  // HNSW: graph + node->chunk-id map
 
 /**
  * Driver-side catalog + chunk store for the Library -> Document -> Chunk
@@ -301,6 +313,9 @@ final class VectorCatalog(val spark: SparkSession,
             case None => // below training threshold: index exists, untrained
               IndexState(it, None, None, None, None, version.get())
           }
+        case IndexType.Hnsw =>
+          IndexState(it, None, None, None, None, version.get(),
+            hnsw = buildHnswState(libChunks))
       }
       indexes.put(libraryId, state)
       libraries.get(libraryId).foreach(l =>
@@ -357,12 +372,38 @@ final class VectorCatalog(val spark: SparkSession,
                 builtAtVersion = version.get())
             case None => state.copy(builtAtVersion = version.get())
           }
+        case IndexType.Hnsw =>
+          // graph insertion order is build state — incremental insert
+          // would change results vs a fresh build, so reconcile by
+          // REBUILD (bounded by HnswModel.maxGraphVectors, a driver-side
+          // O(n log n); the same determinism-over-cleverness tradeoff
+          // as the reference's never-retrain IVF, inverted)
+          state.copy(hnsw = buildHnswState(libChunks),
+            builtAtVersion = version.get())
         case _ => // exact or never-built LSH index: nothing derived to refresh
           state.copy(builtAtVersion = version.get())
       }
       indexes.put(libraryId, refreshed)
       refreshed
     }
+
+  /** Collect the library's embedded chunks (id order => deterministic
+    * graph) and build the HNSW graph over dense node indexes, keeping
+    * the node->chunk-id map alongside. None when nothing is embedded. */
+  private def buildHnswState(libChunks: DataFrame): Option[HnswState] = {
+    val rows = libChunks
+      .select($"id", $"embedding".cast("array<float>"))
+      .orderBy($"id")
+      .limit(graft.index.HnswModel.maxGraphVectors)
+      .collect()
+    if (rows.isEmpty) None
+    else {
+      val ids = rows.map(_.getString(0))
+      val vecs = rows.map(_.getSeq[Float](1).toArray)
+      Some(HnswState(graft.index.HnswModel.fromVectors(
+        Array.tabulate(ids.length)(_.toLong), vecs), ids))
+    }
+  }
 
   /** True when chunk mutations occurred after the index build. */
   def indexStale(libraryId: String): Boolean =
@@ -545,6 +586,14 @@ final class VectorCatalog(val spark: SparkSession,
           graft.index.IndexStore.writeIvfAssigned(assigned, s"$path/indexes/$libId/ivf_assigned")
         case _ =>
       }
+      state.hnsw.foreach { hs =>
+        import spark.implicits._
+        graft.index.HnswModel.write(spark, hs.graph, s"$path/indexes/$libId/hnsw_graph")
+        hs.chunkIds.zipWithIndex.map { case (id, i) => (i, id) }.toSeq
+          .toDF("idx", "chunk_id")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$path/indexes/$libId/hnsw_ids")
+      }
     }
 
   /** Restore index state written by `saveIndexes` for one library.
@@ -570,6 +619,15 @@ final class VectorCatalog(val spark: SparkSession,
         val m = graft.index.IndexStore.readIvfModel(spark, s"$base/ivf_model")
         val assigned = spark.read.parquet(s"$base/ivf_assigned")
         val state = IndexState(IndexType.Ivf, None, Some(assigned), None, Some(m), version.get())
+        indexes.put(libraryId, state)
+        Right(state)
+      } else if (exists(s"$base/hnsw_graph")) {
+        val g = graft.index.HnswModel.read(spark, s"$base/hnsw_graph")
+        val ids = spark.read.parquet(s"$base/hnsw_ids")
+          .select("idx", "chunk_id").orderBy("idx")
+          .collect().map(_.getString(1))
+        val state = IndexState(IndexType.Hnsw, None, None, None, None,
+          version.get(), hnsw = Some(HnswState(g, ids)))
         indexes.put(libraryId, state)
         Right(state)
       } else if (exists(base)) {

@@ -47,6 +47,8 @@ final class SearchService(catalog: VectorCatalog) {
           lshSearch(libraryId, universe, queryVec, k)
         case Some(IndexType.Ivf) =>
           ivfSearch(libraryId, universe, queryVec, k)
+        case Some(IndexType.Hnsw) if catalog.indexState(libraryId).exists(_.hnsw.isDefined) =>
+          hnswSearch(libraryId, universe, queryVec, k)
         case _ => // exact index type, or index never built => brute force
           exactTopK(universe, queryVec, k)
       }
@@ -92,6 +94,21 @@ final class SearchService(catalog: VectorCatalog) {
         val candidateChunks = universe.join(probed, Seq("id"), "left_semi")
         exactTopK(candidateChunks, queryVec, k)
     }
+  }
+
+  /** HNSW tier: graph navigation proposes a candidate set (fetch factor
+    * 4k, floor 50 — the two-tier contract: graph error is removed by
+    * the exact rerank below), then the same post-filter + exact-cosine
+    * top-k as every other index path. The graph covers all indexed
+    * chunks, so like IVF a selective metadata filter may return < k —
+    * the reference's observable post-filter semantics. */
+  private def hnswSearch(libraryId: String, universe: DataFrame,
+      queryVec: Array[Float], k: Int): Seq[SearchResult] = {
+    val hs = catalog.indexState(libraryId).get.hnsw.get
+    val fetch = math.max(4 * k, 50)
+    val candIds = hs.graph.search(queryVec, fetch, ef = math.max(100, fetch))
+      .map { case (node, _) => hs.chunkIds(node.toInt) }
+    exactTopK(universe.filter(col("id").isin(candIds: _*)), queryVec, k)
   }
 
   private def collectResults(df: DataFrame): Seq[SearchResult] = {

@@ -36,10 +36,56 @@ class ApiSpec extends SparkSpec {
     val filtered = db.chunksByMetadataJson(lib.id, """{"topic": "python"}""").toOption.get
     assert(filtered.size == 1 && filtered.head.text.contains("python"))
 
-    // index type switch (test_basic.py:225-268)
+    // index type switch (test_basic.py:225-268) + the additive hnsw tier
     assert(db.indexLibrary(lib.id, "ivf").isRight)
     assert(db.indexLibrary(lib.id, "exact").isRight)
+    assert(db.indexLibrary(lib.id, "hnsw").isRight)
     assert(db.indexLibrary(lib.id, "bogus").isLeft)
+  }
+
+  test("hnsw index type: facade search equals exact search on a covered library") {
+    val db = new VectorDb(spark)
+    val lib = db.createLibrary("HnswLib", indexType = "hnsw").toOption.get
+    val doc = db.createDocument(lib.id, "D").toOption.get
+    val texts = (0 until 30).map(i => s"document number $i about topic ${i % 5}")
+    texts.foreach(t => assert(db.createChunk(doc.id, t).isRight))
+    assert(db.indexLibrary(lib.id, "hnsw").isRight)
+
+    def ids(indexType: String): Seq[String] = {
+      assert(db.indexLibrary(lib.id, indexType).isRight)
+      db.simpleSearch(lib.id, "topic 3 document", k = 5).toOption.get
+        .results.map(_.chunk.id)
+    }
+    // at this size the graph covers the whole library: candidate set
+    // superset of true top-k => identical final ranking to exact
+    assert(ids("hnsw") == ids("exact"))
+
+    // post-filter semantics: a selective filter may shrink results but
+    // never error (same contract as LSH/IVF)
+    assert(db.indexLibrary(lib.id, "hnsw").isRight)
+    val resp = db.search(lib.id, SearchQuery(queryText = Some("topic"),
+      k = 3, metadataFilters = Map("nope" -> "x"))).toOption.get
+    assert(resp.results.isEmpty)
+  }
+
+  test("hnsw index survives saveIndexes/loadIndex with identical search results") {
+    val db = new VectorDb(spark)
+    val lib = db.createLibrary("HnswPersist", indexType = "hnsw").toOption.get
+    val doc = db.createDocument(lib.id, "D").toOption.get
+    (0 until 25).foreach(i => assert(db.createChunk(doc.id, s"persisted text $i").isRight))
+    assert(db.indexLibrary(lib.id, "hnsw").isRight)
+    val before = db.simpleSearch(lib.id, "persisted text 7", k = 5)
+      .toOption.get.results.map(_.chunk.id)
+
+    val path = java.nio.file.Files.createTempDirectory("graft-hnsw-idx").toString
+    db.catalog.saveIndexes(path)
+    // wipe the in-memory index state, then restore from disk
+    db.catalog.indexLibrary(lib.id, "exact")
+    val restored = db.catalog.loadIndex(path, lib.id)
+    assert(restored.isRight && restored.toOption.get.hnsw.isDefined)
+    val after = db.simpleSearch(lib.id, "persisted text 7", k = 5)
+      .toOption.get.results.map(_.chunk.id)
+    assert(before == after)
   }
 
   test("bad filter JSON => 400-style validation error (search.py:34-40)") {
