@@ -471,6 +471,40 @@ object TextQueries {
           .limit(30)
       }),
 
+    // Bigram vocabulary stats (n-gram LM counts): corpus frequency and
+    // document frequency of word bigrams. WordShingles dedups (set
+    // semantics for MinHash), so the MULTISET bigrams come from
+    // zip_with over the materialized token array — the HOF target is a
+    // plain array ref, so the round-1 re-tokenize-per-element trap
+    // doesn't apply. One narrow map + one hash aggregation;
+    // count-ordered so ordering is engine-stable.
+    QueryDef("q97_bigram_topk", Some(
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    t -> t <> '') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bigram
+        |  FROM d, unnest(range(1, len(tk))) AS u(i)
+        |  WHERE len(tk) >= 2)
+        |SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS df
+        |FROM bg GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 40""".stripMargin),
+      (spark, dir) => {
+        import graft.operators.TextAnalysis
+        table(spark, dir, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(col("doc_id"), explode(zip_with(
+            slice(col("tk"), lit(1), size(col("tk")) - 1),
+            slice(col("tk"), lit(2), size(col("tk")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bigram"))
+          .groupBy("bigram")
+          .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(40)
+      }),
+
     // Source token-budget planning — the data-recipe question "which
     // sources fit under X% of the token budget": per-source doc/token
     // totals, global share, and the cumulative share in descending

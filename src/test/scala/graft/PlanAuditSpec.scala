@@ -94,6 +94,42 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q96 term PMI: pair sides share one repartition exchange, vocab broadcasts") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = planOf("q96_term_pmi")
+      // both self-join sides hang off the pruned token table's single
+      // repartition(doc_id) — the tokenize+distinct+join pipeline must
+      // execute once
+      assert(plan.contains("ReusedExchange"),
+        s"pair sides must share one exchange:\n$plan")
+      // the vocabulary prune is a broadcast, not a shuffle join
+      assert(plan.contains("BroadcastHashJoin"), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("q93 inverted index: both aggregations combine partially before shuffling") {
+    val plan = planOf("q93_inverted_index")
+    // doc-term tf and the term rollup must each partial-aggregate
+    // map-side; with 2 aggregates that is >= 2 partial + 2 final
+    val partials = plan.linesIterator.count(l =>
+      l.contains("HashAggregate") && l.contains("partial_"))
+    assert(partials >= 2, s"expected partial aggregation on both levels:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q92 bloom semi join: might_contain filters the probe side before the join") {
+    val plan = planOf("q92_bloom_semi_join")
+    val filterIdx = plan.indexOf("might_contain")
+    val joinIdx = plan.indexOf("LeftSemi")
+    assert(filterIdx >= 0, s"bloom predicate missing:\n${plan.take(800)}")
+    assert(joinIdx >= 0, plan.take(800))
+    // executedPlan prints top-down: the semi join sits ABOVE the
+    // bloom-filtered scan, so the filter must appear after it textually
+    assert(filterIdx > joinIdx,
+      "bloom filter must sit under the join on the probe side")
+  }
+
   test("q80 exact-2p quantiles: bucket assignment broadcasts the boundary table") {
     val plan = run("q80_percentiles_exact2p").queryExecution.executedPlan.toString
     // final assembly is a tiny local join of two collected results —
