@@ -113,6 +113,31 @@ object RecallReport {
       pqEnc.unpersist(); opqEnc.unpersist()
     }
 
+    println("\n## IVF-PQ vs OPQ+IVF-PQ (nlist=16, nprobe=8, 8x16 residual codes)\n")
+    println("| variant | fetch | mean recall@10 | mean candidate fraction |")
+    println("|---|---|---|---|")
+    locally {
+      val ivfpq = graft.index.IvfPqModel.train(emb, "embedding", nlist = 16, m = 8, k = 16)
+      val opqIvfpq = graft.index.OpqIvfPqModel.train(emb, "embedding", nlist = 16, m = 8, k = 16)
+      val e1 = ivfpq.encode(emb, "vec_id", "embedding").cache()
+      val e2 = opqIvfpq.encode(emb, "vec_id", "embedding").cache()
+      for (fetch <- Seq(20, 50, 100)) {
+        val s1 = queries.map { case (id, q) =>
+          val cands = ivfpq.candidates(e1, q, nprobe = 8, n = fetch)
+            .select("id").collect().map(_.getLong(0)).toSet
+          (cands.intersect(exact(id)).size / 10.0, cands.size.toDouble / n)
+        }
+        println(f"| IVF-PQ | $fetch | ${s1.map(_._1).sum / s1.length}%.2f | ${s1.map(_._2).sum / s1.length}%.3f |")
+        val s2 = queries.map { case (id, q) =>
+          val cands = opqIvfpq.candidates(e2, q, nprobe = 8, n = fetch)
+            .select("id").collect().map(_.getLong(0)).toSet
+          (cands.intersect(exact(id)).size / 10.0, cands.size.toDouble / n)
+        }
+        println(f"| OPQ+IVF-PQ | $fetch | ${s2.map(_._1).sum / s2.length}%.2f | ${s2.map(_._2).sum / s2.length}%.3f |")
+      }
+      e1.unpersist(); e2.unpersist()
+    }
+
     println("\n## HNSW (M=16, efConstruction=200; driver graph, broadcast tier)\n")
     println("| ef | fetch | mean recall@10 | mean candidate fraction |")
     println("|---|---|---|---|")
