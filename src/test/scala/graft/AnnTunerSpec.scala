@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.index.AnnTuner
+import graft.model.GraftConfig
+
+/**
+ * Recall-targeted auto-tuning: the pick must be deterministic, meet
+ * the target it claims, be the cheapest of the measured configs that
+ * do, and refuse honestly when the target is unreachable.
+ */
+class AnnTunerSpec extends SparkSpec {
+
+  private lazy val emb = spark.read
+    .parquet(s"$sfDir/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"), col("label")).cache()
+
+  test("IVF tuning meets the target at minimal candidate fraction") {
+    // 0.75 sits inside the measured frontier on this corpus (RECALL.md:
+    // recall ~0.78 at fraction ~0.5); 0.9+ genuinely needs a full probe
+    // on these wide-angle synthetic neighbors, which the honest-refusal
+    // test below covers from the other side
+    val best = AnnTuner.tuneIvf(emb, "vec_id", "embedding", targetRecall = 0.75)
+    assert(best.isDefined, "0.75 must be reachable for IVF on this corpus")
+    val m = best.get
+    info(f"picked (nlist, nprobe) = ${m.config}, recall = ${m.recall}%.2f, " +
+      f"fraction = ${m.candidateFraction}%.3f")
+    assert(m.recall >= 0.75)
+    // a full-probe config (nprobe == nlist) always has recall 1.0 at
+    // fraction 1.0 — the tuner must have found something cheaper
+    assert(m.candidateFraction < 1.0)
+
+    // deterministic: same inputs, same pick
+    val again = AnnTuner.tuneIvf(emb, "vec_id", "embedding", targetRecall = 0.75)
+    assert(again.map(_.config) == best.map(_.config))
+  }
+
+  test("higher targets cost at least as much") {
+    val lo = AnnTuner.tuneIvf(emb, "vec_id", "embedding", targetRecall = 0.5)
+    val hi = AnnTuner.tuneIvf(emb, "vec_id", "embedding", targetRecall = 0.95)
+    assert(lo.isDefined && hi.isDefined)
+    assert(lo.get.candidateFraction <= hi.get.candidateFraction,
+      s"cheaper to hit 0.95 (${hi.get.candidateFraction}) than 0.5 " +
+        s"(${lo.get.candidateFraction})?")
+  }
+
+  test("unreachable target returns None, not the least-bad config") {
+    // nprobe capped at 1 of >= 8 cells cannot reach recall 0.999 here
+    val r = AnnTuner.tuneIvf(emb, "vec_id", "embedding", targetRecall = 0.999,
+      nlists = Seq(16), nprobes = Seq(1))
+    assert(r.isEmpty)
+  }
+
+  test("LSH tuning activates the picked preset for the catalog") {
+    val saved = GraftConfig.lshActivePreset
+    try {
+      GraftConfig.lshActivePreset = None
+      // 0.4 is comfortably reachable for sign-LSH on this corpus
+      // (RECALL.md frontier); the geometric cap near 0.6 is why the
+      // default target here is modest
+      val best = AnnTuner.tuneAndActivateLsh(emb, "vec_id", "embedding",
+        dim = 64, targetRecall = 0.4)
+      assert(best.isDefined, "0.4 must be reachable for LSH on this corpus")
+      assert(best.get.recall >= 0.4)
+      assert(GraftConfig.lshActivePreset.contains(best.get.config))
+    } finally GraftConfig.lshActivePreset = saved
+  }
+}
