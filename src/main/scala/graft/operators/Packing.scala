@@ -114,4 +114,32 @@ object Packing {
     }
     df.filter(keepExpr)
   }
+
+  /**
+   * Deterministic weighted sample WITHOUT replacement (Efraimidis &
+   * Spirakis 2006, exponential-jumps formulation): each row draws
+   * `u = uniform(splitmix64(id))` and keys on `-ln(u) / w` — the
+   * minimum-key m rows are a weighted sample where inclusion
+   * probability scales with weight. Pure function of (id, weight):
+   * replayable by another engine, stable across runs/partitionings —
+   * the same determinism contract as [[mixBySource]], which uniform
+   * `orderBy(rand())` sampling has neither. The selection plans as a
+   * heap top-m (`TakeOrderedAndProject`), never a global sort.
+   *
+   * `u` comes from the top 53 bits of the hash, offset by half a ulp
+   * (`(h >>> 11) + 0.5) / 2^53`) so it is strictly inside (0,1) —
+   * `ln(0)` can never fire. Output adds `sample_key`.
+   */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      m: Int): DataFrame = {
+    requireIntegralId(df, idCol)
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.graft.expressions.SplitMix64
+    val h = Bridge.column(SplitMix64(Bridge.expression(col(idCol).cast("long"))))
+    val u = (shiftrightunsigned(h, 11).cast("double") + lit(0.5)) /
+      lit(9007199254740992.0) // 2^53
+    df.withColumn("sample_key", -log(u) / col(weightCol).cast("double"))
+      .orderBy(col("sample_key"), col(idCol))
+      .limit(m)
+  }
 }

@@ -337,6 +337,34 @@ object AdvancedQueries {
     // across runs/partitionings/engines — DuckDB replays the identical
     // 64-bit wraparound arithmetic in HUGEINT, so this is hash-compared,
     // not a statistical check. (sample() could never be oracled.)
+    // Deterministic weighted sampling (Efraimidis–Spirakis exponential
+    // keys; Packing.weightedSample scaladoc): key = -ln(u)/w from the
+    // splitmix64 of the id, heap top-25 by key. The oracle replays the
+    // full hash + key arithmetic; selection order is by the unrounded
+    // key (doc_id tiebreak), display rounds at 6 after a 1e6 scale.
+    QueryDef("q98_weighted_sample", Some(
+      s"""WITH h1 AS (
+         |  SELECT doc_id, source, n_chars,
+         |    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z
+         |  FROM documents),
+         |${smStages(", source, n_chars")}
+         |k AS (
+         |  SELECT doc_id, source, n_chars,
+         |    -ln((CAST(xor(z, z >> 31) // 2048 AS DOUBLE) + 0.5) / 9007199254740992.0)
+         |      / n_chars AS sample_key
+         |  FROM h3)
+         |SELECT doc_id, source, n_chars,
+         |  round(sample_key * 1000000, 6) AS key_e6
+         |FROM k ORDER BY sample_key, doc_id LIMIT 25""".stripMargin),
+      (spark, dir) => {
+        import graft.operators.Packing
+        Packing.weightedSample(
+            table(spark, dir, "documents").select("doc_id", "source", "n_chars"),
+            "doc_id", "n_chars", m = 25)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            round(col("sample_key") * 1000000, 6).as("key_e6"))
+      }),
+
     QueryDef("q62_split_assign", Some(
       s"""WITH h1 AS (
          |  SELECT doc_id, source,

@@ -207,4 +207,29 @@ class OperatorSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == first)
   }
+
+  test("weighted sample: inclusion scales with weight, deterministic, heap plan") {
+    import graft.operators.Packing
+    import spark.implicits._
+    // 500 light rows (w=1) and 500 heavy rows (w=20): a 100-row sample
+    // should be dominated by heavy rows (each is 20x as likely)
+    val rows = (0L until 1000L).map(i => (i, if (i < 500) 1.0 else 20.0))
+      .toDF("id", "w")
+    val picked = Packing.weightedSample(rows, "id", "w", m = 100)
+      .select("id").collect().map(_.getLong(0))
+    assert(picked.length == 100)
+    val heavy = picked.count(_ >= 500L)
+    info(s"heavy rows in sample: $heavy/100")
+    assert(heavy >= 80, s"weight-20 rows under-represented: $heavy/100")
+
+    // deterministic across runs and partitionings
+    val again = Packing.weightedSample(rows.repartition(7), "id", "w", m = 100)
+      .select("id").collect().map(_.getLong(0))
+    assert(again.sameElements(picked))
+
+    // selection is a heap top-m, not a global sort
+    val plan = Packing.weightedSample(rows, "id", "w", m = 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
