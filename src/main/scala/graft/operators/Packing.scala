@@ -133,13 +133,34 @@ object Packing {
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       m: Int): DataFrame = {
     requireIntegralId(df, idCol)
+    df.withColumn("sample_key", sampleKey(df, idCol, weightCol))
+      .orderBy(col("sample_key"), col(idCol))
+      .limit(m)
+  }
+
+  /** Per-group weighted sample: the [[weightedSample]] key ranked
+    * WITHIN each group (row_number over (group, key)) — Spark plans
+    * the rank filter as a map-side WindowGroupLimit, so each partition
+    * keeps at most `perGroup` rows per group before the shuffle.
+    * Output adds `sample_key` and `rn`. */
+  def weightedSamplePerGroup(df: DataFrame, idCol: String, weightCol: String,
+      groupCol: String, perGroup: Int): DataFrame = {
+    requireIntegralId(df, idCol)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(col("sample_key"), col(idCol))
+    df.withColumn("sample_key", sampleKey(df, idCol, weightCol))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perGroup)
+  }
+
+  /** The Efraimidis–Spirakis key: -ln(uniform(splitmix64(id))) / w. */
+  private def sampleKey(df: DataFrame, idCol: String,
+      weightCol: String): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graft.Bridge
     import org.apache.spark.sql.graft.expressions.SplitMix64
     val h = Bridge.column(SplitMix64(Bridge.expression(col(idCol).cast("long"))))
     val u = (shiftrightunsigned(h, 11).cast("double") + lit(0.5)) /
       lit(9007199254740992.0) // 2^53
-    df.withColumn("sample_key", -log(u) / col(weightCol).cast("double"))
-      .orderBy(col("sample_key"), col(idCol))
-      .limit(m)
+    -log(u) / col(weightCol).cast("double")
   }
 }

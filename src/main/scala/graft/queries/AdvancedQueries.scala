@@ -365,6 +365,38 @@ object AdvancedQueries {
             round(col("sample_key") * 1000000, 6).as("key_e6"))
       }),
 
+    // Grouped weighted sampling: the q98 key ranked within each source
+    // (row_number over (source, key)) — plans as a map-side
+    // WindowGroupLimit like q71's stratified sample, but with
+    // weight-proportional inclusion instead of uniform.
+    QueryDef("q99_weighted_per_source", Some(
+      s"""WITH h1 AS (
+         |  SELECT doc_id, source, n_chars,
+         |    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z
+         |  FROM documents),
+         |${smStages(", source, n_chars")}
+         |k AS (
+         |  SELECT doc_id, source, n_chars,
+         |    -ln((CAST(xor(z, z >> 31) // 2048 AS DOUBLE) + 0.5) / 9007199254740992.0)
+         |      / n_chars AS sample_key
+         |  FROM h3),
+         |r AS (
+         |  SELECT doc_id, source, n_chars, sample_key,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY sample_key, doc_id) AS INTEGER) AS rn
+         |  FROM k)
+         |SELECT doc_id, source, n_chars, rn,
+         |  round(sample_key * 1000000, 6) AS key_e6
+         |FROM r WHERE rn <= 3 ORDER BY source, rn""".stripMargin),
+      (spark, dir) => {
+        import graft.operators.Packing
+        Packing.weightedSamplePerGroup(
+            table(spark, dir, "documents").select("doc_id", "source", "n_chars"),
+            "doc_id", "n_chars", "source", perGroup = 3)
+          .select(col("doc_id"), col("source"), col("n_chars"), col("rn"),
+            round(col("sample_key") * 1000000, 6).as("key_e6"))
+          .orderBy("source", "rn")
+      }),
+
     QueryDef("q62_split_assign", Some(
       s"""WITH h1 AS (
          |  SELECT doc_id, source,
