@@ -57,5 +57,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => SplitMix64(es(0))))
     ext.injectFunction(fn("string_hash64", classOf[StringHash64],
       es => StringHash64(es(0))))
+    ext.injectFunction(fn("word_tokens", classOf[WordTokens],
+      es => WordTokens(es(0))))
+    // hilbert2d(x, y, bits): curve index of two rank-space positions
+    ext.injectFunction(fn("hilbert2d", classOf[HilbertIndex2D],
+      es => HilbertIndex2D(es(0), es(1),
+        es(2).eval().asInstanceOf[Int])))
   }
 }

@@ -228,11 +228,15 @@ class IndexStoreSpec extends SparkSpec {
   test("GraftExtensions-injected SQL functions work (session built with spark.sql.extensions)") {
     val got = spark.sql(
       "SELECT cosine_sim(array(1.0F, 0.0F), array(1.0F, 1.0F)) AS c," +
-        " rolling_hash('abc') AS h, word_shingles('a b c', 2) AS s")
+        " rolling_hash('abc') AS h, word_shingles('a b c', 2) AS s," +
+        " word_tokens(' A  b ') AS t, hilbert2d(3L, 5L, 4) AS hc")
       .collect()(0)
     assert(math.abs(got.getDouble(0) - 1.0 / math.sqrt(2)) < 1e-12)
     assert(got.getLong(1) != 0L)
     assert(got.getSeq[String](2) == Seq("a b", "b c"))
+    assert(got.getSeq[String](3) == Seq("a", "b"))
+    assert(got.getLong(4) ==
+      org.apache.spark.sql.graft.expressions.HilbertEval.xy2d(4, 3L, 5L))
   }
 
   test("HNSW graph persists and restores with identical search results") {
