@@ -86,6 +86,81 @@ object EventStream {
   case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, value_sum: Double)
 
+  /** Per-user funnel buffer: the retained (tsMillis, event_id, type)
+    * events of the funnel's step types, plus the highest stage already
+    * emitted. Retention is what makes the funnel ORDER-INDEPENDENT
+    * across micro-batches: a late-arriving earlier `view` can lower
+    * step 1's anchor time and retroactively unlock a click that was
+    * already buffered — recomputing over the buffer gets that right,
+    * a forgetful state machine cannot. State is bounded by the user's
+    * own funnel-step activity (non-step events are filtered upstream). */
+  case class FunnelState(events: List[(Long, Long, String)], emittedStage: Int)
+  /** Emitted once per user per newly-reached funnel stage (1-based). */
+  case class FunnelProgress(user_id: Long, stage: Int, step: String,
+      reached_at: java.sql.Timestamp)
+
+  /**
+   * Streaming ordered-funnel tracking via `flatMapGroupsWithState`:
+   * the stateful mirror of EventQueries.q94 (view -> click -> purchase
+   * with each step strictly after the previous step's anchor). Events
+   * buffer per user; each batch recomputes the furthest reachable
+   * stage over the full buffer (sorted by event time, so arrival order
+   * — within or across batches — cannot change the outcome) and emits
+   * one FunnelProgress row per NEWLY reached stage. Append-mode
+   * compatible: emitted rows are immutable facts ("user u reached
+   * stage k at t"); a retroactive improvement of an anchor time for an
+   * already-emitted stage does not re-emit (the stage was genuinely
+   * reached — q94's batch semantics over the same prefix agree on
+   * stage membership, which is what the differential test pins).
+   */
+  def funnelStream(events: org.apache.spark.sql.Dataset[Event],
+      steps: Seq[String]): org.apache.spark.sql.Dataset[FunnelProgress] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stepSet = steps.toSet
+
+    // anchor times per stage over a time-sorted event list: stage k
+    // needs an event of steps(k) strictly after stage k-1's anchor
+    def anchors(sorted: List[(Long, Long, String)]): List[(Int, Long)] = {
+      var out = List.empty[(Int, Long)]
+      var prev = Long.MinValue
+      var k = 0
+      var rest = sorted
+      while (k < steps.length) {
+        rest = rest.dropWhile { case (t, _, tp) =>
+          !(tp == steps(k) && (if (k == 0) true else t > prev)) }
+        rest match {
+          case (t, _, _) :: tail if true =>
+            out = (k, t) :: out
+            prev = t
+            rest = tail
+            k += 1
+          case Nil => k = steps.length // unreachable stage: stop
+        }
+      }
+      out.reverse
+    }
+
+    events.filter(e => stepSet.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          val prev = state.getOption.getOrElse(FunnelState(Nil, 0))
+          val added = it.map(e => (e.ts.getTime, e.event_id, e.event_type)).toList
+          val all = (prev.events ++ added).sortBy(t => (t._1, t._2))
+          val reached = anchors(all)
+          val newOnes = reached.filter { case (k, _) => k >= prev.emittedStage }
+          val top = if (reached.isEmpty) prev.emittedStage
+            else math.max(prev.emittedStage, reached.map(_._1).max + 1)
+          state.update(FunnelState(all, top))
+          newOnes.map { case (k, t) =>
+            FunnelProgress(uid, k + 1, steps(k), new java.sql.Timestamp(t))
+          }.iterator
+      }
+  }
+
   /**
    * Streaming gap-sessionization via `flatMapGroupsWithState`: the
    * stateful mirror of the batch `Sessionize` operator. Events group by

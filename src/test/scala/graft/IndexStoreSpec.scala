@@ -105,6 +105,49 @@ class IndexStoreSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: stage progression matches batch, order-independent across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+
+    def ev(id: Long, uid: Long, minute: Int, tp: String): EventStream.Event =
+      EventStream.Event(id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"),
+        uid, tp, Some(1.0))
+
+    // user 7 completes the funnel, but the CLICK arrives one batch
+    // BEFORE the earlier view (out of order across batches); user 8
+    // clicks before ever viewing (event time), so never passes stage 1
+    // until a later view, after which only a LATER click would count
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.funnelStream(input.toDS(), steps)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(ev(1, 7, 10, "click"), ev(2, 8, 1, "click"))
+      q.processAllAvailable()
+      // no view yet: nothing emitted for either user
+      assert(spark.sql("SELECT * FROM funnel_out").count() == 0)
+
+      input.addData(ev(3, 7, 5, "view"), ev(4, 8, 3, "view"))
+      q.processAllAvailable()
+      // user 7: view@5 then the buffered click@10 => stages 1 AND 2
+      // user 8: view@3 but its only click was @1 (before) => stage 1
+      val afterTwo = spark.sql("SELECT user_id, stage FROM funnel_out")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(afterTwo == Set((7L, 1), (7L, 2), (8L, 1)), s"got $afterTwo")
+
+      input.addData(ev(5, 7, 20, "purchase"), ev(6, 8, 2, "purchase"))
+      q.processAllAvailable()
+      // user 7 completes; user 8's purchase@2 predates everything
+      val fin = spark.sql("SELECT user_id, stage, step FROM funnel_out")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(fin.contains((7L, 3, "purchase")))
+      assert(!fin.exists(t => t._1 == 8L && t._2 >= 2), s"got $fin")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
