@@ -63,5 +63,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fn("hilbert2d", classOf[HilbertIndex2D],
       es => HilbertIndex2D(es(0), es(1),
         es(2).eval().asInstanceOf[Int])))
+    // hilbert_nd(array(p0, p1, ...), bits): N-dimensional curve index
+    ext.injectFunction(fn("hilbert_nd", classOf[HilbertIndexND],
+      es => HilbertIndexND(es(0), es(1).eval().asInstanceOf[Int])))
   }
 }

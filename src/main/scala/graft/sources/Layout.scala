@@ -130,6 +130,32 @@ object Layout {
       .as(s"h_${colX}_$colY")
   }
 
+  /** k-column Hilbert clustering (Skilling's N-dimensional transform —
+    * [[HilbertIndexND]]): same rank-space sweep, curve distance over
+    * all k positions. The 2-column writer stays on the classic xy2d
+    * form (both are valid Hilbert curves; their indexes differ). */
+  def writeHilbertClusteredND(df: DataFrame, path: String, numFiles: Int,
+      bits: Int, cols: String*): Unit = {
+    df.withColumn("__h", hilbertValueND(df, bits, cols: _*))
+      .repartitionByRange(numFiles, col("__h"))
+      .sortWithinPartitions("__h")
+      .drop("__h")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Hilbert index of k columns' rank-space positions. */
+  def hilbertValueND(df: DataFrame, bits: Int,
+      cols: String*): org.apache.spark.sql.Column = {
+    require(cols.nonEmpty, "at least one hilbert column")
+    require(bits >= 1 && cols.length * bits <= 62,
+      s"bits=$bits x ${cols.length} cols must fit a long")
+    val positions = rankPositions(df, bits, cols: _*)
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(org.apache.spark.sql.graft.expressions.HilbertIndexND(
+      Bridge.expression(array(positions: _*)), bits))
+      .as(s"h_${cols.mkString("_")}")
+  }
+
   /** Rank-space positions (0 .. 2^bits - 1, monotone, skew-equalizing)
     * for each of `cols`: ONE `approx_percentile` boundary sweep over
     * `df`, re-emitted as literal comparison chains — job-stable where

@@ -254,6 +254,50 @@ case class HilbertIndex2D(left: Expression, right: Expression, bits: Int)
 }
 
 object HilbertEval {
+
+  /** d-dimensional axes -> Hilbert index: Skilling's in-place
+    * inverse-undo + Gray-decode on a copy of the coords (the
+    * "transpose" form), then bit-interleave the transposed planes,
+    * X[0]'s top bit first. */
+  def ndIndex(coordsIn: Array[Long], bits: Int): Long = {
+    val n = coordsIn.length
+    val x = java.util.Arrays.copyOf(coordsIn, n)
+    val m = 1L << (bits - 1)
+    // Inverse undo (AxestoTranspose)
+    var q = m
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < n) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    // Gray encode
+    var i = 1
+    while (i < n) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0L
+    q = m
+    while (q > 1) { if ((x(n - 1) & q) != 0) t ^= q - 1; q >>= 1 }
+    i = 0
+    while (i < n) { x(i) ^= t; i += 1 }
+    // Transpose to a single index: bit b of the index stream is bit
+    // plane (bits-1-b/n) of dimension (b mod n)
+    var d = 0L
+    var plane = bits - 1
+    while (plane >= 0) {
+      i = 0
+      while (i < n) {
+        d = (d << 1) | ((x(i) >> plane) & 1L)
+        i += 1
+      }
+      plane -= 1
+    }
+    d
+  }
+
   /** (x, y) -> distance along the order-`bits` Hilbert curve: per bit
     * plane (high to low), accumulate the quadrant's curve length and
     * rotate/reflect the frame (the standard xy2d iteration). */
@@ -274,4 +318,30 @@ object HilbertEval {
     }
     d
   }
+}
+
+/**
+ * N-dimensional Hilbert curve index (Skilling 2004, "Programming the
+ * Hilbert curve" — the transpose-form algorithm): input is an
+ * `array<bigint>` of d rank-space positions, each in [0, 2^bits);
+ * output is the distance along the d-dimensional order-`bits` curve.
+ * Generalizes [[HilbertIndex2D]] to the k-column clustering case
+ * (d * bits <= 62 so the index fits a long). Same codegen shape: one
+ * static call per row.
+ */
+case class HilbertIndexND(child: Expression, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "hilbert_nd"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    HilbertEval.ndIndex(v.asInstanceOf[ArrayData].toLongArray(), bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.expressions.HilbertEval.ndIndex($c.toLongArray(), $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -155,6 +155,50 @@ class LayoutSpec extends SparkSpec {
     assert(steps.forall(_ == 1L), "Hilbert consecutive cells must be adjacent")
   }
 
+  test("ND Hilbert (Skilling): bijective and unit-step adjacent on a 3-D grid") {
+    import org.apache.spark.sql.graft.expressions.HilbertEval
+    val bits = 3
+    val n = 1 << bits
+    val cells = new Array[(Long, Long, Long)](n * n * n)
+    for (x <- 0 until n; y <- 0 until n; z <- 0 until n) {
+      val d = HilbertEval.ndIndex(Array(x.toLong, y.toLong, z.toLong), bits).toInt
+      assert(cells(d) == null, s"index collision at $d")
+      cells(d) = (x.toLong, y.toLong, z.toLong)
+    }
+    assert(cells.forall(_ != null)) // bijective over the full cube
+    val steps = (1 until n * n * n).map { d =>
+      val (x0, y0, z0) = cells(d - 1); val (x1, y1, z1) = cells(d)
+      math.abs(x1 - x0) + math.abs(y1 - y0) + math.abs(z1 - z0)
+    }
+    assert(steps.forall(_ == 1L), "consecutive ND-Hilbert cells must be adjacent")
+  }
+
+  test("3-column Hilbert layout gives every column real file skipping") {
+    val base = Files.createTempDirectory("graft-hilbert3").toString
+    val li = queries.Tables.table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val files = 32
+    Layout.writeHilbertClusteredND(li, s"$base/h3", files, bits = 4,
+      "l_orderkey", "l_partkey", "l_suppkey")
+    def overlapFraction(c: String): Double = {
+      val stats = spark.read.parquet(s"$base/h3")
+        .select(input_file_name().as("f"), col(c).cast("long").as("v"))
+        .groupBy("f").agg(min("v").as("mn"), max("v").as("mx"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+      val lo = li.select(percentile_approx(col(c).cast("long"), lit(0.45), lit(1000)))
+        .collect()(0).getLong(0)
+      val hi = li.select(percentile_approx(col(c).cast("long"), lit(0.55), lit(1000)))
+        .collect()(0).getLong(0)
+      stats.count { case (mn, mx) => mx >= lo && mn <= hi }.toDouble / stats.length
+    }
+    val fr = Seq("l_orderkey", "l_partkey", "l_suppkey").map(c => c -> overlapFraction(c))
+    info(fr.map { case (c, f) => f"$c=$f%.2f" }.mkString("10% band overlap — ", ", ", ""))
+    // a linear sort serves only its leading column (trailing ~1.0);
+    // the 3-D curve must give every column genuine skipping
+    assert(fr.forall(_._2 < 0.85), s"a column lost skipping entirely: $fr")
+    assert(spark.read.parquet(s"$base/h3").count() == li.count())
+  }
+
   test("Hilbert clustering skips at least as well as z-order on both columns") {
     val base = Files.createTempDirectory("graft-hilbert").toString
     val li = queries.Tables.table(spark, sfDir, "lineitem")
