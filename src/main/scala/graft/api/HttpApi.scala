@@ -91,8 +91,8 @@ final class HttpApi(db: VectorDb, port: Int = 0) {
     val indexType = query.getOrElse("index_type", "lsh")
     // reference accepts lsh|ivf here (libraries.py); exact + hnsw are
     // additive — reference clients' requests behave identically
-    if (!Set("lsh", "ivf", "exact", "hnsw").contains(indexType))
-      respond(400, detail("Invalid index type. Must be one of: lsh, ivf, exact, hnsw"))
+    if (!Set("lsh", "ivf", "exact", "hnsw", "ivfpq").contains(indexType))
+      respond(400, detail("Invalid index type. Must be one of: lsh, ivf, exact, hnsw, ivfpq"))
     else db.indexLibrary(id, indexType).fold(err,
       _ => respond(200, obj("message" -> s"Library indexed successfully with $indexType index")))
   }

@@ -449,6 +449,7 @@ private[catalog] object WalCodec {
     case IndexType.Lsh => "lsh"
     case IndexType.Ivf => "ivf"
     case IndexType.Hnsw => "hnsw"
+    case IndexType.IvfPq => "ivfpq"
   }
   def parseIndexType(s: String): IndexType =
     IndexType.parse(s).getOrElse(throw new IllegalStateException(s"Bad index type in WAL: $s"))

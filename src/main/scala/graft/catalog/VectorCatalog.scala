@@ -24,11 +24,16 @@ object IndexType {
     * graph tier as a first-class selectable index. Additive — a
     * reference client never sends "hnsw", so parity is untouched. */
   case object Hnsw extends IndexType
+  /** The composed residual-coded index (IvfPqModel) as a selectable
+    * type — 32x-compressed candidate tier behind the same facade.
+    * Additive like Hnsw. */
+  case object IvfPq extends IndexType
   def parse(s: String): Either[ApiError, IndexType] = s.toLowerCase match {
     case "flat" | "exact" => Right(Exact)
     case "lsh" => Right(Lsh)
     case "ivf" => Right(Ivf)
     case "hnsw" => Right(Hnsw)
+    case "ivfpq" => Right(IvfPq)
     case other => Left(ApiError.Validation(s"Invalid index type: $other"))
   }
 }
@@ -38,6 +43,11 @@ object IndexType {
   * node index internally). Bounded driver/broadcast state like the
   * LSH/IVF models (HnswModel.maxGraphVectors). */
 final case class HnswState(graph: graft.index.HnswModel, chunkIds: Array[String])
+
+/** Built IVF-PQ state for one library: the trained composed model
+  * (KB-scale driver state) and the encoded (id, cluster_id, codes)
+  * table — 8 bytes of codes per chunk vs the full float vector. */
+final case class IvfPqState(model: graft.index.IvfPqModel, encoded: DataFrame)
 
 /** Versioned per-library index state: the Spark-native replacement for
   * the reference's mutable `IndexManager` registry + locks
@@ -50,7 +60,8 @@ final case class IndexState(
     lsh: Option[LshModel],
     ivf: Option[IvfModel],
     builtAtVersion: Long,
-    hnsw: Option[HnswState] = None)  // HNSW: graph + node->chunk-id map
+    hnsw: Option[HnswState] = None,  // HNSW: graph + node->chunk-id map
+    ivfpq: Option[IvfPqState] = None) // IVF-PQ: model + encoded codes
 
 /**
  * Driver-side catalog + chunk store for the Library -> Document -> Chunk
@@ -316,6 +327,9 @@ final class VectorCatalog(val spark: SparkSession,
         case IndexType.Hnsw =>
           IndexState(it, None, None, None, None, version.get(),
             hnsw = buildHnswState(libChunks))
+        case IndexType.IvfPq =>
+          IndexState(it, None, None, None, None, version.get(),
+            ivfpq = buildIvfPqState(libChunks))
       }
       indexes.put(libraryId, state)
       libraries.get(libraryId).foreach(l =>
@@ -380,12 +394,48 @@ final class VectorCatalog(val spark: SparkSession,
           // as the reference's never-retrain IVF, inverted)
           state.copy(hnsw = buildHnswState(libChunks),
             builtAtVersion = version.get())
+        case IndexType.IvfPq if state.ivfpq.isDefined =>
+          // never-retrain semantics, like IVF: new chunks encode with
+          // the EXISTING centroids + codebooks; deletes drop via the
+          // semi-join against live ids
+          val s = state.ivfpq.get
+          val kept = s.encoded.join(libChunks.select($"id"), Seq("id"), "left_semi")
+          val newChunks = libChunks.join(s.encoded.select("id").distinct(),
+            Seq("id"), "left_anti")
+          val enc = kept.unionByName(
+            s.model.encode(newChunks, "id", "embedding")).cache()
+          enc.count()
+          s.encoded.unpersist()
+          state.copy(ivfpq = Some(s.copy(encoded = enc)),
+            builtAtVersion = version.get())
+        case IndexType.IvfPq => // below threshold at build: train if ready
+          state.copy(ivfpq = buildIvfPqState(libChunks),
+            builtAtVersion = version.get())
         case _ => // exact or never-built LSH index: nothing derived to refresh
           state.copy(builtAtVersion = version.get())
       }
       indexes.put(libraryId, refreshed)
       refreshed
     }
+
+  /** Train the composed IVF-PQ index over the library's embedded
+    * chunks: coarse centroids + residual codebooks (trained once,
+    * reference trigger semantics — n >= nlist, indexes.py:280), then
+    * encode every chunk to (cluster_id, codes). None below the
+    * training threshold (searches return empty, matching untrained
+    * IVF). `m` adapts to the embedding dimension (largest power of two
+    * <= 8 dividing it). */
+  private def buildIvfPqState(libChunks: DataFrame): Option[IvfPqState] = {
+    val n = libChunks.count()
+    if (n < GraftConfig.ivfNlist) None
+    else {
+      val m = Seq(8, 4, 2, 1).find(embeddingDim % _ == 0).get
+      val model = graft.index.IvfPqModel.train(libChunks, "embedding", m = m)
+      val encoded = model.encode(libChunks, "id", "embedding").cache()
+      encoded.count()
+      Some(IvfPqState(model, encoded))
+    }
+  }
 
   /** Collect the library's embedded chunks (id order => deterministic
     * graph) and build the HNSW graph over dense node indexes, keeping
@@ -594,6 +644,14 @@ final class VectorCatalog(val spark: SparkSession,
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$path/indexes/$libId/hnsw_ids")
       }
+      state.ivfpq.foreach { s =>
+        graft.index.IndexStore.writeIvfModel(spark, s.model.ivf,
+          s"$path/indexes/$libId/ivfpq_centroids")
+        graft.index.IndexStore.writePqModel(spark, s.model.pq,
+          s"$path/indexes/$libId/ivfpq_codebooks")
+        graft.index.IndexStore.writeIvfPqEncoded(s.encoded,
+          s"$path/indexes/$libId/ivfpq_encoded")
+      }
     }
 
   /** Restore index state written by `saveIndexes` for one library.
@@ -619,6 +677,17 @@ final class VectorCatalog(val spark: SparkSession,
         val m = graft.index.IndexStore.readIvfModel(spark, s"$base/ivf_model")
         val assigned = spark.read.parquet(s"$base/ivf_assigned")
         val state = IndexState(IndexType.Ivf, None, Some(assigned), None, Some(m), version.get())
+        indexes.put(libraryId, state)
+        Right(state)
+      } else if (exists(s"$base/ivfpq_centroids")) {
+        val ivf = graft.index.IndexStore.readIvfModel(spark, s"$base/ivfpq_centroids")
+        val pq = graft.index.IndexStore.readPqModel(spark, s"$base/ivfpq_codebooks")
+        val encoded = graft.index.IndexStore
+          .readIvfPqEncoded(spark, s"$base/ivfpq_encoded")
+          .select("id", "cluster_id", "codes")
+        val state = IndexState(IndexType.IvfPq, None, None, None, None,
+          version.get(),
+          ivfpq = Some(IvfPqState(graft.index.IvfPqModel(ivf, pq), encoded)))
         indexes.put(libraryId, state)
         Right(state)
       } else if (exists(s"$base/hnsw_graph")) {

@@ -100,6 +100,28 @@ object IndexStore {
     LshModel(r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
   }
 
+  /** Persist PQ codebooks as (subspace, code, centroid) rows. */
+  def writePqModel(spark: SparkSession, model: PqModel, path: String): Unit = {
+    import spark.implicits._
+    (for {
+      s <- 0 until model.m
+      c <- 0 until model.k
+    } yield (s, c, model.codebooks(s)(c).toSeq))
+      .toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def readPqModel(spark: SparkSession, path: String): PqModel = {
+    val rows = spark.read.parquet(path)
+      .select("subspace", "code", "centroid")
+      .orderBy("subspace", "code").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    val books = Array.ofDim[Array[Float]](m, k)
+    rows.foreach(r => books(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray)
+    PqModel(books)
+  }
+
   /** Persist / restore a built HNSW graph (nodes + adjacency + meta) —
     * restart without the O(n log n) rebuild. */
   def writeHnswModel(spark: SparkSession, model: HnswModel, path: String): Unit =

@@ -49,6 +49,8 @@ final class SearchService(catalog: VectorCatalog) {
           ivfSearch(libraryId, universe, queryVec, k)
         case Some(IndexType.Hnsw) if catalog.indexState(libraryId).exists(_.hnsw.isDefined) =>
           hnswSearch(libraryId, universe, queryVec, k)
+        case Some(IndexType.IvfPq) =>
+          ivfPqSearch(libraryId, universe, queryVec, k)
         case _ => // exact index type, or index never built => brute force
           exactTopK(universe, queryVec, k)
       }
@@ -109,6 +111,22 @@ final class SearchService(catalog: VectorCatalog) {
     val candIds = hs.graph.search(queryVec, fetch, ef = math.max(100, fetch))
       .map { case (node, _) => hs.chunkIds(node.toInt) }
     exactTopK(universe.filter(col("id").isin(candIds: _*)), queryVec, k)
+  }
+
+  /** IVF-PQ tier: residual-ADC candidate generation over the encoded
+    * codes (probe nprobe cells, fetch 4k floor 50), exact cosine
+    * rerank over the survivors. Untrained (below the nlist threshold
+    * at build) => empty, exactly like plain IVF. */
+  private def ivfPqSearch(libraryId: String, universe: DataFrame,
+      queryVec: Array[Float], k: Int): Seq[SearchResult] = {
+    catalog.indexState(libraryId).get.ivfpq match {
+      case None => Seq.empty // untrained: reference IVF semantics
+      case Some(s) =>
+        val fetch = math.max(4 * k, 50)
+        val cands = s.model.candidates(s.encoded, queryVec,
+          nprobe = GraftConfig.ivfNprobe, n = fetch).select("id")
+        exactTopK(universe.join(cands, Seq("id"), "left_semi"), queryVec, k)
+    }
   }
 
   private def collectResults(df: DataFrame): Seq[SearchResult] = {

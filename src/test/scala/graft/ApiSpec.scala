@@ -40,6 +40,7 @@ class ApiSpec extends SparkSpec {
     assert(db.indexLibrary(lib.id, "ivf").isRight)
     assert(db.indexLibrary(lib.id, "exact").isRight)
     assert(db.indexLibrary(lib.id, "hnsw").isRight)
+    assert(db.indexLibrary(lib.id, "ivfpq").isRight)
     assert(db.indexLibrary(lib.id, "bogus").isLeft)
   }
 
@@ -66,6 +67,56 @@ class ApiSpec extends SparkSpec {
     val resp = db.search(lib.id, SearchQuery(queryText = Some("topic"),
       k = 3, metadataFilters = Map("nope" -> "x"))).toOption.get
     assert(resp.results.isEmpty)
+  }
+
+  test("ivfpq index type: trains past nlist, search matches exact on covered library") {
+    import graft.model.GraftConfig
+    val db = new VectorDb(spark)
+    val lib = db.createLibrary("IvfPqLib", indexType = "ivfpq").toOption.get
+    val doc = db.createDocument(lib.id, "D").toOption.get
+    // below the nlist training threshold: index exists untrained,
+    // searches return EMPTY (reference IVF semantics)
+    (0 until 30).foreach(i => assert(db.createChunk(doc.id, s"early text $i").isRight))
+    assert(db.indexLibrary(lib.id, "ivfpq").isRight)
+    assert(db.simpleSearch(lib.id, "early text", k = 3).toOption.get.results.isEmpty)
+
+    // cross the threshold (nlist = 100) and rebuild: trained now
+    (30 until GraftConfig.ivfNlist + 20).foreach(i =>
+      assert(db.createChunk(doc.id, s"document body number $i topic ${i % 7}").isRight))
+    assert(db.indexLibrary(lib.id, "ivfpq").isRight)
+    assert(db.catalog.indexState(lib.id).get.ivfpq.isDefined)
+
+    val got = db.simpleSearch(lib.id, "topic 3 document body", k = 5)
+      .toOption.get.results.map(_.chunk.id)
+    assert(got.nonEmpty)
+    // candidate fetch (50) with nprobe 5/100 cells may legitimately
+    // miss some of exact's top-k; require real overlap, not equality
+    assert(db.indexLibrary(lib.id, "exact").isRight)
+    val exact = db.simpleSearch(lib.id, "topic 3 document body", k = 5)
+      .toOption.get.results.map(_.chunk.id)
+    assert(got.toSet.intersect(exact.toSet).size >= 2,
+      s"ivfpq candidates disjoint from exact: $got vs $exact")
+  }
+
+  test("ivfpq index survives saveIndexes/loadIndex with identical search results") {
+    import graft.model.GraftConfig
+    val db = new VectorDb(spark)
+    val lib = db.createLibrary("IvfPqPersist", indexType = "ivfpq").toOption.get
+    val doc = db.createDocument(lib.id, "D").toOption.get
+    (0 until GraftConfig.ivfNlist + 10).foreach(i =>
+      assert(db.createChunk(doc.id, s"persisted body $i").isRight))
+    assert(db.indexLibrary(lib.id, "ivfpq").isRight)
+    val before = db.simpleSearch(lib.id, "persisted body 42", k = 5)
+      .toOption.get.results.map(_.chunk.id)
+
+    val path = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString
+    db.catalog.saveIndexes(path)
+    db.catalog.indexLibrary(lib.id, "exact") // wipe in-memory state
+    val restored = db.catalog.loadIndex(path, lib.id)
+    assert(restored.isRight && restored.toOption.get.ivfpq.isDefined)
+    val after = db.simpleSearch(lib.id, "persisted body 42", k = 5)
+      .toOption.get.results.map(_.chunk.id)
+    assert(before == after)
   }
 
   test("hnsw index survives saveIndexes/loadIndex with identical search results") {
