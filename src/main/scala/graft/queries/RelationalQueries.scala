@@ -417,6 +417,50 @@ object RelationalQueries {
           .orderBy(col("p_brand"), col("s_name"))
       }),
 
+    // Snapshot diff / CDC (SnapshotDiff scaladoc): derive a second
+    // snapshot deterministically (drop %97 keys, bump %89 prices, add
+    // %83 keys under a +1e8 offset), then one full-outer key join with
+    // null-safe payload comparison classifies every key. Counts +
+    // key-sum checksums per status hash-compare the whole diff.
+    QueryDef("q100_snapshot_diff", Some(
+      """WITH a AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders),
+        |b AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice,
+        |    o_orderpriority
+        |  FROM a WHERE o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_totalprice, o_orderpriority
+        |  FROM a WHERE o_orderkey % 83 = 0),
+        |d AS (
+        |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    CASE WHEN a.o_orderkey IS NULL THEN 'added'
+        |      WHEN b.o_orderkey IS NULL THEN 'removed'
+        |      WHEN a.o_totalprice IS NOT DISTINCT FROM b.o_totalprice
+        |        AND a.o_orderpriority IS NOT DISTINCT FROM b.o_orderpriority THEN 'same'
+        |      ELSE 'changed' END AS diff_status
+        |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+        |SELECT diff_status, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM d GROUP BY diff_status ORDER BY diff_status""".stripMargin),
+      (spark, dir) => {
+        import graft.operators.SnapshotDiff
+        val a = table(spark, dir, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        val b = a.filter(col("o_orderkey") % 97 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1)
+              .otherwise(col("o_totalprice")))
+          .unionByName(a.filter(col("o_orderkey") % 83 === 0)
+            .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+              col("o_totalprice"), col("o_orderpriority")))
+        SnapshotDiff.diff(a, b, Seq("o_orderkey"))
+          .groupBy("diff_status")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .orderBy("diff_status")
+      }),
+
     // Bloom-filter semi-join reduction (BloomJoin scaladoc): the fact
     // side is pre-filtered by a codegen'd might_contain(xxhash64(key))
     // before the exact semi join, so at scale only ~matching rows pay

@@ -208,6 +208,30 @@ class OperatorSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("snapshot diff: added/removed/changed/same with null-safe payload compare") {
+    import graft.operators.SnapshotDiff
+    import spark.implicits._
+    val a = Seq((1L, Some("x")), (2L, Some("y")), (3L, None: Option[String]),
+      (4L, Some("keep"))).toDF("id", "v")
+    val b = Seq((2L, Some("y2")), (3L, None: Option[String]), (4L, Some("keep")),
+      (5L, Some("new"))).toDF("id", "v")
+    val d = SnapshotDiff.diff(a, b, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(
+      1L -> "removed",   // only in old
+      2L -> "changed",   // payload differs
+      3L -> "same",      // NULL <=> NULL counts as unchanged
+      4L -> "same",
+      5L -> "added"))    // only in new
+
+    // NULL vs value is a change, both directions
+    val a2 = Seq((1L, Some("x")), (2L, None: Option[String])).toDF("id", "v")
+    val b2 = Seq((1L, None: Option[String]), (2L, Some("x"))).toDF("id", "v")
+    val d2 = SnapshotDiff.diff(a2, b2, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d2 == Map(1L -> "changed", 2L -> "changed"))
+  }
+
   test("weighted sample: inclusion scales with weight, deterministic, heap plan") {
     import graft.operators.Packing
     import spark.implicits._
