@@ -135,6 +135,47 @@ object EventQueries {
           .orderBy("user_id", "ts", "event_id")
       }),
 
+    // Cohort retention — users grouped by FIRST active day, activity
+    // tracked at day offsets 0..7: two aggregations over distinct
+    // (user, day) pairs plus a broadcast-size cohort join (cohort
+    // table = #users rows). The distinct collapses event volume to
+    // user-days before anything wide happens.
+    QueryDef("q101_cohort_retention", Some(
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY 1),
+        |sizes AS (SELECT cohort_day, count(*) AS cohort_size FROM cohort GROUP BY 1),
+        |act AS (
+        |  SELECT c.cohort_day,
+        |    CAST(date_diff('day', c.cohort_day, d.day) AS INTEGER) AS offset_day,
+        |    count(DISTINCT d.user_id) AS n_active
+        |  FROM days d JOIN cohort c ON d.user_id = c.user_id
+        |  WHERE date_diff('day', c.cohort_day, d.day) <= 7
+        |  GROUP BY 1, 2)
+        |SELECT a.cohort_day, a.offset_day, a.n_active, s.cohort_size,
+        |  round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+        |FROM act a JOIN sizes s USING (cohort_day)
+        |ORDER BY cohort_day, offset_day""".stripMargin),
+      (spark, dir) => {
+        val days = table(spark, dir, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+        val sizes = cohort.groupBy("cohort_day")
+          .agg(count(lit(1)).as("cohort_size"))
+        days.join(broadcast(cohort), "user_id")
+          .withColumn("offset_day", datediff(col("day"), col("cohort_day")))
+          .filter(col("offset_day") <= 7)
+          .groupBy("cohort_day", "offset_day")
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(broadcast(sizes), "cohort_day")
+          .select(col("cohort_day"), col("offset_day"), col("n_active"),
+            col("cohort_size"),
+            round(col("n_active").cast("double") / col("cohort_size"), 6)
+              .as("retention"))
+          .orderBy("cohort_day", "offset_day")
+      }),
+
     // Ordered funnel (view -> click -> purchase): a user reaches step k
     // only via events strictly AFTER their step k-1 time — the
     // behavioral-analytics pattern windows can't express directly
