@@ -135,6 +135,39 @@ object EventQueries {
           .orderBy("user_id", "ts", "event_id")
       }),
 
+    // Event-type transition matrix (first-order Markov estimate): the
+    // next event per user stream via lead() over (user, time), pair
+    // counts, and row-normalized transition probabilities. The window
+    // partitions by user — parallel across users, per-partition size
+    // bounded by one user's activity.
+    QueryDef("q102_event_transitions", Some(
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |pairs AS (
+        |  SELECT cur, nxt, count(*) AS n FROM seq
+        |  WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+        |totals AS (SELECT cur, sum(n) AS row_total FROM pairs GROUP BY cur)
+        |SELECT p.cur, p.nxt, p.n,
+        |  round(CAST(p.n AS DOUBLE) / t.row_total, 6) AS prob
+        |FROM pairs p JOIN totals t USING (cur)
+        |ORDER BY cur, nxt""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = table(spark, dir, "events")
+          .select(col("user_id"), col("event_type").as("cur"),
+            lead(col("event_type"), 1).over(w).as("nxt"))
+          .filter(col("nxt").isNotNull)
+          .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+        val totals = pairs.groupBy("cur").agg(sum("n").as("row_total"))
+        pairs.join(broadcast(totals), "cur")
+          .select(col("cur"), col("nxt"), col("n"),
+            round(col("n").cast("double") / col("row_total"), 6).as("prob"))
+          .orderBy("cur", "nxt")
+      }),
+
     // Cohort retention — users grouped by FIRST active day, activity
     // tracked at day offsets 0..7: two aggregations over distinct
     // (user, day) pairs plus a broadcast-size cohort join (cohort
