@@ -89,10 +89,13 @@ final class HttpApi(db: VectorDb, port: Int = 0) {
 
   private def librariesIndex(id: String, query: Map[String, String]): Response = {
     val indexType = query.getOrElse("index_type", "lsh")
-    // reference accepts lsh|ivf here (libraries.py); exact + hnsw are
-    // additive — reference clients' requests behave identically
-    if (!Set("lsh", "ivf", "exact", "hnsw", "ivfpq").contains(indexType))
-      respond(400, detail("Invalid index type. Must be one of: lsh, ivf, exact, hnsw, ivfpq"))
+    // reference accepts lsh|ivf here (libraries.py); the additional
+    // types are additive — reference clients' requests behave
+    // identically. Validation delegates to IndexType.parse (ONE
+    // whitelist), the message derives from IndexType.names.
+    if (graft.catalog.IndexType.parse(indexType).isLeft)
+      respond(400, detail("Invalid index type. Must be one of: " +
+        graft.catalog.IndexType.names.mkString(", ")))
     else db.indexLibrary(id, indexType).fold(err,
       _ => respond(200, obj("message" -> s"Library indexed successfully with $indexType index")))
   }

@@ -410,9 +410,20 @@ final class CatalogWal(spark: SparkSession, root: String) {
       val node = mapper.createObjectNode()
       val arr = node.putArray("batch")
       records.foreach(arr.add)
-      val out = f.create(merged, /* overwrite = */ false)
+      // write-temp-then-rename: the merged segment must appear at its
+      // final name ATOMICALLY — a crash mid-write would otherwise
+      // leave a partial file that poisons replay, and whose existence
+      // a re-run would mistake for a complete merge before deleting
+      // the originals. The .tmp name has no ".json" suffix, so listWal
+      // (and therefore replay, truncation, and the seq bootstrap)
+      // never reads it; a leaked tmp from a crash is inert garbage
+      // overwritten by the next compaction.
+      val tmp = new Path(walDir, merged.getName + ".tmp")
+      val out = f.create(tmp, /* overwrite = */ true)
       try out.write(mapper.writeValueAsBytes(node))
       finally out.close()
+      if (!f.rename(tmp, merged))
+        throw new IllegalStateException(s"WAL compaction rename failed at $merged")
     }
     files.map(_._2).filter(_.getName != merged.getName)
       .foreach(p => f.delete(p, false))

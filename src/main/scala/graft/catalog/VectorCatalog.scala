@@ -28,6 +28,10 @@ object IndexType {
     * type — 32x-compressed candidate tier behind the same facade.
     * Additive like Hnsw. */
   case object IvfPq extends IndexType
+  /** The canonical selectable names (HTTP error messages and docs
+    * derive from this — one list, no drift; "flat" stays an accepted
+    * alias of exact). */
+  val names: Seq[String] = Seq("lsh", "ivf", "exact", "hnsw", "ivfpq")
   def parse(s: String): Either[ApiError, IndexType] = s.toLowerCase match {
     case "flat" | "exact" => Right(Exact)
     case "lsh" => Right(Lsh)
@@ -81,6 +85,7 @@ final class VectorCatalog(val spark: SparkSession,
     val embedder: Embedder = Embedder.default,
     val embeddingDim: Int = 64) {
   import spark.implicits._
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[VectorCatalog])
 
   private val libraries = new TrieMap[String, LibraryRow]()
   private val documents = new TrieMap[String, DocumentRow]()
@@ -298,39 +303,50 @@ final class VectorCatalog(val spark: SparkSession,
     for {
       _ <- getLibrary(libraryId)
       it <- IndexType.parse(indexType)
-    } yield {
-      val libChunks = chunksByLibrary(libraryId).filter($"embedding".isNotNull)
-      val state = it match {
-        case IndexType.Exact =>
-          IndexState(it, None, None, None, None, version.get())
-        case IndexType.Lsh =>
-          // Reference-parity sizing by default (8x12, config.py:29-30);
-          // an active recall preset (GraftConfig.lshActivePreset,
-          // measured in RECALL.md) overrides tables x bits opt-in.
-          val model = GraftConfig.lshActivePreset match {
-            case Some(p) => LshModel(numTables = p.numTables,
-              bitsPerTable = p.bitsPerTable, dim = embeddingDim)
-            case None => LshModel(dim = embeddingDim)
-          }
-          val sigs = model.build(libChunks, "id", "embedding").cache()
-          sigs.count() // materialize now: the build is the batch job
-          IndexState(it, Some(sigs), None, Some(model), None, version.get())
-        case IndexType.Ivf =>
-          IvfModel.trainIfReady(libChunks, "embedding") match {
-            case Some(model) =>
-              val assigned = model.assign(libChunks, "embedding").cache()
-              assigned.count()
-              IndexState(it, None, Some(assigned), None, Some(model), version.get())
-            case None => // below training threshold: index exists, untrained
-              IndexState(it, None, None, None, None, version.get())
-          }
-        case IndexType.Hnsw =>
-          IndexState(it, None, None, None, None, version.get(),
-            hnsw = buildHnswState(libChunks))
-        case IndexType.IvfPq =>
-          IndexState(it, None, None, None, None, version.get(),
-            ivfpq = buildIvfPqState(libChunks))
+      state <- {
+        val libChunks = chunksByLibrary(libraryId).filter($"embedding".isNotNull)
+        it match {
+          case IndexType.Exact =>
+            Right(IndexState(it, None, None, None, None, version.get()))
+          case IndexType.Lsh =>
+            // Reference-parity sizing by default (8x12, config.py:29-30);
+            // an active recall preset (GraftConfig.lshActivePreset,
+            // measured in RECALL.md) overrides tables x bits opt-in.
+            val model = GraftConfig.lshActivePreset match {
+              case Some(p) => LshModel(numTables = p.numTables,
+                bitsPerTable = p.bitsPerTable, dim = embeddingDim)
+              case None => LshModel(dim = embeddingDim)
+            }
+            val sigs = model.build(libChunks, "id", "embedding").cache()
+            sigs.count() // materialize now: the build is the batch job
+            Right(IndexState(it, Some(sigs), None, Some(model), None, version.get()))
+          case IndexType.Ivf =>
+            Right(IvfModel.trainIfReady(libChunks, "embedding") match {
+              case Some(model) =>
+                val assigned = model.assign(libChunks, "embedding").cache()
+                assigned.count()
+                IndexState(it, None, Some(assigned), None, Some(model), version.get())
+              case None => // below training threshold: index exists, untrained
+                IndexState(it, None, None, None, None, version.get())
+            })
+          case IndexType.Hnsw =>
+            // the graph is bounded driver/broadcast state BY DESIGN —
+            // refuse loudly past the cap instead of silently indexing
+            // a truncated subset (LSH/IVF/IVF-PQ cover every chunk and
+            // are the right tiers at that scale)
+            val n = libChunks.count()
+            if (n > graft.index.HnswModel.maxGraphVectors)
+              Left(ApiError.Validation(
+                s"hnsw index holds bounded graph state: $n chunks > " +
+                  s"${graft.index.HnswModel.maxGraphVectors}; use ivf or ivfpq"))
+            else Right(IndexState(it, None, None, None, None, version.get(),
+              hnsw = buildHnswState(libChunks)))
+          case IndexType.IvfPq =>
+            Right(IndexState(it, None, None, None, None, version.get(),
+              ivfpq = buildIvfPqState(libChunks)))
+        }
       }
+    } yield {
       indexes.put(libraryId, state)
       libraries.get(libraryId).foreach(l =>
         libraries.put(libraryId, l.copy(is_indexed = true, updated_at = now())))
@@ -391,8 +407,16 @@ final class VectorCatalog(val spark: SparkSession,
           // would change results vs a fresh build, so reconcile by
           // REBUILD (bounded by HnswModel.maxGraphVectors, a driver-side
           // O(n log n); the same determinism-over-cleverness tradeoff
-          // as the reference's never-retrain IVF, inverted)
-          state.copy(hnsw = buildHnswState(libChunks),
+          // as the reference's never-retrain IVF, inverted). A library
+          // grown past the cap keeps its last complete graph rather
+          // than silently truncating (indexLibrary refuses outright).
+          val n = libChunks.count()
+          if (n > graft.index.HnswModel.maxGraphVectors) {
+            log.warn(s"library $libraryId grew past the hnsw graph cap " +
+              s"($n > ${graft.index.HnswModel.maxGraphVectors}); keeping the " +
+              "previous graph — reindex as ivf/ivfpq")
+            state.copy(builtAtVersion = version.get())
+          } else state.copy(hnsw = buildHnswState(libChunks),
             builtAtVersion = version.get())
         case IndexType.IvfPq if state.ivfpq.isDefined =>
           // never-retrain semantics, like IVF: new chunks encode with
@@ -682,9 +706,14 @@ final class VectorCatalog(val spark: SparkSession,
       } else if (exists(s"$base/ivfpq_centroids")) {
         val ivf = graft.index.IndexStore.readIvfModel(spark, s"$base/ivfpq_centroids")
         val pq = graft.index.IndexStore.readPqModel(spark, s"$base/ivfpq_codebooks")
+        // cache + materialize like the build path: every search probes
+        // this table, and an uncached restore would re-read parquet
+        // per query until the first refresh
         val encoded = graft.index.IndexStore
           .readIvfPqEncoded(spark, s"$base/ivfpq_encoded")
           .select("id", "cluster_id", "codes")
+          .cache()
+        encoded.count()
         val state = IndexState(IndexType.IvfPq, None, None, None, None,
           version.get(),
           ivfpq = Some(IvfPqState(graft.index.IvfPqModel(ivf, pq), encoded)))

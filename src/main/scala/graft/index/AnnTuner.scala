@@ -60,7 +60,10 @@ object AnnTuner {
       val sigs = model.build(emb, idCol, embCol).cache()
       sigs.count()
       val stats = queries.map { case (_, q, exact) =>
+        // cast like sampleQueries/tuneIvf: the signatures carry the
+        // caller's id type verbatim (int/string ids would CCE getLong)
         val cands = model.multiProbeCandidates(sigs, q, p.flips)
+          .select(col("id").cast("long"))
           .collect().map(_.getLong(0)).toSet
         (cands.intersect(exact).size.toDouble / k, cands.size.toDouble / n)
       }

@@ -153,7 +153,12 @@ object Packing {
       .filter(col("rn") <= perGroup)
   }
 
-  /** The Efraimidis–Spirakis key: -ln(uniform(splitmix64(id))) / w. */
+  /** The Efraimidis–Spirakis key: -ln(uniform(splitmix64(id))) / w.
+    * The math requires w > 0; rows with a non-positive, null, or NaN
+    * weight get an infinite key — zero inclusion probability (the
+    * w -> 0+ limit), never a sample slot — instead of a negative key
+    * that would deterministically WIN the sample (w < 0 flips the
+    * sign) or a NaN with undefined sort position. */
   private def sampleKey(df: DataFrame, idCol: String,
       weightCol: String): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.graft.Bridge
@@ -161,6 +166,10 @@ object Packing {
     val h = Bridge.column(SplitMix64(Bridge.expression(col(idCol).cast("long"))))
     val u = (shiftrightunsigned(h, 11).cast("double") + lit(0.5)) /
       lit(9007199254740992.0) // 2^53
-    -log(u) / col(weightCol).cast("double")
+    val w = col(weightCol).cast("double")
+    // isnan guard is load-bearing: Spark's comparison semantics order
+    // NaN GREATER than every double, so NaN > 0 is true
+    when(w > 0.0 && !isnan(w), -log(u) / w)
+      .otherwise(lit(Double.PositiveInfinity))
   }
 }

@@ -32,12 +32,18 @@ object SnapshotDiff {
       if (compareCols.nonEmpty) compareCols
       else oldSnap.columns.filterNot(keyCols.contains)
         .filter(newSnap.columns.contains).toSeq
-    val a = oldSnap.select((keyCols ++ cmp).map(col): _*).alias("a")
-    val b = newSnap.select((keyCols ++ cmp).map(col): _*).alias("b")
-    val joinCond = keyCols.map(k => col(s"a.$k") <=> col(s"b.$k")).reduce(_ && _)
-    // presence flags must come from non-null key columns, not payload
-    val inA = keyCols.map(k => col(s"a.$k").isNotNull).reduce(_ && _)
-    val inB = keyCols.map(k => col(s"b.$k").isNotNull).reduce(_ && _)
+    // plain (not null-safe) key equality: a null-key row never matches
+    // anything, so it classifies as removed (old side) / added (new
+    // side). Presence is detected via non-nullable MARKER columns —
+    // key nullability cannot distinguish "row with a null key" from
+    // "no row on this side of the outer join".
+    val a = oldSnap.select((keyCols ++ cmp).map(col): _*)
+      .withColumn("__in_a", lit(true)).alias("a")
+    val b = newSnap.select((keyCols ++ cmp).map(col): _*)
+      .withColumn("__in_b", lit(true)).alias("b")
+    val joinCond = keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
+    val inA = col("a.__in_a").isNotNull
+    val inB = col("b.__in_b").isNotNull
     val unchanged: Column =
       if (cmp.isEmpty) lit(true)
       else cmp.map(c => col(s"a.$c") <=> col(s"b.$c")).reduce(_ && _)

@@ -148,16 +148,28 @@ object EventStream {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (uid: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
           val prev = state.getOption.getOrElse(FunnelState(Nil, 0))
-          val added = it.map(e => (e.ts.getTime, e.event_id, e.event_type)).toList
-          val all = (prev.events ++ added).sortBy(t => (t._1, t._2))
-          val reached = anchors(all)
-          val newOnes = reached.filter { case (k, _) => k >= prev.emittedStage }
-          val top = if (reached.isEmpty) prev.emittedStage
-            else math.max(prev.emittedStage, reached.map(_._1).max + 1)
-          state.update(FunnelState(all, top))
-          newOnes.map { case (k, t) =>
-            FunnelProgress(uid, k + 1, steps(k), new java.sql.Timestamp(t))
-          }.iterator
+          if (prev.emittedStage >= steps.length) {
+            // funnel complete: every stage is emitted, nothing a future
+            // event could add — state is one empty-buffer marker, not
+            // an ever-growing event list
+            Iterator.empty
+          } else {
+            val added = it.map(e => (e.ts.getTime, e.event_id, e.event_type)).toList
+            val all = (prev.events ++ added).sortBy(t => (t._1, t._2))
+            val reached = anchors(all)
+            val newOnes = reached.filter { case (k, _) => k >= prev.emittedStage }
+            val top = if (reached.isEmpty) prev.emittedStage
+              else math.max(prev.emittedStage, reached.map(_._1).max + 1)
+            // completed funnel drops its buffer (see above); an open
+            // funnel must RETAIN it — a late earlier event can still
+            // improve an anchor and unlock buffered later-step events
+            state.update(
+              if (top >= steps.length) FunnelState(Nil, top)
+              else FunnelState(all, top))
+            newOnes.map { case (k, t) =>
+              FunnelProgress(uid, k + 1, steps(k), new java.sql.Timestamp(t))
+            }.iterator
+          }
       }
   }
 

@@ -52,6 +52,16 @@ class AnnTunerSpec extends SparkSpec {
     assert(r.isEmpty)
   }
 
+  test("LSH tuning handles non-long id columns") {
+    import spark.implicits._
+    // int ids exercise the cast path that raw getLong would CCE on
+    val small = emb.limit(60)
+      .select(col("vec_id").cast("int").as("vec_id"), col("embedding"))
+    val r = AnnTuner.tuneLsh(small, "vec_id", "embedding", dim = 64,
+      targetRecall = 0.0, grid = Seq(GraftConfig.LshPreset(4, 4, 0)))
+    assert(r.isDefined) // target 0 always met; the point is no crash
+  }
+
   test("LSH tuning activates the picked preset for the catalog") {
     val saved = GraftConfig.lshActivePreset
     try {

@@ -241,6 +241,14 @@ class DurabilitySpec extends SparkSpec {
     rec.compactWal()
     assert(jsonCount() == 1)
     assertSameState(rec, DurableCatalog.recover(spark, root))
+
+    // a leaked partial merge tmp (crash mid-write, pre-rename) is
+    // inert: no ".json" suffix, so replay/truncation/bootstrap all
+    // ignore it and recovery proceeds normally
+    java.nio.file.Files.write(
+      walDir.resolve("00000000000000000000c00000000000000000099.json.tmp"),
+      "{ not even valid json".getBytes)
+    assertSameState(rec, DurableCatalog.recover(spark, root))
   }
 
   test("group commit: concurrent mutations batch into segments, replay intact") {

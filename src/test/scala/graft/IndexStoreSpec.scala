@@ -145,6 +145,13 @@ class IndexStoreSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
       assert(fin.contains((7L, 3, "purchase")))
       assert(!fin.exists(t => t._1 == 8L && t._2 >= 2), s"got $fin")
+
+      // completed funnel: further events emit nothing and don't error
+      // (the drained state path)
+      val before = spark.sql("SELECT * FROM funnel_out").count()
+      input.addData(ev(7, 7, 30, "view"), ev(8, 7, 31, "purchase"))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM funnel_out").count() == before)
     } finally q.stop()
   }
 

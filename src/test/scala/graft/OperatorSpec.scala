@@ -230,6 +230,28 @@ class OperatorSpec extends SparkSpec {
     val d2 = SnapshotDiff.diff(a2, b2, Seq("id"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(d2 == Map(1L -> "changed", 2L -> "changed"))
+
+    // a NULL KEY never matches across snapshots: one removed + one
+    // added (never a paired "added" misclassification)
+    val a3 = Seq((Some(1L), "x"), (None: Option[Long], "x")).toDF("id", "v")
+    val b3 = Seq((Some(1L), "x"), (None: Option[Long], "x")).toDF("id", "v")
+    val d3 = SnapshotDiff.diff(a3, b3, Seq("id"))
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1)))
+    assert(d3.count(_ == (-1L, "removed")) == 1)
+    assert(d3.count(_ == (-1L, "added")) == 1)
+    assert(d3.count(_ == (1L, "same")) == 1)
+  }
+
+  test("weighted sample: non-positive, null, and NaN weights never win a slot") {
+    import graft.operators.Packing
+    import spark.implicits._
+    val rows = Seq((1L, Some(5.0)), (2L, Some(-3.0)), (3L, Some(0.0)),
+      (4L, None: Option[Double]), (5L, Some(Double.NaN)), (6L, Some(1.0)))
+      .toDF("id", "w")
+    val picked = Packing.weightedSample(rows, "id", "w", m = 6)
+      .filter(col("sample_key") =!= lit(Double.PositiveInfinity))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(picked == Set(1L, 6L), s"invalid-weight rows leaked in: $picked")
   }
 
   test("weighted sample: inclusion scales with weight, deterministic, heap plan") {
