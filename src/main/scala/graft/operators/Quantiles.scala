@@ -341,4 +341,33 @@ object Quantiles {
         })
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
+  /**
+   * Winsorization — outlier clipping at per-group exact quantile
+   * bounds (the data-cleaning step before norm-sensitive training
+   * statistics): values below the `pLo` quantile clamp up to it,
+   * values above `pHi` clamp down. Bounds come from ONE exact
+   * `percentile` aggregate per group (quantile_cont semantics, the
+   * engine-matched form q52/q80 pin) broadcast back onto the rows —
+   * a dimension-sized join, no second wide shuffle. Output adds
+   * `<valueCol>_w` (clipped), `__lo`, `__hi`.
+   *
+   * Scale note: the exact bounds inherit exact-percentile's per-group
+   * value buffering; at 100x feed the bounds from
+   * [[exactGroupedQuantiles]] (two-pass, partition-bounded memory) or
+   * `approx_percentile` — only the bounds source changes, the clip is
+   * a narrow map either way.
+   */
+  def winsorized(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad bounds ($pLo, $pHi)")
+    val bounds = df.groupBy(col(groupCol))
+      .agg(percentile(col(valueCol), array(lit(pLo), lit(pHi))).as("__b"))
+      .select(col(groupCol),
+        element_at(col("__b"), 1).as("__lo"),
+        element_at(col("__b"), 2).as("__hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn(valueCol + "_w",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+  }
+
 }

@@ -337,6 +337,43 @@ object AdvancedQueries {
     // across runs/partitionings/engines — DuckDB replays the identical
     // 64-bit wraparound arithmetic in HUGEINT, so this is hash-compared,
     // not a statistical check. (sample() could never be oracled.)
+    // Winsorization (Quantiles.winsorized scaladoc): clip extended
+    // price at per-flag [p05, p95] exact-quantile bounds, then compare
+    // raw vs clipped totals. Clip classification is engine-stable:
+    // data values (2dp) sit >= 1e-4 from any interpolated (4dp) bound,
+    // and bounds that coincide with data points are computed exactly
+    // by both engines; sums of 4dp true values round safely at 4
+    // (round-1 float rule).
+    QueryDef("q103_winsorize", Some(
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  CAST(sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        |  round(sum(l_extendedprice), 2) AS raw_sum,
+        |  round(sum(least(greatest(l_extendedprice, lo), hi)), 4) AS w_sum,
+        |  round(min(lo), 4) AS lo, round(min(hi), 4) AS hi
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin),
+      (spark, dir) => {
+        import graft.operators.Quantiles
+        Quantiles.winsorized(table(spark, dir, "lineitem"),
+            "l_returnflag", "l_extendedprice", 0.05, 0.95)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("l_extendedprice") < col("__lo")
+              || col("l_extendedprice") > col("__hi"), 1L).otherwise(0L))
+              .as("n_clipped"),
+            round(sum(col("l_extendedprice")), 2).as("raw_sum"),
+            round(sum(col("l_extendedprice_w")), 4).as("w_sum"),
+            round(min(col("__lo")), 4).as("lo"),
+            round(min(col("__hi")), 4).as("hi"))
+          .orderBy("l_returnflag")
+      }),
+
     // Deterministic weighted sampling (Efraimidis–Spirakis exponential
     // keys; Packing.weightedSample scaladoc): key = -ln(u)/w from the
     // splitmix64 of the id, heap top-25 by key. The oracle replays the
