@@ -156,6 +156,31 @@ object Layout {
       .as(s"h_${cols.mkString("_")}")
   }
 
+  /**
+   * Size-targeted parquet writer — the file-sizing lever the other
+   * writers leave implicit: at 100 TB both failure modes are real
+   * (millions of small files make LISTing and task scheduling the
+   * bottleneck; few huge files starve parallelism and blow task
+   * memory). File count derives from the plan's size statistics —
+   * for file-source-rooted plans that is the SOURCE'S on-disk bytes
+   * (already parquet-encoded), so the default ratio is 1.0; set
+   * `parquetRatio` below 1 when the plan projects away columns or
+   * filters heavily (output smaller than input), above 1 when it
+   * explodes/joins (larger). A round-robin repartition balances rows
+   * regardless of upstream skew.
+   */
+  def writeSized(df: DataFrame, path: String,
+      targetBytesPerFile: Long = 128L * 1024 * 1024,
+      parquetRatio: Double = 1.0): Unit = {
+    require(targetBytesPerFile > 0, "target must be positive")
+    val planBytes = org.apache.spark.sql.graft.Bridge.analyzed(df)
+      .stats.sizeInBytes
+    val est = (BigDecimal(planBytes) * parquetRatio).toBigInt
+    val files = (est / targetBytesPerFile).toLong + 1
+    df.repartition(math.max(1, math.min(files, Int.MaxValue.toLong)).toInt)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Rank-space positions (0 .. 2^bits - 1, monotone, skew-equalizing)
     * for each of `cols`: ONE `approx_percentile` boundary sweep over
     * `df`, re-emitted as literal comparison chains — job-stable where

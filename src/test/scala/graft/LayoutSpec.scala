@@ -138,6 +138,29 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/zorder").count() == li.count())
   }
 
+  test("size-targeted writer: file count scales with target, data intact") {
+    val base = Files.createTempDirectory("graft-sized").toString
+    val li = queries.Tables.table(spark, sfDir, "lineitem")
+    def parquetFiles(dir: String): Seq[java.io.File] =
+      new java.io.File(dir).listFiles().toSeq
+        .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+
+    // tiny target => many files; huge target => one file
+    Layout.writeSized(li, s"$base/small", targetBytesPerFile = 32L * 1024)
+    Layout.writeSized(li, s"$base/big", targetBytesPerFile = 10L * 1024 * 1024 * 1024)
+    val small = parquetFiles(s"$base/small")
+    val big = parquetFiles(s"$base/big")
+    info(s"small-target files: ${small.size}; big-target files: ${big.size}")
+    assert(small.size > 1, "small target should split into multiple files")
+    assert(big.size == 1, "huge target should produce a single file")
+    // round-robin balance: no file more than ~3x the mean
+    val sizes = small.map(_.length())
+    assert(sizes.max <= 3 * (sizes.sum / sizes.size),
+      s"unbalanced files: ${sizes.sorted.reverse.take(3)} vs mean ${sizes.sum / sizes.size}")
+    assert(spark.read.parquet(s"$base/small").count() == li.count())
+    assert(spark.read.parquet(s"$base/big").count() == li.count())
+  }
+
   test("Hilbert curve: consecutive indexes are adjacent cells (Z jumps)") {
     import org.apache.spark.sql.graft.expressions.HilbertEval
     val bits = 4
