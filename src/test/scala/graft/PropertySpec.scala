@@ -153,4 +153,31 @@ class PropertySpec extends AnyFunSuite {
       v.forall(_ == 0f) || quant(v) == quant(v.map(_ * k))
     }, "quantize scale invariance")
   }
+
+  test("hilbert: 2-D and N-D curves are injective and range-bounded") {
+    // 2-D xy2d: distinct cells never collide, index < 4^bits
+    check(Prop.forAll(Gen.choose(1, 8), Gen.choose(0L, 255L), Gen.choose(0L, 255L),
+        Gen.choose(0L, 255L), Gen.choose(0L, 255L)) { (bits, x0, y0, x1, y1) =>
+      val m = (1L << bits) - 1
+      val (ax, ay, bx, by) = (x0 & m, y0 & m, x1 & m, y1 & m)
+      val da = HilbertEval.xy2d(bits, ax, ay)
+      val db = HilbertEval.xy2d(bits, bx, by)
+      val bounded = da >= 0 && da < (1L << (2 * bits))
+      val injective = ((ax, ay) == (bx, by)) == (da == db)
+      bounded && injective
+    }, "hilbert2d injective+bounded")
+    // N-D Skilling transform: same, at random dimension 2..5
+    check(Prop.forAll(Gen.choose(2, 5), Gen.choose(1, 6),
+        Gen.listOfN(5, Gen.choose(0L, 63L)), Gen.listOfN(5, Gen.choose(0L, 63L))) {
+      (dims, bits, as, bs) =>
+        val m = (1L << bits) - 1
+        val a = as.take(dims).map(_ & m).toArray
+        val b = bs.take(dims).map(_ & m).toArray
+        val da = HilbertEval.ndIndex(a, bits)
+        val db = HilbertEval.ndIndex(b, bits)
+        val bounded = da >= 0 && da < (1L << (dims * bits))
+        val injective = a.sameElements(b) == (da == db)
+        bounded && injective
+    }, "hilbertNd injective+bounded")
+  }
 }
