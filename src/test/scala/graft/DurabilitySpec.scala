@@ -251,6 +251,40 @@ class DurabilitySpec extends SparkSpec {
     assertSameState(rec, DurableCatalog.recover(spark, root))
   }
 
+  test("compaction races concurrent mutations without losing acknowledged writes") {
+    val root = freshRoot()
+    val cat = DurableCatalog.recover(spark, root, groupCommit = true)
+    val lib = cat.createLibrary("race", indexType = "exact").toOption.get
+    val doc = cat.createDocument(lib.id, "d").toOption.get
+
+    val threads = 6
+    val perThread = 20
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads + 1)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    try {
+      // one thread compacts in a loop while the others mutate
+      val compactor = pool.submit(new Runnable {
+        def run(): Unit = while (!stop.get()) { cat.compactWal(); Thread.sleep(5) }
+      })
+      val writers = (0 until threads).map { t =>
+        pool.submit(new Runnable {
+          def run(): Unit = (0 until perThread).foreach { i =>
+            assert(cat.createChunk(doc.id, s"race $t-$i").isRight)
+          }
+        })
+      }
+      writers.foreach(_.get())
+      stop.set(true)
+      compactor.get()
+    } finally pool.shutdown()
+    cat.compactWal()
+
+    // every acknowledged write must survive recovery, byte-identically
+    val rec = DurableCatalog.recover(spark, root)
+    assertSameState(cat, rec)
+    assert(chunkRows(rec).size == threads * perThread)
+  }
+
   test("group commit: concurrent mutations batch into segments, replay intact") {
     val root = freshRoot()
     val cat = DurableCatalog.recover(spark, root, groupCommit = true)
