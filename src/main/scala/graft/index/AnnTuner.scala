@@ -126,4 +126,52 @@ object AnnTuner {
     best.foreach(m => GraftConfig.lshActivePreset = Some(m.config))
     best
   }
+
+  /** A tier recommendation: which index family, at which parameters. */
+  final case class TierChoice(tier: String, config: String,
+      recall: Double, candidateFraction: Double)
+
+  /**
+   * Cross-tier selection — the "which index should this corpus use"
+   * question: measure LSH, IVF, and HNSW on the same query sample and
+   * return the cheapest (tier, config) clearing the target. Candidate
+   * fraction stays the cost model (rerank work ∝ candidates fetched);
+   * tier-specific caveats the number can't carry — HNSW's graph is
+   * bounded driver/broadcast state, IVF probes become partition
+   * pruning on disk — stay architecture decisions for the caller, so
+   * the runner-up measurements are returned too.
+   */
+  def tuneAcrossTiers(emb: DataFrame, idCol: String, embCol: String, dim: Int,
+      targetRecall: Double, k: Int = 10, nQueries: Int = 20)
+      : (Option[TierChoice], Seq[TierChoice]) = {
+    val (n, queries) = sampleQueries(emb, idCol, embCol, nQueries, k)
+
+    val lsh = tuneLsh(emb, idCol, embCol, dim, targetRecall, k, nQueries)
+      .map(m => TierChoice("lsh",
+        s"tables=${m.config.numTables} bits=${m.config.bitsPerTable} flips=${m.config.flips}",
+        m.recall, m.candidateFraction))
+
+    val ivf = tuneIvf(emb, idCol, embCol, targetRecall, k, nQueries)
+      .map(m => TierChoice("ivf",
+        s"nlist=${m.config._1} nprobe=${m.config._2}", m.recall, m.candidateFraction))
+
+    // HNSW: ef sweep at a fixed small fetch — candidate tier + rerank
+    val graph = HnswModel.build(emb, idCol, embCol)
+    val fetch = math.max(5 * k, 50)
+    val hnswMeasured = Seq(32, 64, 100).filter(_ >= fetch / 2).map { ef =>
+      val stats = queries.map { case (_, q, exact) =>
+        val cands = graph.search(q, fetch, math.max(ef, fetch)).map(_._1).toSet
+        (cands.intersect(exact).size.toDouble / k, cands.size.toDouble / n)
+      }
+      TierChoice("hnsw", s"ef=${math.max(ef, fetch)} fetch=$fetch",
+        stats.map(_._1).sum / stats.length, stats.map(_._2).sum / stats.length)
+    }
+    val hnsw = hnswMeasured.filter(_.recall >= targetRecall)
+      .sortBy(c => (c.candidateFraction, -c.recall)).headOption
+
+    val all = (lsh.toSeq ++ ivf.toSeq ++ hnsw.toSeq)
+    val best = all.filter(_.recall >= targetRecall)
+      .sortBy(c => (c.candidateFraction, -c.recall)).headOption
+    (best, all)
+  }
 }

@@ -52,6 +52,22 @@ class AnnTunerSpec extends SparkSpec {
     assert(r.isEmpty)
   }
 
+  test("cross-tier tuning: hnsw dominates at a high target, choice meets target") {
+    val (best, all) = AnnTuner.tuneAcrossTiers(emb, "vec_id", "embedding",
+      dim = 64, targetRecall = 0.9)
+    assert(best.isDefined, s"0.9 reachable by hnsw on this corpus; measured: $all")
+    val c = best.get
+    info(s"picked ${c.tier} (${c.config}) recall=${c.recall} fraction=${c.candidateFraction}")
+    assert(c.recall >= 0.9)
+    // HNSW hits recall 1.0 fetching ~10-20% here while IVF needs a
+    // full probe for 0.9 (AnnRecallSpec / RECALL.md) — the graph tier
+    // must win this target
+    assert(c.tier == "hnsw", s"expected hnsw to dominate: $all")
+    // and the winner is the measured minimum-cost qualifier
+    val qualifiers = all.filter(_.recall >= 0.9)
+    assert(qualifiers.forall(_.candidateFraction >= c.candidateFraction))
+  }
+
   test("LSH tuning handles non-long id columns") {
     import spark.implicits._
     // int ids exercise the cast path that raw getLong would CCE on
