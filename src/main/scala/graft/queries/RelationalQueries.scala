@@ -417,6 +417,49 @@ object RelationalQueries {
           .orderBy(col("p_brand"), col("s_name"))
       }),
 
+    // Region market share — the 5-table star-join chain (region ->
+    // nation -> customer -> orders -> lineitem): the fact table joins
+    // a PRE-JOINED broadcast dimension chain (region⋈nation⋈customer
+    // is dimension-sized at any scale factor; orders⋈lineitem is the
+    // one fact-fact shuffle, on the join key both sides are keyed by).
+    // Revenue shares per region and year; product-of-2dp sums round
+    // at 4 (round-1 float rule).
+    QueryDef("q104_region_market_share", Some(
+      """WITH rev AS (
+        |  SELECT r.r_name AS region,
+        |    CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+        |    sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT region, yr, round(revenue, 4) AS revenue,
+        |  round(revenue / sum(revenue) OVER (PARTITION BY yr), 6) AS share
+        |FROM rev ORDER BY region, yr""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val l = table(spark, dir, "lineitem")
+        val o = table(spark, dir, "orders")
+        val dim = table(spark, dir, "customer")
+          .join(broadcast(table(spark, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(table(spark, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("c_custkey"), col("r_name").as("region"))
+        val rev = l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("region"), year(col("o_orderdate")).as("yr"))
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        rev.select(col("region"), col("yr"),
+            round(col("revenue"), 4).as("revenue"),
+            round(col("revenue") / sum(col("revenue"))
+              .over(Window.partitionBy("yr")), 6).as("share"))
+          .orderBy("region", "yr")
+      }),
+
     // Snapshot diff / CDC (SnapshotDiff scaladoc): derive a second
     // snapshot deterministically (drop %97 keys, bump %89 prices, add
     // %83 keys under a +1e8 offset), then one full-outer key join with
