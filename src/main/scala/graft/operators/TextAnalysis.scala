@@ -206,6 +206,39 @@ object TextAnalysis {
   }
 
   /**
+   * Decontamination against MULTIPLE benchmarks in ONE pass: the named
+   * benchmark shingle tables stack into a single broadcast (tagged by
+   * benchmark name), so the corpus is scanned and shingled once total
+   * instead of once per benchmark — at 100 TB the corpus scan IS the
+   * cost, and real pipelines screen against many eval sets at once.
+   * Benchmarks' id columns must share a type (they union). Output:
+   * (id, benchmark, bench_id, n_shared).
+   */
+  def contaminationPairsMulti(corpus: DataFrame, corpusId: String,
+      corpusText: String,
+      benchmarks: Seq[(String, DataFrame, String, String)],
+      n: Int = 8, minOverlap: Int = 1): DataFrame = {
+    require(benchmarks.nonEmpty, "at least one benchmark")
+    def h(c: org.apache.spark.sql.Column) = {
+      import org.apache.spark.sql.graft.Bridge
+      import org.apache.spark.sql.graft.expressions.StringHash64
+      Bridge.column(StringHash64(Bridge.expression(c)))
+    }
+    val corpusSh = corpus.select(col(corpusId).as("id"),
+        explode(shingles(col(corpusText), n)).as("__s"))
+      .select(col("id"), h(col("__s")).as("shingle"))
+    val benchSh = benchmarks.map { case (name, df, idCol, textCol) =>
+      df.select(lit(name).as("benchmark"), col(idCol).as("bench_id"),
+          explode(shingles(col(textCol), n)).as("__s"))
+        .select(col("benchmark"), col("bench_id"), h(col("__s")).as("shingle"))
+    }.reduce(_.unionByName(_))
+    corpusSh.join(broadcast(benchSh), Seq("shingle"))
+      .groupBy("id", "benchmark", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+  }
+
+  /**
    * TF-IDF top-`k` terms per document. Term frequency is the raw token
    * count within the doc; idf = ln((N+1)/(df+1)) (add-one smoothed,
    * division-safe); score = tf * idf with deterministic (score desc,

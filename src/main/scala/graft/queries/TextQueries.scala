@@ -230,6 +230,40 @@ object TextQueries {
           .orderBy("id", "bench_id")
       }),
 
+    // Multi-benchmark decontamination (contaminationPairsMulti
+    // scaladoc): screen the corpus against TWO benchmark sets in one
+    // shingle pass — the stacked benchmark tables broadcast once,
+    // the corpus scans once total.
+    QueryDef("q105_multi_decontaminate", Some(
+      """WITH toks AS (
+        |  SELECT doc_id, source, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    list_distinct([array_to_string(tk[i:i+7], ' ') FOR i IN range(1, greatest(len(tk) - 6, 1))]) AS shingles
+        |  FROM toks WHERE len(tk) >= 8),
+        |c AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh
+        |  WHERE source NOT IN ('src0', 'src1')),
+        |b AS (
+        |  SELECT 'b0' AS benchmark, doc_id AS bench_id, unnest(shingles) AS shingle
+        |  FROM sh WHERE source = 'src0'
+        |  UNION ALL
+        |  SELECT 'b1', doc_id, unnest(shingles) FROM sh WHERE source = 'src1')
+        |SELECT c.doc_id AS id, b.benchmark, b.bench_id, count(*) AS n_shared
+        |FROM c JOIN b USING (shingle)
+        |GROUP BY 1, 2, 3
+        |ORDER BY id, benchmark, bench_id""".stripMargin),
+      (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+        TextAnalysis.contaminationPairsMulti(
+            docs.filter(!col("source").isin("src0", "src1")), "doc_id", "text",
+            Seq(
+              ("b0", docs.filter(col("source") === "src0"), "doc_id", "text"),
+              ("b1", docs.filter(col("source") === "src1"), "doc_id", "text")),
+            n = 8, minOverlap = 1)
+          .orderBy("id", "benchmark", "bench_id")
+      }),
+
     // Token-window chunking — the upstream document splitter (windows
     // of 64 tokens every 48, tail kept, 16-token overlap). Pure
     // function of the text: DuckDB replays the window arithmetic and
