@@ -48,10 +48,21 @@ object IndexType {
   * LSH/IVF models (HnswModel.maxGraphVectors). */
 final case class HnswState(graph: graft.index.HnswModel, chunkIds: Array[String])
 
-/** Built IVF-PQ state for one library: the trained composed model
-  * (KB-scale driver state) and the encoded (id, cluster_id, codes)
-  * table — 8 bytes of codes per chunk vs the full float vector. */
-final case class IvfPqState(model: graft.index.IvfPqModel, encoded: DataFrame)
+/** Built IVF-PQ state for one library: the trained composed model —
+  * plain residual coding (Left) or the OPQ-rotated variant (Right,
+  * GraftConfig.ivfpqUseOpq at build time) — and the encoded
+  * (id, cluster_id, codes) table: 8 bytes of codes per chunk vs the
+  * full float vector. Both variants share the encode/candidates
+  * contract; the helpers below dispatch. */
+final case class IvfPqState(
+    coded: Either[graft.index.IvfPqModel, graft.index.OpqIvfPqModel],
+    encoded: DataFrame) {
+  def encodeWith(chunks: DataFrame, idCol: String, embCol: String): DataFrame =
+    coded.fold(_.encode(chunks, idCol, embCol), _.encode(chunks, idCol, embCol))
+  def candidatesWith(query: Array[Float], nprobe: Int, n: Int): DataFrame =
+    coded.fold(_.candidates(encoded, query, nprobe, n),
+      _.candidates(encoded, query, nprobe, n))
+}
 
 /** Versioned per-library index state: the Spark-native replacement for
   * the reference's mutable `IndexManager` registry + locks
@@ -427,7 +438,7 @@ final class VectorCatalog(val spark: SparkSession,
           val newChunks = libChunks.join(s.encoded.select("id").distinct(),
             Seq("id"), "left_anti")
           val enc = kept.unionByName(
-            s.model.encode(newChunks, "id", "embedding")).cache()
+            s.encodeWith(newChunks, "id", "embedding")).cache()
           enc.count()
           s.encoded.unpersist()
           state.copy(ivfpq = Some(s.copy(encoded = enc)),
@@ -454,10 +465,15 @@ final class VectorCatalog(val spark: SparkSession,
     if (n < GraftConfig.ivfNlist) None
     else {
       val m = Seq(8, 4, 2, 1).find(embeddingDim % _ == 0).get
-      val model = graft.index.IvfPqModel.train(libChunks, "embedding", m = m)
-      val encoded = model.encode(libChunks, "id", "embedding").cache()
+      val coded: Either[graft.index.IvfPqModel, graft.index.OpqIvfPqModel] =
+        if (GraftConfig.ivfpqUseOpq)
+          Right(graft.index.OpqIvfPqModel.train(libChunks, "embedding", m = m))
+        else
+          Left(graft.index.IvfPqModel.train(libChunks, "embedding", m = m))
+      val state = IvfPqState(coded, spark.emptyDataFrame)
+      val encoded = state.encodeWith(libChunks, "id", "embedding").cache()
       encoded.count()
-      Some(IvfPqState(model, encoded))
+      Some(state.copy(encoded = encoded))
     }
   }
 
@@ -669,10 +685,17 @@ final class VectorCatalog(val spark: SparkSession,
           .parquet(s"$path/indexes/$libId/hnsw_ids")
       }
       state.ivfpq.foreach { s =>
-        graft.index.IndexStore.writeIvfModel(spark, s.model.ivf,
+        val (ivf, pq) = s.coded.fold(m => (m.ivf, m.pq), m => (m.ivf, m.pq))
+        graft.index.IndexStore.writeIvfModel(spark, ivf,
           s"$path/indexes/$libId/ivfpq_centroids")
-        graft.index.IndexStore.writePqModel(spark, s.model.pq,
+        graft.index.IndexStore.writePqModel(spark, pq,
           s"$path/indexes/$libId/ivfpq_codebooks")
+        // the OPQ variant additionally persists its rotation — its
+        // presence is also the variant marker at load time
+        s.coded.foreach { m =>
+          graft.index.IndexStore.writeRotation(spark, m.opq.rotation,
+            s"$path/indexes/$libId/ivfpq_rotation")
+        }
         graft.index.IndexStore.writeIvfPqEncoded(s.encoded,
           s"$path/indexes/$libId/ivfpq_encoded")
       }
@@ -706,6 +729,14 @@ final class VectorCatalog(val spark: SparkSession,
       } else if (exists(s"$base/ivfpq_centroids")) {
         val ivf = graft.index.IndexStore.readIvfModel(spark, s"$base/ivfpq_centroids")
         val pq = graft.index.IndexStore.readPqModel(spark, s"$base/ivfpq_codebooks")
+        // a persisted rotation marks the OPQ variant
+        val coded: Either[graft.index.IvfPqModel, graft.index.OpqIvfPqModel] =
+          if (exists(s"$base/ivfpq_rotation"))
+            Right(graft.index.OpqIvfPqModel(ivf,
+              graft.index.OpqModel(
+                graft.index.IndexStore.readRotation(spark, s"$base/ivfpq_rotation"),
+                pq)))
+          else Left(graft.index.IvfPqModel(ivf, pq))
         // cache + materialize like the build path: every search probes
         // this table, and an uncached restore would re-read parquet
         // per query until the first refresh
@@ -715,8 +746,7 @@ final class VectorCatalog(val spark: SparkSession,
           .cache()
         encoded.count()
         val state = IndexState(IndexType.IvfPq, None, None, None, None,
-          version.get(),
-          ivfpq = Some(IvfPqState(graft.index.IvfPqModel(ivf, pq), encoded)))
+          version.get(), ivfpq = Some(IvfPqState(coded, encoded)))
         indexes.put(libraryId, state)
         Right(state)
       } else if (exists(s"$base/hnsw_graph")) {

@@ -119,6 +119,12 @@ object GraftConfig {
     * nlist of a billion-vector deployment gets O(log nlist) probes.
     * Read once per model at first probe. */
   @volatile var hnswCoarseMinNlist: Int = 1024
+  /** When true, the facade's `ivfpq` index type trains the OPQ-rotated
+    * residual stack (OpqIvfPqModel — lower residual MSE / higher
+    * candidate recall at the same code budget, at the cost of the
+    * rotation training) instead of plain IVF-PQ. Read at index build;
+    * a library keeps the variant it was built with. */
+  @volatile var ivfpqUseOpq: Boolean = false
   /** k<=0 => default, k>max => max (config.py:62-68). */
   def clampK(k: Int): Int = if (k <= 0) defaultK else math.min(k, maxK)
 

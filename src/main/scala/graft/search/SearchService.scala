@@ -123,7 +123,7 @@ final class SearchService(catalog: VectorCatalog) {
       case None => Seq.empty // untrained: reference IVF semantics
       case Some(s) =>
         val fetch = math.max(4 * k, 50)
-        val cands = s.model.candidates(s.encoded, queryVec,
+        val cands = s.candidatesWith(queryVec,
           nprobe = GraftConfig.ivfNprobe, n = fetch).select("id")
         exactTopK(universe.join(cands, Seq("id"), "left_semi"), queryVec, k)
     }
