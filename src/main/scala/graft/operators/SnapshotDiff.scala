@@ -56,4 +56,39 @@ object SnapshotDiff {
       .select(keyCols.map(k => coalesce(col(s"a.$k"), col(s"b.$k")).as(k)) :+
         col("diff_status"): _*)
   }
+
+  /**
+   * Streaming CDC: classify rows of an ARRIVING snapshot stream
+   * against a pinned old snapshot — `added` / `changed` / `same` per
+   * micro-batch via a STATELESS stream-static left join (each arriving
+   * key looks up the old side; no watermark, no state store).
+   * `removed` is structurally a batch question (a key's absence is
+   * only knowable once the new snapshot is complete), so it stays with
+   * [[diff]] — run it once at stream end if removals matter. Works on
+   * batch inputs too (same plan), which is what the differential test
+   * exploits.
+   */
+  def diffStream(newStream: DataFrame, oldSnap: DataFrame,
+      keyCols: Seq[String], compareCols: Seq[String] = Seq.empty): DataFrame = {
+    require(keyCols.nonEmpty, "diffStream needs at least one key column")
+    val cmp =
+      if (compareCols.nonEmpty) compareCols
+      else oldSnap.columns.filterNot(keyCols.contains)
+        .filter(newStream.columns.contains).toSeq
+    val old = oldSnap.select((keyCols ++ cmp).map(col): _*)
+      .withColumn("__in_old", lit(true)).alias("o")
+    val nw = newStream.alias("n")
+    val joinCond = keyCols.map(k => col(s"n.$k") === col(s"o.$k")).reduce(_ && _)
+    val unchanged: Column =
+      if (cmp.isEmpty) lit(true)
+      else cmp.map(c => col(s"n.$c") <=> col(s"o.$c")).reduce(_ && _)
+    nw.join(old, joinCond, "left_outer")
+      .withColumn("diff_status",
+        when(col("o.__in_old").isNull, "added")
+          .when(unchanged, "same")
+          .otherwise("changed"))
+      .select(keyCols.map(k => col(s"n.$k").as(k)) ++
+        newStream.columns.filterNot(keyCols.contains).toSeq.map(c => col(s"n.$c")) :+
+        col("diff_status"): _*)
+  }
 }

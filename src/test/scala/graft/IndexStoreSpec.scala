@@ -155,6 +155,38 @@ class IndexStoreSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC classifies arriving snapshot rows against the pinned old") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.SnapshotDiff
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    val input = MemoryStream[(Long, String)]
+    val q = SnapshotDiff.diffStream(input.toDS().toDF("id", "v"), old, Seq("id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cdc_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData((1L, "a"), (2L, "B2"))     // same + changed
+      q.processAllAvailable()
+      input.addData((9L, "new"))               // added, separate batch
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id, v, diff_status FROM cdc_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(got == Set((1L, "a", "same"), (2L, "B2", "changed"), (9L, "new", "added")))
+
+      // differential vs the batch classifier on the same rows (batch
+      // diff adds 'removed' for key 3, which streaming cannot know)
+      val newSnap = Seq((1L, "a"), (2L, "B2"), (9L, "new")).toDF("id", "v")
+      val batch = SnapshotDiff.diff(old, newSnap, Seq("id"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      got.foreach { case (id, _, st) => assert(batch(id) == st) }
+      assert(batch(3L) == "removed")
+    } finally q.stop()
+  }
+
   test("streaming dedup drops duplicate event_ids within the watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
