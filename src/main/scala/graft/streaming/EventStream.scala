@@ -114,32 +114,41 @@ object EventStream {
    * stage membership, which is what the differential test pins).
    */
   def funnelStream(events: org.apache.spark.sql.Dataset[Event],
-      steps: Seq[String]): org.apache.spark.sql.Dataset[FunnelProgress] = {
+      steps: Seq[String],
+      maxSpanMs: Option[Long] = None): org.apache.spark.sql.Dataset[FunnelProgress] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import events.sparkSession.implicits._
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxSpanMs.forall(_ > 0), "maxSpanMs must be positive")
     val stepSet = steps.toSet
+    val span = maxSpanMs.getOrElse(Long.MaxValue)
 
-    // anchor times per stage over a time-sorted event list: stage k
-    // needs an event of steps(k) strictly after stage k-1's anchor
+    // Best chain over a time-sorted event list: stage k needs an event
+    // of steps(k) strictly after stage k-1's anchor, and (windowed
+    // form) within `span` of the stage-0 anchor. UNBOUNDED: greedy
+    // from the EARLIEST step-0 event is maximal (earliest anchors
+    // dominate eligibility). WINDOWED: a later stage-0 anchor can
+    // succeed where the earliest violates the span, so every step-0
+    // candidate is tried; first candidate reaching the full funnel
+    // wins (earliest, deterministic).
     def anchors(sorted: List[(Long, Long, String)]): List[(Int, Long)] = {
-      var out = List.empty[(Int, Long)]
-      var prev = Long.MinValue
-      var k = 0
-      var rest = sorted
-      while (k < steps.length) {
-        rest = rest.dropWhile { case (t, _, tp) =>
-          !(tp == steps(k) && (if (k == 0) true else t > prev)) }
-        rest match {
-          case (t, _, _) :: tail if true =>
-            out = (k, t) :: out
-            prev = t
-            rest = tail
-            k += 1
-          case Nil => k = steps.length // unreachable stage: stop
+      var best = List.empty[(Int, Long)] // reversed (stage, time)
+      val step0s = sorted.iterator.filter(_._3 == steps.head).map(_._1)
+      while (step0s.hasNext && best.length < steps.length) {
+        val t0 = step0s.next()
+        var out = List((0, t0))
+        var prev = t0
+        var k = 1
+        var cont = true
+        while (k < steps.length && cont) {
+          sorted.find(e => e._3 == steps(k) && e._1 > prev && e._1 - t0 <= span) match {
+            case Some((t, _, _)) => out = (k, t) :: out; prev = t; k += 1
+            case None => cont = false
+          }
         }
+        if (out.length > best.length) best = out
       }
-      out.reverse
+      best.reverse
     }
 
     events.filter(e => stepSet.contains(e.event_type))
@@ -162,10 +171,21 @@ object EventStream {
               else math.max(prev.emittedStage, reached.map(_._1).max + 1)
             // completed funnel drops its buffer (see above); an open
             // funnel must RETAIN it — a late earlier event can still
-            // improve an anchor and unlock buffered later-step events
+            // improve an anchor and unlock buffered later-step events.
+            // With a span bound, events older than (newest seen - span)
+            // cannot join any chain that also contains a future
+            // on-time event, so they prune — bounded state for bounded
+            // lateness, the watermark-style tradeoff (a late event
+            // older than the pruned horizon may miss its chain).
+            val retained = maxSpanMs match {
+              case Some(s) =>
+                val horizon = all.lastOption.map(_._1 - s).getOrElse(Long.MinValue)
+                all.filter(_._1 > horizon)
+              case None => all
+            }
             state.update(
               if (top >= steps.length) FunnelState(Nil, top)
-              else FunnelState(all, top))
+              else FunnelState(retained, top))
             newOnes.map { case (k, t) =>
               FunnelProgress(uid, k + 1, steps(k), new java.sql.Timestamp(t))
             }.iterator

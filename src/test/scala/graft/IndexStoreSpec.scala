@@ -155,6 +155,38 @@ class IndexStoreSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed funnel: span bound forces a later anchor, greedy-earliest would miss it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+
+    def ev(id: Long, uid: Long, minute: Int, tp: String): EventStream.Event =
+      EventStream.Event(id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"),
+        uid, tp, Some(1.0))
+
+    // view@0, view@40, click@45 with a 10-minute span: the earliest
+    // anchor (view@0) cannot reach click@45, the view@40 anchor can —
+    // the candidate search must find it
+    val input = MemoryStream[EventStream.Event]
+    val q = EventStream.funnelStream(input.toDS(), Seq("view", "click"),
+        maxSpanMs = Some(10L * 60 * 1000))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wfunnel_out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      input.addData(ev(1, 1, 0, "view"), ev(2, 1, 40, "view"), ev(3, 1, 45, "click"))
+      // user 2: view@0 then click@45 only — outside any 10-min window
+      input.addData(ev(4, 2, 0, "view"), ev(5, 2, 45, "click"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, stage, reached_at FROM wfunnel_out")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2).toString)).toSet
+      assert(got.contains((1L, 2, "2024-01-01 10:45:00.0")), s"got $got")
+      // the emitted stage-1 anchor must be the WINDOW-VALID one (10:40)
+      assert(got.contains((1L, 1, "2024-01-01 10:40:00.0")), s"got $got")
+      assert(!got.exists(t => t._1 == 2L && t._2 == 2), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming CDC classifies arriving snapshot rows against the pinned old") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
