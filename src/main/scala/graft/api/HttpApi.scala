@@ -91,7 +91,12 @@ final class HttpApi(db: VectorDb, port: Int = 0) {
     val indexType = query.getOrElse("index_type", "lsh")
     // reference accepts lsh|ivf here (libraries.py); the additional
     // types are additive — reference clients' requests behave
-    // identically. Validation delegates to IndexType.parse (ONE
+    // identically. DOCUMENTED DEVIATION (COVERAGE.md "Deliberate
+    // deviations"): inputs the reference rejected with 400 (e.g.
+    // "exact", "flat") are now valid index types here, and the 400
+    // message text lists the full whitelist — a client asserting the
+    // reference's exact rejection contract for those strings will see
+    // different behavior. Validation delegates to IndexType.parse (ONE
     // whitelist), the message derives from IndexType.names.
     if (graft.catalog.IndexType.parse(indexType).isLeft)
       respond(400, detail("Invalid index type. Must be one of: " +

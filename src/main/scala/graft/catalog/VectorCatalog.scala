@@ -380,25 +380,41 @@ final class VectorCatalog(val spark: SparkSession,
     getLibrary(libraryId).map { _ =>
       val state = indexes(libraryId)
       val libChunks = chunksByLibrary(libraryId).filter($"embedding".isNotNull)
+      // Reconcile on (id, emb_hash), not id alone: a chunk updated with
+      // new text is re-embedded under the SAME id, and an id-only
+      // semi-join would keep its stale index rows (old bucket / cell /
+      // codes) — silent recall loss for updated chunks. The hash pair
+      // turns an embedding change into delete+insert. Tables persisted
+      // before emb_hash existed fall back to id-only reconcile.
+      val liveKeys = libChunks.select($"id", xxhash64($"embedding").as("emb_hash"))
+      def keysOf(current: DataFrame): Seq[String] =
+        if (current.columns.contains("emb_hash")) Seq("id", "emb_hash") else Seq("id")
+      def changedOrNew(current: DataFrame): DataFrame =
+        libChunks.withColumn("emb_hash", xxhash64($"embedding"))
+          .join(current.select(keysOf(current).map(col): _*).distinct(),
+            keysOf(current), "left_anti")
+          .drop("emb_hash")
       val refreshed = state.indexType match {
         case IndexType.Lsh if state.lsh.isDefined =>
           val model = state.lsh.get
           val current = state.signatures.get
-          val liveIds = libChunks.select($"id")
-          val kept = current.join(liveIds, Seq("id"), "left_semi")
-          val newChunks = libChunks.join(current.select("id").distinct(),
-            Seq("id"), "left_anti")
-          val sigs = kept.unionByName(model.build(newChunks, "id", "embedding")).cache()
+          val kept = current.join(liveKeys, keysOf(current), "left_semi")
+          val sigs = kept.unionByName(
+            model.build(changedOrNew(current), "id", "embedding"),
+            allowMissingColumns = true).cache()
           sigs.count()
           state.signatures.foreach(_.unpersist())
           state.copy(signatures = Some(sigs), builtAtVersion = version.get())
         case IndexType.Ivf if state.ivf.isDefined =>
           val model = state.ivf.get
+          // assigned carries the embedding itself, so its hash is
+          // computed on the fly rather than stored
           val current = state.assigned.get
-          val kept = current.join(libChunks.select($"id"), Seq("id"), "left_semi")
-          val newChunks = libChunks.join(current.select("id").distinct(),
-            Seq("id"), "left_anti")
-          val assigned = kept.unionByName(model.assign(newChunks, "embedding")).cache()
+            .withColumn("emb_hash", xxhash64($"embedding"))
+          val kept = current.join(liveKeys, Seq("id", "emb_hash"), "left_semi")
+            .drop("emb_hash")
+          val assigned = kept.unionByName(
+            model.assign(changedOrNew(current), "embedding")).cache()
           assigned.count()
           state.assigned.foreach(_.unpersist())
           state.copy(assigned = Some(assigned), builtAtVersion = version.get())
@@ -430,15 +446,15 @@ final class VectorCatalog(val spark: SparkSession,
           } else state.copy(hnsw = buildHnswState(libChunks),
             builtAtVersion = version.get())
         case IndexType.IvfPq if state.ivfpq.isDefined =>
-          // never-retrain semantics, like IVF: new chunks encode with
-          // the EXISTING centroids + codebooks; deletes drop via the
-          // semi-join against live ids
+          // never-retrain semantics, like IVF: new OR re-embedded chunks
+          // encode with the EXISTING centroids + codebooks; deletes and
+          // stale (id, old-embedding) rows drop via the (id, emb_hash)
+          // semi-join against live keys
           val s = state.ivfpq.get
-          val kept = s.encoded.join(libChunks.select($"id"), Seq("id"), "left_semi")
-          val newChunks = libChunks.join(s.encoded.select("id").distinct(),
-            Seq("id"), "left_anti")
+          val kept = s.encoded.join(liveKeys, keysOf(s.encoded), "left_semi")
           val enc = kept.unionByName(
-            s.encodeWith(newChunks, "id", "embedding")).cache()
+            s.encodeWith(changedOrNew(s.encoded), "id", "embedding"),
+            allowMissingColumns = true).cache()
           enc.count()
           s.encoded.unpersist()
           state.copy(ivfpq = Some(s.copy(encoded = enc)),

@@ -53,8 +53,18 @@ object AnnTuner {
   /** Measure LSH presets; pick the cheapest meeting `targetRecall`. */
   def tuneLsh(emb: DataFrame, idCol: String, embCol: String, dim: Int,
       targetRecall: Double, k: Int = 10, nQueries: Int = 20,
-      grid: Seq[LshPreset] = defaultLshGrid): Option[Measured[LshPreset]] = {
-    val (n, queries) = sampleQueries(emb, idCol, embCol, nQueries, k)
+      grid: Seq[LshPreset] = defaultLshGrid): Option[Measured[LshPreset]] =
+    tuneLshWith(sampleQueries(emb, idCol, embCol, nQueries, k),
+      emb, idCol, embCol, dim, targetRecall, k, grid)
+
+  /** LSH sweep over a PRECOMPUTED oracle sample — the exact top-k
+    * oracle is the expensive part of tuning, so cross-tier callers
+    * compute it once and thread it through. */
+  private def tuneLshWith(sample: (Long, Seq[(Long, Array[Float], Set[Long])]),
+      emb: DataFrame, idCol: String, embCol: String, dim: Int,
+      targetRecall: Double, k: Int,
+      grid: Seq[LshPreset]): Option[Measured[LshPreset]] = {
+    val (n, queries) = sample
     val measured = grid.map { p =>
       val model = LshModel(numTables = p.numTables, bitsPerTable = p.bitsPerTable, dim = dim)
       val sigs = model.build(emb, idCol, embCol).cache()
@@ -79,8 +89,16 @@ object AnnTuner {
   def tuneIvf(emb: DataFrame, idCol: String, embCol: String,
       targetRecall: Double, k: Int = 10, nQueries: Int = 20,
       nlists: Seq[Int] = Seq(8, 16, 32), nprobes: Seq[Int] = Seq(1, 2, 4, 8))
-      : Option[Measured[(Int, Int)]] = {
-    val (n, queries) = sampleQueries(emb, idCol, embCol, nQueries, k)
+      : Option[Measured[(Int, Int)]] =
+    tuneIvfWith(sampleQueries(emb, idCol, embCol, nQueries, k),
+      emb, idCol, embCol, targetRecall, k, nlists, nprobes)
+
+  /** IVF sweep over a precomputed oracle sample (see [[tuneLshWith]]). */
+  private def tuneIvfWith(sample: (Long, Seq[(Long, Array[Float], Set[Long])]),
+      emb: DataFrame, idCol: String, embCol: String,
+      targetRecall: Double, k: Int,
+      nlists: Seq[Int], nprobes: Seq[Int]): Option[Measured[(Int, Int)]] = {
+    val (n, queries) = sample
     val measured = nlists.flatMap { nlist =>
       val model = IvfModel.train(emb, embCol, nlist = nlist)
       val assigned = model.assign(emb, embCol).cache()
@@ -144,14 +162,20 @@ object AnnTuner {
   def tuneAcrossTiers(emb: DataFrame, idCol: String, embCol: String, dim: Int,
       targetRecall: Double, k: Int = 10, nQueries: Int = 20)
       : (Option[TierChoice], Seq[TierChoice]) = {
-    val (n, queries) = sampleQueries(emb, idCol, embCol, nQueries, k)
+    // ONE oracle sample shared by all three tiers — the exact top-k
+    // oracle dominates tuning cost, and sharing it also makes the
+    // cross-tier comparison apples-to-apples by construction
+    val sample = sampleQueries(emb, idCol, embCol, nQueries, k)
+    val (n, queries) = sample
 
-    val lsh = tuneLsh(emb, idCol, embCol, dim, targetRecall, k, nQueries)
+    val lsh = tuneLshWith(sample, emb, idCol, embCol, dim, targetRecall, k,
+        defaultLshGrid)
       .map(m => TierChoice("lsh",
         s"tables=${m.config.numTables} bits=${m.config.bitsPerTable} flips=${m.config.flips}",
         m.recall, m.candidateFraction))
 
-    val ivf = tuneIvf(emb, idCol, embCol, targetRecall, k, nQueries)
+    val ivf = tuneIvfWith(sample, emb, idCol, embCol, targetRecall, k,
+        Seq(8, 16, 32), Seq(1, 2, 4, 8))
       .map(m => TierChoice("ivf",
         s"nlist=${m.config._1} nprobe=${m.config._2}", m.recall, m.candidateFraction))
 

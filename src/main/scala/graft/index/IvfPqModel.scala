@@ -34,7 +34,8 @@ final case class IvfPqModel(ivf: IvfModel, pq: PqModel) {
     assigned
       .withColumn("codes", pq.encodeColumn(
         residualColumn(col(embCol), col("cluster_id"))))
-      .select(col(idCol).as("id"), col("cluster_id"), col("codes"))
+      .select(col(idCol).as("id"), col("cluster_id"), col("codes"),
+        xxhash64(col(embCol)).as("emb_hash"))
   }
 
   /** Top-`n` candidate ids by per-cell residual ADC over the probed

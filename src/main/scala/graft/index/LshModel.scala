@@ -42,7 +42,10 @@ final case class LshModel(
    */
   def build(chunks: DataFrame, idCol: String, embCol: String): DataFrame =
     chunks.filter(col(embCol).isNotNull)
-      .select(col(idCol).as("id"), explode(bucketsColumn(col(embCol))).as("bucket"))
+      .select(col(idCol).as("id"), explode(bucketsColumn(col(embCol))).as("bucket"),
+        // embedding fingerprint so incremental refresh can detect a
+        // re-embedded chunk (same id, new vector) as delete+insert
+        xxhash64(col(embCol)).as("emb_hash"))
 
   /**
    * Candidate ids for a query vector: union of the query's buckets

@@ -39,7 +39,8 @@ final case class OpqIvfPqModel(ivf: IvfModel, opq: OpqModel) {
     assigned
       .withColumn("codes", opq.encodeColumn(
         IvfPqModel.residual(col(embCol), col("cluster_id"), ivf.centroids)))
-      .select(col(idCol).as("id"), col("cluster_id"), col("codes"))
+      .select(col(idCol).as("id"), col("cluster_id"), col("codes"),
+        xxhash64(col(embCol)).as("emb_hash"))
   }
 
   /** Top-`n` candidate ids: probe cells, rotate each cell's residual

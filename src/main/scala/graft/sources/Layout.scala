@@ -175,9 +175,19 @@ object Layout {
     require(targetBytesPerFile > 0, "target must be positive")
     val planBytes = org.apache.spark.sql.graft.Bridge.analyzed(df)
       .stats.sizeInBytes
+    // Plans with no real statistics fall back to
+    // spark.sql.defaultSizeInBytes (Long.MaxValue by default); sizing
+    // off that would attempt repartition(Int.MaxValue). Fail with the
+    // remedy instead of a nonsense partition count.
+    val defaultSize = BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
+    require(BigInt(planBytes.bigInteger) < defaultSize,
+      s"writeSized: plan has no usable size statistics (sizeInBytes=$planBytes " +
+        "is the defaultSizeInBytes fallback). Root the plan at a file source, " +
+        "run ANALYZE TABLE, or pick a file count explicitly via repartition().")
     val est = (BigDecimal(planBytes) * parquetRatio).toBigInt
+    val maxFiles = 1000000L // 1e6 files x 128 MB ≈ 128 TB — sane upper bound
     val files = (est / targetBytesPerFile).toLong + 1
-    df.repartition(math.max(1, math.min(files, Int.MaxValue.toLong)).toInt)
+    df.repartition(math.max(1L, math.min(files, maxFiles)).toInt)
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 

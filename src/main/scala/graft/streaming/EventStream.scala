@@ -180,7 +180,10 @@ object EventStream {
             val retained = maxSpanMs match {
               case Some(s) =>
                 val horizon = all.lastOption.map(_._1 - s).getOrElse(Long.MinValue)
-                all.filter(_._1 > horizon)
+                // >= so retention matches the chain predicate's inclusive
+                // `e.t - t0 <= span`: an event at exactly newest-span can
+                // still anchor a chain completed by a later on-time event
+                all.filter(_._1 >= horizon)
               case None => all
             }
             state.update(

@@ -222,4 +222,51 @@ class AdviceRegressionSpec extends SparkSpec {
     assert(refreshed.assigned.isDefined)  // and the assigned table exists
     assert(refreshed.assigned.get.count() == 110)
   }
+
+  test("refreshIndex re-encodes a re-embedded (updated) chunk — no stale LSH buckets") {
+    val cat = new VectorCatalog(spark)
+    val lib = cat.createLibrary("L", indexType = "lsh").toOption.get
+    val doc = cat.createDocument(lib.id, "D").toOption.get
+    val c = cat.createChunk(doc.id, "the original text about gardening").toOption.get
+    cat.createChunk(doc.id, "an unrelated stable sibling chunk")
+    cat.indexLibrary(lib.id, "lsh")
+
+    // update re-embeds under the SAME id; an id-only reconcile would
+    // keep the old embedding's buckets (silent recall loss)
+    cat.updateChunk(c.id, text = Some("completely different words on astronomy"))
+    cat.refreshIndex(lib.id)
+
+    val st = cat.indexState(lib.id).get
+    val model = st.lsh.get
+    val got = st.signatures.get.filter(col("id") === c.id)
+      .select("bucket").collect().map(_.getLong(0)).toSet
+    val expected = model.bucketsOf(
+      cat.getChunk(c.id).toOption.get.embedding.get.toArray).toSet
+    assert(got == expected, "signatures must reflect the NEW embedding only")
+  }
+
+  test("refreshIndex re-encodes a re-embedded chunk in the IVF assigned table") {
+    val cat = new VectorCatalog(spark)
+    val lib = cat.createLibrary("L", indexType = "ivf").toOption.get
+    val doc = cat.createDocument(lib.id, "D").toOption.get
+    val chunks = cat.createChunks(doc.id,
+      (1 to 110).map(i => (s"base corpus text $i topic${i % 5}", Map.empty[String, String])))
+      .toOption.get
+    cat.indexLibrary(lib.id, "ivf")
+    val target = chunks.head
+
+    cat.updateChunk(target.id, text = Some("a wholly new subject: deep sea biology"))
+    cat.refreshIndex(lib.id)
+
+    val st = cat.indexState(lib.id).get
+    val row = st.assigned.get.filter(col("id") === target.id)
+      .select("cluster_id", "embedding").collect()
+    assert(row.length == 1, "exactly one assigned row for the updated id")
+    val newEmb = cat.getChunk(target.id).toOption.get.embedding.get
+    assert(row(0).getSeq[Float](1) == newEmb.toSeq,
+      "assigned row must carry the NEW embedding")
+    assert(row(0).getInt(0) ==
+      st.ivf.get.probeLinear(newEmb, 1).head,
+      "cluster assignment must be recomputed from the new embedding")
+  }
 }

@@ -161,6 +161,20 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(s"$base/big").count() == li.count())
   }
 
+  test("size-targeted writer refuses a plan with no usable size statistics") {
+    // an RDD-backed plan has no real statistics: Spark falls back to
+    // spark.sql.defaultSizeInBytes (Long.MaxValue) — sizing off that
+    // would attempt repartition(Int.MaxValue); the guard must fire
+    val rdd = spark.sparkContext.parallelize(Seq(1L, 2L, 3L).map(org.apache.spark.sql.Row(_)))
+    val df = spark.createDataFrame(rdd, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType))))
+    val base = Files.createTempDirectory("graft-sized-guard").toString
+    val e = intercept[IllegalArgumentException] {
+      Layout.writeSized(df, s"$base/guard")
+    }
+    assert(e.getMessage.contains("size statistics"))
+  }
+
   test("Hilbert curve: consecutive indexes are adjacent cells (Z jumps)") {
     import org.apache.spark.sql.graft.expressions.HilbertEval
     val bits = 4
