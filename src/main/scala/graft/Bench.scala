@@ -59,7 +59,16 @@ object Bench {
     // min-of-3 vs 1.4s in isolation). Spreading a query's samples
     // across the whole run makes the min robust to bursty noise.
     val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val queries = SparkEntry.allQueries
+    // Optional subset: comma-separated query-name prefixes (e.g.
+    // "q52,q80,q87" or "q87_percentiles_shared") — used by the scale
+    // probe to run just the expensive families at sf1.
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val queries = filter match {
+      case Some(prefixes) =>
+        SparkEntry.allQueries.filter(q => prefixes.exists(q.name.startsWith))
+      case None => SparkEntry.allQueries
+    }
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     for (_ <- 1 to runsPerQuery; q <- queries) {

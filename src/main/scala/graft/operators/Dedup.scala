@@ -327,18 +327,27 @@ object Dedup {
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // the changed-counter rides the eager-checkpoint job as an
+    // accumulator instead of a separate count() job per round (was 2
+    // jobs/round). Task retries can only OVER-count rows that truly
+    // changed — a converged round (zero changes) never adds — so the
+    // exit condition stays exact and the loud non-convergence guard
+    // keeps its guarantee.
+    val acc = pairs.sparkSession.sparkContext.longAccumulator("cc-changed")
+    val markChanged = udf((chg: Boolean) => { if (chg) acc.add(1L); chg })
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val nbrMin = und.join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nbr_label"))
+      acc.reset()
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          (coalesce(col("nbr_label"), col("label")) < col("label")).as("__chg"))
-        .localCheckpoint(true)
-      changed = next.filter(col("__chg")).count()
+          markChanged(coalesce(col("nbr_label"), col("label")) < col("label")).as("__chg"))
+        .localCheckpoint(true) // eager: runs the round's one job, filling acc
+      changed = acc.value
       labels = next.drop("__chg")
       iter += 1
     }

@@ -32,9 +32,12 @@ import org.apache.spark.sql.types.{DoubleType, StringType}
  *     sums in bucket order give each (group, bucket) its global rank
  *     offset; group totals give the target ranks floor/ceil((n-1)*f)+1
  *     for each fraction f (the `quantile_cont` positions).
- *  3. Pass B hash-repartitions by (group, bucket) — the one full
- *     shuffle — sorts within partitions by (group, bucket, value) and
- *     streams each partition once, emitting ONLY the rows whose global
+ *  3. Pass B first PRUNES to the buckets whose rank interval contains
+ *     a target (pass A's counts make this exact): at most
+ *     |fractions| x 2 buckets per group — ~n/P rows each — shuffle,
+ *     not the whole relation. The survivors hash-repartition by
+ *     (group, bucket), sort within partitions by (group, bucket,
+ *     value), and stream once, emitting ONLY the rows whose global
  *     rank (offset + local index) is a target — at most
  *     |groups| x |fractions| x 2 rows leave the executors.
  *  4. Linear interpolation on those few rows on the driver.
@@ -53,6 +56,20 @@ import org.apache.spark.sql.types.{DoubleType, StringType}
  * statistics single-node); re-expressed here as a distributed plan.
  */
 object Quantiles {
+
+  /** bucket = #bounds strictly below v — a codegen'd binary search
+    * ([[org.apache.spark.sql.graft.expressions.SortedLowerBound]]).
+    * The equivalent `size(filter(bounds, x -> v > x))` runs an
+    * interpreted lambda per element: measured ~1 s per million rows
+    * at P=32, which dominated the whole operator. LEFT-join misses
+    * (a group the sampled sweep never saw) fall back to one bucket. */
+  private def bucketColumn(bounds: org.apache.spark.sql.Column,
+      v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(org.apache.spark.sql.graft.expressions.SortedLowerBound(
+      Bridge.expression(coalesce(bounds, array().cast("array<double>"))),
+      Bridge.expression(v)))
+  }
 
   /**
    * Exact `quantile_cont`-semantics quantiles of `valueCol` per
@@ -75,6 +92,11 @@ object Quantiles {
     val spark = df.sparkSession
     import spark.implicits._
 
+    // deliberately NOT persisted: the slim projection is recomputed per
+    // pass. Measured at sf0.1: the columnar cache materialization costs
+    // ~8x the narrow 2-column re-scan it saves (2.0 s write vs 0.25 s
+    // recompute) — pruned scans beat caching here. A caller whose
+    // upstream `df` is expensive to recompute should persist it.
     val slim = df
       .select(col(groupCol).cast(StringType).as("g"),
         col(valueCol).cast(DoubleType).as("v"))
@@ -87,20 +109,19 @@ object Quantiles {
     // only affects partition BALANCE, never the result, and groups the
     // sample missed fall back to one bucket via the left join below.
     val cutFractions = (1 until numPartitions).map(_.toDouble / numPartitions)
-    val sweepInput =
-      if (boundsSampleFraction >= 1.0) slim
-      else slim.sample(withReplacement = false, boundsSampleFraction, 42L)
+    def sweep(input: DataFrame): Seq[(String, Seq[Double])] =
+      input.groupBy("g")
+        .agg(percentile_approx(col("v"),
+          array(cutFractions.map(lit): _*), lit(1000)).as("bounds"))
+        .as[(String, Seq[Double])]
+        .collect()
+        .toSeq
     val boundRows: Seq[(String, Seq[Double])] =
       if (cutFractions.isEmpty)
         slim.select("g").distinct().as[String].collect().toSeq
           .map(g => (g, Seq.empty[Double]))
-      else
-        sweepInput.groupBy("g")
-          .agg(percentile_approx(col("v"),
-            array(cutFractions.map(lit): _*), lit(1000)).as("bounds"))
-          .as[(String, Seq[Double])]
-          .collect()
-          .toSeq
+      else if (boundsSampleFraction >= 1.0) sweep(slim)
+      else sweep(slim.sample(withReplacement = false, boundsSampleFraction, 42L))
     if (boundRows.isEmpty && boundsSampleFraction >= 1.0)
       return boundRows.toDF(groupCol, "qs")
     val boundsLit = broadcast(boundRows.toDF("g", "bounds"))
@@ -110,8 +131,7 @@ object Quantiles {
     // LEFT join + empty-array fallback: a group the sampled sweep never
     // saw still flows through (all its rows land in bucket 0).
     val bucketed = slim.join(boundsLit, Seq("g"), "left")
-      .withColumn("b", size(filter(
-        coalesce(col("bounds"), array().cast("array<double>")), x => col("v") > x)))
+      .withColumn("b", bucketColumn(col("bounds"), col("v")))
       .select("g", "b", "v")
 
     // Pass A: per-(group, bucket) counts — map-side combine, tiny shuffle.
@@ -140,36 +160,43 @@ object Quantiles {
         }
     }.toMap
 
-    val bNeeded = spark.sparkContext.broadcast(needed)
-    val bOffsets = spark.sparkContext.broadcast(offsets)
-
-    // Pass B: selection — the one full shuffle. Rows arrive sorted by
-    // (g, b, v) within the partition, so (group, bucket) runs are
-    // contiguous and one counter suffices.
-    val selected: Array[(String, Long, Double)] = bucketed
-      .repartition(numPartitions, col("g"), col("b"))
-      .sortWithinPartitions("g", "b", "v")
-      .as[(String, Int, Double)]
-      .mapPartitions { it =>
-        var curG: String = null
-        var curB = Int.MinValue
-        var local = 0L
-        var off = 0L
-        var want: Set[Long] = Set.empty
-        it.flatMap { case (g, b, v) =>
-          if (g != curG || b != curB) {
-            if (g != curG) want = bNeeded.value.getOrElse(g, Set.empty)
-            curG = g
-            curB = b
-            local = 0L
-            off = bOffsets.value.getOrElse((g, b), 0L)
-          }
-          local += 1L
-          if (want.contains(off + local)) Iterator.single((g, off + local, v))
-          else Iterator.empty
+    // Bucket pruning: pass A told us each bucket's global rank interval
+    // (offset, offset+count], so only buckets CONTAINING a target rank
+    // need to shuffle — at most |fractions| x 2 buckets per group
+    // (~rows/P each) instead of the whole relation. This is the term
+    // that dominates pass B at scale.
+    val neededBuckets: Seq[(String, Int)] = byGroup.toSeq.flatMap {
+      case (g, rows) =>
+        val want = needed(g)
+        var acc = 0L
+        rows.sortBy(_._2).flatMap { case (_, b, c) =>
+          val lo = acc + 1L; acc += c
+          if (want.exists(r => r >= lo && r <= acc)) Some((g, b)) else None
         }
-      }
+    }
+    val prunedBucketed = bucketed.join(
+      broadcast(neededBuckets.toDF("g", "b")), Seq("g", "b"), "left_semi")
+
+    // Pass B: selection — pure SQL, fully codegen'd (a typed
+    // mapPartitions here measured ~6x slower from the Encoder
+    // round-trip). The window partitions by (group, BUCKET), so a task
+    // holds one pruned bucket (~n/P rows) — same memory bound as the
+    // sort-based formulation; global rank = bucket offset + local
+    // row_number; ties in v are interchangeable for value-at-rank.
+    val offDf = broadcast(offsets.toSeq
+      .map { case ((g, b), o) => (g, b, o) }.toDF("g", "b", "off"))
+    val wantDf = broadcast(needed.toSeq
+      .flatMap { case (g, rs) => rs.map(r => (g, r)) }.toDF("g", "rank"))
+    val wSel = org.apache.spark.sql.expressions.Window
+      .partitionBy("g", "b").orderBy("v")
+    val selected: Array[(String, Long, Double)] = prunedBucketed
+      .withColumn("r", row_number().over(wSel))
+      .join(offDf, Seq("g", "b"))
+      .withColumn("rank", col("off") + col("r"))
+      .join(wantDf, Seq("g", "rank"), "left_semi")
+      .select("g", "rank", "v")
       .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
 
     val valByRank: Map[String, Map[Long, Double]] = selected
       .groupBy(_._1)
@@ -219,7 +246,9 @@ object Quantiles {
     import spark.implicits._
 
     val k = valueCols.length
-    // melt: (g, c, v) — one row per non-null (row, column) pair
+    // melt: (g, c, v) — one row per non-null (row, column) pair.
+    // Deliberately NOT persisted (see single-column note: the columnar
+    // cache write costs ~8x the narrow re-scan it saves; measured).
     val melted = df
       .select(col(groupCol).cast(StringType).as("g"),
         posexplode(array(valueCols.map { case (c, _) => col(c).cast(DoubleType) }: _*))
@@ -227,20 +256,19 @@ object Quantiles {
       .where(col("g").isNotNull && col("v").isNotNull)
 
     val cutFractions = (1 until numPartitions).map(_.toDouble / numPartitions)
-    val sweepInput =
-      if (boundsSampleFraction >= 1.0) melted
-      else melted.sample(withReplacement = false, boundsSampleFraction, 42L)
+    def sweep(input: DataFrame): Seq[(String, Int, Seq[Double])] =
+      input.groupBy("g", "c")
+        .agg(percentile_approx(col("v"),
+          array(cutFractions.map(lit): _*), lit(1000)).as("bounds"))
+        .as[(String, Int, Seq[Double])]
+        .collect()
+        .toSeq
     val boundRows: Seq[(String, Int, Seq[Double])] =
       if (cutFractions.isEmpty)
         melted.select("g", "c").distinct().as[(String, Int)].collect().toSeq
           .map { case (g, c) => (g, c, Seq.empty[Double]) }
-      else
-        sweepInput.groupBy("g", "c")
-          .agg(percentile_approx(col("v"),
-            array(cutFractions.map(lit): _*), lit(1000)).as("bounds"))
-          .as[(String, Int, Seq[Double])]
-          .collect()
-          .toSeq
+      else if (boundsSampleFraction >= 1.0) sweep(melted)
+      else sweep(melted.sample(withReplacement = false, boundsSampleFraction, 42L))
     if (boundRows.isEmpty && boundsSampleFraction >= 1.0) {
       val schema = org.apache.spark.sql.types.StructType(
         org.apache.spark.sql.types.StructField(groupCol, StringType) +:
@@ -256,8 +284,7 @@ object Quantiles {
     // LEFT join: (group, column) pairs the sampled sweep missed still
     // flow through with one bucket
     val bucketed = melted.join(boundsLit, Seq("g", "c"), "left")
-      .withColumn("b", size(filter(
-        coalesce(col("bounds"), array().cast("array<double>")), x => col("v") > x)))
+      .withColumn("b", bucketColumn(col("bounds"), col("v")))
       .select("g", "c", "b", "v")
 
     val counts: Seq[((String, Int), Int, Long)] = bucketed
@@ -285,33 +312,36 @@ object Quantiles {
         }
     }.toMap
 
-    val bNeeded = spark.sparkContext.broadcast(needed)
-    val bOffsets = spark.sparkContext.broadcast(offsets)
-
-    val selected: Array[(String, Int, Long, Double)] = bucketed
-      .repartition(numPartitions, col("g"), col("c"), col("b"))
-      .sortWithinPartitions("g", "c", "b", "v")
-      .as[(String, Int, Int, Double)]
-      .mapPartitions { it =>
-        var curG: String = null
-        var curC = Int.MinValue
-        var curB = Int.MinValue
-        var local = 0L
-        var off = 0L
-        var want: Set[Long] = Set.empty
-        it.flatMap { case (g, c, b, v) =>
-          if (g != curG || c != curC || b != curB) {
-            if (g != curG || c != curC) want = bNeeded.value.getOrElse((g, c), Set.empty)
-            curG = g; curC = c; curB = b
-            local = 0L
-            off = bOffsets.value.getOrElse((g, c, b), 0L)
-          }
-          local += 1L
-          if (want.contains(off + local)) Iterator.single((g, c, off + local, v))
-          else Iterator.empty
+    // bucket pruning (see single-column note): only buckets whose rank
+    // interval contains a target shuffle into pass B
+    val neededBuckets: Seq[(String, Int, Int)] = byKey.toSeq.flatMap {
+      case (key @ (g, c), rows) =>
+        val want = needed(key)
+        var acc = 0L
+        rows.sortBy(_._2).flatMap { case (_, b, cnt) =>
+          val lo = acc + 1L; acc += cnt
+          if (want.exists(r => r >= lo && r <= acc)) Some((g, c, b)) else None
         }
-      }
+    }
+    val prunedBucketed = bucketed.join(
+      broadcast(neededBuckets.toDF("g", "c", "b")), Seq("g", "c", "b"), "left_semi")
+
+    // pass B: pure-SQL window selection (see single-column note) —
+    // task memory = one pruned (g, c, b) bucket
+    val offDf = broadcast(offsets.toSeq
+      .map { case ((g, c, b), o) => (g, c, b, o) }.toDF("g", "c", "b", "off"))
+    val wantDf = broadcast(needed.toSeq
+      .flatMap { case ((g, c), rs) => rs.map(r => (g, c, r)) }.toDF("g", "c", "rank"))
+    val wSel = org.apache.spark.sql.expressions.Window
+      .partitionBy("g", "c", "b").orderBy("v")
+    val selected: Array[(String, Int, Long, Double)] = prunedBucketed
+      .withColumn("r", row_number().over(wSel))
+      .join(offDf, Seq("g", "c", "b"))
+      .withColumn("rank", col("off") + col("r"))
+      .join(wantDf, Seq("g", "c", "rank"), "left_semi")
+      .select("g", "c", "rank", "v")
       .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
 
     val valByRank: Map[(String, Int), Map[Long, Double]] = selected
       .groupBy(r => (r._1, r._2))

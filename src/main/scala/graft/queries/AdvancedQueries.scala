@@ -107,13 +107,13 @@ object AdvancedQueries {
 
     // Same result as q80, computed by the MULTI-column operator: both
     // value columns share the melt/bounds/counts/selection passes — 3
-    // scans of lineitem total instead of 3 per column. Measured at
-    // sf0.1 local[32]: ~4.4 s vs q80's ~2.8 s — locally the scans are
-    // cheap and q80's concurrent per-column jobs overlap on idle
-    // cores, so latency favors q80 (the gap is the serial three-job
-    // chain, not the sweep: sampling the bounds moved little); the
-    // shared plan halves the SCAN count, which is the term that
-    // dominates when the input is 100 TB and the cluster is saturated.
+    // scans of lineitem total instead of 3 per column, and pass B
+    // shuffles only the buckets that contain a target rank. Round-6
+    // measured at sf0.1 local[32]: ~2.0 s vs q80's ~1.9 s — parity
+    // within run noise (the round-5 2.5x gap was the interpreted
+    // size(filter(...)) bucket lambda, replaced by the codegen'd
+    // sorted_lower_bound binary search), and it halves the SCAN
+    // count, the term that dominates at 100 TB on a saturated cluster.
     QueryDef("q87_percentiles_shared", Some(
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,

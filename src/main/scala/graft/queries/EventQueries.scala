@@ -161,8 +161,12 @@ object EventQueries {
             lead(col("event_type"), 1).over(w).as("nxt"))
           .filter(col("nxt").isNotNull)
           .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
-        val totals = pairs.groupBy("cur").agg(sum("n").as("row_total"))
-        pairs.join(broadcast(totals), "cur")
+        // row totals as a window over the AGGREGATED pairs (a
+        // |event_types|^2-row relation): a groupBy+join here would
+        // re-execute the whole lead()+agg pipeline a second time for
+        // the broadcast side — the round-5 q102 run variance
+        pairs
+          .withColumn("row_total", sum("n").over(Window.partitionBy("cur")))
           .select(col("cur"), col("nxt"), col("n"),
             round(col("n").cast("double") / col("row_total"), 6).as("prob"))
           .orderBy("cur", "nxt")

@@ -180,4 +180,21 @@ class PropertySpec extends AnyFunSuite {
         bounded && injective
     }, "hilbertNd injective+bounded")
   }
+
+  test("sorted_lower_bound: equals linear filter-count on sorted arrays") {
+    check(Prop.forAll(
+        Gen.listOf(Gen.choose(-100.0, 100.0)), Gen.choose(-120.0, 120.0)) {
+      (xs, v) =>
+        val sorted = xs.sorted
+        val expected = sorted.count(_ < v)
+        val got = SortedLowerBoundEval.count(
+          new GenericArrayData(sorted.toArray), v)
+        got == expected
+    }, "sorted_lower_bound == linear count")
+    // ties and NaN: equal bound excluded; NaN value counts nothing
+    val arr = new GenericArrayData(Array(1.0, 2.0, 2.0, 3.0))
+    assert(SortedLowerBoundEval.count(arr, 2.0) == 1)
+    assert(SortedLowerBoundEval.count(arr, Double.NaN) == 0)
+    assert(SortedLowerBoundEval.count(new GenericArrayData(Array.empty[Double]), 5.0) == 0)
+  }
 }
