@@ -11,10 +11,12 @@ import org.apache.spark.sql.types._
  * partition-local batch transforms (`mapPartitions`) over the binary
  * payloads — the Scala analog of PySpark's `mapInPandas` batch UDF
  * shape. The Spark-side plumbing (schema, partitioning, batch
- * signature) is real and tested; the actual codec call is STUBBED with
- * a deterministic fake (media decoding libraries are not available in
- * this environment) and isolated behind `MediaCodec` so a real codec
- * drops in without touching the plan shape.
+ * signature) is real and tested. Codec status: IMAGE decode is real
+ * ([[Multimodal.ImageIoCodec]], the JDK's `javax.imageio` — zero added
+ * dependencies); audio/video decode remain deterministic fakes behind
+ * the same `MediaCodec` seam (the JDK ships no audio/video demuxer and
+ * media libraries are not available in this environment), so a real
+ * codec drops in without touching the plan shape.
  */
 object Multimodal {
 
@@ -67,6 +69,64 @@ object Multimodal {
     def sampleFrames(bytes: Array[Byte], everyNth: Int): Seq[Array[Byte]] =
       bytes.grouped(math.max(1, bytes.length / math.max(1, everyNth)))
         .take(everyNth).toSeq
+  }
+
+  /**
+   * Real image decoder over the JDK's `javax.imageio` (PNG/JPEG/GIF/
+   * BMP) — no added dependencies. Returns the true (width, height,
+   * numComponents) and a 16-dim feature vector: mean luminance of a
+   * 4×4 spatial grid scaled to [-1, 1] — deterministic and
+   * resolution-independent (the brute-force analog of the pooled CNN
+   * features a production pipeline would emit here).
+   *
+   * Undecodable payloads degrade to (0, 0, 0, empty) rather than
+   * throwing: on a 100-TB scan one corrupt record must not kill the
+   * task; callers filter `channels > 0` for the clean subset. Video
+   * frame sampling stays at the [[FakeCodec]] stub (no JDK demuxer).
+   */
+  object ImageIoCodec extends MediaCodec {
+    def decodeImage(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) (0, 0, 0, Array.empty[Float])
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val features = new Array[Float](16)
+          var gy = 0
+          while (gy < 4) {
+            var gx = 0
+            while (gx < 4) {
+              // block [x0,x1)x[y0,y1); on tiny images an empty block
+              // falls back to its anchor pixel
+              val x0 = gx * w / 4; val x1 = math.max(x0 + 1, (gx + 1) * w / 4)
+              val y0 = gy * h / 4; val y1 = math.max(y0 + 1, (gy + 1) * h / 4)
+              var sum = 0L
+              var n = 0
+              var y = y0
+              while (y < y1 && y < h) {
+                var x = x0
+                while (x < x1 && x < w) {
+                  val rgb = img.getRGB(math.min(x, w - 1), math.min(y, h - 1))
+                  val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+                  sum += (299 * r + 587 * g + 114 * b) / 1000
+                  n += 1
+                  x += 1
+                }
+                y += 1
+              }
+              val mean = if (n == 0) 0.0 else sum.toDouble / n
+              features(gy * 4 + gx) = (mean / 255.0 * 2.0 - 1.0).toFloat
+              gx += 1
+            }
+            gy += 1
+          }
+          (w, h, img.getColorModel.getNumComponents, features)
+        }
+      } catch { case _: Exception => (0, 0, 0, Array.empty[Float]) }
+
+    def sampleFrames(bytes: Array[Byte], everyNth: Int): Seq[Array[Byte]] =
+      FakeCodec.sampleFrames(bytes, everyNth)
   }
 
   /**

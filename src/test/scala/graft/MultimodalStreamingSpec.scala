@@ -30,6 +30,53 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(decoded.select("media_id", "width", "height").collect().toSeq == again)
   }
 
+  test("ImageIoCodec: real PNG/JPEG decode through the Spark plan") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+
+    // deterministic fixture: 64x48 horizontal luminance gradient
+    def gradientBytes(format: String): Array[Byte] = {
+      val img = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) {
+        val v = x * 255 / 63
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, format, bos))
+      bos.toByteArray
+    }
+
+    val rows = Seq(
+      (1L, "image", gradientBytes("png"), Map("fmt" -> "png")),
+      (2L, "image", gradientBytes("jpg"), Map("fmt" -> "jpg")),
+      (3L, "image", "not an image".getBytes("UTF-8"), Map("fmt" -> "corrupt")))
+    val media = rows.toDF("media_id", "kind", "bytes", "meta")
+
+    val out = Multimodal.decodeImages(media, Multimodal.ImageIoCodec)
+      .select("media_id", "width", "height", "channels", "features")
+      .collect().sortBy(_.getLong(0))
+
+    // real dimensions from both codecs; corrupt row degrades, not throws
+    out.take(2).foreach { r =>
+      assert(r.getInt(1) == 64 && r.getInt(2) == 48 && r.getInt(3) == 3)
+      val f = r.getSeq[Float](4)
+      assert(f.length == 16)
+      // gradient: each grid row runs dark -> bright, strictly increasing
+      for (row <- 0 until 4)
+        assert(f(row * 4) < f(row * 4 + 1) && f(row * 4 + 2) < f(row * 4 + 3),
+          s"row $row not increasing: $f")
+      assert(f.forall(v => v >= -1.0f && v <= 1.0f))
+    }
+    assert(out(2).getInt(1) == 0 && out(2).getInt(3) == 0 &&
+      out(2).getSeq[Float](4).isEmpty)
+
+    // PNG is lossless: decoded features must match the source exactly;
+    // JPEG is lossy but the pooled means stay close
+    val png = out(0).getSeq[Float](4)
+    val jpg = out(1).getSeq[Float](4)
+    png.zip(jpg).foreach { case (a, b) => assert(math.abs(a - b) < 0.05f) }
+  }
+
   test("resize targets preserve aspect ratio and cap the long side") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
     val decoded = Multimodal.decodeImages(
