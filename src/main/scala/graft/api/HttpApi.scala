@@ -125,10 +125,8 @@ final class HttpApi(db: VectorDb, port: Int = 0) {
 
   private def chunks(method: String, path: List[String], body: String): Response =
     (method, path) match {
-      case ("GET", "document" :: docId :: Nil) =>
-        db.chunksByDocument(docId).fold(err, cs => respond(200, arr(cs.map(chunkJson))))
-      case ("GET", "library" :: libId :: Nil) =>
-        db.chunksByLibrary(libId).fold(err, cs => respond(200, arr(cs.map(chunkJson))))
+      // GET document/{id} and library/{id} listings are intercepted in
+      // dispatch (they take include_embeddings/limit/offset params)
       case ("GET", id :: Nil) =>
         db.getChunk(id).fold(err, c => respond(200, chunkJson(c)))
       case ("PUT", id :: Nil) =>
@@ -202,18 +200,41 @@ final class HttpApi(db: VectorDb, port: Int = 0) {
             .fold(err, ds => respond(200, arr(ds.map(documentJson)))))
     }
 
-  private def chunksFilter(libId: String, query: Map[String, String]): Response =
+  /** Scale-safe ADDITIVE listing params (absent = reference behavior:
+    * full rows with all embedding floats): include_embeddings=false
+    * elides the float arrays, limit/offset page in stable id order. */
+  private def pageParams(query: Map[String, String]): (Boolean, Option[Int], Int) = (
+    !query.get("include_embeddings").exists(v => v == "false" || v == "0"),
+    query.get("limit").flatMap(_.toIntOption).filter(_ >= 0),
+    query.get("offset").flatMap(_.toIntOption).filter(_ > 0).getOrElse(0))
+
+  private def chunksByDocument(docId: String, query: Map[String, String]): Response = {
+    val (inc, lim, off) = pageParams(query)
+    db.chunksByDocument(docId, inc, lim, off)
+      .fold(err, cs => respond(200, arr(cs.map(chunkJson))))
+  }
+
+  private def chunksByLibrary(libId: String, query: Map[String, String]): Response = {
+    val (inc, lim, off) = pageParams(query)
+    db.chunksByLibrary(libId, inc, lim, off)
+      .fold(err, cs => respond(200, arr(cs.map(chunkJson))))
+  }
+
+  private def chunksFilter(libId: String, query: Map[String, String]): Response = {
+    val (inc, lim, off) = pageParams(query)
     query.get("metadata_filter") match {
-      case None => db.chunksByLibrary(libId)
+      case None => db.chunksByLibrary(libId, inc, lim, off)
         .fold(err, cs => respond(200, arr(cs.map(chunkJson))))
-      case Some(json) => db.chunksByMetadataJson(libId, json)
+      case Some(json) => db.chunksByMetadataJson(libId, json, inc, lim, off)
         .fold(err, cs => respond(200, arr(cs.map(chunkJson))))
     }
+  }
 
   // ---- dispatch plumbing
 
   private def safely(ex: HttpExchange)(
       handler: (String, List[String], String) => Response): Unit = {
+    val startNanos = System.nanoTime()
     val response: Response =
       try {
         val ctxPath = ex.getHttpContext.getPath.stripSuffix("/")
@@ -232,6 +253,10 @@ final class HttpApi(db: VectorDb, port: Int = 0) {
           case ("POST", "/api/v1/chunks", Nil) => chunksCreate(query, body)
           case ("GET", "/api/v1/documents", "library" :: id :: "filter" :: Nil) =>
             documentsFilter(id, query)
+          case ("GET", "/api/v1/chunks", "document" :: id :: Nil) =>
+            chunksByDocument(id, query)
+          case ("GET", "/api/v1/chunks", "library" :: id :: Nil) =>
+            chunksByLibrary(id, query)
           case ("GET", "/api/v1/chunks", "library" :: id :: "filter" :: Nil) =>
             chunksFilter(id, query)
           case ("GET", "/api/v1/search", "libraries" :: id :: "simple" :: Nil) =>
@@ -244,6 +269,10 @@ final class HttpApi(db: VectorDb, port: Int = 0) {
       }
     val bytes = response.body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
+    // reference middleware stamps every response with the handler's
+    // wall time in SECONDS (str(float), main.py:36-42)
+    ex.getResponseHeaders.set("X-Process-Time",
+      ((System.nanoTime() - startNanos) / 1e9).toString)
     ex.sendResponseHeaders(response.status, bytes.length)
     ex.getResponseBody.write(bytes)
     ex.close()

@@ -94,18 +94,31 @@ final class VectorDb(spark: SparkSession, embedder: Embedder = Embedder.default,
   /** DELETE /api/v1/chunks/{id} (:55-68) */
   def deleteChunk(id: String) =
     durable.fold(catalog.deleteChunk(id))(_.deleteChunk(id))
-  /** GET /api/v1/chunks/document/{document_id} (:71-79) */
-  def chunksByDocument(documentId: String): Either[ApiError, Seq[ChunkRow]] =
-    catalog.getDocument(documentId).map(_ => collectChunks(catalog.chunksByDocument(documentId)))
+  /** GET /api/v1/chunks/document/{document_id} (:71-79).
+    * `includeEmbeddings=false` / `limit` / `offset` are scale-safe
+    * ADDITIVE params (defaults = reference behavior: every chunk with
+    * all its floats): the reference serializes all 1024 floats per
+    * chunk in every listing (SURVEY §2.11), which at 100× is a driver
+    * OOM — eliding drops the array before collect and paging bounds
+    * the collected row count (stable `id` order, so pages tile). */
+  def chunksByDocument(documentId: String, includeEmbeddings: Boolean = true,
+      limit: Option[Int] = None, offset: Int = 0): Either[ApiError, Seq[ChunkRow]] =
+    catalog.getDocument(documentId).map(_ =>
+      collectChunks(catalog.chunksByDocument(documentId), includeEmbeddings, limit, offset))
   /** GET /api/v1/chunks/library/{library_id} (:82-90) */
-  def chunksByLibrary(libraryId: String): Either[ApiError, Seq[ChunkRow]] =
-    catalog.getLibrary(libraryId).map(_ => collectChunks(catalog.chunksByLibrary(libraryId)))
+  def chunksByLibrary(libraryId: String, includeEmbeddings: Boolean = true,
+      limit: Option[Int] = None, offset: Int = 0): Either[ApiError, Seq[ChunkRow]] =
+    catalog.getLibrary(libraryId).map(_ =>
+      collectChunks(catalog.chunksByLibrary(libraryId), includeEmbeddings, limit, offset))
   /** GET /api/v1/chunks/library/{id}/filter?metadata_filter= (:92-113) */
-  def chunksByMetadataJson(libraryId: String, metadataFilterJson: String): Either[ApiError, Seq[ChunkRow]] =
+  def chunksByMetadataJson(libraryId: String, metadataFilterJson: String,
+      includeEmbeddings: Boolean = true, limit: Option[Int] = None,
+      offset: Int = 0): Either[ApiError, Seq[ChunkRow]] =
     for {
       _ <- catalog.getLibrary(libraryId)
       f <- JsonCodec.parseFilter(metadataFilterJson)
-    } yield collectChunks(catalog.chunksByMetadata(libraryId, f))
+    } yield collectChunks(catalog.chunksByMetadata(libraryId, f),
+      includeEmbeddings, limit, offset)
 
   // -------- search (app/api/routes/search.py)
   /** POST /api/v1/search/libraries/{id} (:9-21) */
@@ -134,8 +147,25 @@ final class VectorDb(spark: SparkSession, embedder: Embedder = Embedder.default,
     "engine" -> s"spark-${spark.version}",
     "embedding_dimension" -> embeddingDim.toString)
 
-  private def collectChunks(df: org.apache.spark.sql.DataFrame): Seq[ChunkRow] = {
-    df.collect().map { r =>
+  private def collectChunks(df: org.apache.spark.sql.DataFrame,
+      includeEmbeddings: Boolean = true, limit: Option[Int] = None,
+      offset: Int = 0): Seq[ChunkRow] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    // paging needs a total order or pages would overlap across calls;
+    // sort only when a page is actually requested (limit/offset both
+    // push into the plan — TakeOrdered / GlobalLimit, never a full
+    // driver collect of the unpaged relation)
+    val paged =
+      if (limit.isEmpty && offset <= 0) df
+      else {
+        val sorted = df.orderBy(col("id"))
+        val off = if (offset > 0) sorted.offset(offset) else sorted
+        limit.fold(off)(off.limit)
+      }
+    val slim =
+      if (includeEmbeddings) paged
+      else paged.withColumn("embedding", lit(null).cast("array<float>"))
+    slim.collect().map { r =>
       ChunkRow(r.getString(0), r.getString(1), r.getString(2), r.getString(3),
         Option(r.getAs[scala.collection.Seq[Float]]("embedding")).map(_.toArray),
         Option(r.getAs[scala.collection.Map[String, String]]("metadata")).map(_.toMap).getOrElse(Map.empty),

@@ -169,4 +169,58 @@ class HttpApiSpec extends SparkSpec {
     val i = json(request("GET", "/"))
     assert(i.get("service").asText.nonEmpty && i.has("engine"))
   }
+
+  test("X-Process-Time header on every response (reference middleware parity)") {
+    val lib = json(request("POST", "/api/v1/libraries", """{"name":"timed"}"""))
+    val libId = lib.get("id").asText
+    // a CRUD route, a search route, an error route — all stamped
+    val crud = request("GET", s"/api/v1/libraries/$libId")
+    val search = request("POST", s"/api/v1/search/libraries/$libId",
+      """{"query_text":"x","k":1}""")
+    val notFound = request("GET", "/api/v1/libraries/nope")
+    Seq(crud, search, notFound).foreach { r =>
+      val t = r.headers().firstValue("X-Process-Time")
+      assert(t.isPresent, s"missing X-Process-Time on ${r.uri()}")
+      assert(t.get().toDouble >= 0.0) // str(seconds float), main.py:36-42
+    }
+    request("DELETE", s"/api/v1/libraries/$libId")
+  }
+
+  test("chunk listings: include_embeddings elide + limit/offset paging") {
+    val libId = json(request("POST", "/api/v1/libraries", """{"name":"paged"}"""))
+      .get("id").asText
+    val docId = json(request("POST", s"/api/v1/documents?library_id=$libId",
+      """{"name":"d"}""")).get("id").asText
+    (1 to 5).foreach(i => request("POST", s"/api/v1/chunks?document_id=$docId",
+      s"""{"text":"chunk number $i"}"""))
+
+    // default = reference behavior: all rows, full embeddings
+    val full = json(request("GET", s"/api/v1/chunks/document/$docId"))
+    assert(full.size == 5)
+    assert(full.get(0).get("embedding").isArray && full.get(0).get("embedding").size > 0)
+
+    // elide: embedding serialized as null, text intact
+    val elided = json(request("GET",
+      s"/api/v1/chunks/document/$docId?include_embeddings=false"))
+    assert(elided.size == 5)
+    (0 until 5).foreach { i =>
+      assert(elided.get(i).get("embedding").isNull)
+      assert(elided.get(i).get("text").asText.nonEmpty)
+    }
+
+    // paging tiles: 2 + 2 + 1 in stable id order, no overlap
+    def page(limit: Int, offset: Int) = {
+      val a = json(request("GET",
+        s"/api/v1/chunks/library/$libId?limit=$limit&offset=$offset&include_embeddings=false"))
+      (0 until a.size).map(i => a.get(i).get("id").asText)
+    }
+    val pages = page(2, 0) ++ page(2, 2) ++ page(2, 4)
+    assert(pages.length == 5 && pages.distinct.length == 5)
+    assert(pages == pages.sorted) // id-ordered tiling
+    // filter route takes the same params
+    val f = json(request("GET",
+      s"/api/v1/chunks/library/$libId/filter?limit=3&include_embeddings=false"))
+    assert(f.size == 3 && f.get(0).get("embedding").isNull)
+    request("DELETE", s"/api/v1/libraries/$libId")
+  }
 }
