@@ -6,22 +6,53 @@ import scala.collection.concurrent.TrieMap
  * Driver-side registry of trained ANN indexes consulted by the
  * `AnnTopKProbe` optimizer rule: when
  * `spark.graft.ann.autoProbe=<name>` is set, a
- * `ORDER BY cosine_sim(emb, <query>) DESC LIMIT k` plan over a
- * cluster-assigned table is rewritten to probe only the top-`nprobe`
- * clusters of the registered model (the Spark analog of the
- * facade-level plan choice in search_service.py:49-57, lifted into the
- * optimizer as an OPT-IN approximate-search rewrite).
+ * `ORDER BY cosine_sim(emb, <query>) DESC LIMIT k` plan is rewritten
+ * to skip most of the scored+sorted work using whichever index TIER
+ * is registered under that name (the Spark analog of the facade-level
+ * plan choice in search_service.py:49-57, lifted into the optimizer
+ * as an OPT-IN approximate-search rewrite):
+ *
+ *  - [[AnnRegistry.AnnIndex]] (IVF): filter to the query's top-`nprobe`
+ *    cells — an existing `cluster_id` column when present (partition
+ *    pruning on a `partitionBy("cluster_id")` layout), else an inline
+ *    `nearest_centroid(emb) IN probed`.
+ *  - [[AnnRegistry.LshIndex]]: filter to rows sharing at least one
+ *    bucket with the query — `arrays_overlap(lsh_buckets(emb),
+ *    <query buckets>)`, the filter form of the signature-table
+ *    semi-join (same candidate set, no shuffle, survives pruning).
+ *  - [[AnnRegistry.HnswIndex]]: the graph (bounded driver state, like
+ *    centroids) is navigated AT OPTIMIZATION TIME for
+ *    `max(k, fetchK)` candidate ids, injected as `id IN (...)` —
+ *    the downstream exact score+sort reranks them.
  */
 object AnnRegistry {
 
-  final case class AnnIndex(model: IvfModel, nprobe: Int)
+  sealed trait AnnIndexEntry
 
-  private val indexes = new TrieMap[String, AnnIndex]()
+  final case class AnnIndex(model: IvfModel, nprobe: Int) extends AnnIndexEntry
+
+  /** `flips > 0` widens candidates with multi-probe bit flips. */
+  final case class LshIndex(model: LshModel, flips: Int = 0) extends AnnIndexEntry
+
+  /** `idCol` names the column carrying the graph's external ids in the
+    * target table; `fetchK` floors the candidate count so a small plan
+    * LIMIT still reranks a meaningful pool. */
+  final case class HnswIndex(model: HnswModel, idCol: String,
+      fetchK: Int = 50, ef: Int = 64) extends AnnIndexEntry
+
+  private val indexes = new TrieMap[String, AnnIndexEntry]()
 
   def register(name: String, model: IvfModel, nprobe: Int): Unit =
     indexes.put(name, AnnIndex(model, nprobe))
 
-  def get(name: String): Option[AnnIndex] = indexes.get(name)
+  def registerLsh(name: String, model: LshModel, flips: Int = 0): Unit =
+    indexes.put(name, LshIndex(model, flips))
+
+  def registerHnsw(name: String, model: HnswModel, idCol: String,
+      fetchK: Int = 50, ef: Int = 64): Unit =
+    indexes.put(name, HnswIndex(model, idCol, fetchK, ef))
+
+  def get(name: String): Option[AnnIndexEntry] = indexes.get(name)
 
   def unregister(name: String): Unit = indexes.remove(name)
 }

@@ -49,6 +49,10 @@ final class HnswModel private (
 
   def size: Int = ids.length
 
+  /** Vector dimensionality (0 for an empty graph) — lets consumers
+    * (e.g. the AnnTopKProbe rule) refuse a dimension-mismatched query. */
+  def dim: Int = if (vectors.isEmpty) 0 else vectors(0).length
+
   private def dist(a: Array[Float], b: Array[Float]): Double = {
     var d = 0.0; var i = 0
     val n = math.min(a.length, b.length)

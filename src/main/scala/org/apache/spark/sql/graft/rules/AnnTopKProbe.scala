@@ -4,32 +4,47 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.graft.expressions.{CosineSimilarity, EuclideanDistance, NearestCentroid}
-import org.apache.spark.sql.types.{ArrayType, FloatType}
+import org.apache.spark.sql.graft.expressions.{CosineSimilarity, EuclideanDistance, LshBuckets, NearestCentroid}
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType}
 
 import graft.index.AnnRegistry
 
 /**
- * OPT-IN optimizer rewrite of exact cosine top-k into an IVF probe.
+ * OPT-IN optimizer rewrite of exact similarity top-k into an
+ * index-probe plan, one rewrite per registered index TIER.
  *
  * When `spark.graft.ann.autoProbe=<registered index name>` is set and a
  * plan has the shape
  *
  *   Limit k (Sort [cosine_sim(emb, <literal query>) DESC] child)
  *
- * the rule computes the top-`nprobe` centroid ids for the query vector
- * on the driver (centroids are KB-scale) and injects
+ * (or `euclidean_dist ASC`), the rule injects a candidate filter at
+ * the LOWEST node where its inputs are available, leaving the exact
+ * score+sort on top as the rerank:
  *
- *   Filter (nearest_centroid(emb) IN probed)
- *
- * at the LOWEST node where `emb` is available — synthesized from the
- * cosine expression itself, so it fires whether or not the table was
- * pre-assigned a cluster column (and survives column pruning). On a
- * table stored `partitionBy("cluster_id")`, filter on that column
- * upstream instead via `IvfModel.candidates`; here the filter evaluates
- * the centroid argmin inline, skipping (nlist - nprobe)/nlist of the
- * scored+sorted work — the Spark analog of probing 5 of 100 inverted
- * lists (indexes.py:346-356).
+ *  - IVF ([[AnnRegistry.AnnIndex]]): top-`nprobe` centroid ids are
+ *    computed on the driver (centroids are KB-scale) and the filter is
+ *    `cluster_id IN probed` when an assignment column exists in the
+ *    subtree (on a `partitionBy("cluster_id")` layout the IN becomes
+ *    PartitionFilters — file pruning, zero per-row work), else the
+ *    synthesized `nearest_centroid(emb) IN probed` — the Spark analog
+ *    of probing 5 of 100 inverted lists (indexes.py:346-356).
+ *  - LSH ([[AnnRegistry.LshIndex]]): the query's (optionally
+ *    multi-probe) bucket keys are computed on the driver and the
+ *    filter is `arrays_overlap(lsh_buckets(emb), <query buckets>)` —
+ *    the FILTER form of the signature-table semi-join
+ *    (LshModel.candidates): identical candidate set, but synthesized
+ *    from the embedding expression itself, so it needs no persisted
+ *    signature table, introduces no shuffle, and survives column
+ *    pruning. NOTES.md sketched this as a join-introducing rewrite;
+ *    the filter form dominates it (the join's only advantage — not
+ *    recomputing signatures — costs a full shuffle of the corpus,
+ *    while recomputation is numTables×bits codegen'd dot products
+ *    per row, cheaper than the cosine already being computed).
+ *  - HNSW ([[AnnRegistry.HnswIndex]]): the graph is bounded driver
+ *    state (like centroids), so it is navigated AT OPTIMIZATION TIME:
+ *    `max(k, fetchK)` nearest ids are injected as `<idCol> IN (...)`.
+ *    The rerank on top restores exact ordering among candidates.
  *
  * Results become approximate (ANN) — exactly the trade the reference's
  * indexed search makes — so the rewrite NEVER fires unless the user
@@ -56,29 +71,20 @@ object AnnTopKProbe extends Rule[LogicalPlan] {
     if (idxName.isEmpty) return plan
     AnnRegistry.get(idxName) match {
       case None => plan
-      case Some(idx) =>
+      case Some(entry) =>
         plan.transformDown {
           // column pruning may slide Projects between the limit and the
           // sort — see through them
-          case limit @ Limit(_, SortBelowProjects(sort @ Sort(
+          case limit @ Limit(limitExpr, SortBelowProjects(sort @ Sort(
               SortOrder(sortExpr, direction, _, _) +: _, true, child, _))) =>
+            val k = limitExpr match {
+              case Literal(v: Int, IntegerType) => v
+              case _ => 0
+            }
             val rewritten = for {
               (emb, query) <- similarityTarget(sortExpr, direction, child)
-              // dimension sanity: a registered index for a different
-              // embedding space must not hijack the plan
-              if idx.model.centroids.headOption.exists(_.length == query.length)
+              (anchor, probeFilter) <- tierFilter(entry, emb, query, k, child)
             } yield {
-              val probed = idx.model.probe(query, idx.nprobe).map(i => Literal(i))
-              // Prefer filtering an EXISTING cluster_id column (the
-              // persisted assigned table): on a partitionBy("cluster_id")
-              // layout the IN becomes PartitionFilters — file pruning,
-              // zero per-row work. Synthesize nearest_centroid(emb) only
-              // when no assignment column exists in the subtree.
-              val (anchor: Expression, probeFilter) = clusterAttr(child) match {
-                case Some(attr) => (attr, In(attr, probed))
-                case None =>
-                  (emb, In(NearestCentroid(emb, idx.model.centroids), probed))
-              }
               if (hasFilter(child, probeFilter)) limit
               else limit.transformUp {
                 case s: Sort if s eq sort =>
@@ -88,6 +94,42 @@ object AnnTopKProbe extends Rule[LogicalPlan] {
             rewritten.getOrElse(limit)
         }
     }
+  }
+
+  /** The (anchor, candidate filter) for the registered tier, or None
+    * when the tier cannot validly fire on this plan. Dimension checks
+    * keep a registered index for a DIFFERENT embedding space from
+    * hijacking the plan. */
+  private def tierFilter(entry: AnnRegistry.AnnIndexEntry, emb: Expression,
+      query: Array[Float], k: Int,
+      child: LogicalPlan): Option[(Expression, Expression)] = entry match {
+    case AnnRegistry.AnnIndex(model, nprobe)
+        if model.centroids.headOption.exists(_.length == query.length) =>
+      val probed = model.probe(query, nprobe).map(i => Literal(i))
+      // Prefer filtering an EXISTING cluster_id column (the persisted
+      // assigned table): on a partitionBy("cluster_id") layout the IN
+      // becomes PartitionFilters — file pruning, zero per-row work.
+      // Synthesize nearest_centroid(emb) only when no assignment
+      // column exists in the subtree.
+      Some(attrNamed(child, "cluster_id") match {
+        case Some(attr) => (attr, In(attr, probed))
+        case None => (emb, In(NearestCentroid(emb, model.centroids), probed))
+      })
+    case AnnRegistry.LshIndex(model, flips) if model.dim == query.length =>
+      val qBuckets =
+        if (flips > 0) model.multiProbeBucketsOf(query, flips)
+        else model.bucketsOf(query)
+      Some((emb, ArraysOverlap(
+        LshBuckets(emb, model.numTables, model.bitsPerTable, model.dim, model.seed),
+        Literal.create(qBuckets, ArrayType(LongType, containsNull = false)))))
+    case AnnRegistry.HnswIndex(model, idCol, fetchK, ef)
+        if model.size > 0 && model.dim == query.length =>
+      attrNamed(child, idCol).map { attr =>
+        val ids = model.search(query, math.max(k, fetchK), ef)
+          .map { case (id, _) => Literal(id) }
+        (attr, In(attr, ids))
+      }
+    case _ => None
   }
 
   /** The (embedding expression, query vector) pair, if the sort
@@ -120,13 +162,14 @@ object AnnTopKProbe extends Rule[LogicalPlan] {
     }
   }
 
-  /** A `cluster_id` attribute anywhere in the subtree (the pre-assigned
-    * table), lowest occurrence preferred. */
-  private def clusterAttr(plan: LogicalPlan): Option[Attribute] = {
+  /** An attribute of the given name anywhere in the subtree (e.g. the
+    * pre-assigned `cluster_id` column, or the HNSW id column), lowest
+    * occurrence preferred. */
+  private def attrNamed(plan: LogicalPlan, name: String): Option[Attribute] = {
     var found: Option[Attribute] = None
     plan.foreachUp {
       case p if found.isEmpty =>
-        found = p.output.find(_.name == "cluster_id")
+        found = p.output.find(_.name == name)
       case _ =>
     }
     found

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
-import graft.index.{AnnRegistry, IvfModel}
+import graft.index.{AnnRegistry, HnswModel, IvfModel, LshModel}
 
 /** The opt-in cosine-topk -> IVF-probe optimizer rewrite
   * (AnnTopKProbe), differentially tested against the explicit probe
@@ -112,6 +112,117 @@ class AnnTopKProbeSpec extends SparkSpec {
       AnnRegistry.unregister("spec-l2")
     }
     assert(exact.head == explicitProbe.head) // self row survives the probe
+  }
+
+  test("LSH tier: rewrite == explicit signature-table candidates + rerank") {
+    val q = corpus.filter($"vec_id" === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val model = LshModel(numTables = 4, bitsPerTable = 8, dim = q.length, seed = 11L)
+
+    spark.conf.unset("spark.graft.ann.autoProbe")
+    val exact = topk(corpus, q, 10)
+    // the explicit path the filter form must reproduce: signature table
+    // semi-join then exact rerank among candidates
+    val sig = model.build(corpus, "vec_id", "embedding")
+    val explicitLsh = topk(
+      corpus.join(model.candidates(sig, q).withColumnRenamed("id", "vec_id"),
+        Seq("vec_id"), "left_semi"), q, 10)
+
+    AnnRegistry.registerLsh("spec-lsh", model)
+    spark.conf.set("spark.graft.ann.autoProbe", "spec-lsh")
+    try {
+      val auto = topk(corpus, q, 10)
+      assert(auto == explicitLsh, "filter form must equal the semi-join form")
+      // candidate pruning is real on this config (else the test is vacuous)
+      if (explicitLsh == exact)
+        info("LSH candidates covered the exact top-k on this draw")
+      // and the plan carries the synthesized signature overlap, no join
+      val optimized = corpus
+        .withColumn("score", cosine_sim(col("embedding"), typedLit(q)))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+        .queryExecution.optimizedPlan.toString
+      assert(optimized.contains("lsh_buckets") && optimized.contains("arrays_overlap"),
+        s"LSH probe filter missing:\n$optimized")
+      assert(!optimized.toLowerCase.contains("join"), "filter form must not introduce a join")
+    } finally {
+      spark.conf.unset("spark.graft.ann.autoProbe")
+      AnnRegistry.unregister("spec-lsh")
+    }
+    assert(topk(corpus, q, 10) == exact) // conf off => exact restored
+  }
+
+  test("LSH tier: recall gate vs exact top-k across query draws") {
+    val dim = corpus.filter($"vec_id" === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).length
+    // few bits: 16 buckets/table keeps per-bucket occupancy meaningful
+    // on a 500-vector corpus (10+ bits leaves buckets near-empty and
+    // the gate would measure noise, not the rewrite)
+    val model = LshModel(numTables = 8, bitsPerTable = 4, dim = dim, seed = 42L)
+    AnnRegistry.registerLsh("spec-lsh-recall", model, flips = 1)
+    spark.conf.set("spark.graft.ann.autoProbe", "spec-lsh-recall")
+    try {
+      val recalls = (0L until 10L).map { vid =>
+        val q = corpus.filter($"vec_id" === vid).select("embedding")
+          .collect()(0).getSeq[Float](0).toArray
+        spark.conf.unset("spark.graft.ann.autoProbe")
+        val exact = topk(corpus, q, 10).toSet
+        spark.conf.set("spark.graft.ann.autoProbe", "spec-lsh-recall")
+        val approx = topk(corpus, q, 10).toSet
+        (exact intersect approx).size.toDouble / exact.size
+      }
+      val mean = recalls.sum / recalls.length
+      assert(mean >= 0.7, s"multi-probe LSH recall@10 too low: $mean ($recalls)")
+    } finally {
+      spark.conf.unset("spark.graft.ann.autoProbe")
+      AnnRegistry.unregister("spec-lsh-recall")
+    }
+  }
+
+  test("HNSW tier: optimizer-time graph navigation injects id IN candidates") {
+    val g = HnswModel.build(corpus, "vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+
+    spark.conf.unset("spark.graft.ann.autoProbe")
+    val exact = topk(corpus, q, 10)
+
+    AnnRegistry.registerHnsw("spec-hnsw", g, idCol = "vec_id", fetchK = 50)
+    spark.conf.set("spark.graft.ann.autoProbe", "spec-hnsw")
+    try {
+      val auto = topk(corpus, q, 10)
+      // recall gate: graph candidates + exact rerank; on this corpus
+      // HNSW sits at recall 1.0 at far smaller fetch (RECALL.md)
+      assert((exact.toSet intersect auto.toSet).size >= 9,
+        s"HNSW rewrite recall@10 < 0.9: exact=$exact auto=$auto")
+      // candidate filter present: vec_id IN (<= fetchK literals)
+      val optimized = corpus
+        .withColumn("score", cosine_sim(col("embedding"), typedLit(q)))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+        .queryExecution.optimizedPlan.toString
+      assert(optimized.contains("vec_id") && optimized.contains(" IN "),
+        s"HNSW id filter missing:\n$optimized")
+    } finally {
+      spark.conf.unset("spark.graft.ann.autoProbe")
+      AnnRegistry.unregister("spec-hnsw")
+    }
+    assert(topk(corpus, q, 10) == exact)
+  }
+
+  test("HNSW tier skips when the id column is absent from the plan") {
+    val g = HnswModel.build(corpus, "vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 4).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    AnnRegistry.registerHnsw("spec-hnsw-noid", g, idCol = "no_such_col")
+    spark.conf.set("spark.graft.ann.autoProbe", "spec-hnsw-noid")
+    try {
+      spark.conf.unset("spark.graft.ann.autoProbe")
+      val exact = topk(corpus, q, 10)
+      spark.conf.set("spark.graft.ann.autoProbe", "spec-hnsw-noid")
+      assert(topk(corpus, q, 10) == exact, "missing id column must leave the plan exact")
+    } finally {
+      spark.conf.unset("spark.graft.ann.autoProbe")
+      AnnRegistry.unregister("spec-hnsw-noid")
+    }
   }
 
   test("probe filter reaches the plan and prunes scored rows") {
