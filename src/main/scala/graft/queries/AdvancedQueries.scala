@@ -342,8 +342,10 @@ object AdvancedQueries {
     // raw vs clipped totals. Clip classification is engine-stable:
     // data values (2dp) sit >= 1e-4 from any interpolated (4dp) bound,
     // and bounds that coincide with data points are computed exactly
-    // by both engines; sums of 4dp true values round safely at 4
-    // (round-1 float rule).
+    // by both engines. Totals sum per-row DECIMAL(18,4) casts — exact,
+    // order-independent addition in both engines, so the compare holds
+    // at any scale (double sums drifted past the rounding quantum in
+    // the sf1 probe; see q01).
     QueryDef("q103_winsorize", Some(
       """WITH b AS (
         |  SELECT l_returnflag,
@@ -353,8 +355,9 @@ object AdvancedQueries {
         |SELECT l.l_returnflag, count(*) AS n,
         |  CAST(sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
-        |  round(sum(l_extendedprice), 2) AS raw_sum,
-        |  round(sum(least(greatest(l_extendedprice, lo), hi)), 4) AS w_sum,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS raw_sum,
+        |  CAST(sum(CAST(least(greatest(l_extendedprice, lo), hi) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS w_sum,
         |  round(min(lo), 4) AS lo, round(min(hi), 4) AS hi
         |FROM lineitem l JOIN b USING (l_returnflag)
         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin),
@@ -367,8 +370,10 @@ object AdvancedQueries {
             sum(when(col("l_extendedprice") < col("__lo")
               || col("l_extendedprice") > col("__hi"), 1L).otherwise(0L))
               .as("n_clipped"),
-            round(sum(col("l_extendedprice")), 2).as("raw_sum"),
-            round(sum(col("l_extendedprice_w")), 4).as("w_sum"),
+            sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("double").as("raw_sum"),
+            sum(col("l_extendedprice_w").cast("decimal(18,4)"))
+              .cast("double").as("w_sum"),
             round(min(col("__lo")), 4).as("lo"),
             round(min(col("__hi")), 4).as("hi"))
           .orderBy("l_returnflag")
@@ -463,10 +468,15 @@ object AdvancedQueries {
     // (rounded revenue, suppkey) — fully deterministic. Aggregate-
     // then-window: the window input is |flags| x |suppliers| rows,
     // not lineitem.
+    // revenue is a DECIMAL sum (exact, order-independent — see q01):
+    // the window ORDERS BY revenue, so even a last-ulp double
+    // difference between engines can swap two rows and shift every
+    // rank/cume after the swap — the sf1 probe caught one such flip.
     QueryDef("q84_rank_distribution", Some(
       """WITH rev AS (
         |  SELECT l_returnflag, l_suppkey,
-        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |             * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |  FROM lineitem GROUP BY 1, 2)
         |SELECT l_returnflag, l_suppkey, revenue,
         |  round(percent_rank() OVER w, 6) AS pct_rank,
@@ -481,8 +491,9 @@ object AdvancedQueries {
           .orderBy(col("revenue"), col("l_suppkey"))
         table(spark, dir, "lineitem")
           .groupBy(col("l_returnflag"), col("l_suppkey"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("revenue"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+              * (lit(1) - col("l_discount")).cast("decimal(18,2)"))
+            .cast("double").as("revenue"))
           .select(col("l_returnflag"), col("l_suppkey"), col("revenue"),
             round(percent_rank().over(w), 6).as("pct_rank"),
             round(cume_dist().over(w), 6).as("cume"),

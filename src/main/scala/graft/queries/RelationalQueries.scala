@@ -17,11 +17,18 @@ object RelationalQueries {
 
   def defs: Seq[QueryDef] = Seq(
 
+    // Money sums go through DECIMAL: a double sum of millions of rows
+    // carries summation-order noise that outgrows any fixed rounding
+    // quantum as data scales (the sf1 probe caught exactly this at
+    // ~4e10), while per-row decimal casts are identical in both
+    // engines and decimal addition is exact and order-independent —
+    // the hash-compare then holds at ANY scale, not just the gate's.
     QueryDef("q01_pricing_summary", Some(
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
         |  round(avg(l_discount), 4) AS avg_disc,
         |  count(*) AS count_order
@@ -35,28 +42,37 @@ object RelationalQueries {
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
             sum(col("l_quantity")).as("sum_qty"),
-            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+            sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("double").as("sum_base_price"),
+            sum(col("l_extendedprice").cast("decimal(18,2)")
+              * (lit(1) - col("l_discount")).cast("decimal(18,2)"))
+              .cast("double").as("sum_disc_price"),
             round(avg(col("l_quantity")), 4).as("avg_qty"),
             round(avg(col("l_discount")), 4).as("avg_disc"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       }),
 
+    // ORDER BY covers every projected column: the synthetic generator
+    // emits DUPLICATE (l_orderkey, l_linenumber) pairs (1 in the
+    // filtered sf0.01 set, 35 at sf0.1), so the two-column order left
+    // the row sequence engine-dependent — a latent gate flake the sf1
+    // probe surfaced. With the full tuple ordered, remaining ties are
+    // identical rows and compare equal in any interleaving.
     QueryDef("q02_filter_scan", Some(
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_quantity > 45
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin),
       (spark, dir) =>
         table(spark, dir, "lineitem")
           .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
             && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
             && col("l_quantity") > 45)
           .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-          .orderBy("l_orderkey", "l_linenumber")),
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")),
 
     QueryDef("q03_top_revenue_orders", Some(
       """SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,

@@ -8,6 +8,7 @@ noise means a real problem).
 Usage: validate.py <sfDir> <verifyOutDir> [queryName...]
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -21,8 +22,12 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures are single files; ScaleGen (sf1 probe) writes
+        # Spark-style directories of part files — accept both
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path += "/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
 
