@@ -149,6 +149,14 @@ object AnnTuner {
   final case class TierChoice(tier: String, config: String,
       recall: Double, candidateFraction: Double)
 
+  /** Structured form of a winning config — what [[tuneAndRegister]]
+    * needs to (re)build the model (the display string in TierChoice
+    * is for humans). */
+  private sealed trait TierPick
+  private final case class LshPick(preset: LshPreset) extends TierPick
+  private final case class IvfPick(nlist: Int, nprobe: Int) extends TierPick
+  private final case class HnswPick(ef: Int, fetch: Int) extends TierPick
+
   /**
    * Cross-tier selection — the "which index should this corpus use"
    * question: measure LSH, IVF, and HNSW on the same query sample and
@@ -162,6 +170,19 @@ object AnnTuner {
   def tuneAcrossTiers(emb: DataFrame, idCol: String, embCol: String, dim: Int,
       targetRecall: Double, k: Int = 10, nQueries: Int = 20)
       : (Option[TierChoice], Seq[TierChoice]) = {
+    val picks = tierPicks(emb, idCol, embCol, dim, targetRecall, k, nQueries)
+    val all = picks.map(_._1)
+    (bestOf(picks, targetRecall).map(_._1), all)
+  }
+
+  private def bestOf(picks: Seq[(TierChoice, TierPick)],
+      targetRecall: Double): Option[(TierChoice, TierPick)] =
+    picks.filter(_._1.recall >= targetRecall)
+      .sortBy { case (c, _) => (c.candidateFraction, -c.recall) }.headOption
+
+  private def tierPicks(emb: DataFrame, idCol: String, embCol: String,
+      dim: Int, targetRecall: Double, k: Int,
+      nQueries: Int): Seq[(TierChoice, TierPick)] = {
     // ONE oracle sample shared by all three tiers — the exact top-k
     // oracle dominates tuning cost, and sharing it also makes the
     // cross-tier comparison apples-to-apples by construction
@@ -170,32 +191,68 @@ object AnnTuner {
 
     val lsh = tuneLshWith(sample, emb, idCol, embCol, dim, targetRecall, k,
         defaultLshGrid)
-      .map(m => TierChoice("lsh",
+      .map(m => (TierChoice("lsh",
         s"tables=${m.config.numTables} bits=${m.config.bitsPerTable} flips=${m.config.flips}",
-        m.recall, m.candidateFraction))
+        m.recall, m.candidateFraction), LshPick(m.config)))
 
     val ivf = tuneIvfWith(sample, emb, idCol, embCol, targetRecall, k,
         Seq(8, 16, 32), Seq(1, 2, 4, 8))
-      .map(m => TierChoice("ivf",
-        s"nlist=${m.config._1} nprobe=${m.config._2}", m.recall, m.candidateFraction))
+      .map(m => (TierChoice("ivf",
+        s"nlist=${m.config._1} nprobe=${m.config._2}", m.recall, m.candidateFraction),
+        IvfPick(m.config._1, m.config._2)))
 
     // HNSW: ef sweep at a fixed small fetch — candidate tier + rerank
     val graph = HnswModel.build(emb, idCol, embCol)
     val fetch = math.max(5 * k, 50)
     val hnswMeasured = Seq(32, 64, 100).filter(_ >= fetch / 2).map { ef =>
+      val effEf = math.max(ef, fetch)
       val stats = queries.map { case (_, q, exact) =>
-        val cands = graph.search(q, fetch, math.max(ef, fetch)).map(_._1).toSet
+        val cands = graph.search(q, fetch, effEf).map(_._1).toSet
         (cands.intersect(exact).size.toDouble / k, cands.size.toDouble / n)
       }
-      TierChoice("hnsw", s"ef=${math.max(ef, fetch)} fetch=$fetch",
-        stats.map(_._1).sum / stats.length, stats.map(_._2).sum / stats.length)
+      (TierChoice("hnsw", s"ef=$effEf fetch=$fetch",
+        stats.map(_._1).sum / stats.length, stats.map(_._2).sum / stats.length),
+        HnswPick(effEf, fetch))
     }
-    val hnsw = hnswMeasured.filter(_.recall >= targetRecall)
-      .sortBy(c => (c.candidateFraction, -c.recall)).headOption
+    val hnsw = hnswMeasured.filter(_._1.recall >= targetRecall)
+      .sortBy { case (c, _) => (c.candidateFraction, -c.recall) }.headOption
 
-    val all = (lsh.toSeq ++ ivf.toSeq ++ hnsw.toSeq)
-    val best = all.filter(_.recall >= targetRecall)
-      .sortBy(c => (c.candidateFraction, -c.recall)).headOption
-    (best, all)
+    lsh.toSeq ++ ivf.toSeq ++ hnsw.toSeq
+  }
+
+  /**
+   * Tune across tiers and REGISTER the winner in [[AnnRegistry]] under
+   * `name` — the wire from measurement to the AnnTopKProbe optimizer
+   * rewrite: after this returns Some, setting
+   * `spark.graft.ann.autoProbe=<name>` makes every matching
+   * `ORDER BY cosine_sim(emb, q) DESC LIMIT k` plan probe the TUNED
+   * index, with the exact rerank on top.
+   *
+   * Model reconstruction is deterministic (seeded LSH planes, seeded
+   * k-means, seeded graph build), so the registered index measures
+   * identically to the tuned one. Returns None — and registers
+   * NOTHING — when no tier clears the target on the measured grid
+   * (the tuner's honest-refusal contract propagates to the rewrite:
+   * an unreachable target must not silently install an under-recalling
+   * probe).
+   */
+  def tuneAndRegister(name: String, emb: DataFrame, idCol: String,
+      embCol: String, dim: Int, targetRecall: Double, k: Int = 10,
+      nQueries: Int = 20): Option[TierChoice] = {
+    val picks = tierPicks(emb, idCol, embCol, dim, targetRecall, k, nQueries)
+    bestOf(picks, targetRecall).map {
+      case (choice, LshPick(p)) =>
+        AnnRegistry.registerLsh(name,
+          LshModel(numTables = p.numTables, bitsPerTable = p.bitsPerTable, dim = dim),
+          p.flips)
+        choice
+      case (choice, IvfPick(nlist, nprobe)) =>
+        AnnRegistry.register(name, IvfModel.train(emb, embCol, nlist = nlist), nprobe)
+        choice
+      case (choice, HnswPick(ef, fetch)) =>
+        AnnRegistry.registerHnsw(name, HnswModel.build(emb, idCol, embCol),
+          idCol, fetchK = fetch, ef = ef)
+        choice
+    }
   }
 }

@@ -92,4 +92,46 @@ class AnnTunerSpec extends SparkSpec {
       assert(GraftConfig.lshActivePreset.contains(best.get.config))
     } finally GraftConfig.lshActivePreset = saved
   }
+
+  test("tuneAndRegister wires the tuned winner into the AnnTopKProbe rewrite") {
+    import graft.functions.GraftFunctions.cosine_sim
+    import graft.index.AnnRegistry
+    import spark.implicits._
+
+    val choice = AnnTuner.tuneAndRegister("tuned-e2e", emb, "vec_id", "embedding",
+      dim = 64, targetRecall = 0.9)
+    assert(choice.isDefined, "0.9 must be reachable on this corpus (hnsw does)")
+    assert(AnnRegistry.get("tuned-e2e").isDefined, "winner must be registered")
+
+    def topk(q: Array[Float]) =
+      emb.withColumn("score", cosine_sim(col("embedding"), typedLit(q)))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+        .select("vec_id").as[Long].collect().toSeq
+    try {
+      val recalls = (0L until 5L).map { vid =>
+        val q = emb.filter($"vec_id" === vid).select("embedding")
+          .collect()(0).getSeq[Float](0).toArray
+        spark.conf.unset("spark.graft.ann.autoProbe")
+        val exact = topk(q).toSet
+        spark.conf.set("spark.graft.ann.autoProbe", "tuned-e2e")
+        val auto = topk(q).toSet
+        (exact intersect auto).size.toDouble / exact.size
+      }
+      // the tuned pick cleared 0.9 on ITS sample; this is an e2e sanity
+      // gate through the rewritten plan, not a re-measurement
+      val mean = recalls.sum / recalls.length
+      assert(mean >= 0.8, s"rewrite under tuned index under-recalls: $mean")
+    } finally {
+      spark.conf.unset("spark.graft.ann.autoProbe")
+      AnnRegistry.unregister("tuned-e2e")
+    }
+  }
+
+  test("tuneAndRegister refuses an unreachable target and registers nothing") {
+    import graft.index.AnnRegistry
+    val r = AnnTuner.tuneAndRegister("tuned-none", emb.limit(80), "vec_id",
+      "embedding", dim = 64, targetRecall = 1.01)
+    assert(r.isEmpty)
+    assert(AnnRegistry.get("tuned-none").isEmpty, "refusal must not register")
+  }
 }
