@@ -278,4 +278,26 @@ class OperatorSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("LSH batchCandidates == per-query candidates, via one bucket join") {
+    import graft.index.LshModel
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val dim = emb.select("embedding").head.getSeq[Float](0).length
+    val model = LshModel(numTables = 6, bitsPerTable = 6, dim = dim, seed = 5L)
+    val sig = model.build(emb, "vec_id", "embedding")
+
+    val queries = emb.filter(col("vec_id") < 5).select("vec_id", "embedding")
+    val batch = model.batchCandidates(sig, queries, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+    queries.select("vec_id", "embedding").collect().foreach { r =>
+      val qid = r.getLong(0)
+      val q = r.getSeq[Float](1).toArray
+      val single = model.candidates(sig, q).collect().map(_.getLong(0)).toSet
+      assert(batch.getOrElse(qid, Set.empty) == single,
+        s"batch != per-query for qid=$qid")
+    }
+    assert(batch.values.forall(_.nonEmpty)) // each query finds itself at least
+  }
 }
