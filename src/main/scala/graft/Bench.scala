@@ -64,11 +64,18 @@ object Bench {
     // probe to run just the expensive families at sf1.
     val filter = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val queries = filter match {
+    // Optional exclusion, same prefix semantics — used by the scale
+    // probe to drop queries whose ORACLE form is deliberately
+    // quadratic (q25 brute-force) at fixture sizes where O(n^2) is
+    // no longer a measurement but a hang.
+    val exclude = sys.env.get("SPARK_GRAFT_BENCH_EXCLUDE")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val queries = (filter match {
       case Some(prefixes) =>
         SparkEntry.allQueries.filter(q => prefixes.exists(q.name.startsWith))
       case None => SparkEntry.allQueries
-    }
+    }).filterNot(q => exclude.exists(q.name.startsWith))
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     for (_ <- 1 to runsPerQuery; q <- queries) {

@@ -459,6 +459,16 @@ object Dedup {
    * LSH index, indexes.py:86-101); exact cosine verification on
    * candidates. `bruteForce = true` skips bucketing (exact, O(n^2) —
    * only for oracle-scale data).
+   *
+   * Bucket-count sizing is the scale contract: per-table occupancy is
+   * n/2^bits, so in-bucket pair mass is ~n^2/2^bits per table —
+   * QUADRATIC in corpus size if bits stay fixed. Pass `bitsPerTable
+   * <= 0` to auto-size bits from the corpus count targeting ~64
+   * ids/bucket/table (clamped to [4,16]): expected candidate mass then
+   * grows ~32·numTables·n — linear — at the cost of one count() of the
+   * id column. Verification filters BEFORE the pair dedup so only
+   * above-threshold pairs (rare at near-dup thresholds) pay the
+   * dedup shuffle, never the raw candidate mass.
    */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, embCol: String,
       minCosine: Double = 0.95, bruteForce: Boolean = false,
@@ -469,14 +479,22 @@ object Dedup {
     val candidates =
       if (bruteForce) a.crossJoin(b).filter(col("id_a") < col("id_b"))
       else {
-        val lsh = graft.index.LshModel(numTables, bitsPerTable, dim, seed)
+        val bits =
+          if (bitsPerTable > 0) bitsPerTable
+          else {
+            val n = df.filter(col(embCol).isNotNull).count()
+            math.min(16, math.max(4,
+              math.ceil(math.log(math.max(1.0, n.toDouble / 64)) / math.log(2)).toInt))
+          }
+        val lsh = graft.index.LshModel(numTables, bits, dim, seed)
         val withBucket = df.select(col(idCol).as("id"), col(embCol).as("emb"),
           explode(lsh.bucketsColumn(col(embCol))).as("bucket"))
-        bucketPairs(withBucket, Seq("bucket"), payload = Seq("emb"))
+        bucketPairs(withBucket, Seq("bucket"), payload = Seq("emb"), dedup = false)
       }
-    candidates
+    val verified = candidates
       .withColumn("cosine", GraftFunctions.cosine_sim(col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= minCosine)
+    (if (bruteForce) verified else verified.dropDuplicates("id_a", "id_b"))
       .select("id_a", "id_b", "cosine")
   }
 

@@ -153,6 +153,21 @@ object VectorQueries {
           .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
           .orderBy("id_a", "id_b")),
 
+    // The PRODUCTION form of q25: hyperplane-bucketed candidates with
+    // auto-sized bucket bits (~64 ids/bucket/table — linear candidate
+    // mass), exact cosine verify. Seed-dependent recall ⇒ rows-only
+    // driver check; DedupSpec asserts the bucketed output is a subset
+    // of brute-force with high recall at near-dup thresholds. This is
+    // the query the sf10 scale probe benches — q25's brute-force
+    // oracle form is O(n²) BY DESIGN of the gate and is excluded there.
+    QueryDef("q106_embedding_neardup_lsh", None,
+      (spark, dir) =>
+        Dedup.embeddingNearDupPairs(table(spark, dir, "embeddings"),
+            "vec_id", "embedding", minCosine = 0.3, bruteForce = false,
+            bitsPerTable = 0)
+          .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+          .orderBy("id_a", "id_b")),
+
     // --- ANN paths: seed-dependent, rows-only driver check; recall vs the
     // exact oracle is asserted in AnnRecallSpec.
     QueryDef("q26_knn_lsh", None,
