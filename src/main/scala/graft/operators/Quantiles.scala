@@ -375,27 +375,42 @@ object Quantiles {
    * Winsorization — outlier clipping at per-group exact quantile
    * bounds (the data-cleaning step before norm-sensitive training
    * statistics): values below the `pLo` quantile clamp up to it,
-   * values above `pHi` clamp down. Bounds come from ONE exact
-   * `percentile` aggregate per group (quantile_cont semantics, the
+   * values above `pHi` clamp down. Bounds come from
+   * [[exactGroupedQuantiles]] (quantile_cont semantics, the
    * engine-matched form q52/q80 pin) broadcast back onto the rows —
    * a dimension-sized join, no second wide shuffle. Output adds
    * `<valueCol>_w` (clipped), `__lo`, `__hi`.
    *
-   * Scale note: the exact bounds inherit exact-percentile's per-group
-   * value buffering; at 100x feed the bounds from
-   * [[exactGroupedQuantiles]] (two-pass, partition-bounded memory) or
-   * `approx_percentile` — only the bounds source changes, the clip is
-   * a narrow map either way.
+   * Scale note: the bounds deliberately do NOT use Spark's exact
+   * `percentile` aggregate — it buffers a per-group value->count map
+   * whose final merge lands on |groups| reducers, and with few groups
+   * over many rows those maps reach millions of entries each (the sf10
+   * probe measured 18.5x wall for 10x data on exactly that plan).
+   * The two-pass range-selection bounds keep per-task memory at one
+   * range partition regardless of group count, so the clip stays a
+   * narrow map over a scan at any scale.
    */
   def winsorized(df: DataFrame, groupCol: String, valueCol: String,
-      pLo: Double, pHi: Double): DataFrame = {
+      pLo: Double, pHi: Double, numPartitions: Int = 32,
+      boundsSampleFraction: Double = 0.2): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad bounds ($pLo, $pHi)")
-    val bounds = df.groupBy(col(groupCol))
-      .agg(percentile(col(valueCol), array(lit(pLo), lit(pHi))).as("__b"))
-      .select(col(groupCol),
-        element_at(col("__b"), 1).as("__lo"),
-        element_at(col("__b"), 2).as("__hi"))
-    df.join(broadcast(bounds), Seq(groupCol))
+    // Sampled bounds sweep (the q52/q80 setting): boundary error only
+    // affects partition balance, never the clip values — the result
+    // stays exact. A FULL sweep with the default 64 cut points costs
+    // more than the selection it steers (measured ~2/3 of q103's wall
+    // at sf10).
+    val bounds = broadcast(
+      exactGroupedQuantiles(df, groupCol, valueCol, Seq(pLo, pHi),
+        numPartitions, boundsSampleFraction)
+        .select(col(groupCol).as("__g"),
+          element_at(col("qs"), 1).as("__lo"),
+          element_at(col("qs"), 2).as("__hi")))
+    // LEFT join on the string-cast key: a group whose values are all
+    // null has no bounds row (the exact path drops null values) but its
+    // rows still flow through with null __lo/__hi/_w, matching the old
+    // percentile-aggregate behavior.
+    df.join(bounds, df(groupCol).cast(StringType) === col("__g"), "left")
+      .drop("__g")
       .withColumn(valueCol + "_w",
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
   }

@@ -121,6 +121,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L))) // identical embeddings share all buckets
   }
 
+  test("embedding near-dup: auto-sized bits (bitsPerTable<=0) matches fixed-bits pairs at small n") {
+    val embedder = graft.functions.HashingEmbedder(dimension = 64)
+    val embDf = corpus.as[(Long, String)].collect().toSeq
+      .map { case (id, t) => (id, embedder.embedOne(t)) }
+      .toDF("doc_id", "emb")
+    // n << 64*2^4 ⇒ auto-sizing clamps to the 4-bit floor: the plan must
+    // be identical to the explicit bitsPerTable = 4 call above.
+    val auto = Dedup.embeddingNearDupPairs(embDf, "doc_id", "emb",
+        minCosine = 0.95, bruteForce = false, numTables = 8, bitsPerTable = 0, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val fixed = Dedup.embeddingNearDupPairs(embDf, "doc_id", "emb",
+        minCosine = 0.95, bruteForce = false, numTables = 8, bitsPerTable = 4, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(auto == fixed)
+    assert(auto.contains((1L, 2L)))
+    // and no duplicate pairs survive the multi-table union
+    val rows = Dedup.embeddingNearDupPairs(embDf, "doc_id", "emb",
+        minCosine = 0.95, bruteForce = false, numTables = 8, bitsPerTable = 0, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(rows.length == rows.toSet.size)
+  }
+
   test("repeated spans: shared boilerplate detected, unique text not") {
     val boiler = (1 to 8).map(i => s"lic$i").mkString(" ") // one full 8-token window
     val docs = Seq(
