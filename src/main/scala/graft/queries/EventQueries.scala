@@ -174,9 +174,14 @@ object EventQueries {
 
     // Cohort retention — users grouped by FIRST active day, activity
     // tracked at day offsets 0..7: two aggregations over distinct
-    // (user, day) pairs plus a broadcast-size cohort join (cohort
-    // table = #users rows). The distinct collapses event volume to
-    // user-days before anything wide happens.
+    // (user, day) pairs plus a cohort join. The distinct collapses
+    // event volume to user-days before anything wide happens. The
+    // cohort table is #users rows — it grows with the data, so the
+    // days⋈cohort join is unhinted (AQE broadcasts when it fits;
+    // both sides arrive hash-partitioned by user_id from their own
+    // aggregations, so the shuffle fallback reuses exchanges). Only
+    // `sizes` (one row per calendar day — bounded by time, not data)
+    // keeps an explicit broadcast.
     QueryDef("q101_cohort_retention", Some(
       """WITH days AS (
         |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
@@ -200,7 +205,7 @@ object EventQueries {
         val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
         val sizes = cohort.groupBy("cohort_day")
           .agg(count(lit(1)).as("cohort_size"))
-        days.join(broadcast(cohort), "user_id")
+        days.join(cohort, "user_id")
           .withColumn("offset_day", datediff(col("day"), col("cohort_day")))
           .filter(col("offset_day") <= 7)
           .groupBy("cohort_day", "offset_day")
@@ -217,10 +222,14 @@ object EventQueries {
     // only via events strictly AFTER their step k-1 time — the
     // behavioral-analytics pattern windows can't express directly
     // (each step's anchor is the previous step's aggregate). Three
-    // filtered aggregates chained by broadcast joins on user_id: the
-    // events table is scanned per step with the type filter pushed to
-    // parquet, and the join side is #users rows (tiny), so the plan is
-    // three pruned scans + broadcasts, no wide shuffle.
+    // filtered aggregates chained by joins on user_id: the events
+    // table is scanned per step with the type filter pushed to
+    // parquet. The step tables are #users rows — they grow with the
+    // data, so the joins are unhinted: AQE broadcasts a step table at
+    // runtime when it fits, and at cluster scale the shuffle fallback
+    // is already keyed by user_id on both sides (each step's groupBy
+    // produces that partitioning), so the chain adds no extra wide
+    // exchange.
     QueryDef("q94_funnel", Some(
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events
@@ -242,11 +251,11 @@ object EventQueries {
         val s1 = e.filter(col("event_type") === "view")
           .groupBy("user_id").agg(min("ts").as("t1"))
         val s2 = e.filter(col("event_type") === "click")
-          .join(broadcast(s1), "user_id")
+          .join(s1, "user_id")
           .filter(col("ts") > col("t1"))
           .groupBy("user_id").agg(min("ts").as("t2"))
         val s3 = e.filter(col("event_type") === "purchase")
-          .join(broadcast(s2), "user_id")
+          .join(s2, "user_id")
           .filter(col("ts") > col("t2"))
           .groupBy("user_id").agg(min("ts").as("t3"))
         def row(step: Int, name: String, df: org.apache.spark.sql.DataFrame) =

@@ -88,8 +88,12 @@ object RelationalQueries {
         val c = table(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
         val o = table(spark, dir, "orders").filter(col("o_orderstatus") =!= "F")
         val l = table(spark, dir, "lineitem")
-        l.join(broadcast(o), l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        // No broadcast hints: orders and customer both grow with the
+        // data, so a forced broadcast here is a driver/network bomb at
+        // cluster scale. AQE converts either join to broadcast at
+        // runtime whenever the filtered side is actually small.
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
           .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
           .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
           .select(col("o_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
@@ -129,8 +133,11 @@ object RelationalQueries {
         val r = table(spark, dir, "region").filter(col("r_name").isin("ASIA", "EUROPE"))
         val o = table(spark, dir, "orders")
         val l = table(spark, dir, "lineitem")
+        // nation/region are constant-size dims (25/5 rows) — always
+        // broadcastable. customer scales with the data: no hint, AQE
+        // broadcasts it only when the runtime size allows.
         l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy(col("n_name"))
@@ -424,8 +431,11 @@ object RelationalQueries {
         val l = table(spark, dir, "lineitem")
         val p = table(spark, dir, "part").filter(col("p_size") >= 30)
         val s = table(spark, dir, "supplier")
-        l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
-          .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+        // part and supplier scale with the data (unlike nation/region):
+        // leave join strategy to AQE's runtime sizes rather than force
+        // a broadcast that stops fitting at cluster scale.
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .join(s, l("l_suppkey") === s("s_suppkey"))
           .groupBy(col("p_brand"), col("s_name"))
           .agg(count(lit(1)).as("n_items"),
             sum(col("l_quantity")).as("total_qty"),
@@ -434,10 +444,14 @@ object RelationalQueries {
       }),
 
     // Region market share — the 5-table star-join chain (region ->
-    // nation -> customer -> orders -> lineitem): the fact table joins
-    // a PRE-JOINED broadcast dimension chain (region⋈nation⋈customer
-    // is dimension-sized at any scale factor; orders⋈lineitem is the
-    // one fact-fact shuffle, on the join key both sides are keyed by).
+    // nation -> customer -> orders -> lineitem): the constant dims
+    // (region 5 rows, nation 25) broadcast onto customer to form one
+    // pre-joined (custkey, region) relation, so the fact side touches
+    // a single dimension join. customer itself scales with the data,
+    // so that join carries NO hint — AQE broadcasts it at runtime when
+    // it fits, and falls back to shuffle at cluster scale.
+    // orders⋈lineitem is the one fact-fact shuffle, on the join key
+    // both sides are keyed by.
     // Revenue shares per region and year; product-of-2dp sums round
     // at 4 (round-1 float rule).
     QueryDef("q104_region_market_share", Some(
@@ -465,7 +479,7 @@ object RelationalQueries {
             col("n_regionkey") === col("r_regionkey"))
           .select(col("c_custkey"), col("r_name").as("region"))
         val rev = l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+          .join(dim, col("o_custkey") === col("c_custkey"))
           .groupBy(col("region"), year(col("o_orderdate")).as("yr"))
           .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("revenue"))
