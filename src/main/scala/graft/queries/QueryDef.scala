@@ -17,18 +17,35 @@ final case class QueryDef(
 
 object Tables {
   /**
-   * Table loader. `events.parquet` carries TIMESTAMP(NANOS), which
-   * Spark's parquet reader rejects outright; with
-   * `spark.sql.legacy.parquet.nanosAsLong=true` (set in Verify/Bench/
-   * test sessions) it surfaces as a LongType of nanos, which we truncate
-   * to microsecond timestamps — the same ns->us truncation DuckDB
-   * applies, so oracle comparisons stay exact.
+   * Table loader, normalizing the fixture generations' timestamp
+   * encodings to plain TIMESTAMP (LTZ; every session runs UTC):
+   *
+   *  - TIMESTAMP(NANOS) fixtures (early rounds): Spark's reader rejects
+   *    nanos outright; with `spark.sql.legacy.parquet.nanosAsLong=true`
+   *    (set in Verify/Bench/test sessions) `events.ts` surfaces as a
+   *    LongType of nanos, truncated here to microseconds — the same
+   *    ns->us truncation DuckDB applies, so oracle comparisons stay
+   *    exact.
+   *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) fixtures (round 6+):
+   *    Spark 4 infers TIMESTAMP_NTZ by default, which breaks
+   *    `unix_micros`/window functions typed for LTZ and makes
+   *    batch-vs-restaged comparisons mix java.sql.Timestamp with
+   *    LocalDateTime. Our sessions disable the inference
+   *    (`spark.sql.parquet.inferTimestampNTZ.enabled=false`, reading
+   *    them as UTC TIMESTAMP like DuckDB's naive reading); the cast
+   *    below covers foreign sessions that didn't set it.
    */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val normalized = df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+        d.withColumn(f.name, d.col(f.name).cast("timestamp"))
+      else d
+    }
     if (name == "events" &&
         df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
-    else df
+      normalized.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    else normalized
   }
 }
