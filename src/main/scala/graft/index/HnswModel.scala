@@ -270,15 +270,25 @@ object HnswModel {
       kept.toSeq
     }
 
+    // Visited set as a generation-stamped int array: one allocation for
+    // the whole build instead of a boxed HashSet per layer search (the
+    // build is single-threaded driver work, so the scratch is safe to
+    // share). Membership-only change — the dist/enqueue sequence, and
+    // therefore the produced graph, is bit-identical to the HashSet
+    // form (AnnRecallSpec's exact recall numbers stay valid).
+    val visitedGen = new Array[Int](n)
+    var generation = 0
+
     def searchLayerB(q: Array[Float], entry: Int, ef: Int,
         level: Int): mutable.ArrayBuffer[(Double, Int)] = {
-      val visited = new java.util.HashSet[Integer]()
+      generation += 1
+      val gen = generation
       val cand = mutable.PriorityQueue.empty[(Double, Int)](
         Ordering.by[(Double, Int), Double](_._1).reverse)
       val res = mutable.PriorityQueue.empty[(Double, Int)](
         Ordering.by[(Double, Int), Double](_._1))
       val d0 = dist(q, vecs(entry))
-      cand.enqueue((d0, entry)); res.enqueue((d0, entry)); visited.add(entry)
+      cand.enqueue((d0, entry)); res.enqueue((d0, entry)); visitedGen(entry) = gen
       while (cand.nonEmpty) {
         val (dc, c) = cand.dequeue()
         if (dc > res.head._1 && res.size >= ef) { cand.clear() }
@@ -287,7 +297,8 @@ object HnswModel {
           var j = 0
           while (j < nbrs.length) {
             val e = nbrs(j)
-            if (visited.add(e)) {
+            if (visitedGen(e) != gen) {
+              visitedGen(e) = gen
               val de = dist(q, vecs(e))
               if (res.size < ef || de < res.head._1) {
                 cand.enqueue((de, e)); res.enqueue((de, e))
