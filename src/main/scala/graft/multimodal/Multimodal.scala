@@ -12,11 +12,13 @@ import org.apache.spark.sql.types._
  * payloads — the Scala analog of PySpark's `mapInPandas` batch UDF
  * shape. The Spark-side plumbing (schema, partitioning, batch
  * signature) is real and tested. Codec status: IMAGE decode is real
- * ([[Multimodal.ImageIoCodec]], the JDK's `javax.imageio` — zero added
- * dependencies); audio/video decode remain deterministic fakes behind
- * the same `MediaCodec` seam (the JDK ships no audio/video demuxer and
- * media libraries are not available in this environment), so a real
- * codec drops in without touching the plan shape.
+ * ([[Multimodal.ImageIoCodec]], the JDK's `javax.imageio`) and AUDIO
+ * decode is real (same codec object, the JDK's `javax.sound.sampled`
+ * — WAV/PCM/µ-law/a-law) — both zero added dependencies. VIDEO frame
+ * extraction remains a deterministic fake behind the same `MediaCodec`
+ * seam (the JDK ships no video demuxer and media libraries are not
+ * available in this environment), so a real demuxer drops in without
+ * touching the plan shape.
  */
 object Multimodal {
 
@@ -34,6 +36,13 @@ object Multimodal {
     StructField("channels", IntegerType, nullable = false),
     StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
 
+  /** Decoded-audio feature schema appended by `decodeAudio`. */
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("audio_channels", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("audio_features", ArrayType(FloatType, containsNull = false), nullable = false)))
+
   /**
    * The codec boundary. A production build implements these with a real
    * image/audio library; here they are deterministic fakes derived from
@@ -43,6 +52,8 @@ object Multimodal {
    */
   trait MediaCodec extends Serializable {
     def decodeImage(bytes: Array[Byte]): (Int, Int, Int, Array[Float])
+    /** (sampleRate, channels, pcmFrames, 16-dim features). */
+    def decodeAudio(bytes: Array[Byte]): (Int, Int, Long, Array[Float])
     def sampleFrames(bytes: Array[Byte], everyNth: Int): Seq[Array[Byte]]
   }
 
@@ -66,6 +77,17 @@ object Multimodal {
       }
       (w, ht, 3, features)
     }
+    def decodeAudio(bytes: Array[Byte]): (Int, Int, Long, Array[Float]) = {
+      var h = 1469598103934665603L
+      var i = 0
+      while (i < bytes.length) { h = mix(h ^ bytes(i)); i += 1 }
+      val rate = 8000 + math.floorMod(h, 40000L).toInt
+      val channels = 1 + math.floorMod(h >>> 8, 2L).toInt
+      val features = Array.tabulate(16) { j =>
+        (math.floorMod(mix(h + 31L * j), 2000L) / 1000.0f) - 1.0f
+      }
+      (rate, channels, bytes.length.toLong, features)
+    }
     def sampleFrames(bytes: Array[Byte], everyNth: Int): Seq[Array[Byte]] =
       bytes.grouped(math.max(1, bytes.length / math.max(1, everyNth)))
         .take(everyNth).toSeq
@@ -78,6 +100,14 @@ object Multimodal {
    * 4×4 spatial grid scaled to [-1, 1] — deterministic and
    * resolution-independent (the brute-force analog of the pooled CNN
    * features a production pipeline would emit here).
+   *
+   * Audio decode is REAL too, over the JDK's `javax.sound.sampled`
+   * (WAV containers; PCM signed/unsigned/float plus µ-law/a-law via
+   * the JDK's format converters): payloads decode to 16-bit PCM and
+   * emit (sampleRate, channels, pcmFrames) plus a 16-dim feature
+   * vector — per-segment RMS energy over 16 equal temporal segments of
+   * the channel-mixed signal, scaled to [-1, 1] (the temporal analog
+   * of the image grid's pooled luminance).
    *
    * Undecodable payloads degrade to (0, 0, 0, empty) rather than
    * throwing: on a 100-TB scan one corrupt record must not kill the
@@ -125,6 +155,49 @@ object Multimodal {
         }
       } catch { case _: Exception => (0, 0, 0, Array.empty[Float]) }
 
+    def decodeAudio(bytes: Array[Byte]): (Int, Int, Long, Array[Float]) =
+      try {
+        import javax.sound.sampled.{AudioFormat, AudioSystem}
+        val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        val fmt = in.getFormat
+        val channels = fmt.getChannels
+        // normalize every encoding to 16-bit signed little-endian PCM;
+        // the JDK converter handles u-law/a-law/8-bit/big-endian forms
+        val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          fmt.getSampleRate, 16, channels, 2 * channels, fmt.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(pcmFmt, in)
+        val data = pcm.readAllBytes()
+        val bytesPerFrame = 2 * channels
+        val nFrames = data.length / bytesPerFrame
+        val features = new Array[Float](16)
+        var seg = 0
+        while (seg < 16) {
+          val f0 = seg * nFrames / 16
+          val f1 = math.max(f0 + 1, (seg + 1) * nFrames / 16)
+          var sumSq = 0.0
+          var n = 0
+          var f = f0
+          while (f < f1 && f < nFrames) {
+            var c = 0
+            var acc = 0.0
+            while (c < channels) {
+              val idx = f * bytesPerFrame + 2 * c
+              val sample = (((data(idx + 1) << 8) | (data(idx) & 0xff)).toShort) / 32768.0
+              acc += sample
+              c += 1
+            }
+            val s = acc / channels
+            sumSq += s * s
+            n += 1
+            f += 1
+          }
+          val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+          features(seg) = (rms * 2.0 - 1.0).toFloat
+          seg += 1
+        }
+        (fmt.getSampleRate.toInt, channels, nFrames.toLong, features)
+      } catch { case _: Exception => (0, 0, 0L, Array.empty[Float]) }
+
     def sampleFrames(bytes: Array[Byte], everyNth: Int): Seq[Array[Byte]] =
       FakeCodec.sampleFrames(bytes, everyNth)
   }
@@ -145,6 +218,26 @@ object Multimodal {
           if (bytes == null) (0, 0, 0, Array.empty[Float])
           else codec.decodeImage(bytes)
         Row.fromSeq(r.toSeq ++ Seq(w, h, c, f))
+      }
+    }(enc)
+  }
+
+  /**
+   * Decode an audio-bytes column into (sample_rate, audio_channels,
+   * n_frames, audio_features) — same partition-local batch shape as
+   * [[decodeImages]]: one task decodes one partition sequentially,
+   * payload bytes never cross the driver.
+   */
+  def decodeAudio(media: DataFrame, codec: MediaCodec = FakeCodec): DataFrame = {
+    val outSchema = StructType(media.schema.fields ++ audioFeatureSchema.fields)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]]("bytes")
+        val (sr, ch, nf, feats) =
+          if (bytes == null) (0, 0, 0L, Array.empty[Float])
+          else codec.decodeAudio(bytes)
+        Row.fromSeq(r.toSeq ++ Seq(sr, ch, nf, feats))
       }
     }(enc)
   }

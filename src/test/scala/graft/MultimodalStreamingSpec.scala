@@ -77,6 +77,60 @@ class MultimodalStreamingSpec extends SparkSpec {
     png.zip(jpg).foreach { case (a, b) => assert(math.abs(a - b) < 0.05f) }
   }
 
+  test("ImageIoCodec: real WAV audio decode through the Spark plan") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    // deterministic fixture: 16-bit PCM WAV, 440 Hz sine, amplitude 0.5
+    def sineWav(rate: Int, channels: Int, frames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        rate.toFloat, 16, channels, 2 * channels, rate.toFloat, false)
+      val pcm = new Array[Byte](frames * 2 * channels)
+      for (f <- 0 until frames) {
+        val s = (0.5 * math.sin(2 * math.Pi * 440.0 * f / rate) * 32767).toInt
+        for (c <- 0 until channels) {
+          val i = f * 2 * channels + 2 * c
+          pcm(i) = (s & 0xff).toByte
+          pcm(i + 1) = ((s >> 8) & 0xff).toByte
+        }
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    val rows = Seq(
+      (1L, "audio", sineWav(8000, 1, 4000), Map("fmt" -> "wav-mono")),
+      (2L, "audio", sineWav(16000, 2, 8000), Map("fmt" -> "wav-stereo")),
+      (3L, "audio", "not audio".getBytes("UTF-8"), Map("fmt" -> "corrupt")))
+    val media = rows.toDF("media_id", "kind", "bytes", "meta")
+
+    val out = Multimodal.decodeAudio(media, Multimodal.ImageIoCodec)
+      .select("media_id", "sample_rate", "audio_channels", "n_frames", "audio_features")
+      .collect().sortBy(_.getLong(0))
+
+    assert(out(0).getInt(1) == 8000 && out(0).getInt(2) == 1 && out(0).getLong(3) == 4000L)
+    assert(out(1).getInt(1) == 16000 && out(1).getInt(2) == 2 && out(1).getLong(3) == 8000L)
+    // constant-amplitude sine: every temporal segment's RMS is
+    // amp/sqrt(2) = 0.3536, scaled to 2*rms-1 = -0.293
+    Seq(out(0), out(1)).foreach { r =>
+      val f = r.getSeq[Float](4)
+      assert(f.length == 16)
+      f.foreach(v => assert(math.abs(v - (-0.2929f)) < 0.01f, s"segment rms off: $v"))
+    }
+    // corrupt payload degrades, not throws
+    assert(out(2).getInt(1) == 0 && out(2).getInt(2) == 0 &&
+      out(2).getSeq[Float](4).isEmpty)
+
+    // FakeCodec keeps the same plan shape and stays deterministic
+    val fake1 = Multimodal.decodeAudio(media).select("media_id", "sample_rate", "audio_features")
+      .collect().toSeq
+    val fake2 = Multimodal.decodeAudio(media).select("media_id", "sample_rate", "audio_features")
+      .collect().toSeq
+    assert(fake1 == fake2)
+  }
+
   test("resize targets preserve aspect ratio and cap the long side") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
     val decoded = Multimodal.decodeImages(
