@@ -260,15 +260,30 @@ object Dedup {
         .withColumn("prefix_len",
           col("n_sh") - ceil(col("n_sh") * minJaccard).cast("int") + 1)
       val prefix = ranked.filter(col("rn") <= col("prefix_len"))
-        .select(col("shingle"), col("id"), col("n_sh"))
+        .select(col("shingle"), col("id"), col("n_sh"), col("rn"))
 
       // PPJoin length filter: jaccard >= t forces the set sizes within
       // a factor of t of each other — applied at pair expansion, before
       // any array work, it kills the size-mismatched candidate mass.
-      val candidates = bucketPairs(prefix, Seq("shingle"), payload = Seq("n_sh"))
+      //
+      // PPJoin POSITIONAL filter (Xiao et al. 2008 §3.2): a shared
+      // prefix shingle at ranks (rn_a, rn_b) of the rarest-first order
+      // bounds the overlap at 1 + min(n_a - rn_a, n_b - rn_b), and
+      // jaccard >= t needs overlap >= t/(1+t) * (n_a + n_b). Shared
+      // shingles appear in the SAME relative order on both sides
+      // (one global order), so the pair's first shared shingle
+      // maximizes the bound — keeping a pair when ANY of its prefix
+      // co-occurrences passes is exactly the canonical first-match
+      // test, which is why the expansion runs dedup=false and pairs
+      // dedup AFTER the positional prune (dedup-first would keep an
+      // arbitrary, possibly stricter, occurrence and over-prune).
+      val candidates = bucketPairs(prefix, Seq("shingle"),
+          payload = Seq("n_sh", "rn"), dedup = false)
         .filter(col("n_sh_a") >= ceil(col("n_sh_b") * minJaccard) &&
           col("n_sh_b") >= ceil(col("n_sh_a") * minJaccard))
-        .select("id_a", "id_b")
+        .filter(lit(1) + least(col("n_sh_a") - col("rn_a"), col("n_sh_b") - col("rn_b")) >=
+          lit(minJaccard / (1.0 + minJaccard)) * (col("n_sh_a") + col("n_sh_b")))
+        .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
 
       // exact verification: single scan of the shingle arrays
       val arrays = df.select(col(idCol).as("id"),
