@@ -502,9 +502,21 @@ object Dedup {
               math.ceil(math.log(math.max(1.0, n.toDouble / 64)) / math.log(2)).toInt))
           }
         val lsh = graft.index.LshModel(numTables, bits, dim, seed)
+        // Pair expansion as a bucket SELF-JOIN, not an in-bucket
+        // collect_set expansion: the payload here is the embedding
+        // itself (dim floats), and materializing per-bucket arrays of
+        // embeddings in an aggregation buffer is exactly the memory
+        // shape that collapses under a hot bucket at scale (measured
+        // as multi-x GC swings at sf10). The join STREAMS each pair
+        // through the cosine verify instead; the explicit repartition
+        // on the join key makes both sides one identical exchange
+        // (ReuseExchange), so the scan+LSH pipeline runs once.
         val withBucket = df.select(col(idCol).as("id"), col(embCol).as("emb"),
-          explode(lsh.bucketsColumn(col(embCol))).as("bucket"))
-        bucketPairs(withBucket, Seq("bucket"), payload = Seq("emb"), dedup = false)
+            explode(lsh.bucketsColumn(col(embCol))).as("bucket"))
+          .repartition(col("bucket"))
+        val a = withBucket.select(col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"))
+        val b = withBucket.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"))
+        a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
       }
     val verified = candidates
       .withColumn("cosine", GraftFunctions.cosine_sim(col("emb_a"), col("emb_b")))
