@@ -94,6 +94,22 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q106 embedding near-dup: self-join sides share one exchange, pairs stream") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = planOf("q106_embedding_neardup_lsh")
+      // both sides of the bucket self-join hang off the single
+      // repartition(bucket) of the scan+LSH pipeline — it must run once
+      assert(plan.contains("ReusedExchange"),
+        s"bucket sides must share one exchange:\n$plan")
+      // pair expansion is a streaming join, not an in-bucket
+      // collect_set materialization (the aggregation-buffer shape that
+      // collapses under a hot bucket)
+      assert(!plan.contains("collect_set"),
+        s"no collect_set materialization in the pair expansion:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("q96 term PMI: pair sides share one repartition exchange, vocab broadcasts") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
