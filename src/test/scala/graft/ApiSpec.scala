@@ -80,8 +80,12 @@ class ApiSpec extends SparkSpec {
     assert(db.indexLibrary(lib.id, "ivfpq").isRight)
     assert(db.simpleSearch(lib.id, "early text", k = 3).toOption.get.results.isEmpty)
 
-    // cross the threshold (nlist = 100) and rebuild: trained now
-    (30 until GraftConfig.ivfNlist + 20).foreach(i =>
+    // cross the threshold (nlist = 100) and rebuild: trained now.
+    // 3x nlist points (~3 per cell): at ~1 point per cell the
+    // top-5-overlap assertion below is a coin flip — chunk UUIDs
+    // differ per run, their sort order seeds different k-means picks,
+    // and a query's neighbors land in probed cells only by luck.
+    (30 until GraftConfig.ivfNlist * 3).foreach(i =>
       assert(db.createChunk(doc.id, s"document body number $i topic ${i % 7}").isRight))
     assert(db.indexLibrary(lib.id, "ivfpq").isRight)
     assert(db.catalog.indexState(lib.id).get.ivfpq.isDefined)
