@@ -172,8 +172,10 @@ object Multimodal {
         val features = new Array[Float](16)
         var seg = 0
         while (seg < 16) {
-          val f0 = seg * nFrames / 16
-          val f1 = math.max(f0 + 1, (seg + 1) * nFrames / 16)
+          // Long arithmetic: seg * nFrames overflows Int past ~143M PCM
+          // frames (~4.8 h mono at 8 kHz), which would corrupt indices
+          val f0 = (seg.toLong * nFrames / 16).toInt
+          val f1 = math.max(f0 + 1, ((seg + 1).toLong * nFrames / 16).toInt)
           var sumSq = 0.0
           var n = 0
           var f = f0

@@ -214,30 +214,62 @@ object Quantiles {
     out.toDF(groupCol, "qs")
   }
 
+  /** bucket = top-`bits` order-preserving bit prefix of v — exact
+    * monotone bucketing with NO data-dependent bounds (see
+    * [[org.apache.spark.sql.graft.expressions.OrderedDoubleBucket]]). */
+  private def orderedBucketColumn(v: org.apache.spark.sql.Column,
+      bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.Bridge
+    Bridge.column(org.apache.spark.sql.graft.expressions.OrderedDoubleBucket(
+      Bridge.expression(v), bits))
+  }
+
   /**
    * Multi-column form: exact grouped quantiles for SEVERAL value
-   * columns (each with its own fraction list) in SHARED passes. The
-   * single-column operator costs 3 scans of the input per column
-   * (bounds sweep, counts, selection); at 100 TB the scan is the
-   * dominant cost, so k columns melt into one (group, column, value)
-   * relation via `posexplode` and every pass runs once: 3 scans total,
-   * with the melted shuffles carrying k-fold rows but each row only
-   * (string, int, int, double) wide. Selection targets stay per-column
-   * (each (group, column) has its own total/ranks), which is the
-   * round-5 NOTES design: "bounds/counts share a scan; selections stay
-   * per-column".
+   * columns (each with its own fraction list) in SHARED passes — and,
+   * unlike the single-column operator, only TWO scans of the input
+   * total (vs 3 per column), because the bucketing needs no prior
+   * bounds sweep at all:
+   *
+   *  1. Pass A buckets every value by the top `bucketBits` bits of its
+   *     order-preserving IEEE-754 bit pattern (an EXACT monotone,
+   *     data-independent function — no percentile_approx sketch, no
+   *     sampling, no literal boundary table) and counts
+   *     (group, column, bucket, count, min, max) — map-side combine,
+   *     tiny shuffle. Prefix sums in bucket order give global rank
+   *     offsets exactly as in the range-partitioned form.
+   *  2. Buckets whose rank interval contains a target AND hold a
+   *     single distinct value (min == max — always true for discrete
+   *     data once buckets are finer than value spacing) resolve ON THE
+   *     DRIVER with no second pass. Only mixed-value target buckets —
+   *     at most |fractions| x 2 per (group, column) — go to pass B's
+   *     windowed selection; when none exist the operator is ONE scan.
+   *
+   * k columns melt into one (group, column, value) relation via
+   * `posexplode`, so each pass runs once for all columns. Driver state
+   * is the histogram: |groups| x k x (distinct buckets), bounded by
+   * 2^bucketBits per (group, column) and in practice by the data's
+   * octave span x 2^(bucketBits-12) (default 20 bits = 256 buckets
+   * per power-of-two range; values in one bucket differ by < 0.4%).
+   * Skew caveat: a continuous-valued target bucket is ~0.4% of an
+   * octave's mass in one pass-B sort task (disk-spillable); callers
+   * with adversarially concentrated continuous data can raise
+   * `bucketBits` (finer buckets) at the cost of a larger histogram.
    *
    * Returns one row per group: (groupCol, `<col>_qs`: array<double>
    * aligned with that column's fractions; null if the column had no
-   * non-null values in the group).
+   * non-null values in the group). Bit-identical to the single-column
+   * operator for any bucketBits — bucketing only steers WHERE the
+   * selection work lands, never the result.
    */
   def exactGroupedQuantilesMulti(
       df: DataFrame,
       groupCol: String,
       valueCols: Seq[(String, Seq[Double])],
-      numPartitions: Int = 64,
-      boundsSampleFraction: Double = 1.0): DataFrame = {
+      bucketBits: Int = 20): DataFrame = {
     require(valueCols.nonEmpty, "at least one value column")
+    require(bucketBits >= 1 && bucketBits <= 40,
+      s"bucketBits must be in [1,40], got $bucketBits")
     valueCols.foreach { case (c, fs) =>
       require(fs.nonEmpty, s"no fractions for $c")
       require(fs.forall(f => f >= 0.0 && f <= 1.0), s"fractions out of [0,1] for $c")
@@ -248,28 +280,29 @@ object Quantiles {
     val k = valueCols.length
     // melt: (g, c, v) — one row per non-null (row, column) pair.
     // Deliberately NOT persisted (see single-column note: the columnar
-    // cache write costs ~8x the narrow re-scan it saves; measured).
+    // cache write costs ~8x the narrow 2-column re-scan it saves;
+    // measured) — and with the driver-resolved fast path pass B usually
+    // reads nothing or a few buckets, so there is little to reuse.
     val melted = df
       .select(col(groupCol).cast(StringType).as("g"),
         posexplode(array(valueCols.map { case (c, _) => col(c).cast(DoubleType) }: _*))
           .as(Seq("c", "v")))
       .where(col("g").isNotNull && col("v").isNotNull)
 
-    val cutFractions = (1 until numPartitions).map(_.toDouble / numPartitions)
-    def sweep(input: DataFrame): Seq[(String, Int, Seq[Double])] =
-      input.groupBy("g", "c")
-        .agg(percentile_approx(col("v"),
-          array(cutFractions.map(lit): _*), lit(1000)).as("bounds"))
-        .as[(String, Int, Seq[Double])]
-        .collect()
-        .toSeq
-    val boundRows: Seq[(String, Int, Seq[Double])] =
-      if (cutFractions.isEmpty)
-        melted.select("g", "c").distinct().as[(String, Int)].collect().toSeq
-          .map { case (g, c) => (g, c, Seq.empty[Double]) }
-      else if (boundsSampleFraction >= 1.0) sweep(melted)
-      else sweep(melted.sample(withReplacement = false, boundsSampleFraction, 42L))
-    if (boundRows.isEmpty && boundsSampleFraction >= 1.0) {
+    val bucketed = melted
+      .withColumn("b", orderedBucketColumn(col("v"), bucketBits))
+      .select("g", "c", "b", "v")
+
+    // Pass A: exact histogram — (g, c, bucket) -> (count, min, max)
+    val hist: Seq[((String, Int), Long, Long, Double, Double)] = bucketed
+      .groupBy("g", "c", "b")
+      .agg(count(col("v")).as("cnt"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .collect()
+      .toSeq
+      .map(r => ((r.getString(0), r.getInt(1)), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+
+    if (hist.isEmpty) {
       val schema = org.apache.spark.sql.types.StructType(
         org.apache.spark.sql.types.StructField(groupCol, StringType) +:
           valueCols.map { case (c, _) =>
@@ -279,21 +312,8 @@ object Quantiles {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
-    val boundsLit = broadcast(boundRows.toDF("g", "c", "bounds"))
 
-    // LEFT join: (group, column) pairs the sampled sweep missed still
-    // flow through with one bucket
-    val bucketed = melted.join(boundsLit, Seq("g", "c"), "left")
-      .withColumn("b", bucketColumn(col("bounds"), col("v")))
-      .select("g", "c", "b", "v")
-
-    val counts: Seq[((String, Int), Int, Long)] = bucketed
-      .groupBy("g", "c", "b").count()
-      .collect()
-      .toSeq
-      .map(r => ((r.getString(0), r.getInt(1)), r.getInt(2), r.getLong(3)))
-
-    val byKey = counts.groupBy(_._1)
+    val byKey = hist.groupBy(_._1)
     val totals: Map[(String, Int), Long] =
       byKey.map { case (key, rows) => key -> rows.map(_._3).sum }
     val fractionsOf: Map[Int, Seq[Double]] =
@@ -304,48 +324,66 @@ object Quantiles {
         Seq(math.floor(t).toLong + 1L, math.ceil(t).toLong + 1L)
       }.toSet
     }
-    val offsets: Map[(String, Int, Int), Long] = byKey.toSeq.flatMap {
-      case (key @ (g, c), rows) =>
-        var acc = 0L
-        rows.sortBy(_._2).map { case (_, b, cnt) =>
-          val o = acc; acc += cnt; ((g, c, b), o)
-        }
-    }.toMap
 
-    // bucket pruning (see single-column note): only buckets whose rank
-    // interval contains a target shuffle into pass B
-    val neededBuckets: Seq[(String, Int, Int)] = byKey.toSeq.flatMap {
-      case (key @ (g, c), rows) =>
-        val want = needed(key)
-        var acc = 0L
-        rows.sortBy(_._2).flatMap { case (_, b, cnt) =>
-          val lo = acc + 1L; acc += cnt
-          if (want.exists(r => r >= lo && r <= acc)) Some((g, c, b)) else None
+    // Walk each key's buckets in rank order: a target rank inside a
+    // single-valued bucket (min == max) resolves immediately; a target
+    // inside a mixed bucket marks that bucket for pass B. Offsets are
+    // only needed for pass-B buckets.
+    val resolved = scala.collection.mutable.Map.empty[(String, Int, Long), Double]
+    val passBBuckets = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long)]
+    val passBOffsets = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, Long)]
+    byKey.foreach { case (key @ (g, c), rows) =>
+      val want = needed(key)
+      var acc = 0L
+      rows.sortBy(_._2).foreach { case (_, b, cnt, mn, mx) =>
+        val lo = acc + 1L
+        val off = acc
+        acc += cnt
+        val hits = want.filter(r => r >= lo && r <= acc)
+        if (hits.nonEmpty) {
+          if (mn == mx) hits.foreach(r => resolved((g, c, r)) = mn)
+          else {
+            passBBuckets += ((g, c, b))
+            passBOffsets += ((g, c, b, off))
+          }
         }
+      }
     }
-    val prunedBucketed = bucketed.join(
-      broadcast(neededBuckets.toDF("g", "c", "b")), Seq("g", "c", "b"), "left_semi")
 
-    // pass B: pure-SQL window selection (see single-column note) —
-    // task memory = one pruned (g, c, b) bucket
-    val offDf = broadcast(offsets.toSeq
-      .map { case ((g, c, b), o) => (g, c, b, o) }.toDF("g", "c", "b", "off"))
-    val wantDf = broadcast(needed.toSeq
-      .flatMap { case ((g, c), rs) => rs.map(r => (g, c, r)) }.toDF("g", "c", "rank"))
-    val wSel = org.apache.spark.sql.expressions.Window
-      .partitionBy("g", "c", "b").orderBy("v")
-    val selected: Array[(String, Int, Long, Double)] = prunedBucketed
-      .withColumn("r", row_number().over(wSel))
-      .join(offDf, Seq("g", "c", "b"))
-      .withColumn("rank", col("off") + col("r"))
-      .join(wantDf, Seq("g", "c", "rank"), "left_semi")
-      .select("g", "c", "rank", "v")
-      .collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // Pass B (skipped entirely when every target bucket was single-
+    // valued): semi-join down to the few mixed target buckets, sort
+    // each within its own task, emit only the target-rank rows. Task
+    // memory = one bucket (spillable sort), same bound as the
+    // range-partitioned form's pruned pass.
+    val selected: Array[(String, Int, Long, Double)] =
+      if (passBBuckets.isEmpty) Array.empty
+      else {
+        val prunedBucketed = bucketed.join(
+          broadcast(passBBuckets.toSeq.toDF("g", "c", "b")), Seq("g", "c", "b"), "left_semi")
+        val offDf = broadcast(passBOffsets.toSeq.toDF("g", "c", "b", "off"))
+        val wantDf = broadcast(needed.toSeq
+          .flatMap { case ((g, c), rs) => rs.map(r => (g, c, r)) }.toDF("g", "c", "rank"))
+        val wSel = org.apache.spark.sql.expressions.Window
+          .partitionBy("g", "c", "b").orderBy("v")
+        prunedBucketed
+          .withColumn("r", row_number().over(wSel))
+          .join(offDf, Seq("g", "c", "b"))
+          .withColumn("rank", col("off") + col("r"))
+          .join(wantDf, Seq("g", "c", "rank"), "left_semi")
+          .select("g", "c", "rank", "v")
+          .collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      }
 
-    val valByRank: Map[(String, Int), Map[Long, Double]] = selected
-      .groupBy(r => (r._1, r._2))
-      .map { case (key, rows) => key -> rows.map(r => r._3 -> r._4).toMap }
+    val valByRank: Map[(String, Int), Map[Long, Double]] = {
+      val fromPassB = selected.toSeq
+        .map { case (g, c, r, v) => ((g, c), r, v) }
+      val fromDriver = resolved.toSeq
+        .map { case ((g, c, r), v) => ((g, c), r, v) }
+      (fromPassB ++ fromDriver)
+        .groupBy(_._1)
+        .map { case (key, rows) => key -> rows.map(r => r._2 -> r._3).toMap }
+    }
     val groups = totals.keys.map(_._1).toSeq.distinct.sorted
     val rows = groups.map { g =>
       val qsPerCol: Seq[Seq[Double]] = (0 until k).map { c =>
@@ -386,25 +424,21 @@ object Quantiles {
    * whose final merge lands on |groups| reducers, and with few groups
    * over many rows those maps reach millions of entries each (the sf10
    * probe measured 18.5x wall for 10x data on exactly that plan).
-   * The two-pass range-selection bounds keep per-task memory at one
-   * range partition regardless of group count, so the clip stays a
-   * narrow map over a scan at any scale.
+   * Bounds come from the bit-prefix histogram selection
+   * ([[exactGroupedQuantilesMulti]] with one column — 2 scans, often
+   * 1), which keeps per-task memory at one histogram bucket regardless
+   * of group count, so the clip stays a narrow map over a scan at any
+   * scale.
    */
   def winsorized(df: DataFrame, groupCol: String, valueCol: String,
-      pLo: Double, pHi: Double, numPartitions: Int = 32,
-      boundsSampleFraction: Double = 0.2): DataFrame = {
+      pLo: Double, pHi: Double, bucketBits: Int = 20): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"bad bounds ($pLo, $pHi)")
-    // Sampled bounds sweep (the q52/q80 setting): boundary error only
-    // affects partition balance, never the clip values — the result
-    // stays exact. A FULL sweep with the default 64 cut points costs
-    // more than the selection it steers (measured ~2/3 of q103's wall
-    // at sf10).
     val bounds = broadcast(
-      exactGroupedQuantiles(df, groupCol, valueCol, Seq(pLo, pHi),
-        numPartitions, boundsSampleFraction)
+      exactGroupedQuantilesMulti(df, groupCol,
+        Seq(valueCol -> Seq(pLo, pHi)), bucketBits)
         .select(col(groupCol).as("__g"),
-          element_at(col("qs"), 1).as("__lo"),
-          element_at(col("qs"), 2).as("__hi")))
+          element_at(col(s"${valueCol}_qs"), 1).as("__lo"),
+          element_at(col(s"${valueCol}_qs"), 2).as("__hi")))
     // LEFT join on the string-cast key: a group whose values are all
     // null has no bounds row (the exact path drops null values) but its
     // rows still flow through with null __lo/__hi/_w, matching the old

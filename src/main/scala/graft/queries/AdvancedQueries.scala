@@ -105,15 +105,14 @@ object AdvancedQueries {
         qty.join(price, "l_returnflag").orderBy("l_returnflag")
       }),
 
-    // Same result as q80, computed by the MULTI-column operator: both
-    // value columns share the melt/bounds/counts/selection passes — 3
-    // scans of lineitem total instead of 3 per column, and pass B
-    // shuffles only the buckets that contain a target rank. Round-6
-    // measured at sf0.1 local[32]: ~2.0 s vs q80's ~1.9 s — parity
-    // within run noise (the round-5 2.5x gap was the interpreted
-    // size(filter(...)) bucket lambda, replaced by the codegen'd
-    // sorted_lower_bound binary search), and it halves the SCAN
-    // count, the term that dominates at 100 TB on a saturated cluster.
+    // Same result as q80, computed by the MULTI-column operator via
+    // exact order-preserving bit-prefix histograms: ONE histogram scan
+    // (no bounds sweep — the bucketing is a data-independent monotone
+    // bit function), then target ranks in single-valued buckets
+    // resolve on the driver and only mixed target buckets go to a
+    // second windowed-selection scan — at most 2 scans of lineitem
+    // total vs q80's 3 per column, the term that dominates at 100 TB
+    // on a saturated cluster.
     QueryDef("q87_percentiles_shared", Some(
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
@@ -126,8 +125,7 @@ object AdvancedQueries {
       (spark, dir) =>
         graft.operators.Quantiles
           .exactGroupedQuantilesMulti(table(spark, dir, "lineitem"), "l_returnflag",
-            Seq("l_quantity" -> Seq(0.5, 0.9), "l_extendedprice" -> Seq(0.25, 0.75)),
-            numPartitions = 32, boundsSampleFraction = 0.2)
+            Seq("l_quantity" -> Seq(0.5, 0.9), "l_extendedprice" -> Seq(0.25, 0.75)))
           .select(col("l_returnflag"),
             round(element_at(col("l_quantity_qs"), 1), 4).as("median_qty"),
             round(element_at(col("l_quantity_qs"), 2), 4).as("p90_qty"),

@@ -389,3 +389,43 @@ object SortedLowerBoundEval {
     lo
   }
 }
+
+/**
+ * Order-preserving bucket id of a double: the top `bits` bits of the
+ * IEEE-754 sortable-bits transform (negative values get all non-sign
+ * bits complemented, so signed long comparison matches double
+ * ordering — the classic trick Lucene's NumericUtils uses for range
+ * indexing). v1 < v2 implies bucket(v1) <= bucket(v2) EXACTLY — no
+ * floating-point log/divide whose rounding could misorder a boundary
+ * value — which is what lets an exact rank-selection plan
+ * (operators/Quantiles.scala multi-column form) build its histogram
+ * in ONE data-independent pass with no prior bounds sweep. Equal
+ * doubles always share a bucket; NaN lands in the top bucket,
+ * consistent with Spark's NaN-greatest sort order. Bucket width is
+ * 2^(bits-12) ulps of the exponent, i.e. with bits=20 each octave
+ * (power-of-two range) splits into 256 equal sub-ranges.
+ */
+case class OrderedDoubleBucket(child: Expression, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "ordered_double_bucket"
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    OrderedDoubleBucketEval.bucket(v.asInstanceOf[Double], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.expressions.OrderedDoubleBucketEval.bucket($c, $bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object OrderedDoubleBucketEval {
+  def bucket(v: Double, bits: Int): Long = {
+    val raw = java.lang.Double.doubleToLongBits(v)
+    val sortable = raw ^ ((raw >> 63) & 0x7fffffffffffffffL)
+    sortable >> (64 - bits)
+  }
+}

@@ -77,8 +77,8 @@ class QuantilesSpec extends SparkSpec {
   // --- multi-column shared passes ---
 
   private def viaMulti(df: org.apache.spark.sql.DataFrame, g: String,
-      cols: Seq[(String, Seq[Double])], parts: Int): Map[String, Seq[Seq[Double]]] =
-    Quantiles.exactGroupedQuantilesMulti(df, g, cols, parts)
+      cols: Seq[(String, Seq[Double])], bits: Int): Map[String, Seq[Seq[Double]]] =
+    Quantiles.exactGroupedQuantilesMulti(df, g, cols, bits)
       .collect()
       .map(r => r.getString(0) ->
         cols.indices.map(i => Option(r.getSeq[Double](i + 1)).map(_.toSeq).orNull))
@@ -99,12 +99,15 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
-  test("multi-column: per-column fractions and partition-count invariance") {
+  test("multi-column: per-column fractions and bucket-granularity invariance") {
     val df = spark.range(9000)
       .select((col("id") % 3).cast("string").as("g"),
         pmod(hash(col("id")), lit(1000)).cast("double").as("a"),
         pmod(hash(col("id") * 7), lit(500)).cast("double").as("b"))
     val cols = Seq("a" -> Seq(0.5), "b" -> Seq(0.1, 0.9))
+    // 8 bits = huge mixed buckets (pass B does the work); 32 bits =
+    // near-singleton buckets (driver resolves most targets): the
+    // bucketing must never change the answer
     val r8 = viaMulti(df, "g", cols, 8)
     val r32 = viaMulti(df, "g", cols, 32)
     assert(r8 == r32)
@@ -132,17 +135,21 @@ class QuantilesSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toSeq).toMap
       assertSame(full, sampled)
     }
-    // multi-column path too
+    // multi-column path: deterministic, and bit-identical across
+    // bucket granularities including the coarse extreme (4 bits =
+    // sign + 3 exponent bits, nearly everything in one mixed bucket)
     val cols = Seq("l_quantity" -> fractions, "l_extendedprice" -> fractions)
     assert(viaMulti(li, "l_returnflag", cols, 16) ==
       viaMulti(li, "l_returnflag", cols, 16) // determinism of the call
     )
     val m1 = Quantiles.exactGroupedQuantilesMulti(li, "l_returnflag", cols, 16)
       .collect().map(_.toString).sorted.toSeq
-    val m2 = Quantiles.exactGroupedQuantilesMulti(li, "l_returnflag", cols, 16,
-        boundsSampleFraction = 0.2)
+    val m2 = Quantiles.exactGroupedQuantilesMulti(li, "l_returnflag", cols, 4)
+      .collect().map(_.toString).sorted.toSeq
+    val m3 = Quantiles.exactGroupedQuantilesMulti(li, "l_returnflag", cols)
       .collect().map(_.toString).sorted.toSeq
     assert(m1 == m2)
+    assert(m1 == m3)
   }
 
   test("multi-column: all-null column in one group yields null qs") {
