@@ -379,7 +379,14 @@ object TextQueries {
           .filter(round(col("__m.quality_score"), 6) >= 0.5)
           .withColumn("n_tok", col("__m.n_tokens").cast("long"))
           .select("doc_id", "text", "n_tok")
-        val ded = Dedup.exactDedup(gated, "doc_id", "text")
+        // The quality gate + exact dedup feeds BOTH the near-dup pair
+        // pipeline (forced during connectedComponents' size-guarded
+        // collect) and the final split/pack plan — eagerly checkpoint it
+        // so the documents scan + metrics + dedup run ONCE per query,
+        // not once per consuming job. localCheckpoint (not persist):
+        // blocks are ContextCleaner-reclaimed when the frame is GC'd,
+        // so repeated bench runs don't accrete cache entries.
+        val ded = Dedup.exactDedup(gated, "doc_id", "text").localCheckpoint(true)
         val pairs = Dedup.ngramJaccardPairs(ded, "doc_id", "text",
           shingleSize = 3, minJaccard = 0.6, maxShingleFreq = 1000L)
         val comps = Dedup.connectedComponents(pairs.select("id_a", "id_b"))
