@@ -12,13 +12,15 @@ import org.apache.spark.sql.types._
  * payloads — the Scala analog of PySpark's `mapInPandas` batch UDF
  * shape. The Spark-side plumbing (schema, partitioning, batch
  * signature) is real and tested. Codec status: IMAGE decode is real
- * ([[Multimodal.ImageIoCodec]], the JDK's `javax.imageio`) and AUDIO
+ * ([[Multimodal.ImageIoCodec]], the JDK's `javax.imageio`), AUDIO
  * decode is real (same codec object, the JDK's `javax.sound.sampled`
- * — WAV/PCM/µ-law/a-law) — both zero added dependencies. VIDEO frame
- * extraction remains a deterministic fake behind the same `MediaCodec`
- * seam (the JDK ships no video demuxer and media libraries are not
- * available in this environment), so a real demuxer drops in without
- * touching the plan shape.
+ * — WAV/PCM/µ-law/a-law), and VIDEO frame sampling is real for the
+ * containers a bare JVM can demux ([[VideoDemux]]: Y4M raw YUV and
+ * MJPEG-in-AVI, whose frames are complete JPEGs) — all zero added
+ * dependencies. Compressed video codecs (H.264 etc.) remain out of
+ * scope behind the same `MediaCodec` seam: the JDK ships no entropy
+ * decoder, so those payloads degrade to zero frames and a real
+ * decoder drops in without touching the plan shape.
  */
 object Multimodal {
 
@@ -200,8 +202,13 @@ object Multimodal {
         (fmt.getSampleRate.toInt, channels, nFrames.toLong, features)
       } catch { case _: Exception => (0, 0, 0L, Array.empty[Float]) }
 
+    /** REAL video frame sampling for the containers a bare JVM can
+      * demux: Y4M (raw YUV) and MJPEG-in-AVI, whose sampled frames are
+      * complete JPEGs that feed straight back into [[decodeImages]].
+      * Compressed codecs (H.264 etc.) yield no frames — the JDK ships
+      * no entropy decoder; see [[VideoDemux]]. */
     def sampleFrames(bytes: Array[Byte], everyNth: Int): Seq[Array[Byte]] =
-      FakeCodec.sampleFrames(bytes, everyNth)
+      VideoDemux.sampleFrames(bytes, everyNth)
   }
 
   /**

@@ -154,6 +154,70 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(Multimodal.sampleVideoFrames(imgs, 4).count() == 0)
   }
 
+  test("ImageIoCodec: REAL video demux — MJPEG-in-AVI frames decode to pixels") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    import graft.multimodal.VideoDemux
+
+    // 3-frame clip: each frame a solid-gray 32x24 JPEG of distinct level
+    def grayJpeg(level: Int): Array[Byte] = {
+      val img = new BufferedImage(32, 24, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 32)
+        img.setRGB(x, y, (level << 16) | (level << 8) | level)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, "jpg", bos))
+      bos.toByteArray
+    }
+    val avi = VideoDemux.writeAviMjpeg(Seq(grayJpeg(40), grayJpeg(128), grayJpeg(220)))
+
+    val media = Seq(
+      (1L, "video", avi, Map("fmt" -> "avi-mjpeg")),
+      (2L, "video", "not a container".getBytes("UTF-8"), Map("fmt" -> "corrupt")))
+      .toDF("media_id", "kind", "bytes", "meta")
+
+    // everyNth=2 keeps frames 0 and 2; the corrupt row yields nothing
+    val frames = Multimodal.sampleVideoFrames(media, everyNth = 2,
+      Multimodal.ImageIoCodec).collect().sortBy(_.getInt(1))
+    assert(frames.map(_.getLong(0)).toSeq == Seq(1L, 1L))
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 1))
+
+    // the sampled frames are complete JPEGs: feed them to the REAL
+    // image decode and check the solid-gray levels come back in order
+    val frameMedia = frames.zipWithIndex.map { case (r, i) =>
+      (i.toLong, "image", r.getAs[Array[Byte]](2), Map.empty[String, String])
+    }.toSeq.toDF("media_id", "kind", "bytes", "meta")
+    val decoded = Multimodal.decodeImages(frameMedia, Multimodal.ImageIoCodec)
+      .select("media_id", "width", "height", "features")
+      .collect().sortBy(_.getLong(0))
+    assert(decoded.forall(r => r.getInt(1) == 32 && r.getInt(2) == 24))
+    val lum = decoded.map(_.getSeq[Float](3).head)
+    assert(lum(0) < lum(1), s"frame 0 (gray 40) vs frame 2 (gray 220): ${lum.toSeq}")
+  }
+
+  test("VideoDemux: Y4M sampling re-emits parseable single-frame clips") {
+    import graft.multimodal.VideoDemux
+    // 8x6 C420: frame = 48 luma + 2*12 chroma = 72 bytes
+    val f0 = Array.tabulate(72)(i => i.toByte)
+    val f1 = Array.tabulate(72)(i => (200 - i).toByte)
+    val clip = VideoDemux.writeY4M(8, 6, Seq(f0, f1))
+
+    val sampled = VideoDemux.sampleFrames(clip, 1)
+    assert(sampled.length == 2)
+    // each output is itself a valid 1-frame Y4M clip with the data intact
+    sampled.zip(Seq(f0, f1)).foreach { case (one, orig) =>
+      val again = VideoDemux.sampleFrames(one, 1)
+      assert(again.length == 1)
+      assert(again.head.toSeq == one.toSeq)
+      assert(one.takeRight(72).toSeq == orig.toSeq)
+    }
+    // everyNth=2 keeps only frame 0
+    assert(VideoDemux.sampleFrames(clip, 2).length == 1)
+    // truncated tail frame: the partial frame is dropped, not mis-split
+    assert(VideoDemux.sampleFrames(clip.dropRight(10), 1).length == 1)
+    // compressed/unknown codecs degrade to zero frames
+    assert(VideoDemux.sampleFrames(Array[Byte](0, 0, 0, 1, 0x67, 0x42), 1).isEmpty)
+  }
+
   test("streaming tumbling window == batch tumbling window (memory sink)") {
     // stage events as micros-timestamped parquet for the file stream
     val staging = java.nio.file.Files.createTempDirectory("graft-stream").toString
