@@ -398,7 +398,12 @@ final class VectorCatalog(val spark: SparkSession,
         case IndexType.Lsh if state.lsh.isDefined =>
           val model = state.lsh.get
           val current = state.signatures.get
+          // re-select in the original column order: a using-columns
+          // semi-join moves the join keys first, and letting the
+          // signature schema drift across refreshes would make
+          // refreshed and freshly-built indexes structurally unequal
           val kept = current.join(liveKeys, keysOf(current), "left_semi")
+            .select(current.columns.map(col).toIndexedSeq: _*)
           val sigs = kept.unionByName(
             model.build(changedOrNew(current), "id", "embedding"),
             allowMissingColumns = true).cache()
@@ -413,6 +418,7 @@ final class VectorCatalog(val spark: SparkSession,
             .withColumn("emb_hash", xxhash64($"embedding"))
           val kept = current.join(liveKeys, Seq("id", "emb_hash"), "left_semi")
             .drop("emb_hash")
+            .select(state.assigned.get.columns.map(col).toIndexedSeq: _*)
           val assigned = kept.unionByName(
             model.assign(changedOrNew(current), "embedding")).cache()
           assigned.count()
