@@ -147,8 +147,11 @@ object HnswModel {
     * design (centroids, a representative corpus slice, or a corpus that
     * genuinely fits). 200k x dim 64 floats ≈ 51 MB of vectors + the
     * adjacency — comfortably broadcastable; anything larger belongs in
-    * the IVF(-PQ) data plane with HNSW on top as coarse quantizer. */
-  val maxGraphVectors: Int = 200000
+    * the IVF(-PQ) data plane with HNSW on top as coarse quantizer.
+    * (GraftConfig var, defaulted to 200000, so the cap boundary is
+    * testable; a 200k build at the real cap is measured in
+    * RECALL_SF10.md.) */
+  def maxGraphVectors: Int = graft.model.GraftConfig.hnswMaxGraphVectors
 
   private[index] def unit(v: Array[Float]): Array[Float] = {
     var s = 0.0; var i = 0

@@ -119,6 +119,11 @@ object GraftConfig {
     * nlist of a billion-vector deployment gets O(log nlist) probes.
     * Read once per model at first probe. */
   @volatile var hnswCoarseMinNlist: Int = 1024
+  /** Driver/broadcast budget for a direct HNSW graph
+    * (HnswModel.maxGraphVectors). Var so the cap-boundary behavior
+    * (build at cap; loud refusal past it) is testable without a
+    * 200k-vector build; production leaves the default. */
+  @volatile var hnswMaxGraphVectors: Int = 200000
   /** When true, the facade's `ivfpq` index type trains the OPQ-rotated
     * residual stack (OpqIvfPqModel — lower residual MSE / higher
     * candidate recall at the same code budget, at the cost of the

@@ -391,4 +391,53 @@ class AnnRecallSpec extends SparkSpec {
       })
     } finally GraftConfig.hnswCoarseMinNlist = saved
   }
+
+  test("HNSW cap boundary: builds AT the cap, refuses loudly past it, facade reroutes") {
+    import graft.catalog.VectorCatalog
+    import graft.index.HnswModel
+    import graft.model.GraftConfig
+    // refusal at the REAL default cap is cheap: the guard fires before
+    // any graph work, so 200001 tiny vectors never get inserted
+    val n = GraftConfig.hnswMaxGraphVectors + 1
+    val err = intercept[IllegalArgumentException] {
+      HnswModel.fromVectors(Array.tabulate(n)(_.toLong),
+        Array.fill(n)(Array(1.0f, 0.0f)), m = 4, efConstruction = 8)
+    }
+    assert(err.getMessage.contains("bounded driver state"))
+
+    // with a lowered cap the full boundary is exercisable end to end:
+    // exactly-at-cap builds, past-cap indexing refuses with guidance,
+    // and a library that GROWS past the cap keeps its complete graph
+    val saved = GraftConfig.hnswMaxGraphVectors
+    try {
+      GraftConfig.hnswMaxGraphVectors = 12
+      val atCap = HnswModel.fromVectors(Array.tabulate(12)(_.toLong),
+        Array.tabulate(12)(i => Array(math.cos(i * 0.5).toFloat, math.sin(i * 0.5).toFloat)),
+        m = 4, efConstruction = 8)
+      assert(atCap.search(Array(1.0f, 0.0f), 3, 8).nonEmpty)
+
+      val cat = new VectorCatalog(spark)
+      val lib = cat.createLibrary("L", indexType = "hnsw").toOption.get
+      val doc = cat.createDocument(lib.id, "D").toOption.get
+      cat.createChunks(doc.id,
+        (1 to 13).map(i => (s"chunk number $i", Map.empty[String, String])))
+      val refused = cat.indexLibrary(lib.id, "hnsw")
+      assert(refused.left.toOption.exists(_.message.contains("use ivf or ivfpq")))
+
+      // index at 12 chunks (at cap), then grow to 13: refresh keeps the
+      // previous complete graph instead of silently truncating
+      val cat2 = new VectorCatalog(spark)
+      val lib2 = cat2.createLibrary("L2", indexType = "hnsw").toOption.get
+      val doc2 = cat2.createDocument(lib2.id, "D2").toOption.get
+      val seedIds = (1 to 12).map(i =>
+        cat2.createChunk(doc2.id, s"seed chunk $i").toOption.get.id)
+      assert(cat2.indexLibrary(lib2.id, "hnsw").isRight)
+      val graphBefore = cat2.indexState(lib2.id).get.hnsw.get
+      cat2.createChunk(doc2.id, "one past the cap")
+      cat2.refreshIndex(lib2.id)
+      val after = cat2.indexState(lib2.id).get.hnsw.get
+      assert(after.graph eq graphBefore.graph, "past-cap refresh must keep the old graph")
+      assert(after.chunkIds.toSet == seedIds.toSet)
+    } finally GraftConfig.hnswMaxGraphVectors = saved
+  }
 }
