@@ -496,11 +496,7 @@ object Dedup {
       else {
         val bits =
           if (bitsPerTable > 0) bitsPerTable
-          else {
-            val n = df.filter(col(embCol).isNotNull).count()
-            math.min(16, math.max(4,
-              math.ceil(math.log(math.max(1.0, n.toDouble / 64)) / math.log(2)).toInt))
-          }
+          else Similarity.autoBits(df.filter(col(embCol).isNotNull).count())
         val lsh = graft.index.LshModel(numTables, bits, dim, seed)
         // Pair expansion as a bucket SELF-JOIN, not an in-bucket
         // collect_set expansion: the payload here is the embedding

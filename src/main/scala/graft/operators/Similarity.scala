@@ -92,6 +92,55 @@ object Similarity {
     aggregateTopK(scored, idCol, k)
   }
 
+  /**
+   * LSH-accelerated kNN JOIN — the batch form for query sets too large
+   * to broadcast (`bruteForceTopK` requires a driver-small query side;
+   * `ivfTopK` a trained model). Both sides hash into the same
+   * random-hyperplane buckets and candidates come from ONE bucket
+   * equi-join ([[graft.index.LshModel.batchCandidates]]); survivors
+   * join their embeddings back BY ID and rerank with exact cosine into
+   * the map-side-combined top-k. The bucket join and the candidate
+   * dedup shuffle only (key, bucket) / (query_id, id) pairs — raw
+   * embeddings ride narrow per-row joins, never a pair-expanded
+   * relation — so the plan survives a query set as large as the corpus
+   * itself: the kNN SELF-join that builds the similarity graph for
+   * semantic clustering / embedding-level dedup at 100 TB.
+   *
+   * Bucket sizing is the same scale contract as
+   * [[graft.operators.Dedup.embeddingNearDupPairs]]: candidate mass
+   * per bucket is ~(n·m)/2^bits per table, so `bits` must grow with
+   * log(corpus) — callers use [[autoBits]] unless they know better.
+   *
+   * ANN contract (recall < 1 by construction): a query sharing no
+   * bucket with its true neighbor misses it, and a query sharing no
+   * bucket with ANYTHING returns no rows — the facade's per-query
+   * full-scan fallback would reintroduce exactly the O(n·m) term this
+   * operator exists to avoid, so at bulk scale absent queries are the
+   * contract. Recall floors vs `bruteForceTopK` are asserted in
+   * AnnRecallSpec.
+   */
+  def lshKnnJoin(corpus: DataFrame, idCol: String, embCol: String,
+      queries: DataFrame, qidCol: String, qembCol: String, k: Int,
+      lsh: graft.index.LshModel, excludeSelf: Boolean = false): DataFrame = {
+    val sigs = lsh.build(corpus, idCol, embCol).select("id", "bucket")
+    val cand0 = lsh.batchCandidates(sigs, queries, qidCol, qembCol)
+    val cand = if (excludeSelf) cand0.filter(col("query_id") =!= col("id")) else cand0
+    val scored = cand
+      .join(corpus.filter(col(embCol).isNotNull)
+        .select(col(idCol).as("id"), col(embCol).as("__cemb")), Seq("id"))
+      .join(queries.filter(col(qembCol).isNotNull)
+        .select(col(qidCol).as("query_id"), col(qembCol).as("__qemb")), Seq("query_id"))
+      .withColumn("score", cosine_sim(col("__cemb"), col("__qemb")))
+    aggregateTopK(scored, "id", k)
+  }
+
+  /** Bucket bits targeting ~64 ids/bucket/table for an `n`-row corpus
+    * (clamped to [4,16]) — the growth rate that keeps the bucket
+    * join's candidate mass ~linear in n (see [[lshKnnJoin]]). */
+  def autoBits(n: Long): Int =
+    math.min(16, math.max(4,
+      math.ceil(math.log(math.max(1.0, n.toDouble / 64)) / math.log(2)).toInt))
+
   /** array<int> of the nprobe nearest centroid ids for an embedding column. */
   private def probeClustersColumn(model: IvfModel, emb: Column, nprobe: Int): Column = {
     // distances to each centroid as array<struct<d,i>>, sorted, sliced

@@ -168,6 +168,34 @@ object VectorQueries {
           .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
           .orderBy("id_a", "id_b")),
 
+    // kNN JOIN: every embedding queries the whole corpus for its top-5
+    // neighbors (excluding itself) through the LSH bucket equi-join —
+    // the similarity-GRAPH builder (semantic clustering / mixing needs
+    // the full edge list, and no side is broadcastable at 100 TB).
+    // Auto-sized bucket bits keep the candidate mass ~linear (same
+    // contract as q106). The query aggregates the graph to per
+    // (label_a, label_b) edge counts so the dumped result stays
+    // driver-small at every scale while the bench still pays the full
+    // join. Seed-dependent candidates ⇒ rows-only; AnnRecallSpec
+    // asserts the recall floor and the exact-score contract.
+    QueryDef("q107_knn_join_lsh", None,
+      (spark, dir) => {
+        val e = table(spark, dir, "embeddings")
+        val bits = Similarity.autoBits(e.filter(col("embedding").isNotNull).count())
+        val lsh = LshModel(numTables = 8, bitsPerTable = bits, dim = 64)
+        val edges = Similarity.lshKnnJoin(e, "vec_id", "embedding",
+          e, "vec_id", "embedding", k = 5, lsh = lsh, excludeSelf = true)
+        val labels = e.select(col("vec_id"), col("label"))
+        edges
+          .join(labels.withColumnRenamed("vec_id", "query_id")
+            .withColumnRenamed("label", "label_a"), Seq("query_id"))
+          .join(labels.withColumnRenamed("vec_id", "neighbor_id")
+            .withColumnRenamed("label", "label_b"), Seq("neighbor_id"))
+          .groupBy("label_a", "label_b")
+          .agg(count(lit(1)).as("n_edges"), round(avg("score"), 6).as("avg_score"))
+          .orderBy("label_a", "label_b")
+      }),
+
     // --- ANN paths: seed-dependent, rows-only driver check; recall vs the
     // exact oracle is asserted in AnnRecallSpec.
     QueryDef("q26_knn_lsh", None,

@@ -219,6 +219,69 @@ class AnnRecallSpec extends SparkSpec {
     encoded.unpersist(); rawEnc.unpersist()
   }
 
+  test("lshKnnJoin: exact scores, self-exclusion, recall floor vs brute force") {
+    val lsh = LshModel(numTables = 16, bitsPerTable = 6, dim = 64)
+    val q = emb.filter(col("vec_id") < 20)
+    val approx = Similarity.lshKnnJoin(emb, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 10, lsh = lsh, excludeSelf = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // self never appears; ranks are 1..n contiguous per query
+    assert(approx.forall { case (qid, nid, _, _) => qid != nid })
+    approx.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length),
+        s"ranks not contiguous for query $qid")
+    }
+    // every returned score equals the exact cosine of that pair: the
+    // bucket join only prunes candidates, never perturbs scores
+    val pairs = approx.map { case (qid, nid, _, _) => (qid, nid) }.toSeq
+    val exactScores = emb.as("a").join(emb.as("b"),
+        pairs.map { case (qid, nid) =>
+          col("a.vec_id") === qid && col("b.vec_id") === nid
+        }.reduce(_ || _))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        graft.functions.GraftFunctions.cosine_sim(col("a.embedding"), col("b.embedding")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    approx.foreach { case (qid, nid, s, _) =>
+      assert(math.abs(s - exactScores((qid, nid))) < 1e-9,
+        s"score mismatch for ($qid,$nid)")
+    }
+    // DIFFERENTIAL contract: the bulk join equals the per-query
+    // composition (candidates → semi-join universe → exact top-k with
+    // self excluded) for the same model — the bucket equi-join is the
+    // same candidate set (batchCandidates == candidates, asserted in
+    // OperatorSpec) and the rerank is exact, so results must match
+    // id-for-id. This is the strong gate; recall itself is a property
+    // of the wide-angle uniform corpus (see the single-query test's
+    // geometry note), logged informationally with a collapse canary.
+    val sigs = lsh.build(emb, "vec_id", "embedding").cache()
+    val got = approx.groupBy(_._1).map { case (qid, rs) => qid -> rs.map(_._2).toSet }
+    (0L until 20L).foreach { qid =>
+      val qv = queryVec(qid)
+      val cands = lsh.candidates(sigs, qv).withColumnRenamed("id", "vec_id")
+      val universe = emb.join(cands, Seq("vec_id"), "left_semi")
+        .filter(col("vec_id") =!= qid)
+      val single = Similarity.knnExact(universe, "vec_id", "embedding", qv, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got.getOrElse(qid, Set.empty) == single,
+        s"join result != per-query composition for query $qid")
+    }
+    sigs.unpersist()
+    // recall vs brute force (self excluded BOTH sides), canary only
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        q, "vec_id", "embedding", 11)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .groupBy(_._1)
+      .map { case (qid, rs) => qid -> rs.sortBy(_._3).map(_._2).take(10).toSet }
+    val recall = exact.keys.map { qid =>
+      got.getOrElse(qid, Set.empty).intersect(exact(qid)).size / 10.0
+    }.sum / exact.size
+    info(f"lshKnnJoin recall@10 (self excluded) = $recall%.2f")
+    assert(recall >= 0.05, s"lshKnnJoin recall collapsed: $recall")
+  }
+
   test("batch kNN matches single-query kNN") {
     val q = emb.filter(col("vec_id") === 5)
     val batch = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding", 10)
