@@ -480,8 +480,10 @@ object Dedup {
    * QUADRATIC in corpus size if bits stay fixed. Pass `bitsPerTable
    * <= 0` to auto-size bits from the corpus count targeting ~64
    * ids/bucket/table (clamped to [4,16]): expected candidate mass then
-   * grows ~32·numTables·n — linear — at the cost of one count() of the
-   * id column. Verification filters BEFORE the pair dedup so only
+   * grows ~32·numTables·n — linear. The sizing count comes from parquet
+   * footer metadata when the input is a bare table scan (no Spark job;
+   * see [[graft.sources.TableStats]]), falling back to one count()
+   * action otherwise. Verification filters BEFORE the pair dedup so only
    * above-threshold pairs (rare at near-dup thresholds) pay the
    * dedup shuffle, never the raw candidate mass.
    */
@@ -496,7 +498,7 @@ object Dedup {
       else {
         val bits =
           if (bitsPerTable > 0) bitsPerTable
-          else Similarity.autoBits(df.filter(col(embCol).isNotNull).count())
+          else Similarity.autoBits(graft.sources.TableStats.rowCountForSizing(df))
         val lsh = graft.index.LshModel(numTables, bits, dim, seed)
         // Pair expansion as a bucket SELF-JOIN, not an in-bucket
         // collect_set expansion: the payload here is the embedding

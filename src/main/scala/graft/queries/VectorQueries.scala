@@ -181,7 +181,7 @@ object VectorQueries {
     QueryDef("q107_knn_join_lsh", None,
       (spark, dir) => {
         val e = table(spark, dir, "embeddings")
-        val bits = Similarity.autoBits(e.filter(col("embedding").isNotNull).count())
+        val bits = Similarity.autoBits(graft.sources.TableStats.rowCountForSizing(e))
         val lsh = LshModel(numTables = 8, bitsPerTable = bits, dim = 64)
         val edges = Similarity.lshKnnJoin(e, "vec_id", "embedding",
           e, "vec_id", "embedding", k = 5, lsh = lsh, excludeSelf = true)
