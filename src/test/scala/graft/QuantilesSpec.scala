@@ -152,6 +152,47 @@ class QuantilesSpec extends SparkSpec {
     assert(m1 == m3)
   }
 
+  test("adaptive refinement: concentrated continuous data, forced rounds") {
+    // 9000 values inside a 1e-9 relative spread: ONE bucket at 20 bits
+    // (resolution ~0.4%/256... any coarse prefix), so a tiny
+    // maxBucketRows forces multiple +12-bit refinement rounds. The
+    // result must be identical with refinement forced, disabled
+    // (Long.MaxValue cap sends the giant mixed bucket to pass B), and
+    // to percentile().
+    val df = spark.range(9000)
+      .select(lit("g").as("g"),
+        (lit(1.0) + pmod(hash(col("id")), lit(9000)).cast("double") * lit(1e-13)).as("v"))
+    val fs = Seq(0.1, 0.5, 0.9)
+    def run(cap: Long): Seq[Double] =
+      Quantiles.exactGroupedQuantilesMulti(df, "g", Seq("v" -> fs), 20, maxBucketRows = cap)
+        .collect()(0).getSeq[Double](1).toSeq
+    val forced = run(16L)             // every mixed bucket refines
+    val mild = run(1000L)             // refines then lands in pass B
+    val off = run(Long.MaxValue)      // old behavior: one giant pass-B sort
+    val exact = df.groupBy("g")
+      .agg(percentile(col("v"), array(fs.map(lit): _*)).as("qs"))
+      .collect()(0).getSeq[Double](1).toSeq
+    for (i <- fs.indices) {
+      assert(forced(i) == off(i), s"fraction ${fs(i)}: $forced vs $off")
+      assert(mild(i) == off(i))
+      assert(math.abs(forced(i) - exact(i)) < 1e-15)
+    }
+  }
+
+  test("adaptive refinement: duplicate-heavy and NaN-free termination at 64 bits") {
+    // values with massive duplication: refinement bottoms out at 64
+    // bits where min == max resolves on the driver even though the
+    // bucket count never drops under the cap
+    val df = spark.range(5000)
+      .select(lit("g").as("g"), (col("id") % 3).cast("double").as("v"))
+    val got = Quantiles.exactGroupedQuantilesMulti(
+        df, "g", Seq("v" -> Seq(0.5)), 4, maxBucketRows = 10L)
+      .collect()(0).getSeq[Double](0 + 1)
+    val exact = df.groupBy("g").agg(percentile(col("v"), lit(0.5)).as("m"))
+      .collect()(0).getDouble(1)
+    assert(got(0) == exact)
+  }
+
   test("multi-column: all-null column in one group yields null qs") {
     val df = Seq(
       ("a", Some(1.0), Some(10.0)), ("a", Some(2.0), Some(20.0)),
