@@ -19,9 +19,16 @@ import graft.operators.Similarity
  * Determinism: the query sample is the `nQueries` lowest ids (stable
  * across runs and partitionings), models are seeded, so the choice is
  * reproducible — tests assert the pick, not a distribution. Cost
- * model: candidate fraction is the right proxy at scale because the
- * rerank over candidates dominates probe cost for every tier (scan
- * mass ∝ fraction), while driver-side probe overheads are constant.
+ * model: candidate fraction is the right per-PROBE proxy at scale
+ * because the rerank over candidates dominates probe cost for every
+ * tier (scan mass ∝ fraction), while driver-side probe overheads are
+ * constant. BUILD cost is measured separately (wall seconds of each
+ * tier's index build on the tuned corpus — real, not modeled, since
+ * tuning happens at deployment scale) and bounded by the
+ * `buildBudgetSeconds` knob on the cross-tier entry points: a
+ * build-dominated tier (HNSW's driver-sequential graph near its cap)
+ * is excluded rather than silently selected for a workload whose
+ * query count never amortizes the build.
  *
  * Honesty at the boundary: some (corpus, target) pairs are
  * GEOMETRICALLY unreachable for a tier (sign-LSH on this synthetic
@@ -31,8 +38,18 @@ import graft.operators.Similarity
  */
 object AnnTuner {
 
-  /** One measured configuration. */
-  final case class Measured[C](config: C, recall: Double, candidateFraction: Double)
+  /** One measured configuration. `buildSeconds` is the measured wall
+    * of building this config's index on the corpus being tuned — the
+    * tuner runs on the deployment corpus at index-build time, so this
+    * IS the real build cost, no extrapolation. */
+  final case class Measured[C](config: C, recall: Double, candidateFraction: Double,
+      buildSeconds: Double = 0.0)
+
+  private def timed[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val r = body
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
 
   /** Exact top-k ids per sampled query — the shared oracle. */
   private def sampleQueries(emb: DataFrame, idCol: String, embCol: String,
@@ -67,8 +84,11 @@ object AnnTuner {
     val (n, queries) = sample
     val measured = grid.map { p =>
       val model = LshModel(numTables = p.numTables, bitsPerTable = p.bitsPerTable, dim = dim)
-      val sigs = model.build(emb, idCol, embCol).cache()
-      sigs.count()
+      val (sigs, buildS) = timed {
+        val s = model.build(emb, idCol, embCol).cache()
+        s.count()
+        s
+      }
       val stats = queries.map { case (_, q, exact) =>
         // cast like sampleQueries/tuneIvf: the signatures carry the
         // caller's id type verbatim (int/string ids would CCE getLong)
@@ -78,7 +98,8 @@ object AnnTuner {
         (cands.intersect(exact).size.toDouble / k, cands.size.toDouble / n)
       }
       sigs.unpersist()
-      Measured(p, stats.map(_._1).sum / stats.length, stats.map(_._2).sum / stats.length)
+      Measured(p, stats.map(_._1).sum / stats.length, stats.map(_._2).sum / stats.length,
+        buildS)
     }
     pick(measured, targetRecall)
   }
@@ -100,9 +121,12 @@ object AnnTuner {
       nlists: Seq[Int], nprobes: Seq[Int]): Option[Measured[(Int, Int)]] = {
     val (n, queries) = sample
     val measured = nlists.flatMap { nlist =>
-      val model = IvfModel.train(emb, embCol, nlist = nlist)
-      val assigned = model.assign(emb, embCol).cache()
-      assigned.count()
+      val ((model, assigned), buildS) = timed {
+        val m = IvfModel.train(emb, embCol, nlist = nlist)
+        val a = m.assign(emb, embCol).cache()
+        a.count()
+        (m, a)
+      }
       val rows = nprobes.filter(_ <= nlist).map { nprobe =>
         val stats = queries.map { case (_, q, exact) =>
           val cands = model.candidates(assigned, q, nprobe)
@@ -110,7 +134,8 @@ object AnnTuner {
           (cands.intersect(exact).size.toDouble / k, cands.size.toDouble / n)
         }
         Measured((nlist, nprobe),
-          stats.map(_._1).sum / stats.length, stats.map(_._2).sum / stats.length)
+          stats.map(_._1).sum / stats.length, stats.map(_._2).sum / stats.length,
+          buildS)
       }
       assigned.unpersist()
       rows
@@ -145,9 +170,13 @@ object AnnTuner {
     best
   }
 
-  /** A tier recommendation: which index family, at which parameters. */
+  /** A tier recommendation: which index family, at which parameters.
+    * `buildSeconds` is the measured build wall on the tuned corpus —
+    * for HNSW that is the DRIVER-resident sequential graph build (the
+    * documented ceiling: 417 s at the 200k cap), for LSH/IVF a
+    * distributed job. */
   final case class TierChoice(tier: String, config: String,
-      recall: Double, candidateFraction: Double)
+      recall: Double, candidateFraction: Double, buildSeconds: Double = 0.0)
 
   /** Structured form of a winning config — what [[tuneAndRegister]]
     * needs to (re)build the model (the display string in TierChoice
@@ -161,24 +190,42 @@ object AnnTuner {
    * Cross-tier selection — the "which index should this corpus use"
    * question: measure LSH, IVF, and HNSW on the same query sample and
    * return the cheapest (tier, config) clearing the target. Candidate
-   * fraction stays the cost model (rerank work ∝ candidates fetched);
-   * tier-specific caveats the number can't carry — HNSW's graph is
-   * bounded driver/broadcast state, IVF probes become partition
-   * pruning on disk — stay architecture decisions for the caller, so
-   * the runner-up measurements are returned too.
+   * fraction stays the per-PROBE cost model (rerank work ∝ candidates
+   * fetched); `buildBudgetSeconds` bounds the measured BUILD cost — a
+   * tier whose index build exceeded the budget is excluded from
+   * selection even when its probes are cheapest, because a
+   * build-dominated index (HNSW's driver-sequential graph at corpus
+   * sizes near its cap) never amortizes for few-query workloads. The
+   * excluded tier still appears in the returned measurement list with
+   * its buildSeconds, so the refusal is inspectable. Remaining
+   * tier-specific caveats — HNSW's graph is bounded driver/broadcast
+   * state, IVF probes become partition pruning on disk — stay
+   * architecture decisions for the caller.
    */
   def tuneAcrossTiers(emb: DataFrame, idCol: String, embCol: String, dim: Int,
-      targetRecall: Double, k: Int = 10, nQueries: Int = 20)
+      targetRecall: Double, k: Int = 10, nQueries: Int = 20,
+      buildBudgetSeconds: Double = Double.PositiveInfinity)
       : (Option[TierChoice], Seq[TierChoice]) = {
     val picks = tierPicks(emb, idCol, embCol, dim, targetRecall, k, nQueries)
     val all = picks.map(_._1)
-    (bestOf(picks, targetRecall).map(_._1), all)
+    (bestOf(picks, targetRecall, buildBudgetSeconds).map(_._1), all)
   }
 
-  private def bestOf(picks: Seq[(TierChoice, TierPick)],
-      targetRecall: Double): Option[(TierChoice, TierPick)] =
-    picks.filter(_._1.recall >= targetRecall)
-      .sortBy { case (c, _) => (c.candidateFraction, -c.recall) }.headOption
+  /** The pure selection rule: cheapest-per-probe qualifier whose
+    * measured build fit the budget. Public so the budget semantics are
+    * unit-testable without re-measuring (AnnTunerSpec feeds it
+    * scale-shaped measurements: a 400 s HNSW build must lose to a 3 s
+    * distributed build under a 60 s budget). */
+  def selectWithinBudget(choices: Seq[TierChoice], targetRecall: Double,
+      buildBudgetSeconds: Double): Option[TierChoice] =
+    choices.filter(c => c.recall >= targetRecall && c.buildSeconds <= buildBudgetSeconds)
+      .sortBy(c => (c.candidateFraction, -c.recall)).headOption
+
+  private def bestOf(picks: Seq[(TierChoice, TierPick)], targetRecall: Double,
+      buildBudgetSeconds: Double = Double.PositiveInfinity): Option[(TierChoice, TierPick)] =
+    picks.filter { case (c, _) =>
+      c.recall >= targetRecall && c.buildSeconds <= buildBudgetSeconds
+    }.sortBy { case (c, _) => (c.candidateFraction, -c.recall) }.headOption
 
   private def tierPicks(emb: DataFrame, idCol: String, embCol: String,
       dim: Int, targetRecall: Double, k: Int,
@@ -193,16 +240,18 @@ object AnnTuner {
         defaultLshGrid)
       .map(m => (TierChoice("lsh",
         s"tables=${m.config.numTables} bits=${m.config.bitsPerTable} flips=${m.config.flips}",
-        m.recall, m.candidateFraction), LshPick(m.config)))
+        m.recall, m.candidateFraction, m.buildSeconds), LshPick(m.config)))
 
     val ivf = tuneIvfWith(sample, emb, idCol, embCol, targetRecall, k,
         Seq(8, 16, 32), Seq(1, 2, 4, 8))
       .map(m => (TierChoice("ivf",
-        s"nlist=${m.config._1} nprobe=${m.config._2}", m.recall, m.candidateFraction),
-        IvfPick(m.config._1, m.config._2)))
+        s"nlist=${m.config._1} nprobe=${m.config._2}", m.recall, m.candidateFraction,
+        m.buildSeconds), IvfPick(m.config._1, m.config._2)))
 
-    // HNSW: ef sweep at a fixed small fetch — candidate tier + rerank
-    val graph = HnswModel.build(emb, idCol, embCol)
+    // HNSW: ef sweep at a fixed small fetch — candidate tier + rerank.
+    // The timed build is the tier's cost-model input: driver-resident
+    // and sequential, it is the term that dominates near the size cap.
+    val (graph, hnswBuildS) = timed(HnswModel.build(emb, idCol, embCol))
     val fetch = math.max(5 * k, 50)
     val hnswMeasured = Seq(32, 64, 100).filter(_ >= fetch / 2).map { ef =>
       val effEf = math.max(ef, fetch)
@@ -211,8 +260,8 @@ object AnnTuner {
         (cands.intersect(exact).size.toDouble / k, cands.size.toDouble / n)
       }
       (TierChoice("hnsw", s"ef=$effEf fetch=$fetch",
-        stats.map(_._1).sum / stats.length, stats.map(_._2).sum / stats.length),
-        HnswPick(effEf, fetch))
+        stats.map(_._1).sum / stats.length, stats.map(_._2).sum / stats.length,
+        hnswBuildS), HnswPick(effEf, fetch))
     }
     val hnsw = hnswMeasured.filter(_._1.recall >= targetRecall)
       .sortBy { case (c, _) => (c.candidateFraction, -c.recall) }.headOption
@@ -238,9 +287,10 @@ object AnnTuner {
    */
   def tuneAndRegister(name: String, emb: DataFrame, idCol: String,
       embCol: String, dim: Int, targetRecall: Double, k: Int = 10,
-      nQueries: Int = 20): Option[TierChoice] = {
+      nQueries: Int = 20,
+      buildBudgetSeconds: Double = Double.PositiveInfinity): Option[TierChoice] = {
     val picks = tierPicks(emb, idCol, embCol, dim, targetRecall, k, nQueries)
-    bestOf(picks, targetRecall).map {
+    bestOf(picks, targetRecall, buildBudgetSeconds).map {
       case (choice, LshPick(p)) =>
         AnnRegistry.registerLsh(name,
           LshModel(numTables = p.numTables, bitsPerTable = p.bitsPerTable, dim = dim),

@@ -127,6 +127,44 @@ class AnnTunerSpec extends SparkSpec {
     }
   }
 
+  test("build budget: a build-dominated tier loses to a distributed tier") {
+    import graft.index.AnnTuner.TierChoice
+    // scale-shaped measurements (RECALL_SF10's real numbers: HNSW built
+    // in 417 s on the driver at the 200k cap; IVF trained distributed
+    // in ~3 s). HNSW has the cheapest probes, so without a budget it
+    // wins; under a 60 s build budget the selection MUST fall through
+    // to the distributed tier.
+    val picks = Seq(
+      TierChoice("hnsw", "ef=50 fetch=50", recall = 1.0,
+        candidateFraction = 0.0003, buildSeconds = 417.0),
+      TierChoice("ivf", "nlist=1024 nprobe=16", recall = 0.95,
+        candidateFraction = 0.02, buildSeconds = 3.2),
+      TierChoice("lsh", "tables=8 bits=10", recall = 0.6,
+        candidateFraction = 0.01, buildSeconds = 1.1))
+    val unbounded = AnnTuner.selectWithinBudget(picks, 0.9, Double.PositiveInfinity)
+    assert(unbounded.map(_.tier).contains("hnsw"))
+    val budgeted = AnnTuner.selectWithinBudget(picks, 0.9, 60.0)
+    assert(budgeted.map(_.tier).contains("ivf"),
+      s"build-dominated hnsw must be excluded under budget: $budgeted")
+    // no qualifier within budget -> honest None, never the over-budget pick
+    assert(AnnTuner.selectWithinBudget(picks, 0.9, 1.0).isEmpty)
+  }
+
+  test("cross-tier tuning measures real build seconds and honors the budget knob") {
+    val (best, all) = AnnTuner.tuneAcrossTiers(emb, "vec_id", "embedding",
+      dim = 64, targetRecall = 0.9, buildBudgetSeconds = Double.PositiveInfinity)
+    assert(best.isDefined)
+    assert(all.nonEmpty)
+    assert(all.forall(_.buildSeconds > 0.0),
+      s"every tier's build must be timed: $all")
+    // an impossible budget excludes every tier but keeps the
+    // measurements inspectable
+    val (none, stillAll) = AnnTuner.tuneAcrossTiers(emb, "vec_id", "embedding",
+      dim = 64, targetRecall = 0.9, buildBudgetSeconds = 0.0)
+    assert(none.isEmpty)
+    assert(stillAll.nonEmpty)
+  }
+
   test("tuneAndRegister refuses an unreachable target and registers nothing") {
     import graft.index.AnnRegistry
     val r = AnnTuner.tuneAndRegister("tuned-none", emb.limit(80), "vec_id",
