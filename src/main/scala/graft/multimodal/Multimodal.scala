@@ -288,4 +288,43 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("media_id"), lit(kind).as("kind"),
       encode(col(textCol), "UTF-8").as("bytes"),
       map(lit("origin"), lit("synthetic")).as("meta"))
+
+  /** One solid-gray JPEG, `w`x`h`, gray level `g` (0..255) — encoded
+    * with the JDK's real JPEG writer, so demuxed frames exercise the
+    * genuine bytes -> javax.imageio path. */
+  private[multimodal] def solidJpeg(w: Int, h: Int, g: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (g << 16) | (g << 8) | g
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /**
+   * Deterministic MJPEG-in-AVI fixture table at DATA scale: one video
+   * per input row, generated partition-locally (`2 + id % 7` real
+   * JPEG frames, 32x24, gray level `(id*31 + frame*17) % 256`, muxed
+   * by [[VideoDemux.writeAviMjpeg]]). This is how the video path gets
+   * exercised at bench scale without binary fixtures in the repo: the
+   * generation is a deterministic function of the id column, runs
+   * where the data lives, and the payload bytes never cross the
+   * driver — the same shape a real ingest scan would have.
+   */
+  def syntheticMjpegVideos(df: DataFrame, idCol: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val nFrames = 2 + (id % 7).toInt
+        val frames = (0 until nFrames).map { f =>
+          solidJpeg(32, 24, ((id * 31 + f * 17) % 256).toInt)
+        }
+        Row(id, "video", VideoDemux.writeAviMjpeg(frames),
+          Map("origin" -> "synthetic-mjpeg"))
+      }
+    }(enc)
+  }
 }

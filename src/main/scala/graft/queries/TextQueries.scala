@@ -426,6 +426,40 @@ object TextQueries {
           .orderBy("media_id")
       }),
 
+    // The REAL video path at data scale: deterministic MJPEG-in-AVI
+    // clips generated per document row (real JDK JPEG encode, RIFF
+    // mux), then the production pipeline — VideoDemux frame sampling
+    // (every 2nd frame) -> javax.imageio decode of each demuxed JPEG —
+    // all partition-local until one map-side-combined aggregate. The
+    // oracle pins the codec-exact surface: sampled-frame count
+    // ((nFrames+1)/2 for everyNth=2) and the TRUE decoded dimensions/
+    // channels, which are 0 if demux or decode ever fails — so the
+    // hash-compare is an end-to-end mux->demux->decode gate. Luminance
+    // accuracy (JPEG-quantization-tolerant) is asserted in
+    // MultimodalStreamingSpec, not hashed.
+    QueryDef("q108_video_pipeline", Some(
+      """SELECT doc_id AS media_id,
+        |  CAST((2 + doc_id % 7 + 1) // 2 AS BIGINT) AS n_frames,
+        |  CAST(32 AS INTEGER) AS min_width, CAST(32 AS INTEGER) AS max_width,
+        |  CAST(24 AS INTEGER) AS min_height, CAST(24 AS INTEGER) AS max_height,
+        |  CAST(3 AS INTEGER) AS min_channels
+        |FROM documents ORDER BY media_id""".stripMargin),
+      (spark, dir) => {
+        import graft.multimodal.Multimodal
+        val media = Multimodal.syntheticMjpegVideos(
+          table(spark, dir, "documents"), "doc_id")
+        val frames = Multimodal.sampleVideoFrames(media, everyNth = 2,
+          Multimodal.ImageIoCodec)
+        val decoded = Multimodal.decodeImages(
+          frames.withColumnRenamed("frame_bytes", "bytes"), Multimodal.ImageIoCodec)
+        decoded.groupBy("media_id")
+          .agg(count(lit(1)).as("n_frames"),
+            min(col("width")).as("min_width"), max(col("width")).as("max_width"),
+            min(col("height")).as("min_height"), max(col("height")).as("max_height"),
+            min(col("channels")).as("min_channels"))
+          .orderBy("media_id")
+      }),
+
     // Inverted index — the search-engine primitive: term -> document
     // frequency, corpus frequency, and the full posting list. One
     // tokenize + two hash aggregations (doc-term tf, then term);

@@ -194,6 +194,40 @@ class MultimodalStreamingSpec extends SparkSpec {
     assert(lum(0) < lum(1), s"frame 0 (gray 40) vs frame 2 (gray 220): ${lum.toSeq}")
   }
 
+  test("q108 fixture: synthetic MJPEG videos decode to the generated gray levels") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
+    val media = Multimodal.syntheticMjpegVideos(docs, "doc_id")
+    // determinism: two generations are byte-identical
+    val a = media.orderBy("media_id").collect().map(_.getAs[Array[Byte]]("bytes").toSeq)
+    val b = Multimodal.syntheticMjpegVideos(docs, "doc_id")
+      .orderBy("media_id").collect().map(_.getAs[Array[Byte]]("bytes").toSeq)
+    assert(a.toSeq == b.toSeq)
+
+    val frames = Multimodal.sampleVideoFrames(media, everyNth = 2,
+      Multimodal.ImageIoCodec)
+    val decoded = Multimodal.decodeImages(
+      frames.withColumnRenamed("frame_bytes", "bytes"), Multimodal.ImageIoCodec)
+      .select("media_id", "frame_idx", "width", "height", "channels", "features")
+      .collect()
+    assert(decoded.nonEmpty)
+    assert(decoded.forall(r => r.getInt(2) == 32 && r.getInt(3) == 24 && r.getInt(4) == 3))
+    // luminance within JPEG-quantization tolerance of the generated
+    // gray level: sampled frame_idx i is source frame 2*i
+    decoded.foreach { r =>
+      val id = r.getLong(0)
+      val srcFrame = 2 * r.getInt(1)
+      val gray = ((id * 31 + srcFrame * 17) % 256).toInt
+      val lum = (r.getSeq[Float](5).head + 1.0) / 2.0 * 255.0
+      assert(math.abs(lum - gray) <= 6.0,
+        s"media $id frame $srcFrame: decoded luminance $lum vs generated gray $gray")
+    }
+    // per-media sampled count matches the (nFrames+1)/2 oracle formula
+    val counts = decoded.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    counts.foreach { case (id, n) =>
+      assert(n == (2 + (id % 7).toInt + 1) / 2, s"media $id sampled $n")
+    }
+  }
+
   test("VideoDemux: Y4M sampling re-emits parseable single-frame clips") {
     import graft.multimodal.VideoDemux
     // 8x6 C420: frame = 48 luma + 2*12 chroma = 72 bytes
