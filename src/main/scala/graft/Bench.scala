@@ -66,6 +66,19 @@ object Bench {
     // min-of-3 vs 1.4s in isolation). Spreading a query's samples
     // across the whole run makes the min robust to bursty noise.
     val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // Environment metadata (ADVICE round 7): this VM takes multi-hour
+    // external load bursts, and a noisy sweep silently became the
+    // committed baseline once. Snapshot 1-min loadavg at start/end so
+    // any future diff against this file can see whether the numbers
+    // were taken under contention. /proc/loadavg counts ALL host
+    // processes; a quiet run shows load ~ this JVM's own parallelism.
+    def loadAvg(): Double = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split("\\s+")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
+    val loadStart = loadAvg()
+    val wallT0 = System.nanoTime()
     // Optional subset: comma-separated query-name prefixes (e.g.
     // "q52,q80,q87" or "q87_percentiles_shared") — used by the scale
     // probe to run just the expensive families at sf1.
@@ -108,7 +121,10 @@ object Bench {
     // headline metric/value/queries go at the END of the line where
     // the tail window is guaranteed to capture them. JSON object key
     // order is semantically irrelevant to any real parser.
+    val loadEnd = loadAvg()
+    val wallSec = (System.nanoTime() - wallT0) / 1e9
     val line = f"""{"queries_detail":$detail,"n_runs":$runsPerQuery,""" +
+      f""""env":{"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"wall_sec":$wallSec%.1f,"cpus":"$cpus"},""" +
       f""""sf":"$sfDir","queries":$qs,"metric":"total","value":$total%.3f,"unit":"sec"}"""
     println(line)
     // Full JSON also lands in the repo as a sidecar so per-query detail

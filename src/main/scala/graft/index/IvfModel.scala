@@ -167,6 +167,67 @@ object IvfModel {
     IvfModel(centroids)
   }
 
+  /**
+   * Fully distributed Lloyd for LARGE k (SemDeDup-scale clustering,
+   * k ~ n/64): the local/sampled trainers spend O(sample·k·dim·iters)
+   * DRIVER flops, and once the 10·k sample floor binds that is
+   * effectively quadratic in k — k=3125 on a 200k-row corpus would be
+   * ~6e11 single-threaded multiplies. Here the driver never iterates
+   * over points: init is a seeded deterministic selection of k distinct
+   * vectors (top-k by seeded xxhash64 — one distinct + TakeOrdered),
+   * and every Lloyd pass is the codegen'd nearest-centroid assignment
+   * plus one k×dim `Summarizer.mean` partial-aggregate — executor
+   * flops, one scan per pass, no caching requirement. Converges on the
+   * same relative-shift tolerance as the local trainer; empty clusters
+   * keep their previous centroid (indexes.py:258-259 semantics).
+   * Seeded and deterministic.
+   */
+  def trainDistributed(chunks: DataFrame, embCol: String,
+      nlist: Int, maxIter: Int = 6, seed: Long = 42L): IvfModel = {
+    import org.apache.spark.ml.linalg.{Vector => MlVector}
+    import org.apache.spark.ml.stat.Summarizer
+    val vecs = chunks.filter(col(embCol).isNotNull)
+      .select(col(embCol).cast("array<float>").as("v"))
+    var centroids = vecs.distinct()
+      .orderBy(xxhash64(col("v"), lit(seed)))
+      .limit(nlist)
+      .collect().map(_.getSeq[Float](0).toArray)
+    require(centroids.nonEmpty,
+      s"IvfModel.trainDistributed: no non-null '$embCol' vectors")
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val model = IvfModel(centroids)
+      val means = vecs
+        .withColumn("cluster_id", model.assignColumn(col("v")))
+        .select(col("cluster_id"),
+          array_to_vector(col("v").cast("array<double>")).as("fv"))
+        .groupBy("cluster_id")
+        .agg(Summarizer.mean(col("fv")).as("m"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getAs[MlVector]("m").toArray.map(_.toFloat))
+        .toMap
+      var maxShift = 0.0
+      centroids = centroids.zipWithIndex.map { case (c, i) =>
+        means.get(i) match {
+          case Some(nv) =>
+            var shift = 0.0; var norm = 0.0; var j = 0
+            while (j < c.length) {
+              val dx = nv(j) - c(j)
+              shift += dx * dx; norm += c(j) * c(j); j += 1
+            }
+            maxShift = math.max(maxShift,
+              math.sqrt(shift) / math.max(math.sqrt(norm), 1e-12))
+            nv
+          case None => c // empty cluster keeps its centroid
+        }
+      }
+      converged = maxShift < 1e-4
+      iter += 1
+    }
+    IvfModel(centroids)
+  }
+
   /** MLlib's full distributed loop, kept for differential testing and
     * for deployments that prefer it (it caches the input and runs
     * `maxIter` full passes). */

@@ -37,6 +37,7 @@ object VectorQueries {
   private val hnswCache = new scala.collection.concurrent.TrieMap[String, graft.index.HnswModel]()
   private val opqCache = new scala.collection.concurrent.TrieMap[String, graft.index.OpqModel]()
   private val opqIvfpqCache = new scala.collection.concurrent.TrieMap[String, graft.index.OpqIvfPqModel]()
+  private val semDedupCache = new scala.collection.concurrent.TrieMap[String, IvfModel]()
   private def pqModel(spark: org.apache.spark.sql.SparkSession, dir: String): graft.index.PqModel =
     pqCache.getOrElseUpdate(dir,
       graft.index.PqModel.train(table(spark, dir, "embeddings"), "embedding", m = 8, k = 16))
@@ -194,6 +195,33 @@ object VectorQueries {
           .groupBy("label_a", "label_b")
           .agg(count(lit(1)).as("n_edges"), round(avg("score"), 6).as("avg_score"))
           .orderBy("label_a", "label_b")
+      }),
+
+    // Semantic dedup (SemDeDup, Abbas et al. 2023): seeded k-means
+    // clusters + within-cluster exact-cosine duplicate groups, keep the
+    // member least similar to its centroid. Seed-dependent clustering
+    // ⇒ rows-only driver check; SemDedupSpec asserts the structural
+    // contracts (one keeper per duplicate group, keep-rule argmin,
+    // singleton preservation, determinism, differential vs per-cluster
+    // brute force). Output aggregates to per-cluster counts so the
+    // dump stays driver-small at every scale while the bench pays the
+    // full cluster+join pipeline.
+    QueryDef("q109_semdedup", None,
+      (spark, dir) => {
+        val emb = table(spark, dir, "embeddings")
+        val model = semDedupCache.getOrElseUpdate(dir,
+          graft.operators.SemDedup.trainModel(emb, "embedding"))
+        // 0.4 sits in this corpus's "semantic near-dup" band (the
+        // synthetic embeddings top out at pairwise cos ~0.5; the 0.95
+        // band of a real encoder corpus is empty here) so the drop
+        // path is exercised at data scale, not just in the spec.
+        val flags = graft.operators.SemDedup.semDedup(
+          emb, "vec_id", "embedding", minCosine = 0.4, model = Some(model))
+        flags.groupBy("cluster_id")
+          .agg(count(lit(1)).as("n_members"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            round(avg("centroid_sim"), 6).as("avg_centroid_sim"))
+          .orderBy("cluster_id")
       }),
 
     // --- ANN paths: seed-dependent, rows-only driver check; recall vs the

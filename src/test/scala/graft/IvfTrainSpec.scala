@@ -62,6 +62,29 @@ class IvfTrainSpec extends SparkSpec {
       "Lloyd refinement must not worsen inertia")
   }
 
+  test("trainDistributed is deterministic and near full-train quality") {
+    val a = IvfModel.trainDistributed(emb, "embedding", nlist = 8, maxIter = 6)
+    val b = IvfModel.trainDistributed(emb, "embedding", nlist = 8, maxIter = 6)
+    a.centroids.zip(b.centroids).foreach { case (x, y) =>
+      assert(x.sameElements(y))
+    }
+    val full = IvfModel.train(emb, "embedding", nlist = 8)
+    assert(inertia(a) <= inertia(full) * 1.3,
+      s"distributed-train inertia ${inertia(a)} too far above full ${inertia(full)}")
+  }
+
+  test("trainDistributed clamps k to the distinct-vector count") {
+    import spark.implicits._
+    val dups = Seq.fill(20)(Seq(1.0f, 0.0f)) ++ Seq.fill(20)(Seq(0.0f, 1.0f))
+    val df = dups.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "embedding")
+    val m = IvfModel.trainDistributed(df, "embedding", nlist = 8)
+    assert(m.centroids.length == 2)
+    // two point masses: Lloyd lands exactly on them
+    assert(m.centroids.map(_.toSeq).toSet ==
+      Set(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)))
+  }
+
   test("large-k and array<double> inputs survive the sampled path") {
     val doubled = emb.select(col("embedding").cast("array<double>").as("e"))
     val m = IvfModel.trainSampled(doubled, "e", nlist = 64,

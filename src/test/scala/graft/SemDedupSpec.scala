@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.operators.{Dedup, SemDedup}
+
+/**
+ * SemDeDup contracts (no SQL oracle possible — seeded k-means — so the
+ * q109 rows-only entry is gated here):
+ *  - exactly one keeper per duplicate group, singletons always kept
+ *  - keep-rule: keeper = argmin (centroid_sim, id) in its group
+ *  - differential: duplicate groups match a per-cluster brute-force
+ *    pairwise check composed with the same connected-components step
+ *  - deterministic across runs
+ */
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+  private val rnd = new scala.util.Random(7)
+  // 40 base vectors in 4 loose groups + exact and near duplicates of a
+  // few — ids chosen so keeper identity is exercised on ties.
+  private def unit(v: Array[Double]): Seq[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(_ / n).toSeq
+  }
+  // jitter dominates the group axis so distinct base vectors sit FAR
+  // below the 0.95 dup threshold (pairwise cos ~ 0.2-0.5) while exact/
+  // tiny-perturbation copies stay above it
+  private val baseVecs: Seq[(Long, Seq[Double])] = (0 until 40).map { i =>
+    val center = Array.tabulate(dim)(d => if (d == i % 4) 1.0 else 0.0)
+    val jitter = Array.tabulate(dim)(_ => rnd.nextGaussian() * 0.6)
+    (i.toLong, unit(center.zip(jitter).map { case (a, b) => a + b }))
+  }
+  private val dups: Seq[(Long, Seq[Double])] = Seq(
+    (100L, baseVecs(0)._2),                                  // exact dup of 0
+    (101L, baseVecs(0)._2),                                  // second exact dup
+    (102L, unit(baseVecs(1)._2.toArray.zipWithIndex.map {    // near dup of 1
+      case (x, d) => x + (if (d == 7) 0.01 else 0.0) }))
+  )
+  private lazy val corpus = (baseVecs ++ dups)
+    .toDF("vec_id", "embedding")
+    .withColumn("embedding", col("embedding").cast("array<float>"))
+
+  private lazy val flags =
+    SemDedup.semDedup(corpus, "vec_id", "embedding",
+      minCosine = 0.95, nlist = 4).localCheckpoint(true)
+
+  test("semdedup covers every row, keeps singletons, drops group extras") {
+    val rows = flags.collect()
+    assert(rows.length == 43) // every non-null-embedding row appears once
+    val kept = rows.filter(_.getAs[Boolean]("keep")).map(_.getLong(0)).toSet
+    // 0/100/101 form one exact-dup group -> exactly one survives;
+    // 1/102 a near-dup group -> one survives
+    assert(Seq(0L, 100L, 101L).count(kept) == 1)
+    assert(Seq(1L, 102L).count(kept) == 1)
+  }
+
+  test("keep-rule: keeper is the group member least similar to its centroid") {
+    val byId = flags.collect()
+      .map(r => r.getLong(0) -> (r.getAs[Double]("centroid_sim"), r.getAs[Boolean]("keep")))
+      .toMap
+    // exact dups have IDENTICAL centroid_sim -> tie broken by min id = 0
+    assert(byId(0L)._2 && !byId(100L)._2 && !byId(101L)._2)
+    // near-dup pair: keeper has the smaller (centroid_sim, id)
+    val (s1, k1) = byId(1L); val (s102, k102) = byId(102L)
+    if (s1 < s102) assert(k1 && !k102)
+    else if (s102 < s1) assert(k102 && !k1)
+    else assert(k1 && !k102)
+  }
+
+  test("differential: drops match per-cluster brute force + connected components") {
+    // recompute groups the slow way from the operator's own clustering
+    val model = graft.index.IvfModel.train(corpus, "embedding", nlist = 4)
+    val assigned = model.assign(corpus, "embedding")
+    val a = assigned.select(col("cluster_id"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"))
+    val b = assigned.select(col("cluster_id"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"))
+    val pairs = a.join(b, Seq("cluster_id")).filter(col("id_a") < col("id_b"))
+      .filter(GraftFunctions.cosine_sim(col("ea"), col("eb")) >= 0.95)
+      .select("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+    val groupSizes = comps.groupBy("label").count().collect()
+      .map(r => r.getLong(1)).sorted.toSeq
+    val dropped = flags.filter(!col("keep")).count()
+    // each group of size s drops s-1 members
+    assert(dropped == groupSizes.map(_ - 1).sum)
+  }
+
+  test("deterministic across runs") {
+    val again = SemDedup.semDedup(corpus, "vec_id", "embedding",
+        minCosine = 0.95, nlist = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getDouble(2), r.getBoolean(3))).sortBy(_._1).toSeq
+    val first = flags
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getDouble(2), r.getBoolean(3))).sortBy(_._1).toSeq
+    assert(again == first)
+  }
+
+  test("auto nlist sizes from metadata and still satisfies the group contract") {
+    val auto = SemDedup.semDedup(corpus, "vec_id", "embedding", minCosine = 0.95)
+    val kept = auto.filter(col("keep")).select("vec_id").as[Long].collect().toSet
+    assert(Seq(0L, 100L, 101L).count(kept) == 1)
+  }
+}
