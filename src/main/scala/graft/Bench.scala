@@ -76,7 +76,7 @@ object Bench {
       new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
         .split("\\s+")(0).toDouble
-    } catch { case _: Throwable => -1.0 }
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
     val loadStart = loadAvg()
     val wallT0 = System.nanoTime()
     // Optional subset: comma-separated query-name prefixes (e.g.

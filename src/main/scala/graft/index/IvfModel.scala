@@ -188,10 +188,35 @@ object IvfModel {
     import org.apache.spark.ml.stat.Summarizer
     val vecs = chunks.filter(col(embCol).isNotNull)
       .select(col(embCol).cast("array<float>").as("v"))
-    var centroids = vecs.distinct()
-      .orderBy(xxhash64(col("v"), lit(seed)))
-      .limit(nlist)
-      .collect().map(_.getSeq[Float](0).toArray)
+    // Seeded deterministic init of k distinct vectors WITHOUT a
+    // corpus-wide distinct() (that is a full-width shuffle of every
+    // embedding — it would dominate training cost at the large-n scale
+    // this trainer exists for). orderBy+limit plans as TakeOrdered:
+    // map-side partial top-m by seeded hash, only m rows reach the
+    // driver. Duplicate vectors share a hash, so dedup driver-side and
+    // escalate the take size if duplicates crowded out distinct ones;
+    // the distinct() fallback only runs for pathologically
+    // low-cardinality corpora (where it is cheap by definition).
+    var centroids = Array.empty[Array[Float]]
+    var take = 2L * nlist
+    var exhausted = false
+    while (centroids.length < nlist && !exhausted) {
+      val top = vecs.orderBy(xxhash64(col("v"), lit(seed)))
+        .limit(math.min(take, Int.MaxValue.toLong).toInt)
+        .collect().map(_.getSeq[Float](0).toArray)
+      centroids = top.distinctBy(_.toSeq).take(nlist)
+      exhausted = top.length < take // corpus smaller than the take
+      if (centroids.length < nlist && !exhausted) {
+        take *= 4
+        if (take >= 64L * nlist) { // dup-dominated: pay the exact path
+          centroids = vecs.distinct()
+            .orderBy(xxhash64(col("v"), lit(seed)))
+            .limit(nlist)
+            .collect().map(_.getSeq[Float](0).toArray)
+          exhausted = true
+        }
+      }
+    }
     require(centroids.nonEmpty,
       s"IvfModel.trainDistributed: no non-null '$embCol' vectors")
     var iter = 0

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.index.IvfModel
+import graft.index.{IvfModel, LshModel}
 
 /**
  * Semantic deduplication (SemDeDup, Abbas et al. 2023,
@@ -23,17 +23,49 @@ import graft.index.IvfModel
  *
  * Scale shape (the reason the paper clusters at all): all-pairs cosine
  * is O(n²); with k clusters of bounded size s the candidate mass is
- * Σ|c|² ≈ n·s — linear in n when k grows with n (`nlist = 0` auto-sizes
- * k to ~n/64 from parquet footer metadata, no count() scan). Each piece
- * is distributed-friendly:
+ * Σ|c|² ≈ n·s. `nlist = 0` auto-sizes k to ~n/64 from parquet footer
+ * metadata (no count() scan), which keeps the AVERAGE cluster at ~64
+ * rows up to the `maxAutoNlist` clamp; past the clamp — and, more
+ * importantly, whenever k-means parks a large fraction of a
+ * duplicate-heavy corpus in ONE cluster — per-cluster pair mass is
+ * |c|² and a single hot cluster of 10⁸ rows would be 10¹⁶ candidate
+ * pairs in one task. `maxClusterRows` is the guard (the same contract
+ * as `maxShingleFreq` in [[Dedup.ngramJaccardPairs]] and the
+ * candidate-mass sizing in [[Similarity.lshKnnJoin]]): clusters above
+ * the cap switch from the all-pairs self-join to
+ *
+ *  1. an exact-vector collapse — identical embeddings (the spam/exact
+ *     re-crawl mass that MAKES clusters hot in a dedup corpus) are
+ *     grouped in one hash aggregate and linked to their min-id
+ *     representative by |c|-1 star edges, never pairwise; and
+ *  2. seeded random-hyperplane LSH bucketing WITHIN the cluster for
+ *     the remaining DISTINCT vectors — pair expansion joins on
+ *     (cluster_id, bucket), with bits auto-sized off the largest
+ *     oversized cluster targeting ~64 ids/bucket/table.
+ *
+ * Connected components over the union of small-cluster pairs, star
+ * edges, and LSH-verified pairs yield the same duplicate groups as the
+ * uncapped form (a star reaches every member an all-pairs clique
+ * would, and any cross-group edge lost to the collapse is implied by
+ * the representative's identical vector), so the keep-rule output is
+ * unchanged whenever the LSH tables recover the distinct-vector pairs
+ * — the standard near-dup recall trade, ~99%+ at near-dup thresholds
+ * with the default 8 tables. Residual (documented, not guarded): a hot
+ * cluster of 10⁸ pairwise-DISTINCT vectors that are ALL mutual
+ * near-dups has inherently quadratic pair mass; no pair-listing
+ * algorithm avoids it, and the exact-collapse pre-pass removes the
+ * only version of it (identical copies) that occurs at corpus scale.
+ *
+ * Each piece is distributed-friendly:
  *  - k-means: seeded [[IvfModel.train]] (sampled + distributed Lloyd
  *    refinement past the driver budget);
  *  - assignment: codegen'd nearest-centroid expression, narrow map;
  *  - centroid similarity: broadcast join on the k-row centroid table;
- *  - pair expansion: ONE cluster-keyed self-join both sides of which
- *    reuse the same exchange — pairs stream through the cosine verify,
- *    embeddings are never collected into per-cluster buffers (the
- *    aggregation-buffer shape that collapses under a hot cluster);
+ *  - pair expansion: cluster-keyed (or cluster+bucket-keyed) self-join
+ *    both sides of which reuse the same exchange — pairs stream
+ *    through the cosine verify, embeddings are never collected into
+ *    per-cluster buffers (the aggregation-buffer shape that collapses
+ *    under a hot cluster);
  *  - duplicate groups: [[Dedup.connectedComponents]] (same-cluster
  *    pairs only, so groups never span clusters);
  *  - keep-rule: one `min(struct(centroid_sim, id))` aggregate per
@@ -50,30 +82,42 @@ object SemDedup {
    * @param minCosine pair threshold: same-cluster pairs with exact
    *   cosine >= minCosine are duplicates (paper's 1-epsilon)
    * @param nlist k-means cluster count; 0 auto-sizes to ~n/64 clusters
-   *   (clamped to [2, 4096]) from metadata so within-cluster pair mass
-   *   stays ~64·n regardless of corpus size
+   *   (clamped to [2, maxAutoNlist]) from metadata. Within the clamp,
+   *   within-cluster pair mass stays ~64·n on average; past it (or
+   *   under k-means skew) `maxClusterRows` bounds the tail.
+   * @param maxClusterRows clusters with more assigned rows than this
+   *   switch to exact-collapse + in-cluster LSH pairing (see class
+   *   doc). Default 65536 keeps a worst-case uncapped cluster's pair
+   *   mass under ~2·10⁹ before the guard engages.
    */
   def semDedup(df: DataFrame, idCol: String, embCol: String,
       minCosine: Double = 0.95, nlist: Int = 0,
       seed: Long = 42L, maxIter: Int = 10,
-      model: Option[IvfModel] = None): DataFrame = {
-    val trained = model.getOrElse(trainModel(df, embCol, nlist, seed, maxIter))
-    semDedupWith(df, idCol, embCol, minCosine, trained)
+      model: Option[IvfModel] = None,
+      maxClusterRows: Int = 65536,
+      maxAutoNlist: Int = 4096): DataFrame = {
+    val trained = model.getOrElse(
+      trainModel(df, embCol, nlist, seed, maxIter, maxAutoNlist))
+    semDedupWith(df, idCol, embCol, minCosine, trained, maxClusterRows, seed)
   }
 
   /** The clustering step alone (train once, dedup many — same
     * philosophy as the served IVF index). Auto-k sizes to ~n/64
-    * clusters from parquet footer metadata; trainer choice is a
-    * DRIVER-flop budget: local Lloyd costs n·k·dim·iters single-thread
-    * multiplies, so past n·k ≈ 3e6 (≈2e9 flops at dim 64) training
-    * moves to [[IvfModel.trainDistributed]], whose per-pass cost is
+    * clusters from parquet footer metadata, clamped to `maxAutoNlist`
+    * (assignment cost is k·dim per row, so k cannot grow with n
+    * forever; past the clamp the cluster-size cap carries the scale
+    * contract instead). Trainer choice is a DRIVER-flop budget: local
+    * Lloyd costs n·k·dim·iters single-thread multiplies, so past
+    * n·k ≈ 3e6 (≈2e9 flops at dim 64) training moves to
+    * [[IvfModel.trainDistributed]], whose per-pass cost is
     * executor-side codegen. */
   def trainModel(df: DataFrame, embCol: String, nlist: Int = 0,
-      seed: Long = 42L, maxIter: Int = 10): IvfModel = {
+      seed: Long = 42L, maxIter: Int = 10,
+      maxAutoNlist: Int = 4096): IvfModel = {
     val n = graft.sources.TableStats.rowCountForSizing(df)
     val k =
       if (nlist > 0) nlist
-      else math.max(2, math.min(4096, (n / 64L).toInt))
+      else math.max(2, math.min(maxAutoNlist, (n / 64L).toInt))
     if (n * k <= 3000000L)
       IvfModel.train(df, embCol, nlist = k, maxIter = maxIter, seed = seed)
     else
@@ -82,7 +126,8 @@ object SemDedup {
   }
 
   private def semDedupWith(df: DataFrame, idCol: String, embCol: String,
-      minCosine: Double, model: IvfModel): DataFrame = {
+      minCosine: Double, model: IvfModel, maxClusterRows: Int,
+      seed: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -98,17 +143,8 @@ object SemDedup {
       .drop("centroid")
       .localCheckpoint(true)
 
-    // Within-cluster duplicate pairs: bucket self-join on cluster_id
-    // (explicit repartition => both sides are one reused exchange).
-    val side = assigned.select(col("cluster_id"), col(idCol).as("id"),
-        col(embCol).as("emb"))
-      .repartition(col("cluster_id"))
-    val pairs = side.select(col("cluster_id"), col("id").as("id_a"), col("emb").as("emb_a"))
-      .join(side.select(col("cluster_id"), col("id").as("id_b"), col("emb").as("emb_b")),
-        Seq("cluster_id"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(GraftFunctions.cosine_sim(col("emb_a"), col("emb_b")) >= minCosine)
-      .select("id_a", "id_b")
+    val pairs = duplicatePairs(assigned, idCol, embCol, minCosine,
+      maxClusterRows, seed)
 
     // Duplicate groups -> keeper per group = min (centroid_sim, id):
     // lexicographic struct-min, one hash aggregate, no window.
@@ -126,5 +162,106 @@ object SemDedup {
     assigned.join(dropIds, assigned(idCol) === dropIds("__drop_id"), "left")
       .withColumn("keep", col("__drop_id").isNull)
       .select(col(idCol), col("cluster_id"), col("centroid_sim"), col("keep"))
+  }
+
+  /** Verified duplicate edges (id_a, id_b) from the assigned table:
+    * all-pairs within small clusters, exact-collapse star edges +
+    * LSH-verified distinct pairs within oversized ones. */
+  private def duplicatePairs(assigned: DataFrame, idCol: String,
+      embCol: String, minCosine: Double, maxClusterRows: Int,
+      seed: Long): DataFrame = {
+    val (candidates, capped) = clusterPairCandidates(assigned, idCol, embCol,
+      maxClusterRows, seed)
+    // exact-collapse star edges arrive pre-verified (identical nonzero
+    // vectors have cosine exactly 1); LSH/self-join candidates carry
+    // distinct vectors and pay the exact check. Verification runs
+    // BEFORE the multi-table pair dedup so only above-threshold pairs
+    // (rare at near-dup thresholds) pay the dedup shuffle, never the
+    // raw candidate mass — same ordering as
+    // [[Dedup.embeddingNearDupPairs]]. The dedup itself only exists
+    // when the LSH path ran (multi-table explode can emit a pair
+    // twice); the pure self-join path emits each pair exactly once.
+    val verified = candidates
+      .filter(col("__exact") ||
+        GraftFunctions.cosine_sim(col("emb_a"), col("emb_b")) >= minCosine)
+    (if (capped) verified.dropDuplicates("id_a", "id_b") else verified)
+      .select("id_a", "id_b")
+  }
+
+  /**
+   * Candidate pair stream (id_a, id_b, emb_a, emb_b, __exact) BEFORE
+   * cosine verification, plus whether the cap engaged — package-private
+   * so the spec can assert the cap actually bounds candidate mass on an
+   * adversarial corpus. `__exact = true` rows are exact-collapse star
+   * edges (identical vectors, cosine 1 by construction, zero-vectors
+   * excluded per the cosine contract).
+   */
+  private[graft] def clusterPairCandidates(assigned: DataFrame,
+      idCol: String, embCol: String, maxClusterRows: Int,
+      seed: Long): (DataFrame, Boolean) = {
+    // cluster histogram: k rows, driver-bounded by the nlist clamp
+    val hist: Array[(Int, Long)] = assigned.groupBy("cluster_id").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val bigIds = hist.collect { case (id, n) if n > maxClusterRows => id }.toSeq
+
+    val side0 = assigned.select(col("cluster_id"), col(idCol).as("id"),
+      col(embCol).as("emb"))
+
+    def selfJoinPairs(side: DataFrame): DataFrame = {
+      // explicit repartition => both sides are one reused exchange
+      val s = side.repartition(col("cluster_id"))
+      s.select(col("cluster_id"), col("id").as("id_a"), col("emb").as("emb_a"))
+        .join(s.select(col("cluster_id"), col("id").as("id_b"), col("emb").as("emb_b")),
+          Seq("cluster_id"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("emb_a"), col("emb_b"),
+          lit(false).as("__exact"))
+    }
+
+    if (bigIds.isEmpty) (selfJoinPairs(side0), false)
+    else {
+      val bigSet = bigIds.map(Int.box)
+      val small = side0.filter(!col("cluster_id").isin(bigSet: _*))
+      val big = side0.filter(col("cluster_id").isin(bigSet: _*))
+
+      // 1. exact collapse: identical vectors -> min-id representative.
+      // Grouping key is the embedding itself (hash aggregate on the
+      // array value — no 2^-64 fingerprint-collision caveat). Star
+      // edges rep->member replace the member clique; zero vectors are
+      // excluded (cosine(0,0) = 0 by the V1 contract, never a dup).
+      val groups = big.groupBy(col("cluster_id"), col("emb"))
+        .agg(min(col("id")).as("rep"))
+      val starEdges = big.join(groups, Seq("cluster_id", "emb"))
+        .filter(col("id") =!= col("rep"))
+        .filter(GraftFunctions.vector_norm(col("emb")) > 0)
+        .select(col("rep").as("id_a"), col("id").as("id_b"),
+          col("emb").as("emb_a"), col("emb").as("emb_b"),
+          lit(true).as("__exact"))
+
+      // 2. distinct vectors pair via seeded in-cluster LSH buckets.
+      // Bits sized off the LARGEST oversized cluster targeting ~64
+      // ids/bucket/table: expected in-bucket mass per cluster is
+      // ~64·|c|·numTables — linear in cluster size.
+      val maxBig = hist.collect { case (id, n) if bigIds.contains(id) => n }.max
+      val reps = groups.select(col("cluster_id"), col("rep").as("id"), col("emb"))
+      // actual vector dimension, from one row of the (checkpointed)
+      // assigned table — the hyperplane family must span the data dim
+      val dim = big.select(size(col("emb"))).limit(1).collect()(0).getInt(0)
+      val lsh = LshModel(numTables = 8,
+        bitsPerTable = Similarity.autoBits(maxBig), dim = dim, seed = seed)
+      val bucketed = reps.select(col("cluster_id"), col("id"), col("emb"),
+          explode(lsh.bucketsColumn(col("emb"))).as("bucket"))
+        .repartition(col("cluster_id"), col("bucket"))
+      val lshPairs = bucketed
+        .select(col("cluster_id"), col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"))
+        .join(bucketed.select(col("cluster_id"), col("bucket"),
+            col("id").as("id_b"), col("emb").as("emb_b")),
+          Seq("cluster_id", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("emb_a"), col("emb_b"),
+          lit(false).as("__exact"))
+
+      (selfJoinPairs(small).unionByName(starEdges).unionByName(lshPairs), true)
+    }
   }
 }

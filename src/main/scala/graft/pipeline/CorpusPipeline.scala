@@ -36,12 +36,24 @@ object CorpusPipeline {
       // redact emails/phones/IPs BEFORE metrics and dedup (so near-dup
       // comparison sees the scrubbed text, and no PII reaches the
       // embedder). Off by default: scrubbing changes the text column.
-      redactPii: Boolean = false)
+      redactPii: Boolean = false,
+      // semantic (SemDeDup) stage AFTER lexical near-dup removal, over
+      // the freshly embedded corpus — catches paraphrases/translations
+      // that share no shingles (Abbas et al. 2023 run it as the last
+      // dedup pass for the same reason). None = stage off (default:
+      // it adds a k-means train unless the caller supplies a model).
+      semanticMinCosine: Option[Double] = None)
 
   /** Returns the curated corpus: original columns + quality metrics +
-    * `embedding`. */
+    * `embedding`.
+    *
+    * @param semanticModel caller-supplied k-means clustering for the
+    *   semantic stage (train once, curate many — the same trained-index
+    *   reuse story as the served IVF index); auto-trained on the
+    *   curated batch when absent and `cfg.semanticMinCosine` is set. */
   def curate(docs0: DataFrame, idCol: String, textCol: String,
-      cfg: CurationConfig = CurationConfig()): DataFrame = {
+      cfg: CurationConfig = CurationConfig(),
+      semanticModel: Option[graft.index.IvfModel] = None): DataFrame = {
 
     // 0. optional PII scrub (before metrics/dedup/embedding see text)
     val docs = if (!cfg.redactPii) docs0
@@ -78,7 +90,22 @@ object CorpusPipeline {
 
     // 5. distributed embedding
     val embed = Embedder.embedColumn(HashingEmbedder(dimension = cfg.embedDim))
-    val embedded = nearDeduped.withColumn("embedding", embed(col(textCol)))
+    val embedded0 = nearDeduped.withColumn("embedding", embed(col(textCol)))
+
+    // 5b. optional semantic dedup (SemDeDup) over the embeddings —
+    // runs AFTER lexical near-dup so its cluster self-join never sees
+    // the lexical duplicate mass. Checkpoint first: the embed pipeline
+    // above would otherwise re-execute for the k-means train, the
+    // assignment AND the keep-join.
+    val embedded = cfg.semanticMinCosine match {
+      case None => embedded0
+      case Some(minCos) =>
+        val mat = embedded0.localCheckpoint(true)
+        val flags = graft.operators.SemDedup.semDedup(
+          mat, idCol, "embedding", minCosine = minCos, model = semanticModel)
+        val dropIds = flags.filter(!col("keep")).select(col(idCol))
+        mat.join(dropIds, Seq(idCol), "left_anti")
+    }
 
     // 6. deterministic split assignment (pure function of the id).
     // Guard first: cast("long") on a string/UUID id yields nulls and
@@ -165,21 +192,31 @@ object CorpusPipeline {
       "after_incremental_dedup" -> curated.count())
   }
 
-  /** Per-stage survival counts (one action per stage; diagnostics). */
+  /** Per-stage survival counts (one action per stage; diagnostics).
+    * When the semantic stage is on, lexical and semantic drops are
+    * counted separately (`after_near_dedup` vs `after_semantic_dedup`). */
   def curationReport(docs: DataFrame, idCol: String, textCol: String,
-      cfg: CurationConfig = CurationConfig()): Map[String, Long] = {
+      cfg: CurationConfig = CurationConfig(),
+      semanticModel: Option[graft.index.IvfModel] = None): Map[String, Long] = {
     val withMetrics = docs
       .withColumn("__m", TextAnalysis.textMetrics(col(textCol)))
     val quality = withMetrics.filter(col("__m.quality_score") >= cfg.minQuality)
     val lang = if (cfg.keepLangs.isEmpty) quality
       else quality.filter(col("__m.lang_pred").isin(cfg.keepLangs.toSeq: _*))
     val exact = Dedup.exactDedup(lang.drop("__m"), idCol, textCol)
-    val curated = curate(docs, idCol, textCol, cfg)
-    Map(
+    val lexical = curate(docs, idCol, textCol,
+      cfg.copy(semanticMinCosine = None))
+    val base = Map(
       "input" -> docs.count(),
       "after_quality" -> quality.count(),
       "after_lang" -> lang.count(),
       "after_exact_dedup" -> exact.count(),
-      "after_near_dedup" -> curated.count())
+      "after_near_dedup" -> lexical.count())
+    cfg.semanticMinCosine match {
+      case None => base
+      case Some(_) =>
+        val curated = curate(docs, idCol, textCol, cfg, semanticModel)
+        base + ("after_semantic_dedup" -> curated.count())
+    }
   }
 }

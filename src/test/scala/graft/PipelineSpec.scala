@@ -70,6 +70,41 @@ class PipelineSpec extends SparkSpec {
     assert(r("after_near_dedup") >= 1)
   }
 
+  test("semantic stage drops embedding-level dups that lexical dedup misses") {
+    // B is A with word order reversed: 3-gram shingles are disjoint
+    // (survives lexical near-dup at any threshold) but the bag-of-token
+    // hashing embedding is IDENTICAL -> cosine 1 -> semantic dup.
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val b = a.split(" ").reverse.mkString(" ")
+    val c = "completely different text about the spark engine and its query planner"
+    val docs = Seq((20L, a), (21L, b), (22L, c)).toDF("doc_id", "text")
+    val lexCfg = CurationConfig(minQuality = 0.0, nearDupJaccard = 0.8)
+
+    // gate -> lexical alone keeps all three (ordering precondition)
+    val lexical = CorpusPipeline.curate(docs, "doc_id", "text", lexCfg)
+    assert(lexical.select("doc_id").as[Long].collect().toSet == Set(20L, 21L, 22L))
+
+    // + semantic stage: exactly one of the reordered pair survives
+    val semCfg = lexCfg.copy(semanticMinCosine = Some(0.95))
+    val curated = CorpusPipeline.curate(docs, "doc_id", "text", semCfg)
+    val ids = curated.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(22L))
+    assert(Seq(20L, 21L).count(ids) == 1, s"one of the semantic pair, got $ids")
+    // split column still assigned after the semantic stage
+    assert(curated.columns.contains("split"))
+
+    // report separates lexical and semantic drops
+    val r = CorpusPipeline.curationReport(docs, "doc_id", "text", semCfg)
+    assert(r("after_near_dedup") == 3)
+    assert(r("after_semantic_dedup") == 2)
+
+    // caller-supplied model path: same keep result, no retrain
+    val mat = CorpusPipeline.curate(docs, "doc_id", "text", lexCfg)
+    val model = graft.operators.SemDedup.trainModel(mat, "embedding")
+    val viaModel = CorpusPipeline.curate(docs, "doc_id", "text", semCfg, Some(model))
+    assert(viaModel.select("doc_id").as[Long].collect().toSet == ids)
+  }
+
   test("incremental curation: batch deduped against the existing corpus") {
     // first batch curated the usual way becomes the corpus
     val cfg = CurationConfig(minQuality = 0.0, nearDupJaccard = 0.5)

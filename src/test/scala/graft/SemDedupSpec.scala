@@ -105,4 +105,67 @@ class SemDedupSpec extends SparkSpec {
     val kept = auto.filter(col("keep")).select("vec_id").as[Long].collect().toSet
     assert(Seq(0L, 100L, 101L).count(kept) == 1)
   }
+
+  // ---------------------------------------------- hot-cluster cap
+  // Adversarial corpus: ~85% of rows forced into ONE k-means cluster
+  // (the duplicate-heavy shape SemDeDup actually runs on). 16 "hot"
+  // base directions near a common axis, 50 exact copies each (800
+  // rows) + 4 near-dup perturbations, vs 150 scattered distinct rows.
+  private val hotRnd = new scala.util.Random(11)
+  private val hotBases: IndexedSeq[Seq[Double]] = (0 until 16).map { _ =>
+    val v = Array.tabulate(dim)(d =>
+      (if (d == 0) 4.0 else 0.0) + hotRnd.nextGaussian() * 0.45)
+    unit(v)
+  }
+  private lazy val hotCorpus = {
+    val exactCopies = for {
+      b <- 0 until 16; c <- 0 until 50
+    } yield ((1000 + b * 50 + c).toLong, hotBases(b))
+    val nearDups = (0 until 4).map { b =>
+      ((2000 + b).toLong, unit(hotBases(b).toArray.zipWithIndex.map {
+        case (x, d) => x + (if (d == 5) 0.006 else 0.0) }))
+    }
+    val scattered = (0 until 150).map { i =>
+      val axis = 1 + i % 3 // e1/e2/e3 regions, far from the hot e0 cone
+      val v = Array.tabulate(dim)(d =>
+        (if (d == axis * 4) 4.0 else 0.0) + hotRnd.nextGaussian() * 0.45)
+      (i.toLong, unit(v))
+    }
+    (exactCopies ++ nearDups ++ scattered)
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .localCheckpoint(true)
+  }
+  private lazy val hotModel =
+    graft.index.IvfModel.train(hotCorpus, "embedding", nlist = 4, seed = 42L)
+
+  test("cluster cap: capped output is identical to the uncapped form " +
+      "on a corpus with ~85% of rows in one cluster") {
+    def run(cap: Int) =
+      SemDedup.semDedup(hotCorpus, "vec_id", "embedding", minCosine = 0.95,
+          model = Some(hotModel), maxClusterRows = cap)
+        .collect().map(r => (r.getLong(0), r.getInt(1),
+          r.getDouble(2), r.getBoolean(3))).sortBy(_._1).toSeq
+    // precondition: the hot cluster is genuinely oversized at cap=100
+    val sizes = hotModel.assign(hotCorpus, "embedding")
+      .groupBy("cluster_id").count().collect().map(_.getLong(1))
+    assert(sizes.max >= 700, s"adversarial shape broke: sizes=${sizes.toSeq}")
+    assert(run(cap = 100) == run(cap = Int.MaxValue))
+  }
+
+  test("cluster cap bounds candidate pair mass (star + LSH, not |c|^2)") {
+    val assigned = hotModel.assign(hotCorpus, "embedding")
+    val (uncapped, engagedU) = SemDedup.clusterPairCandidates(
+      assigned, "vec_id", "embedding", Int.MaxValue, 42L)
+    val (capped, engagedC) = SemDedup.clusterPairCandidates(
+      assigned, "vec_id", "embedding", 100, 42L)
+    assert(!engagedU && engagedC)
+    val nUncapped = uncapped.count()
+    val nCapped = capped.count()
+    // hot cluster alone is >= 700*699/2 ≈ 245k uncapped pairs; capped
+    // path is ~800 star edges + LSH pairs over ~20 distinct reps + the
+    // scattered small-cluster self-joins — orders of magnitude less
+    assert(nUncapped > 250000L, s"uncapped=$nUncapped")
+    assert(nCapped < 25000L, s"capped=$nCapped")
+  }
 }

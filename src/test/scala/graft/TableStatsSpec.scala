@@ -44,6 +44,39 @@ class TableStatsSpec extends SparkSpec {
     assert(TableStats.rowCountForSizing(e) === e.count())
   }
 
+  test("isNotNull-filtered plans stay on the metadata path with zero jobs") {
+    // the common sizing call: filter(embedding IS NOT NULL) over a bare
+    // scan (VERDICT r8 task 8). embedding is a nested (array) column =>
+    // no null-count subtraction, bound = footer row count; the point
+    // pinned here is NO JOB, and the bound is a safe upper bound.
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("embedding").isNotNull)
+    val (got, jobs) = countingJobs(TableStats.metadataRowCount(e))
+    assert(got.nonEmpty)
+    assert(jobs === 0, "isNotNull sizing must come from footers, not a job")
+    assert(got.get >= e.count(), "footer bound must be an upper bound")
+  }
+
+  test("isNotNull on a flat primitive column subtracts exact footer null counts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tstats").toString
+    Seq[(java.lang.Long, java.lang.Long)]((1L, 10L), (2L, null),
+        (3L, 30L), (4L, null), (5L, 50L))
+      .toDF("id", "maybe")
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val t = spark.read.parquet(s"$dir/t.parquet").filter(col("maybe").isNotNull)
+    val (got, jobs) = countingJobs(TableStats.metadataRowCount(t))
+    assert(jobs === 0)
+    assert(got === Some(3L)) // exact: 5 rows - 2 nulls
+    assert(TableStats.rowCountForSizing(t) === 3L)
+  }
+
+  test("non-isNotNull filter conjuncts still fall back to count()") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("embedding").isNotNull && col("vec_id") > 10)
+    assert(TableStats.metadataRowCount(e).isEmpty)
+  }
+
   test("in-memory relations fall back to count()") {
     import spark.implicits._
     val df = Seq(1, 2, 3).toDF("x")
