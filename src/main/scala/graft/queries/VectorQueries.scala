@@ -386,6 +386,31 @@ object VectorQueries {
           .select(col("vec_id"), col("label"), round(col("raw_score"), 6).as("score"))
       }),
 
+    // IVF search with probe selection routed through the HNSW graph
+    // OVER THE CENTROIDS — the FAISS coarse-quantizer composition and
+    // the documented answer to "HNSW at data scale": the graph holds
+    // only nlist centroids (driver state), answers top-nprobe cell
+    // selection in O(log nlist) hops instead of the linear centroid
+    // scan, and the data plane stays the partition-pruned IVF scan. At
+    // serving nlist (~sqrt(n), crosses GraftConfig.hnswCoarseMinNlist)
+    // IvfModel.probe takes this path automatically; the query pins the
+    // composition explicitly so it executes at every fixture scale.
+    // Rows-only (seeded k-means + graph); AnnRecallSpec asserts
+    // graph-vs-linear probe agreement and the auto-switch threshold.
+    QueryDef("q110_knn_ivf_hnsw_coarse", None,
+      (spark, dir) => {
+        val e = table(spark, dir, "embeddings")
+        val model = ivfModel(spark, dir, 16)
+        val graph = graft.index.HnswModel.overCentroids(model)
+        val assigned = model.assign(e, "embedding")
+        val query = e.filter(col("vec_id") === 0).select("embedding")
+          .collect()(0).getSeq[Float](0).toArray
+        val cells = graph.probeCells(query, nprobe = 4)
+        val cands = assigned.filter(col("cluster_id").isin(cells.map(Int.box): _*))
+        Similarity.knnExact(cands, "vec_id", "embedding", query, 10)
+          .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
+      }),
+
     QueryDef("q28_ivf_batch", None,
       (spark, dir) => {
         val e = table(spark, dir, "embeddings")

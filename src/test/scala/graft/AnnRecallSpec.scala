@@ -425,6 +425,31 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean >= 0.9, s"coarse-quantizer probe disagreement: $mean")
   }
 
+  test("q110 shape: graph-routed IVF top-10 matches linear-probe top-10 end to end") {
+    // the registered q110_knn_ivf_hnsw_coarse path: probe selection via
+    // the centroid graph, partition-pruned scan, exact rerank — the
+    // differential here covers the FULL query, not just cell selection
+    import graft.index.HnswModel
+    val ivf = IvfModel.train(emb, "embedding", nlist = 16)
+    val g = HnswModel.overCentroids(ivf)
+    val assigned = ivf.assign(emb, "embedding").localCheckpoint(true)
+    def topK(cells: Set[Int], q: Array[Float]): Seq[Long] = {
+      val cands = assigned.filter(col("cluster_id").isin(cells.toSeq.map(Int.box): _*))
+      Similarity.knnExact(cands, "vec_id", "embedding", q, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+    }
+    val overlaps = (0L until 10L).map { qid =>
+      val q = queryVec(qid)
+      val viaGraph = topK(g.probeCells(q, nprobe = 4).toSet, q)
+      val viaLinear = topK(ivf.probeLinear(q, nprobe = 4).toSet, q)
+      viaGraph.toSet.intersect(viaLinear.toSet).size / 10.0
+    }
+    val mean = overlaps.sum / overlaps.size
+    info(f"graph-routed vs linear-routed IVF top-10 agreement = $mean%.2f")
+    assert(mean >= 0.9, s"end-to-end coarse-quantizer disagreement: $mean")
+    assigned.unpersist()
+  }
+
   test("IVF probe auto-switches to the HNSW coarse quantizer past the nlist threshold") {
     import graft.model.GraftConfig
     val saved = GraftConfig.hnswCoarseMinNlist
