@@ -408,6 +408,30 @@ object TextQueries {
           .orderBy("split", "shard", "bin")
       }),
 
+    // The curation pipeline WITH the semantic (SemDeDup) stage — the
+    // paper's gate -> lexical near-dup -> semantic dedup ordering
+    // (Abbas et al. 2023 run semantic last for the same reason the
+    // pipeline does: the cluster self-join must never see the lexical
+    // duplicate mass) exposed as one replayable query at data scale.
+    // Seeded k-means clustering => rows-only driver check; PipelineSpec
+    // gates stage ordering, drop attribution (lexical vs semantic
+    // counted separately), and the caller-supplied-model path. Output
+    // aggregates to per-split counts so the dump stays driver-small.
+    QueryDef("q111_curation_semantic", None,
+      (spark, dir) => {
+        import graft.pipeline.CorpusPipeline
+        import graft.pipeline.CorpusPipeline.CurationConfig
+        val docs = table(spark, dir, "documents")
+        val out = CorpusPipeline.curate(docs, "doc_id", "text",
+          CurationConfig(minQuality = 0.5, nearDupJaccard = 0.6,
+            semanticMinCosine = Some(0.8)))
+        out.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("n_tokens"),
+            round(avg("quality_score"), 6).as("avg_quality"))
+          .orderBy("split")
+      }),
+
     // Multimodal plumbing through the driver surface: documents bytes
     // play the media payload; the deterministic stub codec decodes
     // shape + features (real decode is a MediaCodec impl away).
