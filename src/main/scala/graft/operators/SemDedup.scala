@@ -189,6 +189,147 @@ object SemDedup {
   }
 
   /**
+   * Incremental semantic dedup: the SemDeDup counterpart of
+   * [[Dedup.incrementalDedup]]. The EXISTING corpus is authoritative
+   * (always kept); returns the rows of `incoming` that survive —
+   * not a semantic near-dup of any same-cluster existing row, and the
+   * keep-rule representative (argmin centroid_sim, then id — the same
+   * rule as [[semDedup]]) of any incoming-only duplicate group. A
+   * group whose keeper is itself a duplicate of the corpus drops
+   * entirely (transitive duplicates, mirroring the lexical operator).
+   *
+   * Scale shape — the property that makes re-curation affordable at
+   * 100 TB: pair expansion joins `incoming` (small) against the
+   * cluster-assigned union, so the existing×existing pair mass NEVER
+   * forms; per-cluster cost is |inc_c|·|all_c|. Clusters whose total
+   * occupancy exceeds `maxClusterRows` switch to the same guard as the
+   * batch form: an exact equi-join on the embedding value (identical
+   * re-crawled vectors at hash-join cost, zero-vectors excluded) plus
+   * seeded in-cluster LSH bucketing for distinct candidates.
+   *
+   * The clustering should be the model trained when the corpus was
+   * first deduped (train once, dedup many); it is trained on
+   * `existing` when absent.
+   */
+  def semDedupIncremental(existing: DataFrame, incoming: DataFrame,
+      idCol: String, embCol: String, minCosine: Double = 0.95,
+      model: Option[IvfModel] = None, nlist: Int = 0,
+      maxClusterRows: Int = 65536, seed: Long = 42L,
+      maxAutoNlist: Int = 4096): DataFrame = {
+    val spark = existing.sparkSession
+    import spark.implicits._
+    val trained = model.getOrElse(
+      trainModel(existing, embCol, nlist, seed, 10, maxAutoNlist))
+
+    val ex = trained.assign(existing.select(col(idCol), col(embCol)), embCol)
+      .select(col("cluster_id"), col(idCol).as("id"), col(embCol).as("emb"),
+        lit(0).as("__new"))
+    val centDf = trained.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cluster_id", "centroid")
+    // centroid_sim only materializes for the incoming side (keep-rule
+    // input); the existing side never needs it
+    val inc = trained.assign(incoming.select(col(idCol), col(embCol)), embCol)
+      .join(broadcast(centDf), Seq("cluster_id"))
+      .withColumn("centroid_sim",
+        GraftFunctions.cosine_sim(col(embCol), col("centroid")))
+      .drop("centroid")
+      .localCheckpoint(true)
+    val incSide = inc.select(col("cluster_id"), col(idCol).as("id"),
+      col(embCol).as("emb"), lit(1).as("__new"))
+    val all = ex.unionByName(incSide)
+
+    // combined-occupancy histogram (k rows, driver-bounded)
+    val hist = all.groupBy("cluster_id").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val bigIds = hist.collect { case (i, n) if n > maxClusterRows => i }.toSeq
+
+    def verify(pairs: DataFrame): DataFrame = pairs
+      .filter(col("__exact") ||
+        GraftFunctions.cosine_sim(col("emb_q"), col("emb_o")) >= minCosine)
+      .select("inc_id", "other_id", "other_new")
+
+    // (inc_id, other_id, other_new) verified duplicate edges
+    val edges: DataFrame =
+      if (bigIds.isEmpty) {
+        val a = incSide.repartition(col("cluster_id"))
+        val b = all.repartition(col("cluster_id"))
+        verify(a.select(col("cluster_id"), col("id").as("inc_id"), col("emb").as("emb_q"))
+          .join(b.select(col("cluster_id"), col("id").as("other_id"),
+            col("emb").as("emb_o"), col("__new").as("other_new")), Seq("cluster_id"))
+          .filter(col("inc_id") =!= col("other_id"))
+          .withColumn("__exact", lit(false)))
+      } else {
+        val bigSet = bigIds.map(Int.box)
+        val smallInc = incSide.filter(!col("cluster_id").isin(bigSet: _*))
+        val smallAll = all.filter(!col("cluster_id").isin(bigSet: _*))
+        val bigInc = incSide.filter(col("cluster_id").isin(bigSet: _*))
+        val bigAll = all.filter(col("cluster_id").isin(bigSet: _*))
+
+        val smallPairs = smallInc
+          .select(col("cluster_id"), col("id").as("inc_id"), col("emb").as("emb_q"))
+          .join(smallAll.select(col("cluster_id"), col("id").as("other_id"),
+            col("emb").as("emb_o"), col("__new").as("other_new")), Seq("cluster_id"))
+          .filter(col("inc_id") =!= col("other_id"))
+          .withColumn("__exact", lit(false))
+
+        // identical vectors: hash equi-join on the embedding value
+        val exactPairs = bigInc
+          .select(col("cluster_id"), col("id").as("inc_id"), col("emb"))
+          .join(bigAll.select(col("cluster_id"), col("id").as("other_id"),
+            col("emb"), col("__new").as("other_new")), Seq("cluster_id", "emb"))
+          .filter(col("inc_id") =!= col("other_id"))
+          .filter(GraftFunctions.vector_norm(col("emb")) > 0)
+          .select(col("inc_id"), col("other_id"), col("other_new"),
+            col("emb").as("emb_q"), col("emb").as("emb_o"),
+            lit(true).as("__exact"))
+
+        // distinct near-dups: seeded in-cluster LSH buckets
+        val maxBig = hist.collect { case (i, n) if bigIds.contains(i) => n }.max
+        val dim = bigAll.select(size(col("emb"))).limit(1).collect()(0).getInt(0)
+        val lsh = LshModel(numTables = 8,
+          bitsPerTable = Similarity.autoBits(maxBig), dim = dim, seed = seed)
+        def bucketed(df: DataFrame) = df.select(col("cluster_id"), col("id"),
+            col("emb"), col("__new"), explode(lsh.bucketsColumn(col("emb"))).as("bucket"))
+        val lshPairs = bucketed(bigInc)
+          .select(col("cluster_id"), col("bucket"), col("id").as("inc_id"),
+            col("emb").as("emb_q"))
+          .join(bucketed(bigAll).select(col("cluster_id"), col("bucket"),
+            col("id").as("other_id"), col("emb").as("emb_o"),
+            col("__new").as("other_new")), Seq("cluster_id", "bucket"))
+          .filter(col("inc_id") =!= col("other_id"))
+          .withColumn("__exact", lit(false))
+          .drop("cluster_id", "bucket")
+
+        verify(smallPairs)
+          .unionByName(verify(exactPairs))
+          .unionByName(verify(lshPairs))
+          .dropDuplicates("inc_id", "other_id")
+      }
+
+    // dup of the authoritative corpus -> drop outright
+    val dupOfExisting = edges.filter(col("other_new") === 0)
+      .select(col("inc_id").as(idCol)).distinct()
+    // incoming-only groups -> CC -> keep argmin (centroid_sim, id)
+    val incPairs = edges.filter(col("other_new") === 1)
+      .select(least(col("inc_id"), col("other_id")).as("id_a"),
+        greatest(col("inc_id"), col("other_id")).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val comps = Dedup.connectedComponents(incPairs)
+    val members = inc.join(comps, inc(idCol) === comps("id"))
+      .select(col("label"), inc(idCol).as("__m_id"), col("centroid_sim"))
+    val groupDrops = members
+      .groupBy("label")
+      .agg(min(struct(col("centroid_sim"), col("__m_id"))).as("m"))
+      .select(col("label"), col("m").getField("__m_id").as("keep_id"))
+      .join(members, Seq("label"))
+      .filter(col("__m_id") =!= col("keep_id"))
+      .select(col("__m_id").as(idCol))
+
+    incoming
+      .join(dupOfExisting.unionByName(groupDrops).distinct(), Seq(idCol), "left_anti")
+  }
+
+  /**
    * Candidate pair stream (id_a, id_b, emb_a, emb_b, __exact) BEFORE
    * cosine verification, plus whether the cap engaged — package-private
    * so the spec can assert the cap actually bounds candidate mass on an

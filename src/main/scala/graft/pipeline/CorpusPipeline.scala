@@ -135,7 +135,8 @@ object CorpusPipeline {
    */
   def curateIncremental(existing: DataFrame, incoming0: DataFrame,
       idCol: String, textCol: String,
-      cfg: CurationConfig = CurationConfig()): DataFrame = {
+      cfg: CurationConfig = CurationConfig(),
+      semanticModel: Option[graft.index.IvfModel] = None): DataFrame = {
     val incoming = if (!cfg.redactPii) incoming0
       else incoming0.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
     val withMetrics = incoming
@@ -155,7 +156,26 @@ object CorpusPipeline {
       shingleSize = cfg.shingleSize, numHashes = 64, bands = 32,
       minJaccard = cfg.nearDupJaccard)
     val embed = Embedder.embedColumn(HashingEmbedder(dimension = cfg.embedDim))
-    val embedded = survivors.withColumn("embedding", embed(col(textCol)))
+    val embedded0 = survivors.withColumn("embedding", embed(col(textCol)))
+
+    // optional semantic stage: dedup the batch against the curated
+    // corpus via SemDedup.semDedupIncremental — the existing side is
+    // authoritative and its pair mass never re-forms. The corpus
+    // carries its `embedding` column when curated by `curate` with the
+    // same config; re-derived deterministically here if absent.
+    val embedded = cfg.semanticMinCosine match {
+      case None => embedded0
+      case Some(minCos) =>
+        val exEmb =
+          if (existing.columns.contains("embedding"))
+            existing.select(col(idCol), col("embedding"))
+          else existing.select(col(idCol),
+            embed(col(textCol)).as("embedding"))
+        val mat = embedded0.localCheckpoint(true)
+        graft.operators.SemDedup.semDedupIncremental(
+          exEmb, mat, idCol, "embedding", minCosine = minCos,
+          model = semanticModel)
+    }
     if (cfg.trainPct <= 0) embedded
     else {
       import org.apache.spark.sql.graft.Bridge
@@ -171,10 +191,12 @@ object CorpusPipeline {
   }
 
   /** Per-stage survival counts for an incremental batch (diagnostics;
-    * one action per stage, mirrors curationReport). */
+    * one action per stage, mirrors curationReport — semantic drops
+    * counted separately when the stage is on). */
   def incrementalReport(existing: DataFrame, incoming: DataFrame,
       idCol: String, textCol: String,
-      cfg: CurationConfig = CurationConfig()): Map[String, Long] = {
+      cfg: CurationConfig = CurationConfig(),
+      semanticModel: Option[graft.index.IvfModel] = None): Map[String, Long] = {
     val scrubbed = if (!cfg.redactPii) incoming
       else incoming.withColumn(textCol, TextAnalysis.redactPii(col(textCol)))
     val withMetrics = scrubbed
@@ -183,13 +205,21 @@ object CorpusPipeline {
     val lang = if (cfg.keepLangs.isEmpty) quality
       else quality.filter(col("__m.lang_pred").isin(cfg.keepLangs.toSeq: _*))
     val exact = Dedup.exactDedup(lang.drop("__m"), idCol, textCol)
-    val curated = curateIncremental(existing, incoming, idCol, textCol, cfg)
-    Map(
+    val lexical = curateIncremental(existing, incoming, idCol, textCol,
+      cfg.copy(semanticMinCosine = None))
+    val base = Map(
       "batch_input" -> incoming.count(),
       "after_quality" -> quality.count(),
       "after_lang" -> lang.count(),
       "after_exact_dedup" -> exact.count(),
-      "after_incremental_dedup" -> curated.count())
+      "after_incremental_dedup" -> lexical.count())
+    cfg.semanticMinCosine match {
+      case None => base
+      case Some(_) =>
+        val curated = curateIncremental(existing, incoming, idCol, textCol,
+          cfg, semanticModel)
+        base + ("after_semantic_dedup" -> curated.count())
+    }
   }
 
   /** Per-stage survival counts (one action per stage; diagnostics).

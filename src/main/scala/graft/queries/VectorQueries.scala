@@ -224,6 +224,27 @@ object VectorQueries {
           .orderBy("cluster_id")
       }),
 
+    // Incremental SemDeDup: a 20% "arriving batch" deduped against the
+    // 80% authoritative corpus — the semantic sibling of
+    // q76_incremental_neardup. The existing×existing pair mass never
+    // forms (batch joins against the cluster-assigned union only),
+    // which is what makes semantic re-curation affordable at 100 TB.
+    // Reuses q109's served clustering (train once, dedup many).
+    // Seed-dependent ⇒ rows-only; SemDedupSpec gates corpus-dup drops,
+    // in-batch group keep-rule, cap parity, and model-reuse identity.
+    QueryDef("q112_incremental_semdedup", None,
+      (spark, dir) => {
+        val e = table(spark, dir, "embeddings")
+        val model = semDedupCache.getOrElseUpdate(dir,
+          graft.operators.SemDedup.trainModel(e, "embedding"))
+        val surv = graft.operators.SemDedup.semDedupIncremental(
+          e.filter(col("vec_id") % 5 =!= 0), e.filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", minCosine = 0.4, model = Some(model))
+        surv.groupBy("label")
+          .agg(count(lit(1)).as("n_survivors"))
+          .orderBy("label")
+      }),
+
     // --- ANN paths: seed-dependent, rows-only driver check; recall vs the
     // exact oracle is asserted in AnnRecallSpec.
     QueryDef("q26_knn_lsh", None,

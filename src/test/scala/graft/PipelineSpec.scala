@@ -105,6 +105,32 @@ class PipelineSpec extends SparkSpec {
     assert(viaModel.select("doc_id").as[Long].collect().toSet == ids)
   }
 
+  test("incremental semantic stage: batch paraphrase of a corpus doc is dropped") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val c = "completely different text about the spark engine and its query planner"
+    val cfg = CurationConfig(minQuality = 0.0, nearDupJaccard = 0.8,
+      semanticMinCosine = Some(0.95))
+    val existing = CorpusPipeline.curate(
+      Seq((30L, a), (31L, c)).toDF("doc_id", "text"), "doc_id", "text", cfg)
+    // batch: word-order-reversed copy of corpus doc 30 (lexically
+    // distinct — disjoint shingles — but identical bag-of-token
+    // embedding) + a genuinely fresh doc
+    val batch = Seq(
+      (40L, a.split(" ").reverse.mkString(" ")),
+      (41L, "fresh corpus material about window functions and shuffles tonight")
+    ).toDF("doc_id", "text")
+    val out = CorpusPipeline.curateIncremental(existing, batch, "doc_id", "text", cfg)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(41L), s"semantic dup of corpus must drop: $ids")
+    // lexical-only config keeps both (proves the drop is the semantic stage)
+    val lexOnly = CorpusPipeline.curateIncremental(existing, batch, "doc_id",
+      "text", cfg.copy(semanticMinCosine = None))
+    assert(lexOnly.select("doc_id").as[Long].collect().toSet == Set(40L, 41L))
+    // report separates the stages
+    val r = CorpusPipeline.incrementalReport(existing, batch, "doc_id", "text", cfg)
+    assert(r("after_incremental_dedup") == 2 && r("after_semantic_dedup") == 1)
+  }
+
   test("incremental curation: batch deduped against the existing corpus") {
     // first batch curated the usual way becomes the corpus
     val cfg = CurationConfig(minQuality = 0.0, nearDupJaccard = 0.5)

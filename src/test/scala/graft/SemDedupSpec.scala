@@ -153,6 +153,51 @@ class SemDedupSpec extends SparkSpec {
     assert(run(cap = 100) == run(cap = Int.MaxValue))
   }
 
+  // ---------------------------------------------- incremental form
+  test("incremental: corpus dups dropped, batch groups keep one, fresh rows survive") {
+    val existing = baseVecs.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val freshVec = unit(Array.tabulate(dim)(d => if (d == 9) 1.0 else 0.02))
+    val batch = Seq(
+      (200L, baseVecs(0)._2),                                // exact dup of existing 0
+      (201L, unit(baseVecs(1)._2.toArray.zipWithIndex.map {  // near dup of existing 1
+        case (x, d) => x + (if (d == 7) 0.01 else 0.0) })),
+      (202L, freshVec),                                      // genuinely new
+      (203L, freshVec.map(x => x)),                          // exact dup of 202 (in-batch)
+      (204L, unit(Array.tabulate(dim)(d => if (d == 11) 1.0 else -0.02)))
+    ).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+
+    val surv = SemDedup.semDedupIncremental(existing, batch, "vec_id", "embedding",
+      minCosine = 0.95, nlist = 4)
+    val ids = surv.select("vec_id").as[Long].collect().toSet
+    assert(!ids.contains(200L) && !ids.contains(201L), s"corpus dups must drop: $ids")
+    assert(ids.contains(204L))
+    assert(Seq(202L, 203L).count(ids) == 1, s"one of the in-batch pair: $ids")
+
+    // model-reuse path: identical outcome with the pre-trained model
+    val model = graft.index.IvfModel.train(existing, "embedding", nlist = 4)
+    val viaModel = SemDedup.semDedupIncremental(existing, batch, "vec_id",
+        "embedding", minCosine = 0.95, model = Some(model))
+      .select("vec_id").as[Long].collect().toSet
+    assert(viaModel == ids)
+  }
+
+  test("incremental cap: capped output identical to uncapped on a hot existing corpus") {
+    val batch = Seq(
+      (5000L, hotBases(0)),                                  // exact dup of a hot group
+      (5001L, unit(Array.tabulate(dim)(d => if (d == 13) 1.0 else 0.03))) // fresh
+    ).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    def run(cap: Int) = SemDedup.semDedupIncremental(hotCorpus, batch,
+        "vec_id", "embedding", minCosine = 0.95, model = Some(hotModel),
+        maxClusterRows = cap)
+      .select("vec_id").as[Long].collect().toSet
+    val capped = run(100)
+    assert(capped == run(Int.MaxValue))
+    assert(capped == Set(5001L), s"hot dup must drop, fresh must survive: $capped")
+  }
+
   test("cluster cap bounds candidate pair mass (star + LSH, not |c|^2)") {
     val assigned = hotModel.assign(hotCorpus, "embedding")
     val (uncapped, engagedU) = SemDedup.clusterPairCandidates(
