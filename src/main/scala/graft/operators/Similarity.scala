@@ -40,13 +40,20 @@ object Similarity {
   private def aggregateTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
     // id stays in its native type — struct sort orders any orderable type;
     // a cast("long") would silently null out string (e.g. UUID) ids.
+    // array_distinct in both phases: a caller may feed the SAME
+    // (query, neighbor) pair more than once (the LSH bucket join emits
+    // one row per shared table) — duplicates carry identical (neg, nid)
+    // structs, so distinct-before-slice removes them without a
+    // dedicated pair-dedup shuffle, and is a no-op for dup-free
+    // callers (distinct neighbors always differ in nid).
     val item = struct((-col("score")).as("neg"), col(idCol).as("nid"))
     val partial = scored
       .withColumn("__pid", spark_partition_id())
       .groupBy(col("query_id"), col("__pid"))
-      .agg(slice(array_sort(collect_list(item)), 1, k).as("top"))
+      .agg(slice(array_sort(array_distinct(collect_list(item))), 1, k).as("top"))
     partial.groupBy(col("query_id"))
-      .agg(slice(array_sort(flatten(collect_list(col("top")))), 1, k).as("top"))
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("top"))))), 1, k)
+        .as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "item")))
       .select(col("query_id"), col("item.nid").as("neighbor_id"),
         (-col("item.neg")).as("score"), (col("pos") + 1).cast("int").as("rank"))
@@ -96,15 +103,26 @@ object Similarity {
    * LSH-accelerated kNN JOIN — the batch form for query sets too large
    * to broadcast (`bruteForceTopK` requires a driver-small query side;
    * `ivfTopK` a trained model). Both sides hash into the same
-   * random-hyperplane buckets and candidates come from ONE bucket
-   * equi-join ([[graft.index.LshModel.batchCandidates]]); survivors
-   * join their embeddings back BY ID and rerank with exact cosine into
-   * the map-side-combined top-k. The bucket join and the candidate
-   * dedup shuffle only (key, bucket) / (query_id, id) pairs — raw
-   * embeddings ride narrow per-row joins, never a pair-expanded
-   * relation — so the plan survives a query set as large as the corpus
-   * itself: the kNN SELF-join that builds the similarity graph for
-   * semantic clustering / embedding-level dedup at 100 TB.
+   * random-hyperplane buckets, with the EMBEDDING riding the bucket
+   * row as payload, and candidates come from ONE bucket equi-join —
+   * scoring (exact cosine) and the map-side partial top-k then run in
+   * the SAME stage as the join, so the pair-expanded candidate stream
+   * is consumed where it is produced and never shuffled. The only
+   * exchange proportional to data is the bucket join's own
+   * n·numTables·(dim+1) row exchange; the top-k aggregate moves
+   * |queries|·|partitions|·k rows. (The previous shape shuffled the
+   * candidate PAIR MASS three times — a dropDuplicates plus two by-id
+   * embedding hydration joins — which at ~64 ids/bucket/table is
+   * ~8·64·n pair rows per pass, an order of magnitude more exchange
+   * bytes than the n·8 embedding-carrying bucket rows; measured ~3×
+   * end-to-end on the sf10 fixture — 163 s → 56 s in-harness min under
+   * comparable ambient load, 42 s isolated — NOTES.md round 9, with
+   * sf0.1 unchanged at ~2.2 s. Duplicate
+   * candidates from multi-table co-occupancy are instead dropped
+   * inside the top-k arrays by `array_distinct` — identical
+   * (score, id) structs — at zero shuffle cost.) This is the kNN
+   * SELF-join that builds the similarity graph for semantic
+   * clustering / embedding-level dedup at 100 TB.
    *
    * Bucket sizing is the same scale contract as
    * [[graft.operators.Dedup.embeddingNearDupPairs]]: candidate mass
@@ -116,22 +134,22 @@ object Similarity {
    * bucket with ANYTHING returns no rows — the facade's per-query
    * full-scan fallback would reintroduce exactly the O(n·m) term this
    * operator exists to avoid, so at bulk scale absent queries are the
-   * contract. Recall floors vs `bruteForceTopK` are asserted in
-   * AnnRecallSpec.
+   * contract. Recall floors and the id-for-id differential vs the
+   * per-query composition are asserted in AnnRecallSpec.
    */
   def lshKnnJoin(corpus: DataFrame, idCol: String, embCol: String,
       queries: DataFrame, qidCol: String, qembCol: String, k: Int,
       lsh: graft.index.LshModel, excludeSelf: Boolean = false): DataFrame = {
-    val sigs = lsh.build(corpus, idCol, embCol).select("id", "bucket")
-    val cand0 = lsh.batchCandidates(sigs, queries, qidCol, qembCol)
-    val cand = if (excludeSelf) cand0.filter(col("query_id") =!= col("id")) else cand0
-    val scored = cand
-      .join(corpus.filter(col(embCol).isNotNull)
-        .select(col(idCol).as("id"), col(embCol).as("__cemb")), Seq("id"))
-      .join(queries.filter(col(qembCol).isNotNull)
-        .select(col(qidCol).as("query_id"), col(qembCol).as("__qemb")), Seq("query_id"))
-      .withColumn("score", cosine_sim(col("__cemb"), col("__qemb")))
-    aggregateTopK(scored, "id", k)
+    val c = corpus.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("id"), col(embCol).as("__cemb"),
+        explode(lsh.bucketsColumn(col(embCol))).as("bucket"))
+    val q = queries.filter(col(qembCol).isNotNull)
+      .select(col(qidCol).as("query_id"), col(qembCol).as("__qemb"),
+        explode(lsh.bucketsColumn(col(qembCol))).as("bucket"))
+    val cand = q.join(c, Seq("bucket"))
+    val kept = if (excludeSelf) cand.filter(col("query_id") =!= col("id")) else cand
+    aggregateTopK(kept.withColumn("score", cosine_sim(col("__cemb"), col("__qemb"))),
+      "id", k)
   }
 
   /** Bucket bits targeting ~64 ids/bucket/table for an `n`-row corpus
