@@ -30,6 +30,13 @@ final case class LshModel(
   def bucketsColumn(emb: Column): Column =
     Bridge.column(LshBuckets(Bridge.expression(emb), numTables, bitsPerTable, dim, seed))
 
+  /** `array<long>` of (1 + flips)·numTables multi-probe bucket keys for
+    * an embedding column — the columnar form of [[multiProbeBucketsOf]]
+    * for batch query sides (see [[graft.operators.Similarity.lshKnnJoin]]). */
+  def multiProbeBucketsColumn(emb: Column, flips: Int): Column =
+    Bridge.column(org.apache.spark.sql.graft.expressions.LshMultiProbeBuckets(
+      Bridge.expression(emb), numTables, bitsPerTable, dim, seed, flips))
+
   /** Driver-side bucket keys for a query vector. */
   def bucketsOf(v: Array[Float]): Array[Long] =
     LshPlanes.bucketsOf(v, numTables, bitsPerTable, dim, seed)

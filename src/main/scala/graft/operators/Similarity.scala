@@ -136,16 +136,28 @@ object Similarity {
    * operator exists to avoid, so at bulk scale absent queries are the
    * contract. Recall floors and the id-for-id differential vs the
    * per-query composition are asserted in AnnRecallSpec.
-   */
+   *
+   * @param queryFlips multi-probe flips on the QUERY side (Lv et al.
+   *   2007): each query additionally probes, per table, the buckets
+   *   reached by flipping its `queryFlips` lowest-confidence sign
+   *   bits — candidate mass grows by at most (1 + queryFlips)× for a
+   *   recall gain that otherwise needs more tables (more corpus-side
+   *   exchange). 0 = classic single-probe. Candidates are a strict
+   *   superset of the single-probe set, so recall never decreases
+   *   (asserted in AnnRecallSpec). */
   def lshKnnJoin(corpus: DataFrame, idCol: String, embCol: String,
       queries: DataFrame, qidCol: String, qembCol: String, k: Int,
-      lsh: graft.index.LshModel, excludeSelf: Boolean = false): DataFrame = {
+      lsh: graft.index.LshModel, excludeSelf: Boolean = false,
+      queryFlips: Int = 0): DataFrame = {
     val c = corpus.filter(col(embCol).isNotNull)
       .select(col(idCol).as("id"), col(embCol).as("__cemb"),
         explode(lsh.bucketsColumn(col(embCol))).as("bucket"))
+    val qBuckets =
+      if (queryFlips <= 0) lsh.bucketsColumn(col(qembCol))
+      else lsh.multiProbeBucketsColumn(col(qembCol), queryFlips)
     val q = queries.filter(col(qembCol).isNotNull)
       .select(col(qidCol).as("query_id"), col(qembCol).as("__qemb"),
-        explode(lsh.bucketsColumn(col(qembCol))).as("bucket"))
+        explode(qBuckets).as("bucket"))
     val cand = q.join(c, Seq("bucket"))
     val kept = if (excludeSelf) cand.filter(col("query_id") =!= col("id")) else cand
     aggregateTopK(kept.withColumn("score", cosine_sim(col("__cemb"), col("__qemb"))),

@@ -52,6 +52,41 @@ object LshPlanes {
     new GenericArrayData(out)
   }
 
+  /** Columnar form of [[multiProbeBucketsOf]] for the batch bucket
+    * join's query side: (1 + flips)·numTables keys per row. */
+  def multiProbeBuckets(v: ArrayData, numTables: Int, bits: Int,
+      dim: Int, seed: Long, flips: Int): ArrayData = {
+    val ps = planes(numTables, bits, dim, seed)
+    val f = math.max(0, flips)
+    val out = new Array[Long](numTables * (1 + f))
+    var o = 0
+    var t = 0
+    while (t < numTables) {
+      var sig = 0L
+      val absDots = new Array[(Double, Int)](bits)
+      var b = 0
+      while (b < bits) {
+        val plane = ps(t * bits + b)
+        var dot = 0.0
+        val n = math.min(plane.length, v.numElements())
+        var i = 0
+        while (i < n) { dot += plane(i) * v.getFloat(i); i += 1 }
+        if (dot >= 0) sig |= (1L << b)
+        absDots(b) = (math.abs(dot), b)
+        b += 1
+      }
+      out(o) = (t.toLong << bits) | sig
+      o += 1
+      val lowConfidence = absDots.sortBy(_._1).take(f)
+      lowConfidence.foreach { case (_, bit) =>
+        out(o) = (t.toLong << bits) | (sig ^ (1L << bit))
+        o += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /**
    * Driver-side multi-probe buckets (Lv et al. 2007, sign-bit form):
    * per table, the base bucket plus one variant per flipped bit for the
@@ -126,6 +161,30 @@ case class LshBuckets(child: Expression, numTables: Int, bits: Int, dim: Int, se
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = org.apache.spark.sql.graft.expressions.LshPlanes.buckets(" +
         s"$c, $numTables, $bits, $dim, ${seed}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `lsh_multiprobe_buckets(embedding)` — (1 + flips)·numTables bucket
+  * keys per row: the base key per table plus the `flips`
+  * lowest-confidence sign flips (Lv et al. 2007). The batch sibling of
+  * the driver-side multi-probe query path. */
+case class LshMultiProbeBuckets(child: Expression, numTables: Int, bits: Int,
+    dim: Int, seed: Long, flips: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "lsh_multiprobe_buckets"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    LshPlanes.multiProbeBuckets(v.asInstanceOf[ArrayData], numTables, bits,
+      dim, seed, flips)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.expressions.LshPlanes.multiProbeBuckets(" +
+        s"$c, $numTables, $bits, $dim, ${seed}L, $flips);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -282,6 +282,44 @@ class AnnRecallSpec extends SparkSpec {
     assert(recall >= 0.05, s"lshKnnJoin recall collapsed: $recall")
   }
 
+  test("lshKnnJoin multi-probe: columnar buckets match driver-side, recall never drops") {
+    val lsh = LshModel(numTables = 4, bitsPerTable = 8, dim = 64)
+    // columnar expression == driver-side multiProbeBucketsOf, row for row
+    val rows = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"),
+        lsh.multiProbeBucketsColumn(col("embedding"), 2).as("mp"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      assert(r.getSeq[Long](2).toSeq == lsh.multiProbeBucketsOf(v, 2).toSeq,
+        s"columnar/driver multi-probe mismatch for vec ${r.getLong(0)}")
+    }
+    // batch join recall with query-side flips is >= single-probe recall
+    val q = emb.filter(col("vec_id") < 20)
+    def recallOf(flips: Int): Double = {
+      val got = Similarity.lshKnnJoin(emb, "vec_id", "embedding",
+          q, "vec_id", "embedding", k = 10, lsh = lsh,
+          excludeSelf = true, queryFlips = flips)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (qid, rs) => qid -> rs.map(_._2).toSet }
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          q, "vec_id", "embedding", 11)
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+        .groupBy(_._1)
+        .map { case (qid, rs) => qid -> rs.sortBy(_._3).map(_._2).take(10).toSet }
+      exact.keys.map { qid =>
+        got.getOrElse(qid, Set.empty).intersect(exact(qid)).size / 10.0
+      }.sum / exact.size
+    }
+    val base = recallOf(0)
+    val probed = recallOf(2)
+    info(f"lshKnnJoin recall@10: single-probe $base%.2f, 2-flip multi-probe $probed%.2f")
+    // multi-probe candidates are a strict superset per query, so the
+    // exact-rerank top-k can only get closer to the true top-k
+    assert(probed >= base, s"multi-probe recall dropped: $base -> $probed")
+  }
+
   test("batch kNN matches single-query kNN") {
     val q = emb.filter(col("vec_id") === 5)
     val batch = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding", 10)
