@@ -171,12 +171,16 @@ object Similarity {
     math.min(16, math.max(4,
       math.ceil(math.log(math.max(1.0, n.toDouble / 64)) / math.log(2)).toInt))
 
-  /** array<int> of the nprobe nearest centroid ids for an embedding column. */
+  /** array<int> of the nprobe nearest centroid ids for an embedding
+    * column — one codegen'd [[NearestCentroids]] call (nlist·dim work
+    * per row). The previous form built an expression tree of one
+    * struct PER CENTROID plus an array_sort, which is O(nlist)
+    * operators in the plan and stops compiling at serving-scale nlist;
+    * identical output ordering (distance asc, ties to lowest id). */
   private def probeClustersColumn(model: IvfModel, emb: Column, nprobe: Int): Column = {
-    // distances to each centroid as array<struct<d,i>>, sorted, sliced
-    val dists = array(model.centroids.indices.map { i =>
-      struct(euclidean_dist(emb, typedLit(model.centroids(i))).as("d"), lit(i).as("i"))
-    }: _*)
-    slice(array_sort(dists), 1, math.max(1, nprobe)).getField("i")
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.graft.expressions.NearestCentroids
+    Bridge.column(NearestCentroids(Bridge.expression(emb), model.centroids,
+      math.max(1, nprobe)))
   }
 }

@@ -214,7 +214,68 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
     copy(child = newChild)
 }
 
+/**
+ * `nearest_centroids(embedding)` — the `nprobe` nearest centroid ids by
+ * L2, ascending distance with ties to the lowest id (the multi-probe
+ * batch form of [[NearestCentroid]]). A single codegen'd call whose
+ * cost is nlist·dim per row regardless of nlist — the expression-tree
+ * alternative (one struct per centroid + array_sort) is O(nlist)
+ * OPERATORS and collapses codegen at serving-scale nlist (~sqrt(n)).
+ */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Float]],
+    nprobe: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "nearest_centroids"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    NearestCentroidEval.evalTop(v.asInstanceOf[ArrayData], centroids, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.expressions.NearestCentroidEval" +
+        s".evalTop($c, $ref, $nprobe);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object NearestCentroidEval {
+  /** Top-`nprobe` centroid ids, ascending (distance, id) — bounded
+    * insertion into nprobe-sized arrays, no full sort. */
+  def evalTop(v: ArrayData, centroids: Array[Array[Float]], nprobe: Int): ArrayData = {
+    val k = math.min(math.max(1, nprobe), centroids.length)
+    val bestD = Array.fill(k)(Double.MaxValue)
+    val bestI = Array.fill(k)(Int.MaxValue)
+    var c = 0
+    while (c < centroids.length) {
+      val cen = centroids(c)
+      var dist = 0.0
+      val n = math.min(cen.length, v.numElements())
+      var i = 0
+      while (i < n) {
+        val d = cen(i) - v.getFloat(i)
+        dist += d * d
+        i += 1
+      }
+      // insertion position: strictly better distance, or equal distance
+      // with lower id (ids arrive ascending, so equal-dist later ids
+      // never displace earlier ones)
+      if (dist < bestD(k - 1)) {
+        var p = k - 1
+        while (p > 0 && dist < bestD(p - 1)) {
+          bestD(p) = bestD(p - 1); bestI(p) = bestI(p - 1); p -= 1
+        }
+        bestD(p) = dist; bestI(p) = c
+      }
+      c += 1
+    }
+    new GenericArrayData(bestI)
+  }
+
   def eval(v: ArrayData, centroids: Array[Array[Float]]): Int = {
     var best = 0
     var bestDist = Double.MaxValue

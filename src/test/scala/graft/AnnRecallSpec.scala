@@ -320,6 +320,24 @@ class AnnRecallSpec extends SparkSpec {
     assert(probed >= base, s"multi-probe recall dropped: $base -> $probed")
   }
 
+  test("NearestCentroids expression matches the driver-side linear probe at any nlist") {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.graft.expressions.NearestCentroids
+    for (nlist <- Seq(16, 256)) {
+      val ivf = IvfModel.train(emb, "embedding", nlist = nlist)
+      val probed = emb.filter(col("vec_id") < 30)
+        .select(col("vec_id"), col("embedding"),
+          Bridge.column(NearestCentroids(
+            Bridge.expression(col("embedding")), ivf.centroids, 4)).as("cells"))
+        .collect()
+      probed.foreach { r =>
+        val v = r.getSeq[Float](1).toArray
+        assert(r.getSeq[Int](2).toSeq == ivf.probeLinear(v, 4),
+          s"expression/driver probe mismatch at nlist=$nlist for vec ${r.getLong(0)}")
+      }
+    }
+  }
+
   test("batch kNN matches single-query kNN") {
     val q = emb.filter(col("vec_id") === 5)
     val batch = Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, "vec_id", "embedding", 10)
