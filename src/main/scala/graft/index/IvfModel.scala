@@ -36,6 +36,17 @@ final case class IvfModel(centroids: Array[Array[Float]]) {
     chunks.filter(col(embCol).isNotNull)
       .withColumn("cluster_id", assignColumn(col(embCol)))
 
+  /** APPROXIMATE cluster id via an HNSW graph over the centroids —
+    * O(ef·log nlist) per row instead of the exact scan's nlist·dim.
+    * The beam can miss the true argmin (the standard coarse-quantizer
+    * trade); exact [[assignColumn]] remains the default everywhere.
+    * Deterministic for fixed (centroids, ef). See
+    * [[trainDistributed]]'s `approxAssignEf` for the use case. */
+  def assignColumnApprox(emb: Column, ef: Int = 64): Column =
+    Bridge.column(org.apache.spark.sql.graft.expressions.HnswNearestCell(
+      Bridge.expression(emb),
+      coarseGraph.getOrElse(HnswModel.overCentroids(this)), ef))
+
   /** HNSW graph over the centroids, built lazily (seeded, deterministic)
     * once `nlist` crosses [[GraftConfig.hnswCoarseMinNlist]] — at
     * billion-vector scale nlist grows to ~sqrt(n) and the linear
@@ -181,9 +192,21 @@ object IvfModel {
    * same relative-shift tolerance as the local trainer; empty clusters
    * keep their previous centroid (indexes.py:258-259 semantics).
    * Seeded and deterministic.
+   *
+   * @param approxAssignEf when > 0, each Lloyd pass assigns rows via
+   *   [[assignColumnApprox]] (an HNSW beam over the centroids, rebuilt
+   *   per pass — O(k·log k) driver work) instead of the exact
+   *   nlist·dim scan: per-row assignment cost drops from k·dim to
+   *   ~ef·dim·log k, the term that dominates large-k training
+   *   (k = n/64 at SemDeDup scale). k-means tolerates approximate
+   *   assignment — each pass still reduces SSE w.r.t. the assignment
+   *   it made — at a small inertia premium (asserted in IvfTrainSpec).
+   *   0 (default) = exact assignment, bit-compatible with prior
+   *   rounds.
    */
   def trainDistributed(chunks: DataFrame, embCol: String,
-      nlist: Int, maxIter: Int = 6, seed: Long = 42L): IvfModel = {
+      nlist: Int, maxIter: Int = 6, seed: Long = 42L,
+      approxAssignEf: Int = 0): IvfModel = {
     import org.apache.spark.ml.linalg.{Vector => MlVector}
     import org.apache.spark.ml.stat.Summarizer
     val vecs = chunks.filter(col(embCol).isNotNull)
@@ -223,8 +246,11 @@ object IvfModel {
     var converged = false
     while (iter < maxIter && !converged) {
       val model = IvfModel(centroids)
+      val assignCol =
+        if (approxAssignEf > 0) model.assignColumnApprox(col("v"), approxAssignEf)
+        else model.assignColumn(col("v"))
       val means = vecs
-        .withColumn("cluster_id", model.assignColumn(col("v")))
+        .withColumn("cluster_id", assignCol)
         .select(col("cluster_id"),
           array_to_vector(col("v").cast("array<double>")).as("fv"))
         .groupBy("cluster_id")

@@ -191,6 +191,40 @@ case class LshMultiProbeBuckets(child: Expression, numTables: Int, bits: Int,
 }
 
 /**
+ * `hnsw_nearest_cell(embedding)` — nearest-centroid assignment routed
+ * through an HNSW graph built OVER the centroids (the coarse-quantizer
+ * composition applied to k-means itself): per-row cost is the graph's
+ * O(ef·log nlist) beam instead of [[NearestCentroid]]'s nlist·dim
+ * linear scan — the difference between 2.6e5 and ~1e4 flops per row at
+ * nlist 4096. Approximate by construction (the beam can miss the true
+ * argmin); [[graft.index.IvfModel.trainDistributed]] offers it as the
+ * opt-in assignment for large-k Lloyd passes, where k-means tolerates
+ * approximate assignment (each pass still reduces SSE w.r.t. the
+ * assignment it made). Deterministic for a fixed (graph, ef).
+ * Eval-based (no codegen): the per-row work is the graph walk itself,
+ * not expression glue.
+ */
+case class HnswNearestCell(child: Expression, graph: graft.index.HnswModel,
+    ef: Int)
+    extends UnaryExpression with ExpectsInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def prettyName: String = "hnsw_nearest_cell"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val arr = new Array[Float](a.numElements())
+    var i = 0
+    while (i < arr.length) { arr(i) = a.getFloat(i); i += 1 }
+    graph.probeCells(arr, 1, ef).head
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * `nearest_centroid(embedding)` — argmin of L2 distance to the trained
  * centroid set (reference: indexes.py:267-274); ties break to the lowest
  * centroid id. Centroids ride along with the expression (KB-scale).

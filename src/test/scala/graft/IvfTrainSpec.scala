@@ -73,6 +73,31 @@ class IvfTrainSpec extends SparkSpec {
       s"distributed-train inertia ${inertia(a)} too far above full ${inertia(full)}")
   }
 
+  test("trainDistributed with graph-routed assignment: deterministic, near-exact quality") {
+    // the large-k opt-in: Lloyd passes assign via an HNSW beam over the
+    // centroids instead of the exact nlist*dim scan
+    val approx = IvfModel.trainDistributed(emb, "embedding", nlist = 16,
+      maxIter = 6, approxAssignEf = 32)
+    val again = IvfModel.trainDistributed(emb, "embedding", nlist = 16,
+      maxIter = 6, approxAssignEf = 32)
+    approx.centroids.zip(again.centroids).foreach { case (x, y) =>
+      assert(x.sameElements(y), "graph-assigned training must be deterministic")
+    }
+    val exact = IvfModel.trainDistributed(emb, "embedding", nlist = 16, maxIter = 6)
+    val (ai, ei) = (inertia(approx), inertia(exact))
+    info(f"inertia exact=$ei%.4f graph-assigned=$ai%.4f")
+    assert(ai <= ei * 1.3,
+      s"graph-assigned inertia $ai too far above exact-assignment $ei")
+    // per-row assignment agreement with the exact scan stays high
+    val model = exact
+    val agree = emb.select(
+        (model.assignColumn(col("embedding")) ===
+          model.assignColumnApprox(col("embedding"), 32)).cast("int").as("ok"))
+      .agg(avg("ok")).collect()(0).getDouble(0)
+    info(f"graph-vs-exact assignment agreement = $agree%.2f")
+    assert(agree >= 0.9, s"assignment agreement collapsed: $agree")
+  }
+
   test("trainDistributed clamps k to the distinct-vector count") {
     import spark.implicits._
     val dups = Seq.fill(20)(Seq(1.0f, 0.0f)) ++ Seq.fill(20)(Seq(0.0f, 1.0f))
