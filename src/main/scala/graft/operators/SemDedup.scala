@@ -96,10 +96,24 @@ object SemDedup {
       model: Option[IvfModel] = None,
       maxClusterRows: Int = 65536,
       maxAutoNlist: Int = 4096): DataFrame = {
+    // an empty (or all-null-embedding) corpus has nothing to cluster —
+    // return the empty result frame instead of failing k-means init
+    // (an empty partition/batch is a normal pipeline state, not an error)
+    if (model.isEmpty && isEmptyCorpus(df, embCol))
+      return emptyResult(df, idCol)
     val trained = model.getOrElse(
       trainModel(df, embCol, nlist, seed, maxIter, maxAutoNlist))
     semDedupWith(df, idCol, embCol, minCosine, trained, maxClusterRows, seed)
   }
+
+  /** One-row probe: true iff `df` has no row with a non-null embedding. */
+  private def isEmptyCorpus(df: DataFrame, embCol: String): Boolean =
+    df.filter(col(embCol).isNotNull).limit(1).collect().isEmpty
+
+  /** Zero-row frame with the operator's output schema. */
+  private def emptyResult(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol), lit(0).as("cluster_id"),
+      lit(0.0).as("centroid_sim"), lit(true).as("keep")).limit(0)
 
   /** The clustering step alone (train once, dedup many — same
     * philosophy as the served IVF index). Auto-k sizes to ~n/64
@@ -218,6 +232,14 @@ object SemDedup {
       maxAutoNlist: Int = 4096): DataFrame = {
     val spark = existing.sparkSession
     import spark.implicits._
+    // first-ever batch: nothing authoritative to dedup against — the
+    // semantics collapse to batch semDedup's keep-set over `incoming`
+    if (model.isEmpty && isEmptyCorpus(existing, embCol)) {
+      val flags = semDedup(incoming, idCol, embCol, minCosine, nlist,
+        seed, 10, None, maxClusterRows, maxAutoNlist)
+      return incoming.join(
+        flags.filter(!col("keep")).select(col(idCol)), Seq(idCol), "left_anti")
+    }
     val trained = model.getOrElse(
       trainModel(existing, embCol, nlist, seed, 10, maxAutoNlist))
 

@@ -153,6 +153,27 @@ class SemDedupSpec extends SparkSpec {
     assert(run(cap = 100) == run(cap = Int.MaxValue))
   }
 
+  test("empty-input contracts: no k-means failure on empty corpora/batches") {
+    val none = corpus.filter(col("vec_id") < -1)
+    // batch form: empty corpus -> empty result with the output schema
+    val out = SemDedup.semDedup(none, "vec_id", "embedding")
+    assert(out.columns.toSeq == Seq("vec_id", "cluster_id", "centroid_sim", "keep"))
+    assert(out.count() == 0)
+    // incremental, first-ever batch (empty corpus): collapses to the
+    // batch keep-set — in-batch dups still deduplicate
+    val batch = Seq((300L, baseVecs(0)._2), (301L, baseVecs(0)._2),
+        (302L, baseVecs(5)._2))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val surv = SemDedup.semDedupIncremental(none, batch, "vec_id", "embedding",
+        minCosine = 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(surv.contains(302L) && Seq(300L, 301L).count(surv) == 1, s"got $surv")
+    // incremental, empty batch: empty survivors, no failure
+    assert(SemDedup.semDedupIncremental(corpus, none, "vec_id", "embedding",
+      nlist = 4).count() == 0)
+  }
+
   // ---------------------------------------------- incremental form
   test("incremental: corpus dups dropped, batch groups keep one, fresh rows survive") {
     val existing = baseVecs.toDF("vec_id", "embedding")
