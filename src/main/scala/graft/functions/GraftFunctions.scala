@@ -37,6 +37,13 @@ object GraftFunctions {
   def int8_scale(a: Column): Column =
     Bridge.column(Int8Scale(Bridge.expression(a)))
 
+  /** Aggregate: the k smallest DISTINCT `item` values, ascending — a
+    * size-capped `slice(array_sort(array_distinct(collect_list(item))),
+    * 1, k)` whose partial buffers never exceed k values (see
+    * [[org.apache.spark.sql.graft.expressions.BoundedTopK]]). */
+  def bounded_topk(item: Column, k: Int): Column =
+    Bridge.column(BoundedTopK(Bridge.expression(item), k).toAggregateExpression())
+
   /** Register every graft expression for SQL (`SELECT cosine_sim(a,b) ...`). */
   def registerAll(spark: SparkSession): Unit = {
     Bridge.registerFunction(spark, "cosine_sim", es => CosineSimilarity(es(0), es(1)))

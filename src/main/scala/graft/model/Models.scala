@@ -133,6 +133,42 @@ object GraftConfig {
   /** k<=0 => default, k>max => max (config.py:62-68). */
   def clampK(k: Int): Int = if (k <= 0) defaultK else math.min(k, maxK)
 
+  /** Target EXPECTED ids per LSH bucket per table for auto-sized bucket
+    * bits (Similarity.autoBits): bits = ceil(log2(n / target)), i.e.
+    * per-query candidate mass ≈ numTables · target and total bucket-join
+    * mass ≈ numTables · target · n — linear in n BY CONSTRUCTION at any
+    * corpus size (the previous fixed [4,16] bit clamp saturated at
+    * ~64·2^16 ≈ 4.2M rows/table, past which buckets grew linearly with
+    * n). 64 keeps per-query work ~512 exact-cosine evaluations at the
+    * default 8 tables. */
+  @volatile var lshTargetIdsPerBucket: Int = 64
+  /** Hard ceiling on auto-sized bits: bucket keys pack `table << bits |
+    * sig` into a signed long, so bits ≤ 63 - 1(sign headroom) -
+    * 5(table-id bits, ≤32 tables) = 57. At 64 ids/bucket that is
+    * ~9·10^18 rows/table — unreachable; the ceiling exists only to keep
+    * the key packing valid, never to size buckets. */
+  val lshMaxAutoBits: Int = 57
+  /** Hot-bucket width cap for the bulk LSH kNN join
+    * (Similarity.lshKnnJoin): corpus buckets wider than this (DISTINCT
+    * vectors — identical ones are exact-collapsed first) are thinned to
+    * ~this width by a seeded deterministic id-hash filter. Bounds the
+    * per-bucket candidate mass a single adversarial bucket can emit at
+    * cap²·numTables regardless of corpus skew; the standard bounded-probe
+    * recall trade (FAISS max_codes). 64× the expected width keeps the
+    * guard inert on non-adversarial data. */
+  @volatile var lshMaxBucketWidth: Int = 4096
+  /** k-means assignment routing for large-k distributed training
+    * (SemDedup.trainModel → IvfModel.trainDistributed): past this k,
+    * Lloyd passes assign via the HNSW-routed approximate path
+    * (approxAssignEf below) instead of the exact k·dim scan. Flop
+    * model: exact = k·dim/row; approx ≈ ef·dim·(log2 k + 4)/row
+    * (measured graph fan-out), so break-even is k ≈ ef·(log2 k + 4) =
+    * 64·14 ≈ 900 at k~1e3; 1024 adds margin for graph-build overhead
+    * (O(k log k) per pass, amortized over n rows). */
+  @volatile var approxAssignMinK: Int = 1024
+  /** ef for the HNSW-routed approximate assignment above. */
+  @volatile var approxAssignEf: Int = 64
+
   /** An LSH sizing + probe preset (tables x bits, multi-probe flips). */
   final case class LshPreset(numTables: Int, bitsPerTable: Int, flips: Int)
 

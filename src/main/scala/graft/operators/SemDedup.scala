@@ -134,9 +134,20 @@ object SemDedup {
       else math.max(2, math.min(maxAutoNlist, (n / 64L).toInt))
     if (n * k <= 3000000L)
       IvfModel.train(df, embCol, nlist = k, maxIter = maxIter, seed = seed)
-    else
+    else {
+      // Large-k Lloyd's per-row cost is the assignment: exact = k·dim,
+      // HNSW-routed ≈ ef·dim·(log2 k + fanout) — past the flop-model
+      // break-even (GraftConfig.approxAssignMinK ≈ ef·(log2 k + 4)) the
+      // approximate path wins by ~k/(ef·log k)× (≈5× at k=4096, ef=64)
+      // and k-means tolerates it (each pass still reduces SSE w.r.t.
+      // the assignment it made; inertia parity gated in IvfTrainSpec).
+      val ef =
+        if (k >= graft.model.GraftConfig.approxAssignMinK)
+          graft.model.GraftConfig.approxAssignEf
+        else 0
       IvfModel.trainDistributed(df, embCol, nlist = k,
-        maxIter = math.min(maxIter, 6), seed = seed)
+        maxIter = math.min(maxIter, 6), seed = seed, approxAssignEf = ef)
+    }
   }
 
   private def semDedupWith(df: DataFrame, idCol: String, embCol: String,
@@ -305,17 +316,35 @@ object SemDedup {
             col("emb").as("emb_q"), col("emb").as("emb_o"),
             lit(true).as("__exact"))
 
-        // distinct near-dups: seeded in-cluster LSH buckets
-        val maxBig = hist.collect { case (i, n) if bigIds.contains(i) => n }.max
+        // distinct near-dups: seeded in-cluster LSH buckets — over the
+        // DISTINCT-vector representatives of bigAll, not its raw rows
+        // (identical copies share every bucket key, so bucketing them
+        // all would re-form the ~8·|inc_c|·|all_c| candidate mass the
+        // cap exists to prevent). The rep prefers EXISTING members
+        // (min (__new, id)): a mixed identical-group's near-dups then
+        // drop outright, and the collapsed members are reached through
+        // the exact equi-join above plus CC transitivity — the same
+        // star-edge argument as the batch path.
+        val repGroups = bigAll.groupBy(col("cluster_id"), col("emb"))
+          .agg(min(struct(col("__new"), col("id"))).as("m"))
+        val reps = repGroups.select(col("cluster_id"), col("emb"),
+          col("m").getField("id").as("id"), col("m").getField("__new").as("__new"))
+        // bits sized off the largest cluster's DISTINCT-rep count: only
+        // reps are bucketed, so sizing off raw rows would over-split
+        // duplicate-dominated clusters far past the ~target ids/bucket
+        // design width and silently drop in-cluster recall.
+        val repHist = repGroups.groupBy("cluster_id").count()
+          .collect().map(_.getLong(1))
+        val maxReps = if (repHist.isEmpty) 1L else repHist.max
         val dim = bigAll.select(size(col("emb"))).limit(1).collect()(0).getInt(0)
         val lsh = LshModel(numTables = 8,
-          bitsPerTable = Similarity.autoBits(maxBig), dim = dim, seed = seed)
+          bitsPerTable = Similarity.autoBits(maxReps), dim = dim, seed = seed)
         def bucketed(df: DataFrame) = df.select(col("cluster_id"), col("id"),
             col("emb"), col("__new"), explode(lsh.bucketsColumn(col("emb"))).as("bucket"))
         val lshPairs = bucketed(bigInc)
           .select(col("cluster_id"), col("bucket"), col("id").as("inc_id"),
             col("emb").as("emb_q"))
-          .join(bucketed(bigAll).select(col("cluster_id"), col("bucket"),
+          .join(bucketed(reps).select(col("cluster_id"), col("bucket"),
             col("id").as("other_id"), col("emb").as("emb_o"),
             col("__new").as("other_new")), Seq("cluster_id", "bucket"))
           .filter(col("inc_id") =!= col("other_id"))
@@ -402,16 +431,21 @@ object SemDedup {
           lit(true).as("__exact"))
 
       // 2. distinct vectors pair via seeded in-cluster LSH buckets.
-      // Bits sized off the LARGEST oversized cluster targeting ~64
-      // ids/bucket/table: expected in-bucket mass per cluster is
-      // ~64·|c|·numTables — linear in cluster size.
-      val maxBig = hist.collect { case (id, n) if bigIds.contains(id) => n }.max
+      // Bits sized off the largest oversized cluster's DISTINCT-REP
+      // count (only reps are bucketed — sizing off the raw row count
+      // would over-split duplicate-dominated clusters far past the
+      // ~target ids/bucket design width and silently drop in-cluster
+      // near-dup recall): expected in-bucket mass per cluster is
+      // ~target·|reps_c|·numTables — linear in cluster size.
+      val repHist = groups.groupBy("cluster_id").count()
+        .collect().map(_.getLong(1)) // one row per oversized cluster
+      val maxReps = if (repHist.isEmpty) 1L else repHist.max
       val reps = groups.select(col("cluster_id"), col("rep").as("id"), col("emb"))
       // actual vector dimension, from one row of the (checkpointed)
       // assigned table — the hyperplane family must span the data dim
       val dim = big.select(size(col("emb"))).limit(1).collect()(0).getInt(0)
       val lsh = LshModel(numTables = 8,
-        bitsPerTable = Similarity.autoBits(maxBig), dim = dim, seed = seed)
+        bitsPerTable = Similarity.autoBits(maxReps), dim = dim, seed = seed)
       val bucketed = reps.select(col("cluster_id"), col("id"), col("emb"),
           explode(lsh.bucketsColumn(col("emb"))).as("bucket"))
         .repartition(col("cluster_id"), col("bucket"))

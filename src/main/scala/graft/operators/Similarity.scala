@@ -30,30 +30,26 @@ object Similarity {
       .limit(k)
 
   /**
-   * Per-query top-k without shuffling the scored rows: each partition
-   * pre-aggregates its own top-k per query (map-side combine), so the
-   * exchange moves at most |queries| * |partitions| * k rows instead of
-   * |queries| * |corpus| — the difference between shuffling k rows and
-   * shuffling the corpus at scale. Deterministic tiebreak: score desc,
-   * neighbor id asc (lexicographic struct sort on (-score, id)).
+   * Per-query top-k without shuffling the scored rows: the size-capped
+   * [[org.apache.spark.sql.graft.expressions.BoundedTopK]] aggregate
+   * pre-aggregates each partition's own top-k per query (map-side
+   * combine), so the exchange moves at most |queries| * |partitions| * k
+   * rows instead of |queries| * |corpus| — and, unlike the previous
+   * `collect_list` + sort + slice shape, every PARTIAL buffer is also
+   * k-bounded: a hot bucket fanning one query out to millions of
+   * candidate rows folds into k-item insertion instead of accumulating
+   * the whole skewed candidate list in one aggregation buffer.
+   * Deterministic tiebreak: score desc, neighbor id asc (lexicographic
+   * struct ordering on (-score, id)); duplicate candidates (the LSH
+   * bucket join emits one row per shared table) carry identical
+   * (neg, nid) structs and are suppressed at insert.
    */
   private def aggregateTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
-    // id stays in its native type — struct sort orders any orderable type;
-    // a cast("long") would silently null out string (e.g. UUID) ids.
-    // array_distinct in both phases: a caller may feed the SAME
-    // (query, neighbor) pair more than once (the LSH bucket join emits
-    // one row per shared table) — duplicates carry identical (neg, nid)
-    // structs, so distinct-before-slice removes them without a
-    // dedicated pair-dedup shuffle, and is a no-op for dup-free
-    // callers (distinct neighbors always differ in nid).
+    // id stays in its native type — struct ordering covers any orderable
+    // type; a cast("long") would silently null out string (UUID) ids.
     val item = struct((-col("score")).as("neg"), col(idCol).as("nid"))
-    val partial = scored
-      .withColumn("__pid", spark_partition_id())
-      .groupBy(col("query_id"), col("__pid"))
-      .agg(slice(array_sort(array_distinct(collect_list(item))), 1, k).as("top"))
-    partial.groupBy(col("query_id"))
-      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("top"))))), 1, k)
-        .as("top"))
+    scored.groupBy(col("query_id"))
+      .agg(bounded_topk(item, k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "item")))
       .select(col("query_id"), col("item.nid").as("neighbor_id"),
         (-col("item.neg")).as("score"), (col("pos") + 1).cast("int").as("rank"))
@@ -137,6 +133,33 @@ object Similarity {
    * contract. Recall floors and the id-for-id differential vs the
    * per-query composition are asserted in AnnRecallSpec.
    *
+   * Adversarial-skew guard (the corpus this operator exists for is
+   * PRE-dedup — re-crawl spam means large identical-vector masses, and
+   * identical vectors share all `numTables` bucket keys by
+   * construction, so an unguarded self-join would form m² candidate
+   * pairs for an m-copy mass). Two parts, the same contract as
+   * [[SemDedup]]'s `maxClusterRows`:
+   *
+   *  1. Exact-vector collapse: the corpus is grouped by embedding VALUE
+   *     (one hash aggregate — on duplicate-heavy data this SHRINKS the
+   *     bucket-join exchange to distinct vectors) and only one
+   *     representative per distinct vector is bucketed, carrying its
+   *     group's k (k+1 under `excludeSelf`) smallest member ids as a
+   *     bounded payload. Scoring runs per representative; the final
+   *     per-query top-k re-expands members (equal scores, id-ascending
+   *     ties) — provably the same top-k the uncollapsed join yields,
+   *     because a group outside the rep top-k cannot contain a member
+   *     that precedes k members of kept groups (LshSkewSpec asserts
+   *     output parity with brute force on adversarial corpora).
+   *  2. Bucket width cap: DISTINCT-vector buckets wider than
+   *     [[graft.model.GraftConfig.lshMaxBucketWidth]] are thinned to
+   *     ~that width by a seeded deterministic id-hash filter, bounding
+   *     any single bucket's candidate mass at |q_bucket|·cap — the
+   *     bounded-probe recall trade (FAISS `max_codes`). Inert below the
+   *     cap (64× the autoBits design width), and the width table
+   *     shuffles on the SAME bucket key as the candidate join, so the
+   *     corpus side still crosses the wire once.
+   *
    * @param queryFlips multi-probe flips on the QUERY side (Lv et al.
    *   2007): each query additionally probes, per table, the buckets
    *   reached by flipping its `queryFlips` lowest-confidence sign
@@ -149,27 +172,80 @@ object Similarity {
       queries: DataFrame, qidCol: String, qembCol: String, k: Int,
       lsh: graft.index.LshModel, excludeSelf: Boolean = false,
       queryFlips: Int = 0): DataFrame = {
-    val c = corpus.filter(col(embCol).isNotNull)
-      .select(col(idCol).as("id"), col(embCol).as("__cemb"),
-        explode(lsh.bucketsColumn(col(embCol))).as("bucket"))
+    // k+1 groups / k+1 members when the query may sit inside a collapsed
+    // group: dropping self afterwards then still leaves >= k candidates
+    // preceding anything outside the padded sets (proof in LshSkewSpec).
+    val kPad = if (excludeSelf) k + 1 else k
+    val thinned = collapsedThinnedBuckets(corpus, idCol, embCol, kPad, lsh)
     val qBuckets =
       if (queryFlips <= 0) lsh.bucketsColumn(col(qembCol))
       else lsh.multiProbeBucketsColumn(col(qembCol), queryFlips)
     val q = queries.filter(col(qembCol).isNotNull)
       .select(col(qidCol).as("query_id"), col(qembCol).as("__qemb"),
         explode(qBuckets).as("bucket"))
-    val cand = q.join(c, Seq("bucket"))
-    val kept = if (excludeSelf) cand.filter(col("query_id") =!= col("id")) else cand
-    aggregateTopK(kept.withColumn("score", cosine_sim(col("__cemb"), col("__qemb"))),
-      "id", k)
+    val cand = q.join(thinned, Seq("bucket"))
+      .withColumn("score", cosine_sim(col("__cemb"), col("__qemb")))
+    // rep-level top-k (members ride the item struct — buffers stay
+    // <= kPad·(2 + kPad) values), then member re-expansion + final
+    // per-query top-k. The expansion keeps query_id untouched, so the
+    // second aggregation reuses the first one's hash partitioning —
+    // no additional exchange.
+    val item = struct((-col("score")).as("neg"), col("id").as("nid"),
+      col("__members").as("members"))
+    val repTop = cand.groupBy(col("query_id"))
+      .agg(bounded_topk(item, kPad).as("top"))
+      .select(col("query_id"), explode(col("top")).as("item"))
+      .select(col("query_id"), col("item.neg").as("neg"),
+        explode(col("item.members")).as("member_id"))
+    val expanded =
+      if (excludeSelf) repTop.filter(col("member_id") =!= col("query_id"))
+      else repTop
+    expanded.groupBy(col("query_id"))
+      .agg(bounded_topk(struct(col("neg"), col("member_id").as("nid")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "item")))
+      .select(col("query_id"), col("item.nid").as("neighbor_id"),
+        (-col("item.neg")).as("score"), (col("pos") + 1).cast("int").as("rank"))
   }
 
-  /** Bucket bits targeting ~64 ids/bucket/table for an `n`-row corpus
-    * (clamped to [4,16]) — the growth rate that keeps the bucket
-    * join's candidate mass ~linear in n (see [[lshKnnJoin]]). */
-  def autoBits(n: Long): Int =
-    math.min(16, math.max(4,
-      math.ceil(math.log(math.max(1.0, n.toDouble / 64)) / math.log(2)).toInt))
+  /** The guard stages of [[lshKnnJoin]], exposed for the skew-audit
+    * spec: (bucket, id=rep, __cemb, __members) rows after (1) the
+    * exact-vector collapse (one rep per DISTINCT embedding, carrying
+    * the kPad smallest member ids) and (2) hot-bucket thinning to
+    * ~[[graft.model.GraftConfig.lshMaxBucketWidth]] reps/bucket via a
+    * seeded deterministic id-hash filter. The width aggregate + join
+    * shuffle on the same `bucket` key the candidate join needs, so the
+    * corpus side still crosses the wire once (ReusedExchange covers the
+    * double consumption of the collapse exchange). */
+  private[graft] def collapsedThinnedBuckets(corpus: DataFrame, idCol: String,
+      embCol: String, kPad: Int, lsh: graft.index.LshModel): DataFrame = {
+    val groups = corpus.filter(col(embCol).isNotNull)
+      .groupBy(col(embCol).as("__cemb"))
+      .agg(bounded_topk(col(idCol), kPad).as("__members"))
+    val bucketed = groups
+      .select(element_at(col("__members"), 1).as("id"), col("__cemb"),
+        col("__members"), explode(lsh.bucketsColumn(col("__cemb"))).as("bucket"))
+    val cap = graft.model.GraftConfig.lshMaxBucketWidth
+    val widths = bucketed.groupBy("bucket").agg(count(lit(1)).as("__w"))
+    bucketed.join(widths, Seq("bucket"))
+      .filter(col("__w") <= cap ||
+        pmod(xxhash64(col("id"), lit(lsh.seed)), col("__w")) < cap)
+      .drop("__w")
+  }
+
+  /** Bucket bits targeting [[graft.model.GraftConfig.lshTargetIdsPerBucket]]
+    * expected ids/bucket/table for an `n`-row corpus: bits =
+    * ceil(log2(n / target)), floored at 4 — the growth rate that keeps
+    * the bucket join's candidate mass ~linear in n at ANY corpus size
+    * (see [[lshKnnJoin]]). The only ceiling is the long-key packing
+    * bound ([[graft.model.GraftConfig.lshMaxAutoBits]], 57 bits ≈
+    * 9·10^18 rows/table at the default target — unreachable); the
+    * previous fixed 16-bit clamp saturated at ~4.2M rows/table, below
+    * the 100-TB design point. */
+  def autoBits(n: Long): Int = {
+    val target = math.max(1, graft.model.GraftConfig.lshTargetIdsPerBucket)
+    math.min(graft.model.GraftConfig.lshMaxAutoBits, math.max(4,
+      math.ceil(math.log(math.max(1.0, n.toDouble / target)) / math.log(2)).toInt))
+  }
 
   /** array<int> of the nprobe nearest centroid ids for an embedding
     * column — one codegen'd [[NearestCentroids]] call (nlist·dim work

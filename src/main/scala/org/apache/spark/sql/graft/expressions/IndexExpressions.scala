@@ -57,7 +57,12 @@ object LshPlanes {
   def multiProbeBuckets(v: ArrayData, numTables: Int, bits: Int,
       dim: Int, seed: Long, flips: Int): ArrayData = {
     val ps = planes(numTables, bits, dim, seed)
-    val f = math.max(0, flips)
+    // clamp to [0, bits]: only `bits` single-bit flips exist per table —
+    // sizing the array with an unclamped larger `flips` would leave
+    // trailing 0L slots (a VALID key: table 0, sig 0) injecting spurious
+    // colliding candidates, and diverge from the driver-side
+    // multiProbeBucketsOf's numTables*(1+min(flips,bits)) length.
+    val f = math.max(0, math.min(flips, bits))
     val out = new Array[Long](numTables * (1 + f))
     var o = 0
     var t = 0
