@@ -24,7 +24,20 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (seed-dependent ANN, engine-internal hashes) → rows-only check. */
+    * (engine-internal state that no literal dump makes replayable, e.g.
+    * HNSW graph walks, sketches) → rows-only check. Queries whose
+    * replay embeds seeded trained state (centroids, hyperplanes) or
+    * data-sized parameters carry a dir-aware GENERATOR — use
+    * [[oracleSqlFor]] with the dir actually being verified; this
+    * no-arg form targets the driver's sf0.01 correctness-gate dir. */
   def oracleSql: Map[String, String] =
-    allQueries.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+      case Some(s) => oracleSqlFor(s, "/root/testdata/sf0.01")
+      case None => allQueries.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+    }
+
+  /** Dir-aware oracle map: static SQL plus generated replays for the
+    * given fixture dir (generators may withhold — see QueryDef). */
+  def oracleSqlFor(spark: SparkSession, dir: String): Map[String, String] =
+    allQueries.flatMap(q => q.oracleAt(spark, dir).map(o => q.name -> o)).toMap
 }

@@ -1,0 +1,337 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.bounded_topk
+import graft.index.{IvfModel, LshModel}
+import org.apache.spark.sql.graft.expressions.LshPlanes
+
+/**
+ * DuckDB replay-oracle GENERATORS for the seeded ANN queries: the
+ * trained state these queries depend on (k-means centroids, LSH
+ * hyperplanes) is seeded and deterministic, so once it is dumped as SQL
+ * literals the rest of each query — sign-bit signatures, argmin cluster
+ * assignment, top-nprobe probing, exact cosine rerank — is pure
+ * arithmetic DuckDB replays exactly (the same trick that oracled the
+ * MinHash/SimHash/Karp-Rabin family: q35/q36/q37).
+ *
+ * Floats are printed via `Double.toString(f.toDouble)` (shortest decimal
+ * that round-trips to the WIDENED double), so the literal DuckDB parses
+ * is bit-identical to the double Spark's arithmetic widens to.
+ *
+ * Cross-engine float-boundary guard: Spark's hot loops do per-term
+ * FLOAT multiplies before the double accumulate, DuckDB's
+ * `list_dot_product` is all-double — results can differ by ~1e-7·|terms|,
+ * enough to flip a sign bit or an argmin ONLY when the true value sits
+ * within that noise of the boundary. Each generator measures its
+ * boundary margins on the actual dir (min |plane·v| for sign replays;
+ * min top-2 assignment gap and probe-edge gap for argmin replays) and
+ * WITHHOLDS the oracle — falling back to the rows-only check — when a
+ * margin is inside the guard band. Exact ties (bit-equal values) are
+ * safe on both engines (id-ascending tiebreaks) and are excluded from
+ * the margin via distinct-value gaps.
+ */
+private[queries] object AnnOracles {
+
+  /** Sign margin: |plane·v| below this withholds a signature replay.
+    * LshPlanes widens every product to double before the sequential
+    * double accumulate — the same arithmetic as DuckDB's
+    * list_dot_product — so the only residual is summation-order noise
+    * (~1e-13 relative); 1e-9 is orders above it. (Measured min |dot| on
+    * the sf0.01 fixture: 1.3e-6.) */
+  val signEps = 1e-9
+  /** Distinct-distance gap floor on the DOUBLE side of an argmin
+    * replay: DuckDB and the generator both evaluate the cc−2cv formula
+    * in sequential double arithmetic, so their only residual is
+    * summation-order noise (~1e-13 relative); 1e-8 is orders above it.
+    * The float-vs-double gap (the engine's NearestCentroid loop squares
+    * FLOAT differences) is NOT bridged by a margin — it is closed
+    * exactly by [[assignAgreementOk]], which compares the engine's
+    * actual assignment against the double-formula argmin row for row. */
+  val distEps = 1e-8
+
+  def d(f: Float): String = java.lang.Double.toString(f.toDouble)
+
+  /** Generators must never break a Verify dump: any failure (missing
+    * table, schema drift) falls back to the rows-only check. */
+  def safe(name: String)(f: => Option[String]): Option[String] =
+    try f catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[oracle-gen] $name withheld: ${e.getMessage}")
+        None
+    }
+
+  private def vecLit(v: Array[Float]): String =
+    v.map(d).mkString("[", ", ", "]::DOUBLE[]")
+
+  /** `(VALUES (tbl, bit, [..]::DOUBLE[]), ...)` rows for the seeded
+    * hyperplane family, flattened (table-major, bit-minor) exactly as
+    * [[LshPlanes.planes]] lays them out. */
+  private def planesValues(lsh: LshModel): String =
+    LshPlanes.planes(lsh.numTables, lsh.bitsPerTable, lsh.dim, lsh.seed)
+      .zipWithIndex.map { case (p, i) =>
+        s"(${i / lsh.bitsPerTable}, ${i % lsh.bitsPerTable}, ${vecLit(p)})"
+      }.mkString(",\n    ")
+
+  private def centValues(model: IvfModel): String =
+    model.centroids.zipWithIndex.map { case (c, i) => s"($i, ${vecLit(c)})" }
+      .mkString(",\n    ")
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    Tables.table(spark, dir, "embeddings")
+
+  /** Sequential double dot product of two array<double> columns — the
+    * DuckDB-side arithmetic, used for margin measurement. */
+  private def ddot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Min |plane·v| over every (vector, plane) pair in the dir. */
+  private def minSignMargin(spark: SparkSession, dir: String, lsh: LshModel): Double = {
+    import spark.implicits._
+    val planesDf = LshPlanes.planes(lsh.numTables, lsh.bitsPerTable, lsh.dim, lsh.seed)
+      .toSeq.map(p => Tuple1(p.map(_.toDouble).toSeq)).toDF("p")
+    emb(spark, dir).filter(col("embedding").isNotNull)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(planesDf))
+      .select(abs(ddot(col("p"), col("v"))).as("m"))
+      .agg(min("m")).collect()(0).getDouble(0)
+  }
+
+  /** The double-formula (cc−2cv) centroid distances of one vector,
+    * the arithmetic the replay SQL evaluates. */
+  private def doubleDists(model: IvfModel, q: Array[Float]): Array[Double] =
+    model.centroids.map { c =>
+      var cc = 0.0; var cv = 0.0; var i = 0
+      val n = math.min(c.length, q.length)
+      while (i < n) { cc += c(i).toDouble * c(i); cv += c(i).toDouble * q(i); i += 1 }
+      while (i < c.length) { cc += c(i).toDouble * c(i); i += 1 }
+      cc - 2.0 * cv
+    }
+
+  /** EXACT agreement check between the engine's assignment (the
+    * codegen'd float-difference NearestCentroid loop) and the replay
+    * SQL's double-formula argmin, evaluated distributed over the whole
+    * dir — plus a distinct-gap floor on the double side against DuckDB
+    * summation-order noise. Any disagreeing row withholds the oracle. */
+  private def assignAgreementOk(spark: SparkSession, dir: String,
+      model: IvfModel): Boolean = {
+    import spark.implicits._
+    val centDf = model.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.map(_.toDouble).toSeq) }.toDF("cid", "cen")
+    val base = emb(spark, dir).filter(col("embedding").isNotNull)
+    val dists = base
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(broadcast(centDf))
+      .select(col("vec_id"),
+        (ddot(col("cen"), col("cen")) - lit(2.0) * ddot(col("cen"), col("v"))).as("dist"),
+        col("cid"))
+    val dblAssign = dists.groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"))).as("m"),
+        bounded_topk(col("dist"), 2).as("t")) // distinct values by construction
+      .select(col("vec_id"), col("m").getField("cid").as("dbl_cid"),
+        when(size(col("t")) === 2,
+          element_at(col("t"), 2) - element_at(col("t"), 1))
+          .otherwise(lit(Double.MaxValue)).as("gap"))
+    val engine = model.assign(base.select(col("vec_id"), col("embedding")), "embedding")
+      .select(col("vec_id"), col("cluster_id"))
+    val bad = engine.join(dblAssign, Seq("vec_id"))
+      .filter(col("cluster_id") =!= col("dbl_cid") || col("gap") < distEps)
+      .limit(1).collect()
+    bad.isEmpty
+  }
+
+  /** Driver-side probe check for one query vector: the engine's probed
+    * set (float-loop linear scan) must equal the double-formula
+    * top-nprobe the SQL replays, and the nprobe/(nprobe+1) boundary on
+    * the double side must be an exact tie (identically tiebroken) or
+    * clear the gap floor. */
+  private def probeOk(model: IvfModel, q: Array[Float], nprobe: Int): Boolean = {
+    val dd = doubleDists(model, q)
+    val ordered = dd.zipWithIndex.sortBy { case (d, i) => (d, i) }
+    val dblSet = ordered.take(nprobe).map(_._2).toSet
+    val engineSet = model.probeLinear(q, nprobe).toSet
+    val edgeOk = dd.length <= nprobe || {
+      val d4 = ordered(nprobe - 1)._1; val d5 = ordered(nprobe)._1
+      d4 == d5 || d5 - d4 >= distEps
+    }
+    engineSet == dblSet && edgeOk
+  }
+
+  private def queryVec(spark: SparkSession, dir: String, id: Long): Array[Float] =
+    emb(spark, dir).filter(col("vec_id") === id).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+
+  private val cosE =
+    "list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) / " +
+      "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * " +
+      "sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))))"
+
+  /** Per-table sign-bit signature CTE over `embeddings` (mirrors
+    * [[LshPlanes.buckets]]: bit b set iff plane·v >= 0). */
+  private def sigsCte(planes: String): String =
+    s"""planes(tbl, bit, p) AS (VALUES
+       |    $planes),
+       |sigs AS (
+       |  SELECT e.vec_id, pl.tbl,
+       |    CAST(sum(CASE WHEN list_dot_product(pl.p, CAST(e.embedding AS DOUBLE[])) >= 0
+       |      THEN (CAST(1 AS BIGINT) << pl.bit) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM embeddings e CROSS JOIN planes pl
+       |  WHERE e.embedding IS NOT NULL
+       |  GROUP BY e.vec_id, pl.tbl)""".stripMargin
+
+  // ---------------------------------------------------------------- q26
+  /** LSH single-query kNN: signature replay + shared-bucket candidate
+    * semi-join + exact cosine rerank. */
+  def q26(spark: SparkSession, dir: String, lsh: LshModel): Option[String] = {
+    if (minSignMargin(spark, dir, lsh) < signEps) return None
+    Some(
+      s"""WITH ${sigsCte(planesValues(lsh))},
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |qsig AS (SELECT tbl, sig FROM sigs WHERE vec_id = 0),
+         |cand AS (SELECT DISTINCT s.vec_id FROM sigs s JOIN qsig USING (tbl, sig))
+         |SELECT e.vec_id, e.label, round($cosE, 6) AS score
+         |FROM embeddings e, cand c, q
+         |WHERE e.vec_id = c.vec_id
+         |ORDER BY $cosE DESC, e.vec_id
+         |LIMIT 10""".stripMargin)
+  }
+
+  // ---------------------------------------------------------- q27 / q110
+  /** IVF single-query kNN: centroid-literal argmin assignment, linear
+    * top-nprobe probe, exact cosine rerank over probed clusters. For
+    * q110 the engine routes the probe through the HNSW-over-centroids
+    * graph — callers pass `requireCells` (the graph's probe set) and
+    * the oracle is withheld unless it equals the linear probe set this
+    * SQL replays. */
+  def ivfSingleQuery(spark: SparkSession, dir: String, model: IvfModel,
+      nprobe: Int, requireCells: Option[Set[Int]] = None): Option[String] = {
+    val q = queryVec(spark, dir, 0L)
+    val linear = model.probeLinear(q, nprobe).toSet
+    if (requireCells.exists(_ != linear)) return None
+    if (!probeOk(model, q, nprobe)) return None
+    if (!assignAgreementOk(spark, dir, model)) return None
+    Some(
+      s"""WITH cent(cid, cen) AS (VALUES
+         |    ${centValues(model)}),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |probe AS (SELECT cid FROM (
+         |    SELECT c.cid, row_number() OVER (ORDER BY
+         |      list_dot_product(c.cen, c.cen) - 2 * list_dot_product(c.cen, CAST(q.qe AS DOUBLE[])),
+         |      c.cid) AS rn
+         |    FROM cent c, q) WHERE rn <= $nprobe),
+         |assign AS (SELECT vec_id, cluster_id FROM (
+         |    SELECT e.vec_id, c.cid AS cluster_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_dot_product(c.cen, c.cen) - 2 * list_dot_product(c.cen, CAST(e.embedding AS DOUBLE[])),
+         |      c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c
+         |    WHERE e.embedding IS NOT NULL) WHERE rn = 1)
+         |SELECT e.vec_id, e.label, round($cosE, 6) AS score
+         |FROM embeddings e, assign a, q
+         |WHERE e.vec_id = a.vec_id AND a.cluster_id IN (SELECT cid FROM probe)
+         |ORDER BY $cosE DESC, e.vec_id
+         |LIMIT 10""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- q28
+  /** IVF batch kNN: per-query probe + per-query top-k with the
+    * (score desc, id asc) tiebreak, (query_id, neighbor_id, score,
+    * rank) shape — the replay of `Similarity.ivfTopK`. */
+  def q28(spark: SparkSession, dir: String, model: IvfModel,
+      nprobe: Int, k: Int): Option[String] = {
+    if (!assignAgreementOk(spark, dir, model)) return None
+    val qOk = (0L until 5L).forall(id =>
+      probeOk(model, queryVec(spark, dir, id), nprobe))
+    if (!qOk) return None
+    val cosQ =
+      "list_dot_product(CAST(e.embedding AS DOUBLE[]), qs.qe) / " +
+        "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * " +
+        "sqrt(list_dot_product(qs.qe, qs.qe)))"
+    Some(
+      s"""WITH cent(cid, cen) AS (VALUES
+         |    ${centValues(model)}),
+         |qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+         |  FROM embeddings WHERE vec_id < 5),
+         |probe AS (SELECT query_id, cid FROM (
+         |    SELECT qs.query_id, c.cid, row_number() OVER (PARTITION BY qs.query_id ORDER BY
+         |      list_dot_product(c.cen, c.cen) - 2 * list_dot_product(c.cen, qs.qe),
+         |      c.cid) AS rn
+         |    FROM qs CROSS JOIN cent c) WHERE rn <= $nprobe),
+         |assign AS (SELECT vec_id, cluster_id FROM (
+         |    SELECT e.vec_id, c.cid AS cluster_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_dot_product(c.cen, c.cen) - 2 * list_dot_product(c.cen, CAST(e.embedding AS DOUBLE[])),
+         |      c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c
+         |    WHERE e.embedding IS NOT NULL) WHERE rn = 1),
+         |scored AS (
+         |  SELECT p.query_id, e.vec_id AS neighbor_id, $cosQ AS raw
+         |  FROM embeddings e, assign a, probe p, qs
+         |  WHERE e.vec_id = a.vec_id AND a.cluster_id = p.cid AND qs.query_id = p.query_id)
+         |SELECT query_id, neighbor_id, round(raw, 6) AS score, rank FROM (
+         |  SELECT query_id, neighbor_id, raw,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |WHERE rank <= $k
+         |ORDER BY query_id, rank""".stripMargin)
+  }
+
+  // --------------------------------------------------------------- q106
+  /** Bucketed embedding near-dup pairs: signature replay, shared-bucket
+    * pair join (id_a < id_b, multi-table dedup), exact cosine verify. */
+  def q106(spark: SparkSession, dir: String, lsh: LshModel,
+      minCosine: Double): Option[String] = {
+    if (minSignMargin(spark, dir, lsh) < signEps) return None
+    Some(
+      s"""WITH ${sigsCte(planesValues(lsh))},
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, round(raw, 6) AS cosine FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) /
+         |      (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[]))) *
+         |       sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))) AS raw
+         |  FROM cand c, embeddings ea, embeddings eb
+         |  WHERE ea.vec_id = c.id_a AND eb.vec_id = c.id_b)
+         |WHERE raw >= $minCosine
+         |ORDER BY id_a, id_b""".stripMargin)
+  }
+
+  // --------------------------------------------------------------- q107
+  /** Bulk LSH kNN self-join aggregated to label-pair edge counts: the
+    * replay of the UNGUARDED join, valid because (a) the exact-vector
+    * collapse is output-lossless (LshSkewSpec parity proof) and (b) the
+    * generator verifies no distinct-vector bucket exceeds the width cap
+    * at this dir (thinning is id-hash-seeded, not SQL-expressible) —
+    * else it withholds. */
+  def q107(spark: SparkSession, dir: String, lsh: LshModel, k: Int): Option[String] = {
+    if (minSignMargin(spark, dir, lsh) < signEps) return None
+    // distinct-vector bucket width must stay under the cap (guard inert)
+    val maxWidth = emb(spark, dir).filter(col("embedding").isNotNull)
+      .select(col("embedding")).distinct()
+      .select(explode(lsh.bucketsColumn(col("embedding"))).as("bucket"))
+      .groupBy("bucket").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    if (maxWidth > graft.model.GraftConfig.lshMaxBucketWidth) return None
+    Some(
+      s"""WITH ${sigsCte(planesValues(lsh))},
+         |cand AS (SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+         |  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id <> b.vec_id),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) /
+         |      (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[]))) *
+         |       sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))) AS raw
+         |  FROM cand c, embeddings ea, embeddings eb
+         |  WHERE ea.vec_id = c.query_id AND eb.vec_id = c.neighbor_id),
+         |top AS (SELECT query_id, neighbor_id, raw FROM (
+         |    SELECT query_id, neighbor_id, raw,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY raw DESC, neighbor_id) AS rn
+         |    FROM scored) WHERE rn <= $k)
+         |SELECT la.label AS label_a, lb.label AS label_b,
+         |  count(*) AS n_edges, round(avg(t.raw), 6) AS avg_score
+         |FROM top t, embeddings la, embeddings lb
+         |WHERE la.vec_id = t.query_id AND lb.vec_id = t.neighbor_id
+         |GROUP BY la.label, lb.label
+         |ORDER BY label_a, label_b""".stripMargin)
+  }
+}

@@ -13,7 +13,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QueryDef(
     name: String,
     oracle: Option[String],
-    run: (SparkSession, String) => DataFrame)
+    run: (SparkSession, String) => DataFrame,
+    // Dir-aware oracle GENERATOR for queries whose replay SQL embeds
+    // trained-but-deterministic state (seeded k-means centroids, seeded
+    // LSH hyperplanes) or data-sized parameters (autoBits): once the
+    // state is dumped as SQL literals the rest of the query is pure
+    // arithmetic DuckDB replays exactly. The generator may return None
+    // (→ rows-only check) when a precondition for exact replay fails at
+    // this dir — e.g. a sign/argmin margin below the cross-engine noise
+    // floor, or a bucket past the width cap (thinning is id-hash-seeded,
+    // not SQL-expressible).
+    oracleGen: Option[(SparkSession, String) => Option[String]] = None) {
+
+  /** The oracle to dump for `dir`: generated when a generator exists,
+    * else the static SQL. */
+  def oracleAt(spark: SparkSession, dir: String): Option[String] =
+    oracleGen match {
+      case Some(g) => g(spark, dir)
+      case None => oracle
+    }
+}
 
 object Tables {
   /**

@@ -167,7 +167,13 @@ object VectorQueries {
             "vec_id", "embedding", minCosine = 0.3, bruteForce = false,
             bitsPerTable = 0)
           .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
-          .orderBy("id_a", "id_b")),
+          .orderBy("id_a", "id_b"),
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q106") {
+        val bits = Similarity.autoBits(
+          graft.sources.TableStats.rowCountForSizing(table(spark, dir, "embeddings")))
+        AnnOracles.q106(spark, dir,
+          LshModel(numTables = 8, bitsPerTable = bits, dim = 64), minCosine = 0.3)
+      })),
 
     // kNN JOIN: every embedding queries the whole corpus for its top-5
     // neighbors (excluding itself) through the LSH bucket equi-join —
@@ -195,7 +201,13 @@ object VectorQueries {
           .groupBy("label_a", "label_b")
           .agg(count(lit(1)).as("n_edges"), round(avg("score"), 6).as("avg_score"))
           .orderBy("label_a", "label_b")
-      }),
+      },
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q107") {
+        val bits = Similarity.autoBits(
+          graft.sources.TableStats.rowCountForSizing(table(spark, dir, "embeddings")))
+        AnnOracles.q107(spark, dir,
+          LshModel(numTables = 8, bitsPerTable = bits, dim = 64), k = 5)
+      })),
 
     // Semantic dedup (SemDeDup, Abbas et al. 2023): seeded k-means
     // clusters + within-cluster exact-cosine duplicate groups, keep the
@@ -222,6 +234,40 @@ object VectorQueries {
             sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
             round(avg("centroid_sim"), 6).as("avg_centroid_sim"))
           .orderBy("cluster_id")
+      }),
+
+    // SemDeDup at the PAPER's threshold band (0.95): the synthetic
+    // corpus tops out at pairwise cos ~0.5 (q109/q112 run at 0.4 so the
+    // drop path sees data scale), so this query PLANTS the near-dup
+    // mass — for every 10th vector, a deterministic perturbed copy at
+    // cos ≈ 0.9998 (a 0.02-scaled element rotation: distinct vector, so
+    // it exercises the near-dup pair path, NOT the exact-collapse) —
+    // and runs the production threshold end to end. Output: keep/drop
+    // counts by planted-vs-original, which pins the contract (every
+    // planted pair collapses to one survivor; no original-original pair
+    // is within 0.95). Seed-dependent clustering ⇒ rows-only;
+    // SemDedupSpec gates the planted-drop floor and no-false-positive
+    // contracts on a fixture.
+    QueryDef("q113_semdedup_planted", None,
+      (spark, dir) => {
+        val e = table(spark, dir, "embeddings")
+        val planted = e.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x + lit(0.02) * element_at(col("embedding"),
+                pmod(i + 1, size(col("embedding"))) + 1))
+              .cast("array<float>").as("embedding"),
+            col("label"))
+        val union = e.select("vec_id", "embedding", "label").unionByName(planted)
+        val model = semDedupCache.getOrElseUpdate(dir + "#planted",
+          graft.operators.SemDedup.trainModel(union, "embedding"))
+        val flags = graft.operators.SemDedup.semDedup(
+          union, "vec_id", "embedding", minCosine = 0.95, model = Some(model))
+        flags.withColumn("planted", col("vec_id") >= 1000000L)
+          .groupBy("planted")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("planted")
       }),
 
     // Incremental SemDeDup: a 20% "arriving batch" deduped against the
@@ -258,7 +304,10 @@ object VectorQueries {
         val universe = e.join(cands, Seq("vec_id"), "left_semi")
         Similarity.knnExact(universe, "vec_id", "embedding", query, 10)
           .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
-      }),
+      },
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q26") {
+        AnnOracles.q26(spark, dir, LshModel(numTables = 8, bitsPerTable = 8, dim = 64))
+      })),
 
     QueryDef("q27_knn_ivf", None,
       (spark, dir) => {
@@ -270,7 +319,10 @@ object VectorQueries {
         val cands = model.candidates(assigned, query, nprobe = 4)
         Similarity.knnExact(cands, "vec_id", "embedding", query, 10)
           .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
-      }),
+      },
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q27") {
+        AnnOracles.ivfSingleQuery(spark, dir, ivfModel(spark, dir, 16), nprobe = 4)
+      })),
 
     // INT8 quantization (storage path; Quantize scaladoc). Output is
     // scalar checksums of the quantized vector (sum/sumsq/min/max/first
@@ -430,7 +482,19 @@ object VectorQueries {
         val cands = assigned.filter(col("cluster_id").isin(cells.map(Int.box): _*))
         Similarity.knnExact(cands, "vec_id", "embedding", query, 10)
           .select(col("vec_id"), col("label"), round(col("score"), 6).as("score"))
-      }),
+      },
+      // replayable iff the graph-routed probe equals the linear probe it
+      // approximates at this dir (the generator checks and withholds
+      // otherwise) — the SQL replays the linear form
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q110") {
+        val model = ivfModel(spark, dir, 16)
+        val graph = graft.index.HnswModel.overCentroids(model)
+        val query = table(spark, dir, "embeddings")
+          .filter(col("vec_id") === 0).select("embedding")
+          .collect()(0).getSeq[Float](0).toArray
+        AnnOracles.ivfSingleQuery(spark, dir, model, nprobe = 4,
+          requireCells = Some(graph.probeCells(query, nprobe = 4).toSet))
+      })),
 
     QueryDef("q28_ivf_batch", None,
       (spark, dir) => {
@@ -442,5 +506,8 @@ object VectorQueries {
           .select(col("query_id"), col("neighbor_id"),
             round(col("score"), 6).as("score"), col("rank"))
           .orderBy("query_id", "rank")
-      }))
+      },
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q28") {
+        AnnOracles.q28(spark, dir, ivfModel(spark, dir, 16), nprobe = 4, k = 5)
+      })))
 }

@@ -42,7 +42,7 @@ object LshPlanes {
         var dot = 0.0
         val n = math.min(plane.length, v.numElements())
         var i = 0
-        while (i < n) { dot += plane(i) * v.getFloat(i); i += 1 }
+        while (i < n) { dot += plane(i).toDouble * v.getFloat(i); i += 1 }
         if (dot >= 0) sig |= (1L << b)
         b += 1
       }
@@ -75,7 +75,7 @@ object LshPlanes {
         var dot = 0.0
         val n = math.min(plane.length, v.numElements())
         var i = 0
-        while (i < n) { dot += plane(i) * v.getFloat(i); i += 1 }
+        while (i < n) { dot += plane(i).toDouble * v.getFloat(i); i += 1 }
         if (dot >= 0) sig |= (1L << b)
         absDots(b) = (math.abs(dot), b)
         b += 1
@@ -112,7 +112,7 @@ object LshPlanes {
         var dot = 0.0
         val n = math.min(plane.length, v.length)
         var i = 0
-        while (i < n) { dot += plane(i) * v(i); i += 1 }
+        while (i < n) { dot += plane(i).toDouble * v(i); i += 1 }
         if (dot >= 0) sig |= (1L << b)
         absDots(b) = (math.abs(dot), b)
         b += 1
@@ -141,7 +141,7 @@ object LshPlanes {
         var dot = 0.0
         val n = math.min(plane.length, v.length)
         var i = 0
-        while (i < n) { dot += plane(i) * v(i); i += 1 }
+        while (i < n) { dot += plane(i).toDouble * v(i); i += 1 }
         if (dot >= 0) sig |= (1L << b)
         b += 1
       }

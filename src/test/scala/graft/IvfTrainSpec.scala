@@ -98,6 +98,50 @@ class IvfTrainSpec extends SparkSpec {
     assert(agree >= 0.9, s"assignment agreement collapsed: $agree")
   }
 
+  test("SemDedup.trainModel switches to graph-routed assignment past approxAssignMinK") {
+    import spark.implicits._
+    import graft.model.GraftConfig
+    // n·k = 3.07e6 crosses the 3e6 driver-flop budget (=> distributed
+    // trainer) AND k >= approxAssignMinK (=> graph-routed assignment)
+    val rnd = new scala.util.Random(5)
+    val big = (0 until 3000).map(i =>
+        (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "embedding").localCheckpoint(true)
+    val k = 1024
+    require(k >= GraftConfig.approxAssignMinK)
+    val auto = graft.operators.SemDedup.trainModel(big, "embedding", nlist = k)
+    val viaApprox = IvfModel.trainDistributed(big, "embedding", nlist = k,
+      maxIter = 6, approxAssignEf = GraftConfig.approxAssignEf)
+    auto.centroids.zip(viaApprox.centroids).foreach { case (x, y) =>
+      assert(x.sameElements(y), "trainModel did not take the graph-routed path")
+    }
+    // below the threshold the exact path is taken, bit-for-bit
+    val old = GraftConfig.approxAssignMinK
+    GraftConfig.approxAssignMinK = Int.MaxValue
+    try {
+      val exact = graft.operators.SemDedup.trainModel(big, "embedding", nlist = k)
+      val viaExact = IvfModel.trainDistributed(big, "embedding", nlist = k, maxIter = 6)
+      exact.centroids.zip(viaExact.centroids).foreach { case (x, y) =>
+        assert(x.sameElements(y), "raised threshold did not restore the exact path")
+      }
+      // inertia parity AT the switch point — the gate for task-4 wiring
+      def inertiaOn(m: IvfModel): Double = {
+        val rows = big.select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+        rows.map { v =>
+          m.centroids.map { c =>
+            var d = 0.0; var j = 0
+            while (j < v.length) { val x = v(j) - c(j); d += x * x; j += 1 }
+            d
+          }.min
+        }.sum / rows.length
+      }
+      val (ai, ei) = (inertiaOn(auto), inertiaOn(exact))
+      info(f"switch-point inertia exact=$ei%.4f graph-routed=$ai%.4f")
+      assert(ai <= ei * 1.2,
+        s"graph-routed inertia $ai too far above exact $ei at the switch point")
+    } finally GraftConfig.approxAssignMinK = old
+  }
+
   test("trainDistributed clamps k to the distinct-vector count") {
     import spark.implicits._
     val dups = Seq.fill(20)(Seq(1.0f, 0.0f)) ++ Seq.fill(20)(Seq(0.0f, 1.0f))

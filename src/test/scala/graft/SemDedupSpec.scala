@@ -234,4 +234,40 @@ class SemDedupSpec extends SparkSpec {
     assert(nUncapped > 250000L, s"uncapped=$nUncapped")
     assert(nCapped < 25000L, s"capped=$nCapped")
   }
+
+  test("production threshold 0.95: planted near-dup pairs collapse, no false positives") {
+    // q113's fixture shape at spec scale: every base vector gets a
+    // deterministic perturbed copy at cos ≈ 0.9998 (0.02-scaled element
+    // rotation — DISTINCT vector, so the within-cluster near-dup pair
+    // path is exercised, not the exact-collapse) and the operator runs
+    // at the paper's threshold band.
+    val planted = baseVecs.map { case (id, v) =>
+      val a = v.toArray
+      (id + 1000L, unit(a.indices.map(i => a(i) + 0.02 * a((i + 1) % a.length)).toArray))
+    }
+    val union = (baseVecs ++ planted).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val out = SemDedup.semDedup(union, "vec_id", "embedding",
+        minCosine = 0.95, nlist = 4)
+      .select(col("vec_id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out.size == 80)
+    // every planted pair collapses to exactly one survivor — up to the
+    // operator's documented within-cluster limitation (a pair k-means
+    // splits across a Voronoi boundary is not a candidate), so gate a
+    // >= 90% floor; and a caught pair NEVER drops both members
+    val collapsed = baseVecs.count { case (id, _) =>
+      val pair = Seq(out(id), out(id + 1000L))
+      assert(pair.count(identity) >= 1, s"pair $id: both members dropped")
+      pair.count(identity) == 1
+    }
+    assert(collapsed >= 36, s"only $collapsed/40 planted pairs collapsed at 0.95")
+    // no false positives: a drop outside a planted pair would mean two
+    // distinct base vectors scored >= 0.95 (they sit at cos ~0.2-0.5)
+    val droppedIds = out.collect { case (id, false) => id }.toSet
+    droppedIds.foreach { id =>
+      val base = if (id >= 1000L) id - 1000L else id
+      assert(baseVecs.exists(_._1 == base), s"false-positive drop: $id")
+    }
+  }
 }
