@@ -334,4 +334,205 @@ private[queries] object AnnOracles {
          |GROUP BY la.label, lb.label
          |ORDER BY label_a, label_b""".stripMargin)
   }
+
+  // ---------------------------------------------------------- q77 / q78
+  // PQ replay: the codebooks are seeded driver state like centroids, so
+  // encoding (per-subspace argmin) and ADC (literal float table lookups
+  // summed) are replayable arithmetic. Guards: per-(vector, subspace)
+  // code agreement between the engine's float-loop encode and the
+  // double-formula argmin the SQL evaluates (with a distinct top-2 gap
+  // floor), and a gap floor at the ADC top-n cutoff (the engine's
+  // candidate LIMIT carries no tiebreak, so a boundary tie is not
+  // replayable and withholds).
+
+  /** `(VALUES (s, code, [..]::DOUBLE[]), ...)` rows for the m×k
+    * sub-codebooks. */
+  private def cbValues(pq: graft.index.PqModel): String =
+    (0 until pq.m).flatMap(s => (0 until pq.k).map(c =>
+      s"($s, $c, ${vecLit(pq.codebooks(s)(c))})")).mkString(",\n    ")
+
+  /** Exact float-quantized ADC-table literals (the engine's
+    * `adcTable` rounds each partial squared distance to FLOAT; the
+    * emitted double literal round-trips it bit-exactly). */
+  private def adcValues(tables: Seq[(Int, Array[Array[Float]])]): String =
+    tables.flatMap { case (cid, t) =>
+      t.zipWithIndex.toSeq.flatMap { case (row, s) =>
+        row.zipWithIndex.toSeq.map { case (v, c) =>
+          s"($cid, $s, $c, ${d(v)}::DOUBLE)" }
+      }
+    }.mkString(",\n    ")
+
+  /** Distributed code-agreement check: the engine's actual codes
+    * (float-loop NearestCentroid per subspace, over the raw embedding
+    * or the FLOAT residual) vs the double-formula argmin the replay SQL
+    * evaluates, plus a distinct top-2 gap floor per (vector, subspace).
+    * Any disagreeing or margin-thin row withholds the oracle. */
+  private def pqCodesOk(spark: SparkSession, dir: String,
+      pq: graft.index.PqModel, ivf: Option[IvfModel]): Boolean = {
+    import spark.implicits._
+    val dsub = pq.dsub
+    val base = emb(spark, dir).filter(col("embedding").isNotNull)
+    val prepared = ivf match {
+      case None => base.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"),
+        pq.encodeColumn(col("embedding")).as("codes"))
+      case Some(m) =>
+        val cents = typedlit(m.centroids.map(_.map(_.toDouble).toSeq).toSeq)
+        val assigned = base.withColumn("cluster_id", m.assignColumn(col("embedding")))
+        assigned.select(col("vec_id"),
+          zip_with(col("embedding").cast("array<double>"),
+            element_at(cents, col("cluster_id") + 1), (a, b) => a - b).as("v"),
+          pq.encodeColumn(graft.index.IvfPqModel.residual(
+            col("embedding"), col("cluster_id"), m.centroids)).as("codes"))
+    }
+    val cbDf = (0 until pq.m).flatMap(s => (0 until pq.k).map(c =>
+      (s, c, pq.codebooks(s)(c).map(_.toDouble).toSeq))).toDF("s", "code", "cvec")
+    val agg = prepared.crossJoin(broadcast(cbDf))
+      .select(col("vec_id"), col("codes"), col("s"), col("code"),
+        aggregate(zip_with(slice(col("v"), col("s") * dsub + 1, lit(dsub)),
+          col("cvec"), (a, b) => (a - b) * (a - b)), lit(0.0), _ + _).as("d"))
+      .groupBy("vec_id", "s")
+      .agg(min(struct(col("d"), col("code"))).as("m"),
+        bounded_topk(col("d"), 2).as("t"),
+        first(col("codes")).as("codes"))
+      .select(
+        (col("m").getField("code") =!=
+          element_at(col("codes"), col("s") + 1)).as("mismatch"),
+        when(size(col("t")) === 2,
+          element_at(col("t"), 2) - element_at(col("t"), 1))
+          .otherwise(lit(Double.MaxValue)).as("gap"))
+    agg.filter(col("mismatch") || col("gap") < distEps).limit(1).collect().isEmpty
+  }
+
+  /** Gap floor at the ADC top-n cutoff: `adcDists` is (any id, dist);
+    * true iff fewer than n+1 rows or dist(n+1) - dist(n) >= distEps. */
+  private def adcBoundaryOk(adcDists: DataFrame, n: Int): Boolean = {
+    val top = adcDists.select(col("dist").cast("double"))
+      .orderBy(col("dist")).limit(n + 1).collect().map(_.getDouble(0))
+    top.length <= n || top(n) - top(n - 1) >= distEps
+  }
+
+  /** The shared encode+ADC+rerank replay skeleton: `distsCte` yields
+    * per-(vec_id, s, code) sub-distances whose argmin is the code;
+    * `adcJoin` maps codes to the literal float table. */
+  private def pqReplaySql(adcJoin: String, n: Int): String =
+    s"""codes AS (SELECT vec_id, s, code FROM (
+       |    SELECT vec_id, s, code,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |cand AS (SELECT vec_id FROM (
+       |    SELECT c.vec_id, sum(a2.val) AS dist
+       |    FROM codes c $adcJoin
+       |    GROUP BY c.vec_id)
+       |  ORDER BY dist, vec_id LIMIT $n),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label, round($cosE, 6) AS score
+       |FROM embeddings e, cand c, q
+       |WHERE e.vec_id = c.vec_id
+       |ORDER BY $cosE DESC, e.vec_id
+       |LIMIT 10""".stripMargin
+
+  /** PQ kNN (q77): per-subspace argmin encode over the raw embedding,
+    * ADC top-n candidates, exact cosine rerank. */
+  def q77(spark: SparkSession, dir: String, pq: graft.index.PqModel,
+      n: Int): Option[String] = {
+    import spark.implicits._
+    if (!pqCodesOk(spark, dir, pq, None)) return None
+    val q = queryVec(spark, dir, 0L)
+    val table = pq.adcTable(q)
+    // the engine's own ADC distances (codes + float-table lookups) at
+    // the cutoff: boundary tie or thin margin withholds
+    val adcDf = (for (s <- 0 until pq.m; c <- 0 until pq.k)
+        yield (s, c, table(s)(c).toDouble)).toDF("s", "code", "val")
+    val encoded = emb(spark, dir).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), posexplode(pq.encodeColumn(col("embedding"))))
+      .withColumnRenamed("pos", "s").withColumnRenamed("col", "code")
+      .join(broadcast(adcDf), Seq("s", "code"))
+      .groupBy("vec_id").agg(sum("val").as("dist"))
+    if (!adcBoundaryOk(encoded, n)) return None
+    val dsub = pq.dsub
+    Some(
+      s"""WITH cb(s, code, cvec) AS (VALUES
+         |    ${cbValues(pq)}),
+         |adc(cid, s, code, val) AS (VALUES
+         |    ${adcValues(Seq(0 -> table))}),
+         |dists AS (
+         |  SELECT e.vec_id, cb.s, cb.code,
+         |    list_distance(list_slice(CAST(e.embedding AS DOUBLE[]),
+         |      cb.s * $dsub + 1, cb.s * $dsub + $dsub), cb.cvec) AS d
+         |  FROM embeddings e, cb
+         |  WHERE e.embedding IS NOT NULL),
+         |${pqReplaySql("JOIN adc a2 ON a2.s = c.s AND a2.code = c.code", n)}""".stripMargin)
+  }
+
+  /** IVF-PQ kNN (q78): coarse argmin assignment, probed cells, residual
+    * encode, per-cell ADC tables, exact cosine rerank. */
+  def q78(spark: SparkSession, dir: String, model: graft.index.IvfPqModel,
+      nprobe: Int, n: Int): Option[String] = {
+    import spark.implicits._
+    val ivf = model.ivf; val pq = model.pq
+    val q = queryVec(spark, dir, 0L)
+    // the engine's probe (graph-routed or linear) must equal the
+    // double-formula top-nprobe the SQL replays, with a clear edge
+    val probed = ivf.probe(q, nprobe)
+    val dd = doubleDists(ivf, q)
+    val ordered = dd.zipWithIndex.sortBy { case (dist, i) => (dist, i) }
+    if (probed.toSet != ordered.take(nprobe).map(_._2).toSet) return None
+    if (dd.length > nprobe) {
+      val edge = ordered(nprobe)._1 - ordered(nprobe - 1)._1
+      if (edge != 0.0 && edge < distEps) return None
+      if (edge == 0.0) return None // boundary tie: probe choice not replayable
+    }
+    if (!assignAgreementOk(spark, dir, ivf)) return None
+    if (!pqCodesOk(spark, dir, pq, Some(ivf))) return None
+    // per-cell ADC tables over the query's FLOAT residual (the engine's
+    // arithmetic), emitted as exact literals
+    val tables = probed.map { c =>
+      val cen = ivf.centroids(c)
+      val resid = q.indices.map(i =>
+        q(i) - (if (i < cen.length) cen(i) else 0f)).toArray
+      c -> pq.adcTable(resid)
+    }
+    val adcDf = tables.flatMap { case (cid, t) =>
+      for (s <- 0 until pq.m; c <- 0 until pq.k)
+        yield (cid, s, c, t(s)(c).toDouble)
+    }.toDF("cluster_id", "s", "code", "val")
+    val encoded = model.encode(
+        emb(spark, dir).filter(col("embedding").isNotNull), "vec_id", "embedding")
+      .filter(col("cluster_id").isin(probed.map(Int.box): _*))
+      .select(col("id"), col("cluster_id"), posexplode(col("codes")))
+      .withColumnRenamed("pos", "s").withColumnRenamed("col", "code")
+      .join(broadcast(adcDf), Seq("cluster_id", "s", "code"))
+      .groupBy("id").agg(sum("val").as("dist"))
+    if (!adcBoundaryOk(encoded, n)) return None
+    val dsub = pq.dsub
+    val probedList = probed.mkString(", ")
+    Some(
+      s"""WITH cent(cid, cen) AS (VALUES
+         |    ${centValues(ivf)}),
+         |cb(s, code, cvec) AS (VALUES
+         |    ${cbValues(pq)}),
+         |adc(cid, s, code, val) AS (VALUES
+         |    ${adcValues(tables)}),
+         |pos AS (SELECT unnest(generate_series(1, $dsub)) AS j),
+         |assign AS (SELECT vec_id, cluster_id FROM (
+         |    SELECT e.vec_id, c.cid AS cluster_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_dot_product(c.cen, c.cen) - 2 * list_dot_product(c.cen, CAST(e.embedding AS DOUBLE[])),
+         |      c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c
+         |    WHERE e.embedding IS NOT NULL) WHERE rn = 1),
+         |dists AS (
+         |  SELECT e.vec_id, cb.s, cb.code,
+         |    sum((CAST(e.embedding[cb.s * $dsub + p.j] AS DOUBLE) - ct.cen[cb.s * $dsub + p.j] - cb.cvec[p.j])
+         |      * (CAST(e.embedding[cb.s * $dsub + p.j] AS DOUBLE) - ct.cen[cb.s * $dsub + p.j] - cb.cvec[p.j])) AS d
+         |  FROM embeddings e
+         |  JOIN assign a ON a.vec_id = e.vec_id
+         |  JOIN cent ct ON ct.cid = a.cluster_id
+         |  CROSS JOIN cb CROSS JOIN pos p
+         |  WHERE a.cluster_id IN ($probedList) AND e.embedding IS NOT NULL
+         |  GROUP BY 1, 2, 3),
+         |${pqReplaySql(
+             "JOIN assign ag ON ag.vec_id = c.vec_id " +
+             "JOIN adc a2 ON a2.cid = ag.cluster_id AND a2.s = c.s AND a2.code = c.code", n)}""".stripMargin)
+  }
 }

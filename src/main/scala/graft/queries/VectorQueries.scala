@@ -291,6 +291,56 @@ object VectorQueries {
           .orderBy("label")
       }),
 
+    // Incremental SemDeDup under a SKEWED arriving batch — the
+    // realistic re-crawl shape: 80% of the batch is exact or
+    // near-identical copies of 4 "hot" corpus vectors (spam mass that
+    // concentrates into 4 clusters), 20% is organic fresh content. The
+    // hot clusters' combined occupancy crosses maxClusterRows once the
+    // corpus is large enough (data/sf1 up), driving the incremental
+    // cap path (exact equi-join + rep-collapsed in-cluster LSH) at
+    // data scale; below the cap the same query exercises the uncapped
+    // join on the identical skew. Expected contract (gated at spec
+    // scale in SemDedupSpec): spam drops as dup-of-existing, organic
+    // survives. Seed-dependent clustering ⇒ rows-only.
+    QueryDef("q114_incremental_semdedup_skew", None,
+      (spark, dir) => {
+        val e = table(spark, dir, "embeddings")
+        val existing = e.filter(col("vec_id") % 5 =!= 0)
+        // 4 hot seeds, all in `existing` (ids 1..4 are not %5==0)
+        val hot = e.filter(col("vec_id").between(1L, 4L))
+          .select(((col("vec_id") - 1) % 4).as("hot_idx"),
+            col("embedding").as("hot_emb"))
+        val m = col("vec_id") / 5
+        val batch = e.filter(col("vec_id") % 5 === 0)
+          .withColumn("kind",
+            when(m % 5 === 0, lit("organic"))
+              .when(m % 2 === 1, lit("spam_exact"))
+              .otherwise(lit("spam_near")))
+          .withColumn("hot_idx", m % 4)
+          .join(broadcast(hot), Seq("hot_idx"), "left")
+          .select(col("vec_id"),
+            when(col("kind") === "organic", col("embedding"))
+              .when(col("kind") === "spam_exact", col("hot_emb"))
+              // distinct near-copy: ~0.1-0.7% element rotation ⇒
+              // cos(hot, copy) ≈ 0.9999+, above the 0.95 threshold
+              .otherwise(transform(col("hot_emb"), (x, i) =>
+                x + lit(1e-3) * (pmod(col("vec_id"), lit(7)) + 1) *
+                  element_at(col("hot_emb"),
+                    pmod(i + 1, size(col("hot_emb"))) + 1)))
+              .cast("array<float>").as("embedding"),
+            col("label"), col("kind"))
+        val model = semDedupCache.getOrElseUpdate(dir,
+          graft.operators.SemDedup.trainModel(e, "embedding"))
+        val surv = graft.operators.SemDedup.semDedupIncremental(
+          existing, batch, "vec_id", "embedding", minCosine = 0.95,
+          model = Some(model), maxClusterRows = 256)
+        batch.groupBy("kind").agg(count(lit(1)).as("n_batch"))
+          .join(surv.groupBy("kind").agg(count(lit(1)).as("n_survived")),
+            Seq("kind"), "left")
+          .na.fill(0L, Seq("n_survived"))
+          .orderBy("kind")
+      }),
+
     // --- ANN paths: seed-dependent, rows-only driver check; recall vs the
     // exact oracle is asserted in AnnRecallSpec.
     QueryDef("q26_knn_lsh", None,
@@ -376,7 +426,10 @@ object VectorQueries {
           .orderBy(col("raw_score").desc, col("vec_id"))
           .limit(10)
           .select(col("vec_id"), col("label"), round(col("raw_score"), 6).as("score"))
-      }),
+      },
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q77") {
+        AnnOracles.q77(spark, dir, pqModel(spark, dir), n = 50)
+      })),
 
     // IVF-PQ two-tier search: probe 8 of 16 cells, residual-ADC top-50,
     // exact rerank — the composed billion-vector index architecture.
@@ -396,7 +449,13 @@ object VectorQueries {
           .orderBy(col("raw_score").desc, col("vec_id"))
           .limit(10)
           .select(col("vec_id"), col("label"), round(col("raw_score"), 6).as("score"))
-      }),
+      },
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q78") {
+        val e = table(spark, dir, "embeddings")
+        val model = ivfpqCache.getOrElseUpdate(dir,
+          graft.index.IvfPqModel.train(e, "embedding", nlist = 16, m = 8, k = 16))
+        AnnOracles.q78(spark, dir, model, nprobe = 8, n = 50)
+      })),
 
     // OPQ two-tier search: learned-rotation PQ (Ge 2014) — rotate via
     // the codegen MatVec expression, 8x16 codes, ADC top-50 in rotated

@@ -219,6 +219,46 @@ class SemDedupSpec extends SparkSpec {
     assert(capped == Set(5001L), s"hot dup must drop, fresh must survive: $capped")
   }
 
+  test("incremental skewed batch: spam mass drops, organic survives, cap parity") {
+    // q114's fixture shape at spec scale: the ARRIVING BATCH itself is
+    // skewed — 120 exact copies + 40 distinct near-copies of 4 hot
+    // bases (all present in the existing corpus) + 10 organic fresh
+    // rows. The batch concentrates into the hot clusters, so with a
+    // small cap the oversized-cluster incremental path runs with a
+    // LARGE bigInc side (the shape the rep-collapse guard exists for).
+    val batchRnd = new scala.util.Random(23)
+    val spamExact = (0 until 120).map(i => ((6000 + i).toLong, hotBases(i % 4)))
+    val spamNear = (0 until 40).map { i =>
+      val b = hotBases(i % 4).toArray
+      ((6200 + i).toLong, unit(b.indices.map(d =>
+        b(d) + 1e-3 * (1 + i / 4) * b((d + 1) % b.length)).toArray))
+    }
+    // each organic row on its OWN axis, chosen from the axes no other
+    // cone occupies (hot: 0; scattered: 4/8/12) — a shared dominant
+    // axis would make organic rows legitimate ≥0.95 near-dups of each
+    // other or of existing rows and collapse them
+    val freeAxes = Seq(1, 2, 3, 5, 6, 7, 9, 10, 11, 13)
+    val organic = (0 until 10).map { i =>
+      val v = Array.tabulate(dim)(d =>
+        (if (d == freeAxes(i)) 4.0 else 0.0) + batchRnd.nextGaussian() * 0.2)
+      ((6300 + i).toLong, unit(v))
+    }
+    val batch = (spamExact ++ spamNear ++ organic)
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .localCheckpoint(true)
+    def run(cap: Int) = SemDedup.semDedupIncremental(hotCorpus, batch,
+        "vec_id", "embedding", minCosine = 0.95, model = Some(hotModel),
+        maxClusterRows = cap)
+      .select("vec_id").as[Long].collect().toSet
+    val capped = run(100)
+    assert(capped == run(Int.MaxValue), "capped path diverged from uncapped")
+    // every spam row is a ≥0.95 dup of an existing hot vector -> drops;
+    // organic rows are far from everything -> survive
+    assert(capped == organic.map(_._1).toSet,
+      s"expected exactly the organic ids, got $capped")
+  }
+
   test("cluster cap bounds candidate pair mass (star + LSH, not |c|^2)") {
     val assigned = hotModel.assign(hotCorpus, "embedding")
     val (uncapped, engagedU) = SemDedup.clusterPairCandidates(
