@@ -83,9 +83,12 @@ object IvfPqModel {
       element_at(element_at(cell, s + 1), element_at(col("codes"), s + 1) + 1)
         .cast("double")
     }.reduce(_ + _)
+    // id tiebreak: vectors sharing a cell and all m codes have
+    // bit-identical ADC distances — an untiebroken LIMIT at the cutoff
+    // would pick among them by partition order
     encoded.filter(col("cluster_id").isin(probed.map(Int.box): _*))
       .withColumn("adc_dist", adc)
-      .orderBy(col("adc_dist").asc)
+      .orderBy(col("adc_dist").asc, col("id").asc)
       .limit(n)
       .select("id", "cluster_id", "adc_dist")
   }

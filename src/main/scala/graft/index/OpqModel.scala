@@ -50,8 +50,8 @@ final case class OpqModel(rotation: Array[Array[Float]], pq: PqModel) {
 
   /** Top-`n` candidates by ADC distance in rotated space. */
   def candidates(encoded: DataFrame, codesCol: String, query: Array[Float],
-      n: Int): DataFrame =
-    pq.candidates(encoded, codesCol, rotate(query), n)
+      n: Int, idCol: Option[String] = None): DataFrame =
+    pq.candidates(encoded, codesCol, rotate(query), n, idCol)
 
   /** Mean squared reconstruction error of the model on a sample —
     * the training objective, exposed for tests/reports. */

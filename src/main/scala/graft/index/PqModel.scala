@@ -64,12 +64,18 @@ final case class PqModel(codebooks: Array[Array[Array[Float]]]) {
     }.reduce(_ + _)
   }
 
-  /** Top-`n` candidate rows of an encoded table by ADC distance. */
+  /** Top-`n` candidate rows of an encoded table by ADC distance.
+    * `idCol`, when given, breaks ADC ties deterministically (vectors
+    * sharing all m codes have bit-identical ADC distances, so an
+    * untiebroken LIMIT at the cutoff would pick among them by
+    * partition order). */
   def candidates(encoded: DataFrame, codesCol: String, query: Array[Float],
-      n: Int): DataFrame =
-    encoded.withColumn("adc_dist", adcDistance(col(codesCol), query))
-      .orderBy(col("adc_dist").asc)
+      n: Int, idCol: Option[String] = None): DataFrame = {
+    val scored = encoded.withColumn("adc_dist", adcDistance(col(codesCol), query))
+    idCol.fold(scored.orderBy(col("adc_dist").asc))(id =>
+        scored.orderBy(col("adc_dist").asc, col(id).asc))
       .limit(n)
+  }
 }
 
 object PqModel {

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -305,30 +305,51 @@ object SemDedup {
           .filter(col("inc_id") =!= col("other_id"))
           .withColumn("__exact", lit(false))
 
-        // identical vectors: hash equi-join on the embedding value
+        // identical vectors: ONE star edge per incoming row, to its
+        // (cluster, emb) group's representative (existing-preferred) —
+        // joining inc x ALL copies would emit |inc_g|*|all_g| pairs per
+        // identical group (quadratic on exactly the re-crawl spam mass
+        // this path guards), while the star reaches the same CC
+        // components: rep existing => member drops via dupOfExisting as
+        // before; rep incoming => members group onto the rep, the rep
+        // is the keep-rule keeper (identical vectors tie on
+        // centroid_sim, min id wins = the rep), and a rep dropped as a
+        // near-dup of the corpus drops its members transitively — the
+        // operator's documented semantics either way.
+
+        // distinct near-dups: seeded in-cluster LSH buckets — over the
+        // DISTINCT-vector representatives of BOTH sides, not raw rows
+        // (identical copies share every bucket key, so bucketing them
+        // all would re-form the ~8·|inc_c|·|all_c| candidate mass the
+        // cap exists to prevent). The bigAll rep prefers EXISTING
+        // members (min (__new, id)); the inc side collapses to its
+        // min-id copy. Collapsed members on either side are reached
+        // through the exact equi-join above plus CC transitivity — the
+        // same star-edge argument as the batch path (an inc copy's
+        // drop-via-existing becomes drop-via-group once its rep drops:
+        // identical vectors share centroid_sim, so the min-id rep is
+        // also the keep-rule keeper of any identical-only group).
+        val repGroups = bigAll.groupBy(col("cluster_id"), col("emb"))
+          .agg(min(struct(col("__new"), col("id"))).as("m"))
+        val reps = repGroups.select(col("cluster_id"), col("emb"),
+          col("m").getField("id").as("id"), col("m").getField("__new").as("__new"))
+        val incReps = bigInc.groupBy(col("cluster_id"), col("emb"))
+          .agg(min(col("id")).as("id"))
+          .select(col("cluster_id"), col("id"), col("emb"))
+
+        // the star edges themselves: each incoming row equi-joins the
+        // ONE rep row of its (cluster, emb) group (zero-vectors
+        // excluded per the cosine contract)
         val exactPairs = bigInc
           .select(col("cluster_id"), col("id").as("inc_id"), col("emb"))
-          .join(bigAll.select(col("cluster_id"), col("id").as("other_id"),
-            col("emb"), col("__new").as("other_new")), Seq("cluster_id", "emb"))
+          .join(reps.select(col("cluster_id"), col("emb"),
+              col("id").as("other_id"), col("__new").as("other_new")),
+            Seq("cluster_id", "emb"))
           .filter(col("inc_id") =!= col("other_id"))
           .filter(GraftFunctions.vector_norm(col("emb")) > 0)
           .select(col("inc_id"), col("other_id"), col("other_new"),
             col("emb").as("emb_q"), col("emb").as("emb_o"),
             lit(true).as("__exact"))
-
-        // distinct near-dups: seeded in-cluster LSH buckets — over the
-        // DISTINCT-vector representatives of bigAll, not its raw rows
-        // (identical copies share every bucket key, so bucketing them
-        // all would re-form the ~8·|inc_c|·|all_c| candidate mass the
-        // cap exists to prevent). The rep prefers EXISTING members
-        // (min (__new, id)): a mixed identical-group's near-dups then
-        // drop outright, and the collapsed members are reached through
-        // the exact equi-join above plus CC transitivity — the same
-        // star-edge argument as the batch path.
-        val repGroups = bigAll.groupBy(col("cluster_id"), col("emb"))
-          .agg(min(struct(col("__new"), col("id"))).as("m"))
-        val reps = repGroups.select(col("cluster_id"), col("emb"),
-          col("m").getField("id").as("id"), col("m").getField("__new").as("__new"))
         // bits sized off the largest cluster's DISTINCT-rep count: only
         // reps are bucketed, so sizing off raw rows would over-split
         // duplicate-dominated clusters far past the ~target ids/bucket
@@ -339,17 +360,23 @@ object SemDedup {
         val dim = bigAll.select(size(col("emb"))).limit(1).collect()(0).getInt(0)
         val lsh = LshModel(numTables = 8,
           bitsPerTable = Similarity.autoBits(maxReps), dim = dim, seed = seed)
-        def bucketed(df: DataFrame) = df.select(col("cluster_id"), col("id"),
-            col("emb"), col("__new"), explode(lsh.bucketsColumn(col("emb"))).as("bucket"))
-        val lshPairs = bucketed(bigInc)
-          .select(col("cluster_id"), col("bucket"), col("id").as("inc_id"),
-            col("emb").as("emb_q"))
-          .join(bucketed(reps).select(col("cluster_id"), col("bucket"),
-            col("id").as("other_id"), col("emb").as("emb_o"),
-            col("__new").as("other_new")), Seq("cluster_id", "bucket"))
+        // canonical-table emission (see canonicalTable): each candidate
+        // pair leaves the 8-table join exactly once, so the verify and
+        // the downstream dedup/CC see the distinct pair mass, not 8x it
+        val lshPairs = bucketedWithSigs(incReps, lsh)
+          .select(col("cluster_id"), col("bucket"), col("pos"),
+            col("id").as("inc_id"), col("emb").as("emb_q"),
+            col("sigs").as("sigs_a"))
+          .join(bucketedWithSigs(
+              reps.select(col("cluster_id"), col("id"), col("emb"), col("__new")), lsh)
+            .select(col("cluster_id"), col("bucket"), col("id").as("other_id"),
+              col("emb").as("emb_o"), col("__new").as("other_new"),
+              col("sigs").as("sigs_b")),
+            Seq("cluster_id", "bucket"))
           .filter(col("inc_id") =!= col("other_id"))
+          .filter(canonicalTable(lsh.numTables))
           .withColumn("__exact", lit(false))
-          .drop("cluster_id", "bucket")
+          .select("inc_id", "other_id", "other_new", "emb_q", "emb_o", "__exact")
 
         verify(smallPairs)
           .unionByName(verify(exactPairs))
@@ -379,6 +406,35 @@ object SemDedup {
     incoming
       .join(dupOfExisting.unionByName(groupDrops).distinct(), Seq(idCol), "left_anti")
   }
+
+  /** (cluster_id, id, emb, sigs, pos, bucket): one row per (input row,
+    * LSH table), carrying the FULL signature array for canonical-table
+    * pair emission, partitioned by the join key. */
+  private def bucketedWithSigs(df: DataFrame,
+      lsh: LshModel): DataFrame =
+    df.withColumn("sigs", lsh.bucketsColumn(col("emb")))
+      .select(col("*"), posexplode(col("sigs")))
+      .withColumnRenamed("col", "bucket")
+      .repartition(col("cluster_id"), col("bucket"))
+
+  /** Canonical-table filter for a bucket-joined pair carrying `pos`
+    * (the 0-based table index the join matched on) and both signature
+    * arrays: true iff NO earlier table also matched, so each candidate
+    * pair is emitted from exactly ONE of the `numTables` joins. Without
+    * it a pair colliding in all tables is verified 8x and the full
+    * redundant mass pays the post-verify dedup shuffle — on an
+    * all-mutual-near-dup hot cluster (the q114 re-crawl shape) that is
+    * 8x the quadratic worst case instead of 1x. Bucket keys embed the
+    * table id, so equal keys always mean equal table index. Written as
+    * a static conjunction of element_at comparisons (NOT a
+    * slice/zip_with lambda): higher-order array functions run
+    * interpreted with per-row allocations — at ~1e8 candidate rows the
+    * filter itself would cost more than the verifies it saves. */
+  private def canonicalTable(numTables: Int): Column =
+    (0 until numTables - 1).map { t =>
+      (lit(t) >= col("pos")) ||
+        (element_at(col("sigs_a"), t + 1) =!= element_at(col("sigs_b"), t + 1))
+    }.reduce(_ && _)
 
   /**
    * Candidate pair stream (id_a, id_b, emb_a, emb_b, __exact) BEFORE
@@ -446,15 +502,15 @@ object SemDedup {
       val dim = big.select(size(col("emb"))).limit(1).collect()(0).getInt(0)
       val lsh = LshModel(numTables = 8,
         bitsPerTable = Similarity.autoBits(maxReps), dim = dim, seed = seed)
-      val bucketed = reps.select(col("cluster_id"), col("id"), col("emb"),
-          explode(lsh.bucketsColumn(col("emb"))).as("bucket"))
-        .repartition(col("cluster_id"), col("bucket"))
+      val bucketed = bucketedWithSigs(reps, lsh)
       val lshPairs = bucketed
-        .select(col("cluster_id"), col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"))
+        .select(col("cluster_id"), col("bucket"), col("pos"),
+          col("id").as("id_a"), col("emb").as("emb_a"), col("sigs").as("sigs_a"))
         .join(bucketed.select(col("cluster_id"), col("bucket"),
-            col("id").as("id_b"), col("emb").as("emb_b")),
+            col("id").as("id_b"), col("emb").as("emb_b"), col("sigs").as("sigs_b")),
           Seq("cluster_id", "bucket"))
         .filter(col("id_a") < col("id_b"))
+        .filter(canonicalTable(lsh.numTables))
         .select(col("id_a"), col("id_b"), col("emb_a"), col("emb_b"),
           lit(false).as("__exact"))
 

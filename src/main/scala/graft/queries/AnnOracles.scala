@@ -404,12 +404,20 @@ private[queries] object AnnOracles {
     agg.filter(col("mismatch") || col("gap") < distEps).limit(1).collect().isEmpty
   }
 
-  /** Gap floor at the ADC top-n cutoff: `adcDists` is (any id, dist);
-    * true iff fewer than n+1 rows or dist(n+1) - dist(n) >= distEps. */
+  /** Gap guard at the ADC top-n cutoff. `adcDists` must carry the
+    * ENGINE's exact distances (the same literal-table lookups + left-
+    * fold addition order); the replay's ordered-aggregate sum over the
+    * identical literals is then bit-identical, so an EXACT boundary tie
+    * replays correctly through the shared (dist, id) tiebreak — only a
+    * thin NONZERO gap (where a computation-order difference could still
+    * flip the cutoff) withholds. */
   private def adcBoundaryOk(adcDists: DataFrame, n: Int): Boolean = {
     val top = adcDists.select(col("dist").cast("double"))
       .orderBy(col("dist")).limit(n + 1).collect().map(_.getDouble(0))
-    top.length <= n || top(n) - top(n - 1) >= distEps
+    top.length <= n || {
+      val gap = top(n) - top(n - 1)
+      gap == 0.0 || gap >= distEps
+    }
   }
 
   /** The shared encode+ADC+rerank replay skeleton: `distsCte` yields
@@ -421,7 +429,7 @@ private[queries] object AnnOracles {
        |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rn
        |    FROM dists) WHERE rn = 1),
        |cand AS (SELECT vec_id FROM (
-       |    SELECT c.vec_id, sum(a2.val) AS dist
+       |    SELECT c.vec_id, sum(a2.val ORDER BY a2.s) AS dist
        |    FROM codes c $adcJoin
        |    GROUP BY c.vec_id)
        |  ORDER BY dist, vec_id LIMIT $n),
@@ -436,20 +444,14 @@ private[queries] object AnnOracles {
     * ADC top-n candidates, exact cosine rerank. */
   def q77(spark: SparkSession, dir: String, pq: graft.index.PqModel,
       n: Int): Option[String] = {
-    import spark.implicits._
     if (!pqCodesOk(spark, dir, pq, None)) return None
     val q = queryVec(spark, dir, 0L)
     val table = pq.adcTable(q)
-    // the engine's own ADC distances (codes + float-table lookups) at
-    // the cutoff: boundary tie or thin margin withholds
-    val adcDf = (for (s <- 0 until pq.m; c <- 0 until pq.k)
-        yield (s, c, table(s)(c).toDouble)).toDF("s", "code", "val")
-    val encoded = emb(spark, dir).filter(col("embedding").isNotNull)
-      .select(col("vec_id"), posexplode(pq.encodeColumn(col("embedding"))))
-      .withColumnRenamed("pos", "s").withColumnRenamed("col", "code")
-      .join(broadcast(adcDf), Seq("s", "code"))
-      .groupBy("vec_id").agg(sum("val").as("dist"))
-    if (!adcBoundaryOk(encoded, n)) return None
+    // the ENGINE's own ADC distance column (same lookups + left-fold
+    // order as PqModel.candidates) at the cutoff
+    val scored = emb(spark, dir).filter(col("embedding").isNotNull)
+      .select(pq.adcDistance(pq.encodeColumn(col("embedding")), q).as("dist"))
+    if (!adcBoundaryOk(scored, n)) return None
     val dsub = pq.dsub
     Some(
       s"""WITH cb(s, code, cvec) AS (VALUES
@@ -493,18 +495,24 @@ private[queries] object AnnOracles {
         q(i) - (if (i < cen.length) cen(i) else 0f)).toArray
       c -> pq.adcTable(resid)
     }
-    val adcDf = tables.flatMap { case (cid, t) =>
-      for (s <- 0 until pq.m; c <- 0 until pq.k)
-        yield (cid, s, c, t(s)(c).toDouble)
-    }.toDF("cluster_id", "s", "code", "val")
-    val encoded = model.encode(
+    // the ENGINE's distance expression (IvfPqModel.adcCandidates'
+    // stacked cluster-indexed literal + the same left-fold order)
+    val probedSet = probed.toSet
+    val byCid = tables.toMap
+    val stacked: Seq[Seq[Seq[Float]]] = ivf.centroids.indices.map { c =>
+      if (!probedSet(c)) Seq.empty
+      else byCid(c).map(_.toSeq).toSeq
+    }
+    val cell = element_at(typedlit(stacked), col("cluster_id") + 1)
+    val adc = (0 until pq.m).map { s =>
+      element_at(element_at(cell, s + 1), element_at(col("codes"), s + 1) + 1)
+        .cast("double")
+    }.reduce(_ + _)
+    val scored = model.encode(
         emb(spark, dir).filter(col("embedding").isNotNull), "vec_id", "embedding")
       .filter(col("cluster_id").isin(probed.map(Int.box): _*))
-      .select(col("id"), col("cluster_id"), posexplode(col("codes")))
-      .withColumnRenamed("pos", "s").withColumnRenamed("col", "code")
-      .join(broadcast(adcDf), Seq("cluster_id", "s", "code"))
-      .groupBy("id").agg(sum("val").as("dist"))
-    if (!adcBoundaryOk(encoded, n)) return None
+      .select(adc.as("dist"))
+    if (!adcBoundaryOk(scored, n)) return None
     val dsub = pq.dsub
     val probedList = probed.mkString(", ")
     Some(

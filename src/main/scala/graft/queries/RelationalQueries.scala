@@ -118,7 +118,8 @@ object RelationalQueries {
       }),
 
     QueryDef("q05_nation_revenue", Some(
-      """SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+      """SELECT n.n_name, round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue
         |FROM customer c
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -141,12 +142,18 @@ object RelationalQueries {
           .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy(col("n_name"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+          // money sum via DECIMAL (exact, order-independent) — the q01
+          // rationale; the sf1 probe caught this sum straddling a
+          // round-4dp midpoint run-to-run at ~1.3e10
+          .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)")
+              * (lit(1) - col("l_discount")).cast("decimal(18,2)"))
+            .cast("double"), 4).as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
       }),
 
     QueryDef("q06_revenue_forecast", Some(
-      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue,
         |  count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -159,7 +166,9 @@ object RelationalQueries {
             && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
             && col("l_discount").between(0.03, 0.07)
             && col("l_quantity") < 24)
-          .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"),
+          .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)")
+              * col("l_discount").cast("decimal(18,2)")).cast("double"), 4)
+            .as("revenue"),
             count(lit(1)).as("n_rows"))),
 
     QueryDef("q07_anti_join_customers", Some(
@@ -458,7 +467,8 @@ object RelationalQueries {
       """WITH rev AS (
         |  SELECT r.r_name AS region,
         |    CAST(year(o.o_orderdate) AS INTEGER) AS yr,
-        |    sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+        |    CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |  FROM lineitem l
         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
         |  JOIN customer c ON o.o_custkey = c.c_custkey
@@ -481,8 +491,10 @@ object RelationalQueries {
         val rev = l.join(o, l("l_orderkey") === o("o_orderkey"))
           .join(dim, col("o_custkey") === col("c_custkey"))
           .groupBy(col("region"), year(col("o_orderdate")).as("yr"))
-          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .as("revenue"))
+          // DECIMAL money sum (q01 rationale; sf1-probe flake class)
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+              * (lit(1) - col("l_discount")).cast("decimal(18,2)"))
+            .cast("double").as("revenue"))
         rev.select(col("region"), col("yr"),
             round(col("revenue"), 4).as("revenue"),
             round(col("revenue") / sum(col("revenue"))

@@ -420,7 +420,8 @@ object VectorQueries {
         val q = e.filter(col("vec_id") === 0).select("embedding")
           .collect()(0).getSeq[Float](0).toArray
         val encoded = e.select(col("vec_id"), pq.encodeColumn(col("embedding")).as("codes"))
-        val cands = pq.candidates(encoded, "codes", q, n = 50).select("vec_id")
+        val cands = pq.candidates(encoded, "codes", q, n = 50,
+          idCol = Some("vec_id")).select("vec_id")
         e.join(cands, Seq("vec_id"), "left_semi")
           .withColumn("raw_score", cosine_sim(col("embedding"), typedlit(q.toSeq)))
           .orderBy(col("raw_score").desc, col("vec_id"))
@@ -469,7 +470,8 @@ object VectorQueries {
         val q = e.filter(col("vec_id") === 0).select("embedding")
           .collect()(0).getSeq[Float](0).toArray
         val encoded = e.select(col("vec_id"), opq.encodeColumn(col("embedding")).as("codes"))
-        val cands = opq.candidates(encoded, "codes", q, n = 50).select("vec_id")
+        val cands = opq.candidates(encoded, "codes", q, n = 50,
+          idCol = Some("vec_id")).select("vec_id")
         e.join(cands, Seq("vec_id"), "left_semi")
           .withColumn("raw_score", cosine_sim(col("embedding"), typedlit(q.toSeq)))
           .orderBy(col("raw_score").desc, col("vec_id"))
