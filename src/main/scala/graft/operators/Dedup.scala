@@ -509,12 +509,19 @@ object Dedup {
         // through the cosine verify instead; the explicit repartition
         // on the join key makes both sides one identical exchange
         // (ReuseExchange), so the scan+LSH pipeline runs once.
-        val withBucket = df.select(col(idCol).as("id"), col(embCol).as("emb"),
-            explode(lsh.bucketsColumn(col(embCol))).as("bucket"))
-          .repartition(col("bucket"))
-        val a = withBucket.select(col("bucket"), col("id").as("id_a"), col("emb").as("emb_a"))
-        val b = withBucket.select(col("bucket"), col("id").as("id_b"), col("emb").as("emb_b"))
+        // canonical-table emission (SemDedup.canonicalTable): each
+        // colliding pair leaves the multi-table join exactly once, so
+        // the verify and the post-verify dedup see the distinct pair
+        // mass, not numTables x it on a duplicate-heavy corpus
+        val withBucket = SemDedup.bucketedWithSigs(
+          df.select(col(idCol).as("id"), col(embCol).as("emb")), lsh,
+          Seq(col("bucket")))
+        val a = withBucket.select(col("bucket"), col("pos"),
+          col("id").as("id_a"), col("emb").as("emb_a"), col("sigs").as("sigs_a"))
+        val b = withBucket.select(col("bucket"), col("id").as("id_b"),
+          col("emb").as("emb_b"), col("sigs").as("sigs_b"))
         a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+          .filter(SemDedup.canonicalTable(numTables))
       }
     val verified = candidates
       .withColumn("cosine", GraftFunctions.cosine_sim(col("emb_a"), col("emb_b")))

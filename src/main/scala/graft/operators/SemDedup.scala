@@ -363,12 +363,14 @@ object SemDedup {
         // canonical-table emission (see canonicalTable): each candidate
         // pair leaves the 8-table join exactly once, so the verify and
         // the downstream dedup/CC see the distinct pair mass, not 8x it
-        val lshPairs = bucketedWithSigs(incReps, lsh)
+        val lshPairs = bucketedWithSigs(incReps, lsh,
+            Seq(col("cluster_id"), col("bucket")))
           .select(col("cluster_id"), col("bucket"), col("pos"),
             col("id").as("inc_id"), col("emb").as("emb_q"),
             col("sigs").as("sigs_a"))
           .join(bucketedWithSigs(
-              reps.select(col("cluster_id"), col("id"), col("emb"), col("__new")), lsh)
+              reps.select(col("cluster_id"), col("id"), col("emb"), col("__new")),
+              lsh, Seq(col("cluster_id"), col("bucket")))
             .select(col("cluster_id"), col("bucket"), col("id").as("other_id"),
               col("emb").as("emb_o"), col("__new").as("other_new"),
               col("sigs").as("sigs_b")),
@@ -410,12 +412,12 @@ object SemDedup {
   /** (cluster_id, id, emb, sigs, pos, bucket): one row per (input row,
     * LSH table), carrying the FULL signature array for canonical-table
     * pair emission, partitioned by the join key. */
-  private def bucketedWithSigs(df: DataFrame,
-      lsh: LshModel): DataFrame =
+  private[operators] def bucketedWithSigs(df: DataFrame, lsh: LshModel,
+      partitionCols: Seq[Column]): DataFrame =
     df.withColumn("sigs", lsh.bucketsColumn(col("emb")))
       .select(col("*"), posexplode(col("sigs")))
       .withColumnRenamed("col", "bucket")
-      .repartition(col("cluster_id"), col("bucket"))
+      .repartition(partitionCols: _*)
 
   /** Canonical-table filter for a bucket-joined pair carrying `pos`
     * (the 0-based table index the join matched on) and both signature
@@ -430,7 +432,7 @@ object SemDedup {
     * slice/zip_with lambda): higher-order array functions run
     * interpreted with per-row allocations — at ~1e8 candidate rows the
     * filter itself would cost more than the verifies it saves. */
-  private def canonicalTable(numTables: Int): Column =
+  private[operators] def canonicalTable(numTables: Int): Column =
     (0 until numTables - 1).map { t =>
       (lit(t) >= col("pos")) ||
         (element_at(col("sigs_a"), t + 1) =!= element_at(col("sigs_b"), t + 1))
@@ -502,7 +504,8 @@ object SemDedup {
       val dim = big.select(size(col("emb"))).limit(1).collect()(0).getInt(0)
       val lsh = LshModel(numTables = 8,
         bitsPerTable = Similarity.autoBits(maxReps), dim = dim, seed = seed)
-      val bucketed = bucketedWithSigs(reps, lsh)
+      val bucketed = bucketedWithSigs(reps, lsh,
+        Seq(col("cluster_id"), col("bucket")))
       val lshPairs = bucketed
         .select(col("cluster_id"), col("bucket"), col("pos"),
           col("id").as("id_a"), col("emb").as("emb_a"), col("sigs").as("sigs_a"))
