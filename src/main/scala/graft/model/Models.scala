@@ -162,10 +162,19 @@ object GraftConfig {
     * Lloyd passes assign via the HNSW-routed approximate path
     * (approxAssignEf below) instead of the exact k·dim scan. Flop
     * model: exact = k·dim/row; approx ≈ ef·dim·(log2 k + 4)/row
-    * (measured graph fan-out), so break-even is k ≈ ef·(log2 k + 4) =
-    * 64·14 ≈ 900 at k~1e3; 1024 adds margin for graph-build overhead
-    * (O(k log k) per pass, amortized over n rows). */
-  @volatile var approxAssignMinK: Int = 1024
+    * (measured graph fan-out). The RAW flop break-even is k ≈
+    * ef·(log2 k + 4) ≈ 900 — but the exact scan is a codegen'd float
+    * loop while the graph walk is a CodegenFallback expression, and
+    * the measured throughput gap is ~4-5× (sf10 A-B of the q111 train,
+    * k=4096: exact 80.4 s vs graph-routed 100.2 s min-of-3), putting
+    * the REAL break-even near k ≈ 4.5·ef·(log2 k + 4) ≈ 6000. 8192
+    * adds margin and sits above the SemDedup maxAutoNlist clamp
+    * (4096), so auto-sized trains stay on the codegen path and only
+    * explicitly-huge k routes through the graph. Overridable without
+    * recompiling via GRAFT_APPROX_ASSIGN_MIN_K (cluster tuning / A-B
+    * probes). */
+  @volatile var approxAssignMinK: Int =
+    sys.env.get("GRAFT_APPROX_ASSIGN_MIN_K").map(_.toInt).getOrElse(8192)
   /** ef for the HNSW-routed approximate assignment above. */
   @volatile var approxAssignEf: Int = 64
 

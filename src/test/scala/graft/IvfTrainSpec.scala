@@ -108,7 +108,12 @@ class IvfTrainSpec extends SparkSpec {
         (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
       .toDF("id", "embedding").localCheckpoint(true)
     val k = 1024
-    require(k >= GraftConfig.approxAssignMinK)
+    // pull the threshold down to the fixture's k for the switch test
+    // (the production default sits above maxAutoNlist by calibration —
+    // see GraftConfig.approxAssignMinK scaladoc)
+    val saved = GraftConfig.approxAssignMinK
+    GraftConfig.approxAssignMinK = k
+    try {
     val auto = graft.operators.SemDedup.trainModel(big, "embedding", nlist = k)
     val viaApprox = IvfModel.trainDistributed(big, "embedding", nlist = k,
       maxIter = 6, approxAssignEf = GraftConfig.approxAssignEf)
@@ -140,6 +145,7 @@ class IvfTrainSpec extends SparkSpec {
       assert(ai <= ei * 1.2,
         s"graph-routed inertia $ai too far above exact $ei at the switch point")
     } finally GraftConfig.approxAssignMinK = old
+    } finally GraftConfig.approxAssignMinK = saved
   }
 
   test("trainDistributed clamps k to the distinct-vector count") {
