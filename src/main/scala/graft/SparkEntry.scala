@@ -25,16 +25,16 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (engine-internal state that no literal dump makes replayable, e.g.
-    * HNSW graph walks, sketches) → rows-only check. Queries whose
-    * replay embeds seeded trained state (centroids, hyperplanes) or
-    * data-sized parameters carry a dir-aware GENERATOR — use
-    * [[oracleSqlFor]] with the dir actually being verified; this
-    * no-arg form targets the driver's sf0.01 correctness-gate dir. */
+    * HNSW graph walks, sketches) → rows-only check. STATIC oracles
+    * only: queries whose replay embeds seeded trained state (centroids,
+    * hyperplanes) or data-sized parameters carry a dir-aware GENERATOR
+    * that this form deliberately omits — callers that want generated
+    * replays must use [[oracleSqlFor]] with the fixture dir actually
+    * being verified (as `graft.Verify` does). Keeping this form
+    * environment-independent means no hidden Spark jobs or
+    * machine-specific paths behind an innocent-looking accessor. */
   def oracleSql: Map[String, String] =
-    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
-      case Some(s) => oracleSqlFor(s, "/root/testdata/sf0.01")
-      case None => allQueries.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
-    }
+    allQueries.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 
   /** Dir-aware oracle map: static SQL plus generated replays for the
     * given fixture dir (generators may withhold — see QueryDef). */

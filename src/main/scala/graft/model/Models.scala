@@ -174,7 +174,7 @@ object GraftConfig {
     * recompiling via GRAFT_APPROX_ASSIGN_MIN_K (cluster tuning / A-B
     * probes). */
   @volatile var approxAssignMinK: Int =
-    sys.env.get("GRAFT_APPROX_ASSIGN_MIN_K").map(_.toInt).getOrElse(8192)
+    sys.env.get("GRAFT_APPROX_ASSIGN_MIN_K").flatMap(_.toIntOption).getOrElse(8192)
   /** ef for the HNSW-routed approximate assignment above. */
   @volatile var approxAssignEf: Int = 64
 

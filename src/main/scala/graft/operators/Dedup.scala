@@ -479,7 +479,10 @@ object Dedup {
    * n/2^bits, so in-bucket pair mass is ~n^2/2^bits per table —
    * QUADRATIC in corpus size if bits stay fixed. Pass `bitsPerTable
    * <= 0` to auto-size bits from the corpus count targeting ~64
-   * ids/bucket/table (clamped to [4,16]): expected candidate mass then
+   * ids/bucket/table (Similarity.autoBits, targeting
+   * GraftConfig.lshTargetIdsPerBucket ids/bucket, clamped to
+   * [4, lshMaxAutoBits=57] — the 57-bit key-packing ceiling, NOT a
+   * saturation point): expected candidate mass then
    * grows ~32·numTables·n — linear. The sizing count comes from parquet
    * footer metadata when the input is a bare table scan (no Spark job;
    * see [[graft.sources.TableStats]]), falling back to one count()
@@ -513,15 +516,27 @@ object Dedup {
         // colliding pair leaves the multi-table join exactly once, so
         // the verify and the post-verify dedup see the distinct pair
         // mass, not numTables x it on a duplicate-heavy corpus
+        // Both join sides are the SAME projection of the bucketed
+        // table (no per-side column renames below the join): column
+        // pruning then reduces both subtrees to one canonical shape,
+        // so ReuseExchange dedups the repartition(bucket) and the
+        // scan+LSH pipeline executes ONCE (PlanAuditSpec pins this —
+        // an asymmetric projection, e.g. only one side keeping `pos`,
+        // makes the pruned exchanges differ and the planner silently
+        // re-executes the whole pipeline on the build side). The
+        // pos = pos predicate is implied by the bucket key (which
+        // embeds the table index) but forces identical pruning.
         val withBucket = SemDedup.bucketedWithSigs(
           df.select(col(idCol).as("id"), col(embCol).as("emb")), lsh,
           Seq(col("bucket")))
-        val a = withBucket.select(col("bucket"), col("pos"),
-          col("id").as("id_a"), col("emb").as("emb_a"), col("sigs").as("sigs_a"))
-        val b = withBucket.select(col("bucket"), col("id").as("id_b"),
-          col("emb").as("emb_b"), col("sigs").as("sigs_b"))
-        a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-          .filter(SemDedup.canonicalTable(numTables))
+        withBucket.as("ga").join(withBucket.as("gb"),
+            col("ga.bucket") === col("gb.bucket") &&
+              col("ga.pos") === col("gb.pos") &&
+              col("ga.id") < col("gb.id"))
+          .filter(SemDedup.canonicalTablePair(numTables,
+            col("ga.pos"), col("ga.sigs"), col("gb.sigs")))
+          .select(col("ga.id").as("id_a"), col("gb.id").as("id_b"),
+            col("ga.emb").as("emb_a"), col("gb.emb").as("emb_b"))
       }
     val verified = candidates
       .withColumn("cosine", GraftFunctions.cosine_sim(col("emb_a"), col("emb_b")))

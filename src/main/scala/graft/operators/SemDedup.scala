@@ -433,9 +433,19 @@ object SemDedup {
     * interpreted with per-row allocations — at ~1e8 candidate rows the
     * filter itself would cost more than the verifies it saves. */
   private[operators] def canonicalTable(numTables: Int): Column =
-    (0 until numTables - 1).map { t =>
-      (lit(t) >= col("pos")) ||
-        (element_at(col("sigs_a"), t + 1) =!= element_at(col("sigs_b"), t + 1))
+    canonicalTablePair(numTables, col("pos"), col("sigs_a"), col("sigs_b"))
+
+  /** Column-parameterized form of [[canonicalTable]] for call sites
+    * whose pair sides carry differently-named signature columns (e.g.
+    * a structurally-symmetric self-join where both sides keep the
+    * bare `sigs`/`pos` names so their exchange subtrees stay
+    * canonical-identical for ReuseExchange). `numTables <= 1` is
+    * trivially canonical: a single table emits each pair once. */
+  private[operators] def canonicalTablePair(numTables: Int, pos: Column,
+      sigsA: Column, sigsB: Column): Column =
+    if (numTables <= 1) lit(true)
+    else (0 until numTables - 1).map { t =>
+      (lit(t) >= pos) || (element_at(sigsA, t + 1) =!= element_at(sigsB, t + 1))
     }.reduce(_ && _)
 
   /**

@@ -251,8 +251,15 @@ object VectorQueries {
     QueryDef("q113_semdedup_planted", None,
       (spark, dir) => {
         val e = table(spark, dir, "embeddings")
+        // ScaleGen replica copies shift ids by k*100000000, so a FIXED
+        // planted offset misclassifies ~all copy-k>=1 originals as
+        // "planted" at data/sf1+; derive the offset from the corpus
+        // itself (one driver-bounded max probe) so planted ids are
+        // disjoint from originals at every scale leg.
+        val plantedBase =
+          e.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1L
         val planted = e.filter(col("vec_id") % 10 === 0)
-          .select((col("vec_id") + 1000000L).as("vec_id"),
+          .select((col("vec_id") + plantedBase).as("vec_id"),
             transform(col("embedding"), (x, i) =>
               x + lit(0.02) * element_at(col("embedding"),
                 pmod(i + 1, size(col("embedding"))) + 1))
@@ -263,7 +270,7 @@ object VectorQueries {
           graft.operators.SemDedup.trainModel(union, "embedding"))
         val flags = graft.operators.SemDedup.semDedup(
           union, "vec_id", "embedding", minCosine = 0.95, model = Some(model))
-        flags.withColumn("planted", col("vec_id") >= 1000000L)
+        flags.withColumn("planted", col("vec_id") >= plantedBase)
           .groupBy("planted")
           .agg(count(lit(1)).as("n"),
             sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
