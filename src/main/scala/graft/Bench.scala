@@ -133,6 +133,19 @@ object Bench {
       val out = java.nio.file.Paths.get("BENCH_LOCAL.json")
       java.nio.file.Files.write(out, line.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
+    // The driver records only the LAST ~3KB of stdout, and at 110
+    // queries even the per-query min map alone exceeds that — every
+    // round's BENCH_r{N}.json tail lost the first ~40 queries. So the
+    // FINAL stdout line is a compact, complete JSON (headline totals +
+    // the 10 slowest queries) guaranteed to fit the tail window whole;
+    // the full per-query detail lives in the line above / the sidecar.
+    val worst10 = results.sortBy(-_._2).take(10)
+      .map { case (k, mn, _) => "\"" + k + f"""\":$mn%.3f""" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+      f""""sf":"$sfDir","n_queries":${results.length},"n_runs":$runsPerQuery,""" +
+      f""""env":{"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,""" +
+      f""""wall_sec":$wallSec%.1f,"cpus":"$cpus"},"worst10":$worst10}""")
     spark.stop()
   }
 }

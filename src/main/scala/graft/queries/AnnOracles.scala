@@ -369,8 +369,6 @@ private[queries] object AnnOracles {
     * Any disagreeing or margin-thin row withholds the oracle. */
   private def pqCodesOk(spark: SparkSession, dir: String,
       pq: graft.index.PqModel, ivf: Option[IvfModel]): Boolean = {
-    import spark.implicits._
-    val dsub = pq.dsub
     val base = emb(spark, dir).filter(col("embedding").isNotNull)
     val prepared = ivf match {
       case None => base.select(col("vec_id"),
@@ -385,6 +383,32 @@ private[queries] object AnnOracles {
           pq.encodeColumn(graft.index.IvfPqModel.residual(
             col("embedding"), col("cluster_id"), m.centroids)).as("codes"))
     }
+    codesAgreementOk(spark, prepared, pq)
+  }
+
+  /** OPQ code-agreement: the engine encodes the FLOAT-rotated vector
+    * (MatVec rounds each component to float) while the replay SQL
+    * rotates in all-double arithmetic — the divergence is closed
+    * exactly by the row-for-row code comparison below, with the top-2
+    * gap floor guarding only the residual double-vs-double
+    * summation-order noise between this generator and DuckDB. */
+  private def opqCodesOk(spark: SparkSession, dir: String,
+      opq: graft.index.OpqModel): Boolean = {
+    val rot = typedlit(opq.rotation.map(_.map(_.toDouble).toSeq).toSeq)
+    val prepared = emb(spark, dir).filter(col("embedding").isNotNull)
+      .select(col("vec_id"),
+        transform(rot,
+          r => ddot(r, col("embedding").cast("array<double>"))).as("v"),
+        opq.encodeColumn(col("embedding")).as("codes"))
+    codesAgreementOk(spark, prepared, opq.pq)
+  }
+
+  /** Shared agreement body: `prepared` carries (vec_id, v: the DOUBLE
+    * vector the replay SQL sub-slices, codes: the ENGINE's codes). */
+  private def codesAgreementOk(spark: SparkSession, prepared: DataFrame,
+      pq: graft.index.PqModel): Boolean = {
+    import spark.implicits._
+    val dsub = pq.dsub
     val cbDf = (0 until pq.m).flatMap(s => (0 until pq.k).map(c =>
       (s, c, pq.codebooks(s)(c).map(_.toDouble).toSeq))).toDF("s", "code", "cvec")
     val agg = prepared.crossJoin(broadcast(cbDf))
@@ -467,6 +491,55 @@ private[queries] object AnnOracles {
          |${pqReplaySql("JOIN adc a2 ON a2.s = c.s AND a2.code = c.code", n)}""".stripMargin)
   }
 
+  /** `(VALUES (r, [..]::DOUBLE[]), ...)` rows of the learned rotation
+    * matrix, row-major. */
+  private def rotValues(rot: Array[Array[Float]]): String =
+    rot.zipWithIndex.map { case (row, i) => s"($i, ${vecLit(row)})" }
+      .mkString(",\n    ")
+
+  /** OPQ kNN (q88): the seeded alternating Procrustes training is
+    * deterministic driver state exactly like the PQ codebooks, so the
+    * learned rotation R dumps as literal rows and the replay is
+    * rotate → per-subspace argmin encode → ADC top-n → exact cosine
+    * rerank IN THE ORIGINAL SPACE (R is orthogonal, so the rerank
+    * never needs R). Same guard family as q77: code agreement (which
+    * also absorbs the engine's float-rotated vs the SQL's
+    * double-rotated vector) and an ADC-cutoff gap floor. */
+  def q88(spark: SparkSession, dir: String, opq: graft.index.OpqModel,
+      n: Int): Option[String] = {
+    if (!opqCodesOk(spark, dir, opq)) return None
+    val q = queryVec(spark, dir, 0L)
+    val rq = opq.rotate(q)
+    val table = opq.pq.adcTable(rq)
+    // the ENGINE's own ADC distance column (rotated-query table, same
+    // lookups + left-fold order as PqModel.candidates) at the cutoff
+    val scored = emb(spark, dir).filter(col("embedding").isNotNull)
+      .select(opq.pq.adcDistance(
+        opq.encodeColumn(col("embedding")), rq).as("dist"))
+    if (!adcBoundaryOk(scored, n)) return None
+    val dsub = opq.pq.dsub
+    Some(
+      s"""WITH rot(r, rvec) AS (VALUES
+         |    ${rotValues(opq.rotation)}),
+         |rx AS (
+         |  SELECT e.vec_id,
+         |    list(list_dot_product(CAST(e.embedding AS DOUBLE[]), rr.rvec)
+         |         ORDER BY rr.r) AS v
+         |  FROM embeddings e, rot rr
+         |  WHERE e.embedding IS NOT NULL
+         |  GROUP BY e.vec_id),
+         |cb(s, code, cvec) AS (VALUES
+         |    ${cbValues(opq.pq)}),
+         |adc(cid, s, code, val) AS (VALUES
+         |    ${adcValues(Seq(0 -> table))}),
+         |dists AS (
+         |  SELECT rx.vec_id, cb.s, cb.code,
+         |    list_distance(list_slice(rx.v,
+         |      cb.s * $dsub + 1, cb.s * $dsub + $dsub), cb.cvec) AS d
+         |  FROM rx, cb),
+         |${pqReplaySql("JOIN adc a2 ON a2.s = c.s AND a2.code = c.code", n)}""".stripMargin)
+  }
+
   /** IVF-PQ kNN (q78): coarse argmin assignment, probed cells, residual
     * encode, per-cell ADC tables, exact cosine rerank. */
   def q78(spark: SparkSession, dir: String, model: graft.index.IvfPqModel,
@@ -539,6 +612,106 @@ private[queries] object AnnOracles {
          |  CROSS JOIN cb CROSS JOIN pos p
          |  WHERE a.cluster_id IN ($probedList) AND e.embedding IS NOT NULL
          |  GROUP BY 1, 2, 3),
+         |${pqReplaySql(
+             "JOIN assign ag ON ag.vec_id = c.vec_id " +
+             "JOIN adc a2 ON a2.cid = ag.cluster_id AND a2.s = c.s AND a2.code = c.code", n)}""".stripMargin)
+  }
+
+  /** OPQ+IVF-PQ kNN (q91): q78's coarse-probe + residual skeleton with
+    * the learned rotation applied to each residual before coding (the
+    * FAISS `OPQ,IVF,PQ` stack). The rotation is seeded Procrustes
+    * driver state like the codebooks, so it dumps as literal rows; the
+    * replay is assign → residual → rotate (double) → argmin encode →
+    * per-cell ADC → exact cosine rerank in the original space. Guards:
+    * probe-set equality with an edge gap, assignment agreement, code
+    * agreement on double-rotated residuals (absorbs the engine's
+    * float-rotated path), and the ADC-cutoff gap floor. */
+  def q91(spark: SparkSession, dir: String, model: graft.index.OpqIvfPqModel,
+      nprobe: Int, n: Int): Option[String] = {
+    val ivf = model.ivf; val opq = model.opq; val pq = model.pq
+    val q = queryVec(spark, dir, 0L)
+    val probed = ivf.probe(q, nprobe)
+    val dd = doubleDists(ivf, q)
+    val ordered = dd.zipWithIndex.sortBy { case (dist, i) => (dist, i) }
+    if (probed.toSet != ordered.take(nprobe).map(_._2).toSet) return None
+    if (dd.length > nprobe) {
+      val edge = ordered(nprobe)._1 - ordered(nprobe - 1)._1
+      if (edge != 0.0 && edge < distEps) return None
+      if (edge == 0.0) return None // boundary tie: probe choice not replayable
+    }
+    if (!assignAgreementOk(spark, dir, ivf)) return None
+    // code agreement: DOUBLE rotated residual (the replay SQL's vector)
+    // vs the engine's float residual → float MatVec → encode path
+    val cents = typedlit(ivf.centroids.map(_.map(_.toDouble).toSeq).toSeq)
+    val rot = typedlit(opq.rotation.map(_.map(_.toDouble).toSeq).toSeq)
+    val assigned = emb(spark, dir).filter(col("embedding").isNotNull)
+      .withColumn("cluster_id", ivf.assignColumn(col("embedding")))
+    val resD = zip_with(col("embedding").cast("array<double>"),
+      element_at(cents, col("cluster_id") + 1), (a, b) => a - b)
+    val prepared = assigned.select(col("vec_id"),
+      transform(rot, r => ddot(r, resD)).as("v"),
+      opq.encodeColumn(graft.index.IvfPqModel.residual(
+        col("embedding"), col("cluster_id"), ivf.centroids)).as("codes"))
+    if (!codesAgreementOk(spark, prepared, pq)) return None
+    // per-cell ADC tables over the ROTATED float residual query — the
+    // engine's exact table arithmetic (OpqIvfPqModel.candidates)
+    val tables = probed.map { c =>
+      val cen = ivf.centroids(c)
+      val resid = q.indices.map(i =>
+        q(i) - (if (i < cen.length) cen(i) else 0f)).toArray
+      c -> pq.adcTable(opq.rotate(resid))
+    }
+    val probedSet = probed.toSet
+    val byCid = tables.toMap
+    val stacked: Seq[Seq[Seq[Float]]] = ivf.centroids.indices.map { c =>
+      if (!probedSet(c)) Seq.empty
+      else byCid(c).map(_.toSeq).toSeq
+    }
+    val cell = element_at(typedlit(stacked), col("cluster_id") + 1)
+    val adc = (0 until pq.m).map { s =>
+      element_at(element_at(cell, s + 1), element_at(col("codes"), s + 1) + 1)
+        .cast("double")
+    }.reduce(_ + _)
+    val scored = model.encode(
+        emb(spark, dir).filter(col("embedding").isNotNull), "vec_id", "embedding")
+      .filter(col("cluster_id").isin(probed.map(Int.box): _*))
+      .select(adc.as("dist"))
+    if (!adcBoundaryOk(scored, n)) return None
+    val dsub = pq.dsub
+    val dim = q.length
+    val probedList = probed.mkString(", ")
+    Some(
+      s"""WITH cent(cid, cen) AS (VALUES
+         |    ${centValues(ivf)}),
+         |rot(r, rvec) AS (VALUES
+         |    ${rotValues(opq.rotation)}),
+         |cb(s, code, cvec) AS (VALUES
+         |    ${cbValues(pq)}),
+         |adc(cid, s, code, val) AS (VALUES
+         |    ${adcValues(tables)}),
+         |assign AS (SELECT vec_id, cluster_id FROM (
+         |    SELECT e.vec_id, c.cid AS cluster_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_dot_product(c.cen, c.cen) - 2 * list_dot_product(c.cen, CAST(e.embedding AS DOUBLE[])),
+         |      c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN cent c
+         |    WHERE e.embedding IS NOT NULL) WHERE rn = 1),
+         |res AS (
+         |  SELECT e.vec_id,
+         |    list_transform(range(1, ${dim + 1}),
+         |      j -> CAST(e.embedding[j] AS DOUBLE) - ct.cen[j]) AS resv
+         |  FROM embeddings e
+         |  JOIN assign a ON a.vec_id = e.vec_id
+         |  JOIN cent ct ON ct.cid = a.cluster_id
+         |  WHERE a.cluster_id IN ($probedList) AND e.embedding IS NOT NULL),
+         |rx AS (
+         |  SELECT r.vec_id,
+         |    list(list_dot_product(r.resv, rr.rvec) ORDER BY rr.r) AS v
+         |  FROM res r, rot rr GROUP BY r.vec_id),
+         |dists AS (
+         |  SELECT rx.vec_id, cb.s, cb.code,
+         |    list_distance(list_slice(rx.v,
+         |      cb.s * $dsub + 1, cb.s * $dsub + $dsub), cb.cvec) AS d
+         |  FROM rx, cb),
          |${pqReplaySql(
              "JOIN assign ag ON ag.vec_id = c.vec_id " +
              "JOIN adc a2 ON a2.cid = ag.cluster_id AND a2.s = c.s AND a2.code = c.code", n)}""".stripMargin)

@@ -467,8 +467,10 @@ object VectorQueries {
 
     // OPQ two-tier search: learned-rotation PQ (Ge 2014) — rotate via
     // the codegen MatVec expression, 8x16 codes, ADC top-50 in rotated
-    // space, exact cosine rerank. Rows-only (seeded k-means + SVD);
-    // quantization-error monotonicity and recall in AnnRecallSpec.
+    // space, exact cosine rerank. Replay-oracled (AnnOracles.q88): the
+    // seeded Procrustes rotation dumps as SQL literals like the PQ
+    // codebooks; withholds on thin code/cutoff margins.
+    // Quantization-error monotonicity and recall in AnnRecallSpec.
     QueryDef("q88_knn_opq", None,
       (spark, dir) => {
         val e = table(spark, dir, "embeddings")
@@ -484,13 +486,20 @@ object VectorQueries {
           .orderBy(col("raw_score").desc, col("vec_id"))
           .limit(10)
           .select(col("vec_id"), col("label"), round(col("raw_score"), 6).as("score"))
-      }),
+      },
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q88") {
+        AnnOracles.q88(spark, dir,
+          opqCache.getOrElseUpdate(dir, graft.index.OpqModel.train(
+            table(spark, dir, "embeddings"), "embedding", m = 8, k = 16, iters = 4)),
+          n = 50)
+      })),
 
     // OPQ+IVF-PQ two-tier search — the full FAISS-style `OPQ,IVF,PQ`
     // stack: probe 8 of 16 cells, learned-rotation residual ADC top-50,
-    // exact cosine rerank. Rows-only (seeded k-means + SVD); the
-    // rotated-residual MSE win and candidate recall are measured in
-    // AnnRecallSpec.
+    // exact cosine rerank. Replay-oracled (AnnOracles.q91): rotation +
+    // centroids + codebooks dump as SQL literals; withholds on thin
+    // probe/assign/code/cutoff margins. The rotated-residual MSE win
+    // and candidate recall are measured in AnnRecallSpec.
     QueryDef("q91_knn_opq_ivfpq", None,
       (spark, dir) => {
         val e = table(spark, dir, "embeddings")
@@ -506,7 +515,13 @@ object VectorQueries {
           .orderBy(col("raw_score").desc, col("vec_id"))
           .limit(10)
           .select(col("vec_id"), col("label"), round(col("raw_score"), 6).as("score"))
-      }),
+      },
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q91") {
+        AnnOracles.q91(spark, dir,
+          opqIvfpqCache.getOrElseUpdate(dir, graft.index.OpqIvfPqModel.train(
+            table(spark, dir, "embeddings"), "embedding", nlist = 16, m = 8, k = 16)),
+          nprobe = 8, n = 50)
+      })),
 
     // HNSW graph-tier search: seeded graph build (broadcast-bounded
     // driver state), 50 graph candidates, exact cosine rerank to top-10.
