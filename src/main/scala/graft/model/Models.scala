@@ -148,15 +148,38 @@ object GraftConfig {
     * ~9·10^18 rows/table — unreachable; the ceiling exists only to keep
     * the key packing valid, never to size buckets. */
   val lshMaxAutoBits: Int = 57
+  /** Target candidate mass (pair rows, i.e. exact-cosine verifies) a
+    * single hot bucket may emit into the ONE task that owns it — the
+    * budget the width cap below is derived from. 2^18 ≈ 262k cosines
+    * ≈ 17 MFLOP at dim 64: tens of milliseconds on a core, so even an
+    * all-hot-bucket adversarial partition stays a sub-second task. */
+  @volatile var lshTargetBucketCandidates: Int = 1 << 18
+  /** Optional FIXED hot-bucket width cap (tests / cluster tuning);
+    * <= 0 means derive from the candidate-mass model below. */
+  @volatile var lshMaxBucketWidthOverride: Int = 0
   /** Hot-bucket width cap for the bulk LSH kNN join
     * (Similarity.lshKnnJoin): corpus buckets wider than this (DISTINCT
     * vectors — identical ones are exact-collapsed first) are thinned to
-    * ~this width by a seeded deterministic id-hash filter. Bounds the
-    * per-bucket candidate mass a single adversarial bucket can emit at
-    * cap²·numTables regardless of corpus skew; the standard bounded-probe
-    * recall trade (FAISS max_codes). 64× the expected width keeps the
-    * guard inert on non-adversarial data. */
-  @volatile var lshMaxBucketWidth: Int = 4096
+    * ~this width by a seeded deterministic id-hash filter; the standard
+    * bounded-probe recall trade (FAISS max_codes).
+    *
+    * DERIVED, not a magic constant: a hot bucket's candidate mass is
+    * cap × |q_bucket| pair rows landing in one task, so
+    * cap = lshTargetBucketCandidates / E[|q_bucket|]. The expected
+    * query-side occupancy E[|q_bucket|] IS lshTargetIdsPerBucket by
+    * construction: autoBits sizes bits from the parquet footer row
+    * count precisely so that expected ids/bucket/table equals the
+    * target (and the dominant caller is the self-join, where the query
+    * side is the corpus). Defaults: 2^18 / 64 = 4096 — the same value
+    * the previous constant was calibrated to (64× the design width, so
+    * the guard stays inert on non-adversarial data), but now it moves
+    * WITH the occupancy target: denser buckets (higher target) mean
+    * more queries share each bucket, and the cap shrinks to hold the
+    * per-task mass budget constant. */
+  def lshMaxBucketWidth: Int =
+    if (lshMaxBucketWidthOverride > 0) lshMaxBucketWidthOverride
+    else math.max(1,
+      lshTargetBucketCandidates / math.max(1, lshTargetIdsPerBucket))
   /** k-means assignment routing for large-k distributed training
     * (SemDedup.trainModel → IvfModel.trainDistributed): past this k,
     * Lloyd passes assign via the HNSW-routed approximate path

@@ -143,8 +143,8 @@ class LshSkewSpec extends SparkSpec {
   }
 
   test("width cap thins hot buckets deterministically; join stays well-formed") {
-    val oldCap = GraftConfig.lshMaxBucketWidth
-    GraftConfig.lshMaxBucketWidth = 8
+    val oldCap = GraftConfig.lshMaxBucketWidthOverride
+    GraftConfig.lshMaxBucketWidthOverride = 8
     try {
       // 2-bit tables over 200+ distinct vectors: every bucket is hot
       val crowd = (0 until 240).map(i => (i.toLong, randVec()))
@@ -168,7 +168,59 @@ class LshSkewSpec extends SparkSpec {
       assert(r1 == r2, "thinned join not deterministic")
       assert(r1.nonEmpty)
       assert(r1.forall { case (q, n, _, rank) => q != n && rank >= 1 && rank <= 3 })
-    } finally GraftConfig.lshMaxBucketWidth = oldCap
+    } finally GraftConfig.lshMaxBucketWidthOverride = oldCap
+  }
+
+  test("derived width cap: default replays the calibrated constant; thinning recall delta quantified") {
+    // pin: the candidate-mass derivation must reproduce the value the
+    // old constant was calibrated to (2^18 budget / 64 occupancy)
+    assert(GraftConfig.lshMaxBucketWidth == 4096,
+      s"derived cap drifted: ${GraftConfig.lshMaxBucketWidth}")
+    // quantify the recall the thinning trades on an ADVERSARIAL
+    // fixture (every bucket hot: 240 distinct vectors in 2-bit
+    // tables, cap 8 thins ~87% of every bucket) against the exact
+    // top-3 — the bounded-probe trade made measurable once
+    val crowd = (0 until 240).map(i => (i.toLong, randVec()))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .localCheckpoint(true)
+    val tiny = LshModel(numTables = 4, bitsPerTable = 2, dim = dim)
+    def knnSet(capOverride: Int): Set[(Long, Long)] = {
+      val old = GraftConfig.lshMaxBucketWidthOverride
+      GraftConfig.lshMaxBucketWidthOverride = capOverride
+      try Similarity.lshKnnJoin(crowd, "vec_id", "embedding",
+          crowd, "vec_id", "embedding", k = 3, lsh = tiny, excludeSelf = true)
+        .select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally GraftConfig.lshMaxBucketWidthOverride = old
+    }
+    val exact = crowd.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .crossJoin(crowd.select(col("vec_id").as("neighbor_id"), col("embedding").as("ce")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine_sim(col("qe"), col("ce")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rn") <= 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = knnSet(1 << 20) // cap inert
+    val capped = knnSet(8)
+    val rUncapped = (uncapped & exact).size.toDouble / exact.size
+    val rCapped = (capped & exact).size.toDouble / exact.size
+    info(f"top-3 recall vs exact: uncapped $rUncapped%.3f, cap=8 $rCapped%.3f " +
+      f"(delta ${rUncapped - rCapped}%.3f on an all-hot-bucket fixture)")
+    // survival model: a true neighbor is found iff it survives the
+    // thinning in at least one bucket SHARED with the query; with
+    // ~w=240/4=60 reps/bucket and cap 8 the per-bucket survival is
+    // cap/w ≈ 0.133, so capped recall must stay at or above roughly
+    // thinRate × uncapped (measured 0.20× — table overlap correlation
+    // keeps it near the single-bucket rate). 0.7 safety factor for
+    // binomial noise at 240 queries. A collapse (e.g. the thinning
+    // accidentally dropping whole buckets) would land far below.
+    val thinRate = 8.0 / (240.0 / 4)
+    assert(rCapped >= 0.7 * thinRate * rUncapped,
+      f"thinning collapsed recall: $rCapped%.3f vs floor ${0.7 * thinRate * rUncapped}%.3f")
   }
 
   test("plan audit: no unbounded collect_list in the join's physical plan") {
