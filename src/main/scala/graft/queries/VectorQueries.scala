@@ -348,6 +348,49 @@ object VectorQueries {
           .orderBy("kind")
       }),
 
+    // Streaming-ingest semantic dedup: q112's batch-vs-corpus contract
+    // run INSIDE a Structured Streaming foreachBatch — the 20%
+    // "arriving" slice lands as three sequential parquet micro-batches
+    // on a file stream; each trigger dedups against the accumulated
+    // authoritative corpus (base + prior survivors, served train-once
+    // model) via CorpusStream.semDedupIngestStream and appends its
+    // survivors. Batches are fed write→processAllAvailable so batch
+    // boundaries (and hence the keep-set) are deterministic.
+    // Seed-dependent clustering ⇒ rows-only; StreamingIndexSpec gates
+    // keep-decision IDENTITY with the sequential batch fold over the
+    // same splits.
+    QueryDef("q115_streaming_semdedup", None,
+      (spark, dir) => {
+        val e = table(spark, dir, "embeddings")
+        val model = semDedupCache.getOrElseUpdate(dir,
+          graft.operators.SemDedup.trainModel(e, "embedding"))
+        val cols = Seq("vec_id", "embedding", "label")
+        val base = e.filter(col("vec_id") % 5 =!= 0).select(cols.map(col): _*)
+        val arriving = e.filter(col("vec_id") % 5 === 0).select(cols.map(col): _*)
+        val staging = java.nio.file.Files
+          .createTempDirectory("graft-q115-arrivals").toString
+        // accumulated authoritative corpus; lineage truncated per
+        // trigger (foreachBatch runs on the driver, so the fold state
+        // is a plain var — at scale this is the durable corpus table)
+        var corpus = base.localCheckpoint(true)
+        val stream = spark.readStream.schema(arriving.schema).parquet(staging)
+        val q = graft.streaming.CorpusStream.semDedupIngestStream(
+          stream, "vec_id", "embedding", model, minCosine = 0.4,
+          readCorpus = () => corpus,
+          appendSurvivors = surv =>
+            corpus = corpus.unionByName(surv.select(cols.map(col): _*))
+              .localCheckpoint(true))
+        try (0 until 3).foreach { b =>
+          arriving.filter(pmod((col("vec_id") / 5).cast("long"), lit(3)) === b)
+            .coalesce(1).write.mode("append").parquet(staging)
+          q.processAllAvailable()
+        } finally q.stop()
+        // survivors = accumulated corpus minus the base it started from
+        corpus.join(base.select("vec_id"), Seq("vec_id"), "left_anti")
+          .groupBy("label").agg(count(lit(1)).as("n_survivors"))
+          .orderBy("label")
+      }),
+
     // --- ANN paths: seed-dependent, rows-only driver check; recall vs the
     // exact oracle is asserted in AnnRecallSpec.
     QueryDef("q26_knn_lsh", None,

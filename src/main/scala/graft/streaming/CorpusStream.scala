@@ -48,6 +48,43 @@ object CorpusStream {
    * out just like the reference has no streaming surface at all.
    * Output: input columns + quality_score/lang_pred/n_tokens.
    */
+  /**
+   * Streaming semantic-dedup ingest — the online form of
+   * [[graft.operators.SemDedup.semDedupIncremental]]: each micro-batch
+   * of (id, embedding) arrivals is deduped against the accumulated
+   * authoritative corpus (batch-vs-corpus only — the existing×existing
+   * pair mass never forms, which is exactly the foreachBatch shape
+   * that makes continuous semantic re-curation affordable at 100 TB),
+   * and the batch's SURVIVORS are handed to `appendSurvivors` to
+   * become authoritative for the next trigger.
+   *
+   * The clustering `model` is the served train-once state (same
+   * contract as the IVF index: never retrained on ingest); `readCorpus`
+   * re-reads the authoritative corpus each trigger so the sink and the
+   * dedup view can be backed by the same table (e.g. DurableCatalog or
+   * a Delta-style append sink — at scale, persist/bucket it so each
+   * trigger pays a lookup, not a rebuild). foreachBatch is the right
+   * primitive (not a stateful operator): the corpus is far beyond
+   * per-key state-store scale, and the batch operator's plan — exact
+   * star edges + rep-collapsed in-cluster LSH — is reused verbatim,
+   * not reimplemented.
+   *
+   * Keep-decision identity with the sequential batch fold (same
+   * splits, same model) is asserted in StreamingIndexSpec; q115 runs
+   * the contract end-to-end on the embeddings fixture.
+   */
+  def semDedupIngestStream(arrivals: DataFrame, idCol: String, embCol: String,
+      model: graft.index.IvfModel, minCosine: Double,
+      readCorpus: () => DataFrame,
+      appendSurvivors: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    arrivals.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val survivors = graft.operators.SemDedup.semDedupIncremental(
+          readCorpus(), batch, idCol, embCol, minCosine, Some(model))
+        appendSurvivors(survivors)
+      }
+      .start()
+
   def curateStream(docs: DataFrame, textCol: String,
       minQuality: Double = 0.5,
       keepLangs: Set[String] = Set.empty,

@@ -119,4 +119,75 @@ class StreamingIndexSpec extends SparkSpec {
       assert(resp.results.head.chunk.id == streamedId)
     }
   }
+
+  test("semDedupIngestStream: keep-decisions identical to the sequential batch fold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    def unit(): Seq[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    // 40 base vectors; 30 arrivals in 3 batches of 10: some exact
+    // copies of base rows (must drop as dup-of-existing), some copies
+    // of EARLIER-batch arrivals (must drop only if the earlier copy
+    // survived and became authoritative — the cross-batch contract a
+    // stateless per-batch dedup would miss), the rest fresh
+    val baseVecs = (0 until 40).map(i => (i.toLong, unit()))
+    val fresh = (0 until 30).map(i => (100L + i, unit()))
+    def arrivalRow(i: Int): (Long, Seq[Float]) = {
+      if (i % 5 == 0) (100L + i, baseVecs(i % 40)._2)        // dup of base
+      else if (i % 5 == 1 && i >= 10) (100L + i, fresh(i - 10)._2) // dup of earlier arrival
+      else (100L + i, fresh(i)._2)
+    }
+    val base = baseVecs.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .localCheckpoint(true)
+    val batches = (0 until 3).map(b =>
+      (0 until 10).map(j => arrivalRow(b * 10 + j))
+        .toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+        .localCheckpoint(true))
+    val model = graft.operators.SemDedup.trainModel(base, "embedding", nlist = 4)
+
+    // sequential batch fold — the semantics oracle
+    var foldCorpus = base
+    val foldSurvivors = scala.collection.mutable.ArrayBuffer.empty[Long]
+    batches.foreach { b =>
+      val surv = graft.operators.SemDedup.semDedupIncremental(
+        foldCorpus, b, "vec_id", "embedding", minCosine = 0.95,
+        model = Some(model)).localCheckpoint(true)
+      foldSurvivors ++= surv.select("vec_id").collect().map(_.getLong(0))
+      foldCorpus = foldCorpus.unionByName(surv)
+    }
+
+    // the streaming form over the same splits
+    val staging = java.nio.file.Files.createTempDirectory("graft-semdedup-stream").toString
+    var corpus = base
+    val stream = spark.readStream.schema(base.schema).parquet(staging)
+    val q = graft.streaming.CorpusStream.semDedupIngestStream(
+      stream, "vec_id", "embedding", model, minCosine = 0.95,
+      readCorpus = () => corpus,
+      appendSurvivors = surv => corpus = corpus
+        .unionByName(surv.select("vec_id", "embedding")).localCheckpoint(true))
+    try batches.foreach { b =>
+      b.coalesce(1).write.mode("append").parquet(staging)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamSurvivors = corpus.join(base.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+    assert(streamSurvivors == foldSurvivors.toSet,
+      s"stream vs fold keep-sets differ: " +
+        s"only-stream=${streamSurvivors -- foldSurvivors.toSet} " +
+        s"only-fold=${foldSurvivors.toSet -- streamSurvivors}")
+    // the contract is non-trivial on this fixture: some arrivals
+    // dropped (dups) and some survived (fresh)
+    assert(streamSurvivors.nonEmpty && streamSurvivors.size < 30)
+    // exact dups of base never survive
+    val baseDupIds = (0 until 30).filter(_ % 5 == 0).map(100L + _).toSet
+    assert((streamSurvivors & baseDupIds).isEmpty, "dup-of-base survived")
+  }
 }
