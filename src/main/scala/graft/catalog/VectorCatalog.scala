@@ -46,7 +46,8 @@ object IndexType {
   * chunk `chunkIds(i)` (chunk ids are uuids; the graph keys by dense
   * node index internally). Bounded driver/broadcast state like the
   * LSH/IVF models (HnswModel.maxGraphVectors). */
-final case class HnswState(graph: graft.index.HnswModel, chunkIds: Array[String])
+final case class HnswState(graph: graft.index.HnswModel, chunkIds: Array[String],
+    embHashes: Array[Long] = Array.empty)
 
 /** Built IVF-PQ state for one library: the trained composed model —
   * plain residual coding (Left) or the OPQ-rotated variant (Right,
@@ -436,21 +437,54 @@ final class VectorCatalog(val spark: SparkSession,
             case None => state.copy(builtAtVersion = version.get())
           }
         case IndexType.Hnsw =>
-          // graph insertion order is build state — incremental insert
-          // would change results vs a fresh build, so reconcile by
-          // REBUILD (bounded by HnswModel.maxGraphVectors, a driver-side
-          // O(n log n); the same determinism-over-cleverness tradeoff
-          // as the reference's never-retrain IVF, inverted). A library
-          // grown past the cap keeps its last complete graph rather
-          // than silently truncating (indexLibrary refuses outright).
+          // Additions-only refresh INSERTS into the existing graph
+          // (HnswModel.insertAll — the paper's insert IS the build
+          // step, and continuing the seeded level sequence keeps the
+          // result deterministic: O(new·log n) instead of the full
+          // O(n log n) driver rebuild, 417 s at the 200k cap). Any
+          // delete or update (detected via the same (id, emb_hash)
+          // key the other tiers reconcile on) still REBUILDS — graph
+          // unlinking is outside the paper's contract and tombstones
+          // decay recall silently. A library grown past the cap keeps
+          // its last complete graph rather than silently truncating
+          // (indexLibrary refuses outright). NOTE: inserted chunk ids
+          // need not sort after existing ones, so an insert-refreshed
+          // graph can differ from a from-scratch rebuild of the same
+          // corpus (insertion order is build state); it is still a
+          // deterministic function of the refresh history, which is
+          // the contract searches rely on.
           val n = libChunks.count()
           if (n > graft.index.HnswModel.maxGraphVectors) {
             log.warn(s"library $libraryId grew past the hnsw graph cap " +
               s"($n > ${graft.index.HnswModel.maxGraphVectors}); keeping the " +
               "previous graph — reindex as ivf/ivfpq")
             state.copy(builtAtVersion = version.get())
-          } else state.copy(hnsw = buildHnswState(libChunks),
-            builtAtVersion = version.get())
+          } else {
+            val prior = state.hnsw
+            val live = collectHnswRows(libChunks)
+            val liveByKey = live.map(r => (r._1, r._3)).toMap
+            val additionsOnly = prior.exists(s =>
+              s.embHashes.length == s.chunkIds.length &&
+                s.chunkIds.indices.forall(i =>
+                  liveByKey.get(s.chunkIds(i)).contains(s.embHashes(i))))
+            if (additionsOnly) {
+              val s = prior.get
+              val known = s.chunkIds.toSet
+              val fresh = live.filterNot(r => known(r._1))
+              if (fresh.isEmpty) state.copy(builtAtVersion = version.get())
+              else {
+                val base = s.graph.size
+                val g = s.graph.insertAll(
+                  Array.tabulate(fresh.length)(j => (base + j).toLong),
+                  fresh.map(_._2))
+                state.copy(hnsw = Some(HnswState(g,
+                    s.chunkIds ++ fresh.map(_._1),
+                    s.embHashes ++ fresh.map(_._3))),
+                  builtAtVersion = version.get())
+              }
+            } else state.copy(hnsw = buildHnswState(libChunks),
+              builtAtVersion = version.get())
+          }
         case IndexType.IvfPq if state.ivfpq.isDefined =>
           // never-retrain semantics, like IVF: new OR re-embedded chunks
           // encode with the EXISTING centroids + codebooks; deletes and
@@ -503,19 +537,29 @@ final class VectorCatalog(val spark: SparkSession,
     * graph) and build the HNSW graph over dense node indexes, keeping
     * the node->chunk-id map alongside. None when nothing is embedded. */
   private def buildHnswState(libChunks: DataFrame): Option[HnswState] = {
-    val rows = libChunks
-      .select($"id", $"embedding".cast("array<float>"))
+    val rows = collectHnswRows(libChunks)
+    if (rows.isEmpty) None
+    else {
+      val ids = rows.map(_._1)
+      val vecs = rows.map(_._2)
+      Some(HnswState(graft.index.HnswModel.fromVectors(
+        Array.tabulate(ids.length)(_.toLong), vecs), ids, rows.map(_._3)))
+    }
+  }
+
+  /** (chunkId, embedding, embHash) sorted by chunk id — the graph's
+    * deterministic insertion order; the hash is the same
+    * xxhash64(embedding) the (id, emb_hash) reconcile key uses, kept
+    * in HnswState so a refresh can tell pure additions apart from
+    * updates/deletes without storing raw embeddings twice. */
+  private def collectHnswRows(libChunks: DataFrame): Array[(String, Array[Float], Long)] =
+    libChunks
+      .select($"id", $"embedding".cast("array<float>"),
+        xxhash64($"embedding".cast("array<float>")).as("emb_hash"))
       .orderBy($"id")
       .limit(graft.index.HnswModel.maxGraphVectors)
       .collect()
-    if (rows.isEmpty) None
-    else {
-      val ids = rows.map(_.getString(0))
-      val vecs = rows.map(_.getSeq[Float](1).toArray)
-      Some(HnswState(graft.index.HnswModel.fromVectors(
-        Array.tabulate(ids.length)(_.toLong), vecs), ids))
-    }
-  }
+      .map(r => (r.getString(0), r.getSeq[Float](1).toArray, r.getLong(2)))
 
   /** True when chunk mutations occurred after the index build. */
   def indexStale(libraryId: String): Boolean =
@@ -701,8 +745,10 @@ final class VectorCatalog(val spark: SparkSession,
       state.hnsw.foreach { hs =>
         import spark.implicits._
         graft.index.HnswModel.write(spark, hs.graph, s"$path/indexes/$libId/hnsw_graph")
-        hs.chunkIds.zipWithIndex.map { case (id, i) => (i, id) }.toSeq
-          .toDF("idx", "chunk_id")
+        hs.chunkIds.zipWithIndex.map { case (id, i) =>
+          (i, id, if (i < hs.embHashes.length) hs.embHashes(i) else 0L)
+        }.toSeq
+          .toDF("idx", "chunk_id", "emb_hash")
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$path/indexes/$libId/hnsw_ids")
       }
@@ -773,11 +819,19 @@ final class VectorCatalog(val spark: SparkSession,
         Right(state)
       } else if (exists(s"$base/hnsw_graph")) {
         val g = graft.index.HnswModel.read(spark, s"$base/hnsw_graph")
-        val ids = spark.read.parquet(s"$base/hnsw_ids")
-          .select("idx", "chunk_id").orderBy("idx")
-          .collect().map(_.getString(1))
+        val idsDf = spark.read.parquet(s"$base/hnsw_ids")
+        // layouts persisted before emb_hash was stored load without
+        // hashes: the additions-only check then fails closed and the
+        // first refresh rebuilds (re-establishing hashes)
+        val hasHashes = idsDf.columns.contains("emb_hash")
+        val rows = idsDf
+          .select(Seq("idx", "chunk_id") ++
+            (if (hasHashes) Seq("emb_hash") else Nil) map col: _*)
+          .orderBy("idx").collect()
+        val ids = rows.map(_.getString(1))
+        val hashes = if (hasHashes) rows.map(_.getLong(2)) else Array.empty[Long]
         val state = IndexState(IndexType.Hnsw, None, None, None, None,
-          version.get(), hnsw = Some(HnswState(g, ids)))
+          version.get(), hnsw = Some(HnswState(g, ids, hashes)))
         indexes.put(libraryId, state)
         Right(state)
       } else if (exists(base)) {

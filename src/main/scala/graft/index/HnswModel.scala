@@ -33,25 +33,47 @@ import org.apache.spark.sql.functions._
  * order, and insertion order is the caller-sorted input order — the
  * same (data, seed) always builds the same graph, which is what lets
  * AnnRecallSpec assert recall numbers instead of distributions.
+ * [[insertAll]] CONTINUES that sequence (the paper's insert IS the
+ * build step): appending nodes to a built graph produces bit-for-bit
+ * the graph a fresh build of the concatenated input would produce —
+ * so incremental ingest keeps the determinism contract instead of
+ * paying an O(n log n) driver rebuild per refresh (417 s at the 200k
+ * cap, RECALL_SF10.md).
  *
  * Distances are squared L2 over optionally pre-normalized vectors —
  * with `normalize=true` (default) L2 order equals cosine order, so the
  * graph ranks like the cosine searches it feeds (reference search
  * semantics, app/services/search_service.py).
  */
-final class HnswModel private (
+final class HnswModel private[index] (
     val ids: Array[Long],
-    private val vectors: Array[Array[Float]],
-    private val neighbors: Array[Array[Array[Int]]], // node -> level -> nbrs
-    private val entryPoint: Int,
-    private val topLevel: Int,
-    val normalized: Boolean) extends Serializable {
+    private[index] val vectors: Array[Array[Float]],
+    private[index] val neighbors: Array[Array[Array[Int]]], // node -> level -> nbrs
+    private[index] val entryPoint: Int,
+    private[index] val topLevel: Int,
+    val normalized: Boolean,
+    val m: Int = 16,
+    val efConstruction: Int = 200,
+    val seed: Long = 42L) extends Serializable {
 
   def size: Int = ids.length
 
   /** Vector dimensionality (0 for an empty graph) — lets consumers
     * (e.g. the AnnTopKProbe rule) refuse a dimension-mismatched query. */
   def dim: Int = if (vectors.isEmpty) 0 else vectors(0).length
+
+  /** Structural fingerprint of the whole graph (ids, adjacency, entry,
+    * top level) — lets tests assert two graphs are identical (e.g.
+    * insertAll vs fresh build) without exposing the internals. */
+  def structureHash: Int = {
+    import scala.util.hashing.MurmurHash3
+    MurmurHash3.orderedHash(Seq(
+      entryPoint, topLevel,
+      MurmurHash3.orderedHash(ids.toSeq),
+      MurmurHash3.orderedHash(neighbors.toSeq.map(n =>
+        MurmurHash3.orderedHash(n.toSeq.map(l =>
+          MurmurHash3.orderedHash(l.toSeq)))))))
+  }
 
   private def dist(a: Array[Float], b: Array[Float]): Double = {
     var d = 0.0; var i = 0
@@ -118,6 +140,35 @@ final class HnswModel private (
     search(query, nprobe, math.max(ef, 2 * nprobe)).map(_._1.toInt)
 
   /**
+   * New graph with the (id, vector) rows appended — the paper's insert
+   * procedure, CONTINUING the build: the seeded level-draw sequence
+   * resumes where the original build stopped, so the result is
+   * bit-identical to a fresh [[HnswModel.fromVectors]] over the
+   * concatenated input (asserted in AnnRecallSpec). Cost is
+   * O(new · log n) instead of the full O(n log n) rebuild — the
+   * refresh path for append-mostly ingest. Deletions/updates still
+   * rebuild (graph unlinking is not in the paper's contract and
+   * tombstoning would silently decay recall).
+   *
+   * The existing graph is copied, not mutated (models stay immutable
+   * broadcast state); `this` must have been built by this class so its
+   * recorded (m, efConstruction, seed) reproduce the original
+   * construction parameters.
+   */
+  def insertAll(newIds: Array[Long], newVecs: Array[Array[Float]]): HnswModel = {
+    require(newIds.length == newVecs.length, "ids/vectors length mismatch")
+    require(size + newIds.length <= HnswModel.maxGraphVectors,
+      s"HnswModel holds bounded driver state: ${size + newIds.length} > " +
+        s"${HnswModel.maxGraphVectors}")
+    if (newIds.isEmpty) return this
+    val b = new HnswBuilder(m, efConstruction, seed, normalized)
+    b.restore(ids, vectors, neighbors, entryPoint, topLevel)
+    var i = 0
+    while (i < newIds.length) { b.insert(newIds(i), newVecs(i)); i += 1 }
+    b.toModel
+  }
+
+  /**
    * Distributed candidate generation: broadcast the graph, navigate it
    * from every query row. Output (query_id, neighbor_id, graph_dist) —
    * `k` candidates per query for a downstream exact rerank. The corpus
@@ -139,6 +190,161 @@ final class HnswModel private (
       }
       .toDF("query_id", "neighbor_id", "graph_dist")
   }
+}
+
+/**
+ * Growable construction state for [[HnswModel]] (Algorithm 1 of the
+ * paper; neighbor selection is the diversity heuristic of Algorithm 4
+ * without the extend/prune extensions). One insert() call per node, in
+ * caller order; the level draw happens AT insert, so building
+ * eagerly (fromVectors) and resuming from a built graph (insertAll
+ * after restore) consume the seeded RNG in the identical sequence —
+ * that equivalence is what makes incremental insert deterministic.
+ */
+private[index] final class HnswBuilder(
+    m: Int, efConstruction: Int, seed: Long, normalize: Boolean) {
+  private val mL = 1.0 / math.log(m.toDouble)
+  private val m0 = 2 * m
+  private val rnd = new scala.util.Random(seed)
+  private val ids = mutable.ArrayBuffer.empty[Long]
+  private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
+  private val adj = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+  private var entry = 0
+  private var top = 0
+  // Visited set as a generation-stamped int array: one allocation for
+  // the whole build instead of a boxed HashSet per layer search (the
+  // build is single-threaded driver work, so the scratch is safe to
+  // share). Membership-only change — the dist/enqueue sequence, and
+  // therefore the produced graph, is bit-identical to the HashSet
+  // form (AnnRecallSpec's exact recall numbers stay valid).
+  private var visitedGen = new Array[Int](1024)
+  private var generation = 0
+
+  def size: Int = ids.length
+
+  /** Adopt an already-built graph and burn the level draws its build
+    * consumed, so subsequent insert() calls continue the original
+    * seeded sequence. Vectors arrive already normalized (the model
+    * stores them post-normalization). */
+  def restore(ids0: Array[Long], vecs0: Array[Array[Float]],
+      adj0: Array[Array[Array[Int]]], entry0: Int, top0: Int): Unit = {
+    require(ids.isEmpty, "restore into a non-empty builder")
+    ids ++= ids0
+    vecs ++= vecs0
+    adj0.foreach(a => adj += a.map(mutable.ArrayBuffer.from(_)))
+    entry = entry0
+    top = top0
+    var i = 0
+    while (i < ids0.length) { rnd.nextDouble(); i += 1 }
+    if (visitedGen.length < ids.length)
+      visitedGen = new Array[Int](Integer.highestOneBit(ids.length) * 2)
+  }
+
+  private def dist(a: Array[Float], b: Array[Float]): Double = {
+    var d = 0.0; var i = 0
+    val len = math.min(a.length, b.length)
+    while (i < len) { val x = a(i) - b(i); d += x * x; i += 1 }
+    d
+  }
+
+  // diversity heuristic: keep c only if closer to q than to every kept
+  private def selectNeighbors(q: Array[Float], cands: Seq[(Double, Int)],
+      want: Int): Seq[Int] = {
+    val sorted = cands.sortBy(_._1)
+    val kept = mutable.ArrayBuffer.empty[Int]
+    val it = sorted.iterator
+    while (it.hasNext && kept.length < want) {
+      val (dq, c) = it.next()
+      if (kept.forall(s => dist(vecs(c), vecs(s)) >= dq)) kept += c
+    }
+    // backfill with nearest rejected if diversity starved the list
+    if (kept.length < want)
+      sorted.iterator.map(_._2).filterNot(kept.contains)
+        .take(want - kept.length).foreach(kept += _)
+    kept.toSeq
+  }
+
+  private def searchLayerB(q: Array[Float], entry: Int, ef: Int,
+      level: Int): mutable.ArrayBuffer[(Double, Int)] = {
+    generation += 1
+    val gen = generation
+    val cand = mutable.PriorityQueue.empty[(Double, Int)](
+      Ordering.by[(Double, Int), Double](_._1).reverse)
+    val res = mutable.PriorityQueue.empty[(Double, Int)](
+      Ordering.by[(Double, Int), Double](_._1))
+    val d0 = dist(q, vecs(entry))
+    cand.enqueue((d0, entry)); res.enqueue((d0, entry)); visitedGen(entry) = gen
+    while (cand.nonEmpty) {
+      val (dc, c) = cand.dequeue()
+      if (dc > res.head._1 && res.size >= ef) { cand.clear() }
+      else {
+        val nbrs = adj(c)(level)
+        var j = 0
+        while (j < nbrs.length) {
+          val e = nbrs(j)
+          if (visitedGen(e) != gen) {
+            visitedGen(e) = gen
+            val de = dist(q, vecs(e))
+            if (res.size < ef || de < res.head._1) {
+              cand.enqueue((de, e)); res.enqueue((de, e))
+              if (res.size > ef) res.dequeue()
+            }
+          }
+          j += 1
+        }
+      }
+    }
+    val out = mutable.ArrayBuffer.from(res)
+    out.sortInPlaceBy(_._1)
+    out
+  }
+
+  /** Insert one node (Algorithm 1): draw its level from the seeded
+    * sequence, descend greedily to the node's level, then connect with
+    * the diversity heuristic per layer, re-pruning overfull backlinks. */
+  def insert(id: Long, rawVec: Array[Float]): Unit = {
+    val q = if (normalize) HnswModel.unit(rawVec) else rawVec
+    val l = math.floor(
+      -math.log(math.max(rnd.nextDouble(), 1e-12)) * mL).toInt
+    val i = ids.length
+    ids += id
+    vecs += q
+    adj += Array.fill(l + 1)(mutable.ArrayBuffer.empty[Int])
+    if (visitedGen.length <= i)
+      visitedGen = java.util.Arrays.copyOf(visitedGen,
+        math.max(visitedGen.length * 2, i + 1))
+    if (i == 0) { entry = 0; top = l; return }
+    var ep = entry
+    var lvl = top
+    while (lvl > l) {
+      ep = searchLayerB(q, ep, 1, lvl).head._2
+      lvl -= 1
+    }
+    var level = math.min(l, top)
+    while (level >= 0) {
+      val cands = searchLayerB(q, ep, efConstruction, level)
+      ep = cands.head._2
+      val maxConn = if (level == 0) m0 else m
+      val sel = selectNeighbors(q, cands.toSeq, m)
+      sel.foreach { s =>
+        adj(i)(level) += s
+        val back = adj(s)(level)
+        back += i
+        if (back.length > maxConn) {
+          // re-select the neighbor's list with the same heuristic
+          val scored = back.map(b => (dist(vecs(s), vecs(b)), b)).toSeq
+          val keep = selectNeighbors(vecs(s), scored, maxConn)
+          back.clear(); back ++= keep
+        }
+      }
+      level -= 1
+    }
+    if (l > top) { top = l; entry = i }
+  }
+
+  def toModel: HnswModel = new HnswModel(ids.toArray, vecs.toArray,
+    adj.map(_.map(_.toArray)).toArray, entry, top, normalize,
+    m, efConstruction, seed)
 }
 
 object HnswModel {
@@ -190,11 +396,11 @@ object HnswModel {
   /**
    * Persist a built graph: one parquet row per node (insertion index,
    * external id, stored vector, per-level adjacency) + a single-row
-   * meta table (entry point, top level, normalization flag). The graph
-   * is driver/broadcast state, so this is KB-to-MB-scale I/O — but
-   * persisting it means a serving process restarts WITHOUT paying the
-   * O(n log n) rebuild (the same restart story as the IVF/PQ
-   * centroid tables).
+   * meta table (entry point, top level, normalization flag, build
+   * params). The graph is driver/broadcast state, so this is
+   * KB-to-MB-scale I/O — but persisting it means a serving process
+   * restarts WITHOUT paying the O(n log n) rebuild (the same restart
+   * story as the IVF/PQ centroid tables).
    */
   def write(spark: SparkSession, model: HnswModel, path: String): Unit = {
     import spark.implicits._
@@ -203,13 +409,16 @@ object HnswModel {
         model.neighbors(i).map(_.toSeq).toSeq)
     }.toDF("idx", "id", "vector", "adj")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/nodes")
-    Seq((model.entryPoint, model.topLevel, model.normalized))
-      .toDF("entry", "top", "normalized")
+    Seq((model.entryPoint, model.topLevel, model.normalized,
+        model.m, model.efConstruction, model.seed))
+      .toDF("entry", "top", "normalized", "m", "efc", "seed")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Load a persisted graph; search results are identical to the
-    * pre-persistence model (the adjacency is stored, not rebuilt). */
+    * pre-persistence model (the adjacency is stored, not rebuilt).
+    * Graphs persisted before build params were stored load with the
+    * defaults (16/200/42 — the only values any call site used). */
   def read(spark: SparkSession, path: String): HnswModel = {
     val rows = spark.read.parquet(s"$path/nodes")
       .select("idx", "id", "vector", "adj").orderBy("idx").collect()
@@ -218,14 +427,19 @@ object HnswModel {
     // inner rows deserialize as mutable ArraySeq — type with the
     // collection.Seq supertype or the map() call ClassCastExceptions
     val adj = rows.map(_.getSeq[scala.collection.Seq[Int]](3).map(_.toArray).toArray)
-    val m = spark.read.parquet(s"$path/meta")
-      .select("entry", "top", "normalized").collect()(0)
-    new HnswModel(ids, vecs, adj, m.getInt(0), m.getInt(1), m.getBoolean(2))
+    val metaDf = spark.read.parquet(s"$path/meta")
+    val hasParams = metaDf.columns.contains("m")
+    val m = metaDf.collect()(0)
+    new HnswModel(ids, vecs, adj,
+      m.getAs[Int]("entry"), m.getAs[Int]("top"), m.getAs[Boolean]("normalized"),
+      if (hasParams) m.getAs[Int]("m") else 16,
+      if (hasParams) m.getAs[Int]("efc") else 200,
+      if (hasParams) m.getAs[Long]("seed") else 42L)
   }
 
-  /** In-memory build (Algorithm 1 of the paper; neighbor selection is
-    * the diversity heuristic of Algorithm 4 without the extend/prune
-    * extensions). */
+  /** In-memory build: one [[HnswBuilder]] insert per node in input
+    * order (the level draw happens at insert, so this is the same
+    * seeded sequence `insertAll` later continues). */
   def fromVectors(rawIds: Array[Long], rawVecs: Array[Array[Float]],
       m: Int = 16, efConstruction: Int = 200, seed: Long = 42L,
       normalize: Boolean = true): HnswModel = {
@@ -233,126 +447,9 @@ object HnswModel {
     require(rawIds.nonEmpty, "HnswModel: no vectors")
     require(rawIds.length <= maxGraphVectors,
       s"HnswModel holds bounded driver state: ${rawIds.length} > $maxGraphVectors")
-    val n = rawIds.length
-    val vecs = if (normalize) rawVecs.map(unit) else rawVecs
-    val mL = 1.0 / math.log(m.toDouble)
-    val rnd = new scala.util.Random(seed)
-    val m0 = 2 * m
-
-    def dist(a: Array[Float], b: Array[Float]): Double = {
-      var d = 0.0; var i = 0
-      val len = math.min(a.length, b.length)
-      while (i < len) { val x = a(i) - b(i); d += x * x; i += 1 }
-      d
-    }
-
-    val levels = Array.fill(n)(0)
+    val b = new HnswBuilder(m, efConstruction, seed, normalize)
     var i = 0
-    while (i < n) {
-      levels(i) = math.floor(-math.log(math.max(rnd.nextDouble(), 1e-12)) * mL).toInt
-      i += 1
-    }
-    // adjacency under construction: node -> level -> buffer of neighbors
-    val adj: Array[Array[mutable.ArrayBuffer[Int]]] =
-      Array.tabulate(n)(v => Array.fill(levels(v) + 1)(mutable.ArrayBuffer.empty[Int]))
-
-    // diversity heuristic: keep c only if closer to q than to every kept
-    def selectNeighbors(q: Array[Float], cands: Seq[(Double, Int)],
-        want: Int): Seq[Int] = {
-      val sorted = cands.sortBy(_._1)
-      val kept = mutable.ArrayBuffer.empty[Int]
-      val it = sorted.iterator
-      while (it.hasNext && kept.length < want) {
-        val (dq, c) = it.next()
-        if (kept.forall(s => dist(vecs(c), vecs(s)) >= dq)) kept += c
-      }
-      // backfill with nearest rejected if diversity starved the list
-      if (kept.length < want)
-        sorted.iterator.map(_._2).filterNot(kept.contains)
-          .take(want - kept.length).foreach(kept += _)
-      kept.toSeq
-    }
-
-    // Visited set as a generation-stamped int array: one allocation for
-    // the whole build instead of a boxed HashSet per layer search (the
-    // build is single-threaded driver work, so the scratch is safe to
-    // share). Membership-only change — the dist/enqueue sequence, and
-    // therefore the produced graph, is bit-identical to the HashSet
-    // form (AnnRecallSpec's exact recall numbers stay valid).
-    val visitedGen = new Array[Int](n)
-    var generation = 0
-
-    def searchLayerB(q: Array[Float], entry: Int, ef: Int,
-        level: Int): mutable.ArrayBuffer[(Double, Int)] = {
-      generation += 1
-      val gen = generation
-      val cand = mutable.PriorityQueue.empty[(Double, Int)](
-        Ordering.by[(Double, Int), Double](_._1).reverse)
-      val res = mutable.PriorityQueue.empty[(Double, Int)](
-        Ordering.by[(Double, Int), Double](_._1))
-      val d0 = dist(q, vecs(entry))
-      cand.enqueue((d0, entry)); res.enqueue((d0, entry)); visitedGen(entry) = gen
-      while (cand.nonEmpty) {
-        val (dc, c) = cand.dequeue()
-        if (dc > res.head._1 && res.size >= ef) { cand.clear() }
-        else {
-          val nbrs = adj(c)(level)
-          var j = 0
-          while (j < nbrs.length) {
-            val e = nbrs(j)
-            if (visitedGen(e) != gen) {
-              visitedGen(e) = gen
-              val de = dist(q, vecs(e))
-              if (res.size < ef || de < res.head._1) {
-                cand.enqueue((de, e)); res.enqueue((de, e))
-                if (res.size > ef) res.dequeue()
-              }
-            }
-            j += 1
-          }
-        }
-      }
-      val out = mutable.ArrayBuffer.from(res)
-      out.sortInPlaceBy(_._1)
-      out
-    }
-
-    var entry = 0
-    var top = levels(0)
-    i = 1
-    while (i < n) {
-      val q = vecs(i)
-      val l = levels(i)
-      var ep = entry
-      var lvl = top
-      while (lvl > l) {
-        ep = searchLayerB(q, ep, 1, lvl).head._2
-        lvl -= 1
-      }
-      var level = math.min(l, top)
-      while (level >= 0) {
-        val cands = searchLayerB(q, ep, efConstruction, level)
-        ep = cands.head._2
-        val maxConn = if (level == 0) m0 else m
-        val sel = selectNeighbors(q, cands.toSeq, m)
-        sel.foreach { s =>
-          adj(i)(level) += s
-          val back = adj(s)(level)
-          back += i
-          if (back.length > maxConn) {
-            // re-select the neighbor's list with the same heuristic
-            val scored = back.map(b => (dist(vecs(s), vecs(b)), b)).toSeq
-            val keep = selectNeighbors(vecs(s), scored, maxConn)
-            back.clear(); back ++= keep
-          }
-        }
-        level -= 1
-      }
-      if (l > top) { top = l; entry = i }
-      i += 1
-    }
-
-    new HnswModel(rawIds, vecs,
-      adj.map(_.map(_.toArray)), entry, top, normalize)
+    while (i < rawIds.length) { b.insert(rawIds(i), rawVecs(i)); i += 1 }
+    b.toModel
   }
 }

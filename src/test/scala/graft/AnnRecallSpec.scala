@@ -584,4 +584,69 @@ class AnnRecallSpec extends SparkSpec {
       assert(after.chunkIds.toSet == seedIds.toSet)
     } finally GraftConfig.hnswMaxGraphVectors = saved
   }
+
+  test("HNSW insertAll: appended inserts are bit-identical to a fresh build of the union") {
+    import graft.index.HnswModel
+    val rnd = new scala.util.Random(23)
+    val dim = 16
+    def vec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val all = Array.fill(300)(vec())
+    val ids = Array.tabulate(300)(_.toLong)
+    val fresh = HnswModel.fromVectors(ids, all, m = 8, efConstruction = 50, seed = 7L)
+    // insert in two increments: the seeded level sequence continues,
+    // so the final graph must be the SAME graph fresh build produces
+    val g0 = HnswModel.fromVectors(ids.take(200), all.take(200),
+      m = 8, efConstruction = 50, seed = 7L)
+    val g1 = g0.insertAll(ids.slice(200, 260), all.slice(200, 260))
+    val g2 = g1.insertAll(ids.slice(260, 300), all.slice(260, 300))
+    assert(g2.size == 300)
+    assert(g2.structureHash == fresh.structureHash,
+      "incremental insert diverged from the fresh build")
+    // and the original graph object is untouched (immutable broadcast state)
+    assert(g0.size == 200)
+    assert(g0.structureHash ==
+      HnswModel.fromVectors(ids.take(200), all.take(200),
+        m = 8, efConstruction = 50, seed = 7L).structureHash)
+    // empty insert is the same model
+    assert(g2.insertAll(Array.empty, Array.empty) eq g2)
+  }
+
+  test("HNSW facade refresh: additions insert into the graph; deletes/updates rebuild") {
+    import graft.catalog.VectorCatalog
+    val cat = new VectorCatalog(spark)
+    val lib = cat.createLibrary("Lins", indexType = "hnsw").toOption.get
+    val doc = cat.createDocument(lib.id, "Dins").toOption.get
+    (1 to 8).foreach(i => cat.createChunk(doc.id, s"seed passage number $i"))
+    assert(cat.indexLibrary(lib.id, "hnsw").isRight)
+    val st1 = cat.indexState(lib.id).get.hnsw.get
+
+    // ADD a chunk: refresh must take the insert path — the refreshed
+    // graph equals insertAll on the prior graph (appended node), NOT
+    // necessarily a from-scratch rebuild (the new uuid may sort anywhere)
+    val newChunk = cat.createChunk(doc.id, "freshly streamed arrival").toOption.get
+    cat.refreshIndex(lib.id)
+    val st2 = cat.indexState(lib.id).get.hnsw.get
+    assert(st2.chunkIds.length == 9)
+    assert(st2.chunkIds.take(8).toSeq == st1.chunkIds.toSeq,
+      "insert path must append, preserving the existing node order")
+    assert(st2.chunkIds.last == newChunk.id)
+    val emb = cat.chunks.filter(org.apache.spark.sql.functions.col("id") === newChunk.id)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val expected = st1.graph.insertAll(Array(st1.graph.size.toLong), Array(emb))
+    assert(st2.graph.structureHash == expected.structureHash,
+      "refresh must produce exactly the insertAll graph")
+    // search sees the new chunk (its own embedding is its nearest node)
+    val hit = st2.graph.search(emb, 1, 16).head
+    assert(st2.chunkIds(hit._1.toInt) == newChunk.id)
+
+    // DELETE a chunk: additions-only fails, refresh rebuilds
+    cat.deleteChunk(st1.chunkIds.head)
+    cat.refreshIndex(lib.id)
+    val st3 = cat.indexState(lib.id).get.hnsw.get
+    assert(st3.chunkIds.length == 8)
+    assert(!st3.chunkIds.contains(st1.chunkIds.head))
+    // rebuilt = sorted id order over the surviving chunks
+    assert(st3.chunkIds.toSeq == st3.chunkIds.toSeq.sorted,
+      "rebuild path must re-sort insertion order")
+  }
 }
