@@ -98,15 +98,23 @@ object Bench {
     }).filterNot(q => exclude.exists(q.name.startsWith))
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
+    val failures = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
     for (_ <- 1 to runsPerQuery; q <- queries) {
       val t0 = System.nanoTime()
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      // A failed run records NO sample: its elapsed time is
+      // time-to-failure, not query latency (a mid-sweep SparkContext
+      // shutdown once logged a 0.02s "min" for a 40s sf10 query).
+      try {
+        q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        samples(q.name) = ((System.nanoTime() - t0) / 1e9) :: samples(q.name)
+      } catch { case e: Throwable =>
+        failures(q.name) += 1
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
-      samples(q.name) = ((System.nanoTime() - t0) / 1e9) :: samples(q.name)
     }
-    val results = queries.map { q =>
+    val failedOut = queries.filter(q => samples(q.name).isEmpty).map(_.name)
+    val results = queries.filter(q => samples(q.name).nonEmpty).map { q =>
       val times = samples(q.name).sorted
       (q.name, times.min, times(times.length / 2))
     }
@@ -123,8 +131,10 @@ object Bench {
     // order is semantically irrelevant to any real parser.
     val loadEnd = loadAvg()
     val wallSec = (System.nanoTime() - wallT0) / 1e9
+    val failedJson = failedOut.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = f"""{"queries_detail":$detail,"n_runs":$runsPerQuery,""" +
       f""""env":{"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"wall_sec":$wallSec%.1f,"cpus":"$cpus"},""" +
+      f""""failed":$failedJson,""" +
       f""""sf":"$sfDir","queries":$qs,"metric":"total","value":$total%.3f,"unit":"sec"}"""
     println(line)
     // Full JSON also lands in the repo as a sidecar so per-query detail
@@ -145,7 +155,8 @@ object Bench {
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
       f""""sf":"$sfDir","n_queries":${results.length},"n_runs":$runsPerQuery,""" +
       f""""env":{"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,""" +
-      f""""wall_sec":$wallSec%.1f,"cpus":"$cpus"},"worst10":$worst10}""")
+      f""""wall_sec":$wallSec%.1f,"cpus":"$cpus"},"failed":$failedJson,""" +
+      f""""worst10":$worst10}""")
     spark.stop()
   }
 }
