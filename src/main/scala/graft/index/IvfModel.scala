@@ -211,35 +211,7 @@ object IvfModel {
     import org.apache.spark.ml.stat.Summarizer
     val vecs = chunks.filter(col(embCol).isNotNull)
       .select(col(embCol).cast("array<float>").as("v"))
-    // Seeded deterministic init of k distinct vectors WITHOUT a
-    // corpus-wide distinct() (that is a full-width shuffle of every
-    // embedding — it would dominate training cost at the large-n scale
-    // this trainer exists for). orderBy+limit plans as TakeOrdered:
-    // map-side partial top-m by seeded hash, only m rows reach the
-    // driver. Duplicate vectors share a hash, so dedup driver-side and
-    // escalate the take size if duplicates crowded out distinct ones;
-    // the distinct() fallback only runs for pathologically
-    // low-cardinality corpora (where it is cheap by definition).
-    var centroids = Array.empty[Array[Float]]
-    var take = 2L * nlist
-    var exhausted = false
-    while (centroids.length < nlist && !exhausted) {
-      val top = vecs.orderBy(xxhash64(col("v"), lit(seed)))
-        .limit(math.min(take, Int.MaxValue.toLong).toInt)
-        .collect().map(_.getSeq[Float](0).toArray)
-      centroids = top.distinctBy(_.toSeq).take(nlist)
-      exhausted = top.length < take // corpus smaller than the take
-      if (centroids.length < nlist && !exhausted) {
-        take *= 4
-        if (take >= 64L * nlist) { // dup-dominated: pay the exact path
-          centroids = vecs.distinct()
-            .orderBy(xxhash64(col("v"), lit(seed)))
-            .limit(nlist)
-            .collect().map(_.getSeq[Float](0).toArray)
-          exhausted = true
-        }
-      }
-    }
+    var centroids = seededDistinctInit(vecs, nlist, seed)
     require(centroids.nonEmpty,
       s"IvfModel.trainDistributed: no non-null '$embCol' vectors")
     var iter = 0
@@ -277,6 +249,148 @@ object IvfModel {
       iter += 1
     }
     IvfModel(centroids)
+  }
+
+  /** Seeded deterministic init of k distinct vectors WITHOUT a
+    * corpus-wide distinct() (that is a full-width shuffle of every
+    * embedding — it would dominate training cost at the large-n scale
+    * the distributed trainers exist for). orderBy+limit plans as
+    * TakeOrdered: map-side partial top-m by seeded hash, only m rows
+    * reach the driver. Duplicate vectors share a hash, so dedup
+    * driver-side and escalate the take size if duplicates crowded out
+    * distinct ones; the distinct() fallback only runs for
+    * pathologically low-cardinality corpora (where it is cheap by
+    * definition). Shared by trainDistributed and trainMiniBatch. */
+  private def seededDistinctInit(vecs: DataFrame, nlist: Int,
+      seed: Long): Array[Array[Float]] = {
+    var centroids = Array.empty[Array[Float]]
+    var take = 2L * nlist
+    var exhausted = false
+    while (centroids.length < nlist && !exhausted) {
+      val top = vecs.orderBy(xxhash64(col("v"), lit(seed)))
+        .limit(math.min(take, Int.MaxValue.toLong).toInt)
+        .collect().map(_.getSeq[Float](0).toArray)
+      centroids = top.distinctBy(_.toSeq).take(nlist)
+      exhausted = top.length < take // corpus smaller than the take
+      if (centroids.length < nlist && !exhausted) {
+        take *= 4
+        if (take >= 64L * nlist) { // dup-dominated: pay the exact path
+          centroids = vecs.distinct()
+            .orderBy(xxhash64(col("v"), lit(seed)))
+            .limit(nlist)
+            .collect().map(_.getSeq[Float](0).toArray)
+          exhausted = true
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Mini-batch iteration count: enough epochs of evidence for the
+    * 1/N_j learning rate to damp (Sculley uses t in the low tens);
+    * also the numerator of the routing flop model in
+    * [[graft.operators.SemDedup.trainModel]]. */
+  val miniBatchIters: Int = 15
+
+  /** Default mini-batch size: ~8 rows of evidence per centroid per
+    * iteration, floored so small-k batches still amortize job
+    * overhead. Shared with the routing flop model. */
+  def miniBatchRows(k: Int): Long = math.max(8192L, 8L * k)
+
+  /**
+   * Mini-batch k-means (Sculley, "Web-Scale K-Means Clustering",
+   * WWW 2010) in aggregated distributed form. The exact distributed
+   * trainer pays `maxIter` FULL corpus scans, each evaluating the
+   * codegen'd k·dim assignment on every row — at the 100 TB target
+   * the scans alone are the cost model. This trainer pays ONE corpus
+   * scan: a seeded hash partitions rows into `m = n/batchRows`
+   * disjoint batches, of which the first `min(iters, m)` are
+   * materialized into a persisted working set of ≤ iters·batchRows
+   * rows (tiny relative to n at scale). Each iteration then assigns
+   * ONE batch (codegen'd, broadcast centroids) and applies the
+   * count-weighted update
+   *
+   *   c_j ← c_j + (b_j / (N_j + b_j)) · (batchMean_j − c_j),
+   *   N_j ← N_j + b_j
+   *
+   * — the batch-aggregated equivalent of the paper's per-sample
+   * learning rate 1/N_j, which damps centroid drift as evidence
+   * accumulates. Iterations cycle through the materialized batches
+   * when iters > m (epochs). Flops: iters·batchRows·k·dim vs the
+   * exact path's maxIter·n·k·dim; quality lands within a small
+   * inertia premium of exact Lloyd (gated in IvfTrainSpec, and the
+   * SemDeDup drop-set agreement is gated before any wiring decision —
+   * see NOTES round 11). Deterministic: seeded hash batching, seeded
+   * shared init, keyed centroid updates.
+   *
+   * @param nHint caller-known row count (e.g. from table stats); when
+   *   > 0 it replaces the `vecs.count()` scan — it only sizes the
+   *   batch-id modulus, so an overcount (nulls included) is harmless.
+   */
+  def trainMiniBatch(chunks: DataFrame, embCol: String,
+      nlist: Int, iters: Int = miniBatchIters, batchRows: Long = 0L,
+      seed: Long = 42L, nHint: Long = 0L): IvfModel = {
+    import org.apache.spark.ml.linalg.{Vector => MlVector}
+    import org.apache.spark.ml.stat.Summarizer
+    val vecs = chunks.filter(col(embCol).isNotNull)
+      .select(col(embCol).cast("array<float>").as("v"))
+    var centroids = seededDistinctInit(vecs, nlist, seed)
+    require(centroids.nonEmpty,
+      s"IvfModel.trainMiniBatch: no non-null '$embCol' vectors")
+    val k = centroids.length
+    // Batch sized so most clusters receive evidence each iteration
+    // (~8 rows per centroid), floored for small k. n from a cheap
+    // count on the projected single column (footer-metadata fast path
+    // does not apply post-filter; this is one columnar scan) unless
+    // the caller already knows it.
+    val b = if (batchRows > 0) batchRows else miniBatchRows(k)
+    val n = if (nHint > 0) nHint else vecs.count()
+    val m = math.max(1L, n / math.min(b, n)).toInt
+    val useBatches = math.min(m, iters)
+    val batches = vecs
+      .withColumn("b", pmod(xxhash64(col("v"), lit(seed + 1)), lit(m)).cast("int"))
+      .filter(col("b") < useBatches)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = new Array[Long](k) // N_j — accumulated evidence
+      var iter = 0
+      var converged = false
+      while (iter < iters && !converged) {
+        val model = IvfModel(centroids)
+        val stats = batches.filter(col("b") === (iter % useBatches))
+          .withColumn("cluster_id", model.assignColumn(col("v")))
+          .select(col("cluster_id"),
+            array_to_vector(col("v").cast("array<double>")).as("fv"))
+          .groupBy("cluster_id")
+          .agg(Summarizer.mean(col("fv")).as("mean"), count(lit(1)).as("cnt"))
+          .collect()
+          .map(r => r.getInt(0) ->
+            (r.getAs[MlVector]("mean").toArray, r.getAs[Long]("cnt")))
+          .toMap
+        var maxShift = 0.0
+        centroids = centroids.zipWithIndex.map { case (c, j) =>
+          stats.get(j) match {
+            case Some((mean, bj)) =>
+              val lr = bj.toDouble / (counts(j) + bj)
+              counts(j) += bj
+              val nv = new Array[Float](c.length)
+              var shift = 0.0; var norm = 0.0; var i = 0
+              while (i < c.length) {
+                nv(i) = (c(i) + lr * (mean(i) - c(i))).toFloat
+                val dx = nv(i) - c(i)
+                shift += dx * dx; norm += c(i).toDouble * c(i); i += 1
+              }
+              maxShift = math.max(maxShift,
+                math.sqrt(shift) / math.max(math.sqrt(norm), 1e-12))
+              nv
+            case None => c // batch missed this cluster: keep centroid
+          }
+        }
+        converged = maxShift < 1e-4
+        iter += 1
+      }
+      IvfModel(centroids)
+    } finally batches.unpersist(blocking = false)
   }
 
   /** MLlib's full distributed loop, kept for differential testing and

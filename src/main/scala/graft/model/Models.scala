@@ -201,6 +201,26 @@ object GraftConfig {
   /** ef for the HNSW-routed approximate assignment above. */
   @volatile var approxAssignEf: Int = 64
 
+  /** Trainer routing for the large-n·k regime (SemDedup.trainModel):
+    * route to mini-batch k-means once the exact path's assignment
+    * flops exceed the mini-batch path's by this factor —
+    * `exactPasses·n ≥ margin · miniBatchIters·miniBatchRows(k)`.
+    * Both paths use the same codegen'd assignment expression, so the
+    * flop model is handicap-free (unlike the graph-routed case above);
+    * the margin covers the mini-batch path's fixed costs (working-set
+    * materialization scan + per-iteration job floor). Anchor: sf10 A-B
+    * of the q111 train corpus (n=475,600, k=4096 ⇒ flop ratio 5.8)
+    * measured 2.4× wall win (min-of-3: 37.7 s exact vs 15.9 s
+    * mini-batch, inertia premium +2.1%, drop-set Jaccard 0.94 — the
+    * same parity band the sampled A-B established as acceptable).
+    * Overhead roughly halves the flop advantage, so ratio 2 ≈ wall
+    * break-even, and 3 adds margin. Double.MaxValue disables the
+    * route (always exact); overridable via
+    * GRAFT_MINIBATCH_TRAIN_MARGIN. */
+  @volatile var miniBatchTrainMargin: Double =
+    sys.env.get("GRAFT_MINIBATCH_TRAIN_MARGIN")
+      .flatMap(_.toDoubleOption).getOrElse(3.0)
+
   /** An LSH sizing + probe preset (tables x bits, multi-probe flips). */
   final case class LshPreset(numTables: Int, bitsPerTable: Int, flips: Int)
 

@@ -135,18 +135,37 @@ object SemDedup {
     if (n * k <= 3000000L)
       IvfModel.train(df, embCol, nlist = k, maxIter = maxIter, seed = seed)
     else {
-      // Large-k Lloyd's per-row cost is the assignment: exact = k·dim,
-      // HNSW-routed ≈ ef·dim·(log2 k + fanout) — past the flop-model
-      // break-even (GraftConfig.approxAssignMinK ≈ ef·(log2 k + 4)) the
-      // approximate path wins by ~k/(ef·log k)× (≈5× at k=4096, ef=64)
-      // and k-means tolerates it (each pass still reduces SSE w.r.t.
-      // the assignment it made; inertia parity gated in IvfTrainSpec).
-      val ef =
-        if (k >= graft.model.GraftConfig.approxAssignMinK)
-          graft.model.GraftConfig.approxAssignEf
-        else 0
-      IvfModel.trainDistributed(df, embCol, nlist = k,
-        maxIter = math.min(maxIter, 6), seed = seed, approxAssignEf = ef)
+      // Past the driver budget, the choice is between exact distributed
+      // Lloyd (min(maxIter,6) FULL corpus scans, each paying the
+      // codegen'd k·dim assignment on every row) and mini-batch k-means
+      // (ONE corpus scan + iters tiny batch assignments). Both use the
+      // same codegen'd assignment expression, so the flop ratio
+      //   exactPasses·n / (miniBatchIters·miniBatchRows(k))
+      // is handicap-free; route to mini-batch once it clears the
+      // measured margin (GraftConfig.miniBatchTrainMargin — anchored
+      // by the sf10 A-B: ratio 5.8 ⇒ 2.4× wall, Jaccard-0.94 drop
+      // parity; see NOTES round 11).
+      val exactPasses = math.min(maxIter, 6)
+      val flopRatio = exactPasses.toDouble * n /
+        (IvfModel.miniBatchIters.toDouble * IvfModel.miniBatchRows(k))
+      if (flopRatio >= graft.model.GraftConfig.miniBatchTrainMargin)
+        IvfModel.trainMiniBatch(df, embCol, nlist = k, seed = seed, nHint = n)
+      else {
+        // Exact regime. Within it, large-k Lloyd's per-row cost is the
+        // assignment: exact = k·dim, HNSW-routed ≈ ef·dim·(log2 k +
+        // fanout) — past the flop-model break-even
+        // (GraftConfig.approxAssignMinK ≈ ef·(log2 k + 4)) the
+        // approximate path wins by ~k/(ef·log k)× (≈5× at k=4096,
+        // ef=64) and k-means tolerates it (each pass still reduces SSE
+        // w.r.t. the assignment it made; inertia parity gated in
+        // IvfTrainSpec).
+        val ef =
+          if (k >= graft.model.GraftConfig.approxAssignMinK)
+            graft.model.GraftConfig.approxAssignEf
+          else 0
+        IvfModel.trainDistributed(df, embCol, nlist = k,
+          maxIter = exactPasses, seed = seed, approxAssignEf = ef)
+      }
     }
   }
 

@@ -197,6 +197,161 @@ private[queries] object AnnOracles {
          |LIMIT 10""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q86
+  /** HNSW single-query kNN (50 graph candidates, exact cosine rerank to
+    * top-10). The graph walk itself is not SQL-expressible, but — the
+    * q110 pattern — the oracle is the walk's own success criterion:
+    * withheld unless the engine's candidate-rerank top-10 EQUALS the
+    * exact brute-force top-10 in the replay SQL's double arithmetic
+    * (id-ordered, with a distinct-gap floor at the 10/11 cutoff), in
+    * which case the SQL replays exact kNN. Recall is 1.0 at every
+    * fixture dir (AnnRecallSpec pins it), so in practice this oracles
+    * the rerank arithmetic, the cutoff tiebreak, and the output shape
+    * while the equality guard pins the graph walk against an
+    * independent exact computation. */
+  def q86(spark: SparkSession, dir: String,
+      graph: graft.index.HnswModel): Option[String] = {
+    import graft.functions.GraftFunctions.cosine_sim
+    val q = queryVec(spark, dir, 0L)
+    val e = emb(spark, dir)
+    // the engine's own result ids, in output order (float rerank)
+    val cands = graph.search(q, k = 50, ef = 100).map(_._1)
+    val engineIds = e.filter(col("vec_id").isin(cands.map(Long.box): _*))
+      .withColumn("s", cosine_sim(col("embedding"), typedlit(q.toSeq)))
+      .orderBy(col("s").desc, col("vec_id")).limit(10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    // the replay SQL's double-arithmetic top-11 over the whole corpus
+    val qd = typedlit(q.map(_.toDouble).toSeq)
+    val top11 = e.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        (ddot(col("v"), qd) /
+          (sqrt(ddot(col("v"), col("v"))) * sqrt(ddot(qd, qd)))).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(11)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    if (top11.take(10).map(_._1).toSeq != engineIds) return None
+    if (top11.length == 11) {
+      val d10 = top11(9)._2; val d11 = top11(10)._2
+      // boundary must be an exact tie (same id-asc break both engines)
+      // or clear the summation-order gap floor
+      if (d10 != d11 && d10 - d11 < distEps) return None
+    }
+    Some(
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, e.label, round($cosE, 6) AS score
+         |FROM embeddings e, q
+         |WHERE e.embedding IS NOT NULL
+         |ORDER BY $cosE DESC, e.vec_id
+         |LIMIT 10""".stripMargin)
+  }
+
+  // --------------------------------------------------------------- q109
+  /** SemDeDup batch flags aggregated per cluster: centroid-literal
+    * argmin assignment, per-row centroid cosine, within-cluster
+    * exact-cosine duplicate pairs, min-label connected components
+    * (recursive CTE — the q61 pattern), keep-rule argmin(centroid_sim,
+    * id). The cluster structure is seeded driver state exactly like
+    * q27's: dumped as literals, the rest is arithmetic both engines
+    * evaluate identically (cosine_sim accumulates all-double in element
+    * order = list_dot_product). Withheld when:
+    *  (a) replay flops n·k·dim exceed the DuckDB budget (a big-SF
+    *      validate leg must not melt the oracle side — the family's
+    *      designed rows-only fallback),
+    *  (b) any vector has zero norm (engine cosine(0,·)=0 has no SQL
+    *      twin in this replay),
+    *  (c) the engine's assignment disagrees with the double-formula
+    *      argmin on any row, or a top-2 gap is inside distEps
+    *      (the shared [[assignAgreementOk]] guard),
+    *  (d) any cluster crosses the hot-cluster cap (the capped
+    *      exact-collapse + in-cluster-LSH path is not replayed),
+    *  (e) any same-cluster pair cosine sits within distEps of the
+    *      minCosine boundary (defense in depth — both engines compute
+    *      the identical double, so this guards compiler/runtime
+    *      arithmetic drift only),
+    *  (f) any per-cluster avg(centroid_sim) sits within 1e-6 scaled
+    *      units of its 6-dp rounding boundary (avg IS cross-engine
+    *      summation-order sensitive — the one genuinely order-dependent
+    *      term in the output). */
+  def q109(spark: SparkSession, dir: String, model: IvfModel,
+      minCosine: Double, maxClusterRows: Int = 65536): Option[String] = {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    val base = emb(spark, dir).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    val k = model.nlist
+    val dim = model.centroids.headOption.map(_.length).getOrElse(0)
+    val n = base.count()
+    if (n.toDouble * k * dim > 4e9) return None // (a)
+    val vd = col("embedding").cast("array<double>")
+    if (base.filter(ddot(vd, vd) === 0.0).limit(1).collect().nonEmpty)
+      return None // (b)
+    if (!assignAgreementOk(spark, dir, model)) return None // (c)
+    val centDf = model.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cluster_id", "centroid")
+    val assigned = model.assign(base, "embedding")
+      .join(broadcast(centDf), Seq("cluster_id"))
+      .withColumn("cs",
+        GraftFunctions.cosine_sim(col("embedding"), col("centroid")))
+      .select(col("cluster_id"), col("vec_id"), col("embedding"), col("cs"))
+      .localCheckpoint(true)
+    try {
+      val maxOcc = assigned.groupBy("cluster_id").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      if (maxOcc > maxClusterRows) return None // (d)
+      val s = assigned.repartition(col("cluster_id"))
+      val pairBad = s
+        .select(col("cluster_id"), col("vec_id").as("ia"), col("embedding").as("ea"))
+        .join(s.select(col("cluster_id"), col("vec_id").as("ib"),
+            col("embedding").as("eb")), Seq("cluster_id"))
+        .filter(col("ia") < col("ib"))
+        .select(abs(GraftFunctions.cosine_sim(col("ea"), col("eb")) -
+          lit(minCosine)).as("m"))
+        .filter(col("m") < distEps).limit(1).collect().nonEmpty
+      if (pairBad) return None // (e)
+      val avgBad = assigned.groupBy("cluster_id").agg(avg("cs").as("a"))
+        .select((abs(col("a")) * 1e6).as("y"))
+        .select(abs(col("y") - floor(col("y")) - 0.5).as("db"))
+        .filter(col("db") < 1e-6).limit(1).collect().nonEmpty
+      if (avgBad) return None // (f)
+    } finally assigned.unpersist(blocking = false)
+    val tau = java.lang.Double.toString(minCosine)
+    Some(
+      s"""WITH RECURSIVE cent(cid, cen) AS (VALUES
+         |    ${centValues(model)}),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |assign AS (SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_dot_product(c.cen, c.cen) - 2 * list_dot_product(c.cen, e.v),
+         |      c.cid) AS rn
+         |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+         |sims AS (SELECT a.vec_id, a.cid, a.v,
+         |    list_dot_product(a.v, c.cen) /
+         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cen, c.cen))) AS cs
+         |  FROM assign a JOIN cent c ON a.cid = c.cid),
+         |pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM sims a JOIN sims b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE list_dot_product(a.v, b.v) /
+         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= $tau),
+         |edges AS (SELECT ia AS ea, ib AS eb FROM pairs
+         |  UNION ALL SELECT ib, ia FROM pairs),
+         |nodes AS (SELECT DISTINCT ea AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS r FROM nodes
+         |  UNION
+         |  SELECT g.eb AS id, reach.r FROM reach JOIN edges g ON g.ea = reach.id),
+         |comps AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+         |keeprn AS (SELECT m.vec_id, row_number() OVER (PARTITION BY c.label
+         |    ORDER BY m.cs, m.vec_id) AS krn
+         |  FROM comps c JOIN sims m ON c.id = m.vec_id)
+         |SELECT CAST(s.cid AS INTEGER) AS cluster_id,
+         |  count(*) AS n_members,
+         |  CAST(count(*) FILTER (WHERE k.krn IS NULL OR k.krn = 1) AS BIGINT) AS n_kept,
+         |  round(avg(s.cs), 6) AS avg_centroid_sim
+         |FROM sims s LEFT JOIN keeprn k ON s.vec_id = k.vec_id
+         |GROUP BY s.cid ORDER BY cluster_id""".stripMargin)
+  }
+
   // ---------------------------------------------------------- q27 / q110
   /** IVF single-query kNN: centroid-literal argmin assignment, linear
     * top-nprobe probe, exact cosine rerank over probed clusters. For

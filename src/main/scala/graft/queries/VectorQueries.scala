@@ -234,7 +234,19 @@ object VectorQueries {
             sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
             round(avg("centroid_sim"), 6).as("avg_centroid_sim"))
           .orderBy("cluster_id")
-      }),
+      },
+      // replayable: the trained centroids are seeded driver state (the
+      // q27 argument); assignment/pairs/keep-rule are arithmetic both
+      // engines evaluate identically, components replay via the q61
+      // recursive CTE. The generator withholds on argmin disagreement,
+      // hot-cluster cap, boundary margins, and a replay-flop budget.
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q109") {
+        AnnOracles.q109(spark, dir,
+          semDedupCache.getOrElseUpdate(dir,
+            graft.operators.SemDedup.trainModel(
+              table(spark, dir, "embeddings"), "embedding")),
+          minCosine = 0.4)
+      })),
 
     // SemDeDup at the PAPER's threshold band (0.95): the synthetic
     // corpus tops out at pairwise cos ~0.5 (q109/q112 run at 0.4 so the
@@ -583,7 +595,15 @@ object VectorQueries {
           .orderBy(col("raw_score").desc, col("vec_id"))
           .limit(10)
           .select(col("vec_id"), col("label"), round(col("raw_score"), 6).as("score"))
-      }),
+      },
+      // replayable iff the graph walk's rerank equals the exact top-10
+      // in double arithmetic (the generator checks and withholds
+      // otherwise) — the SQL replays exact brute-force kNN
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q86") {
+        AnnOracles.q86(spark, dir, hnswCache.getOrElseUpdate(dir,
+          graft.index.HnswModel.build(
+            table(spark, dir, "embeddings"), "vec_id", "embedding")))
+      })),
 
     // IVF search with probe selection routed through the HNSW graph
     // OVER THE CENTROIDS — the FAISS coarse-quantizer composition and

@@ -14,12 +14,17 @@ import org.apache.spark.sql.functions._
  * corpus inertia parity (mean squared distance to assigned centroid)
  * and drop-set agreement of the resulting semDedup keep decisions.
  *
- * Usage: TrainAbProbe <sfDir> [runs=3]   (prints one JSON line)
+ * Round 11 second use: same harness, B side = `trainMiniBatch`
+ * (Sculley WWW'10 aggregated form) — select with the mode arg.
+ *
+ * Usage: TrainAbProbe <sfDir> [runs=3] [mode=sampled|minibatch]
+ * (prints one JSON line)
  */
 object TrainAbProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val runs = if (args.length > 1) args(1).toInt else 3
+    val mode = if (args.length > 2) args(2) else "minibatch"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -52,9 +57,13 @@ object TrainAbProbe {
     var mA: graft.index.IvfModel = null; var mB: graft.index.IvfModel = null
     for (r <- 1 to runs) {
       val (a, ta) = time(graft.operators.SemDedup.trainModel(curated, "embedding"))
-      val (b, tb) = time(graft.index.IvfModel.trainSampled(curated, "embedding",
-        nlist = k, maxIter = 10, refineIters = 2))
-      println(f"[ab] run $r: distributed ${ta}%.1f s, sampled ${tb}%.1f s")
+      val (b, tb) = time(mode match {
+        case "sampled" => graft.index.IvfModel.trainSampled(curated, "embedding",
+          nlist = k, maxIter = 10, refineIters = 2)
+        case _ => graft.index.IvfModel.trainMiniBatch(curated, "embedding",
+          nlist = k)
+      })
+      println(f"[ab] run $r: distributed ${ta}%.1f s, $mode ${tb}%.1f s")
       tA ::= ta; tB ::= tb; mA = a; mB = b
     }
 
@@ -78,11 +87,11 @@ object TrainAbProbe {
     val union = (dA | dB).size
     val jac = if (union == 0) 1.0 else inter.toDouble / union
     println(f"""{"n":$n,"k":$k,"runs":$runs,""" +
-      f""""t_distributed_min":${tA.min}%.1f,"t_sampled_min":${tB.min}%.1f,""" +
+      f""""t_distributed_min":${tA.min}%.1f,"t_${mode}%s_min":${tB.min}%.1f,""" +
       f""""t_distributed_all":[${tA.reverse.map(t => f"$t%.1f").mkString(",")}],""" +
-      f""""t_sampled_all":[${tB.reverse.map(t => f"$t%.1f").mkString(",")}],""" +
-      f""""inertia_distributed":$iA%.6f,"inertia_sampled":$iB%.6f,""" +
-      f""""drops_distributed":${dA.size},"drops_sampled":${dB.size},""" +
+      f""""t_${mode}%s_all":[${tB.reverse.map(t => f"$t%.1f").mkString(",")}],""" +
+      f""""inertia_distributed":$iA%.6f,"inertia_${mode}%s":$iB%.6f,""" +
+      f""""drops_distributed":${dA.size},"drops_${mode}%s":${dB.size},""" +
       f""""drop_jaccard":$jac%.4f}""")
     spark.stop()
   }

@@ -148,6 +148,64 @@ class IvfTrainSpec extends SparkSpec {
     } finally GraftConfig.approxAssignMinK = saved
   }
 
+  test("trainMiniBatch is deterministic and near full-train quality") {
+    val a = IvfModel.trainMiniBatch(emb, "embedding", nlist = 8,
+      batchRows = 64L)
+    val b = IvfModel.trainMiniBatch(emb, "embedding", nlist = 8,
+      batchRows = 64L)
+    a.centroids.zip(b.centroids).foreach { case (x, y) =>
+      assert(x.sameElements(y), "mini-batch training must be deterministic")
+    }
+    val full = IvfModel.train(emb, "embedding", nlist = 8)
+    val (mi, fi) = (inertia(a), inertia(full))
+    info(f"inertia full=$fi%.4f mini-batch=$mi%.4f")
+    assert(mi <= fi * 1.3,
+      s"mini-batch inertia $mi too far above full-train $fi")
+  }
+
+  test("trainMiniBatch nHint overcount changes nothing but the scan") {
+    // nHint only sizes the batch-id modulus; an overcount (e.g. the
+    // caller's row count including null embeddings) must not change
+    // the result class of guarantees — same determinism, same quality
+    val hinted = IvfModel.trainMiniBatch(emb, "embedding", nlist = 8,
+      batchRows = 64L, nHint = 1000L)
+    val again = IvfModel.trainMiniBatch(emb, "embedding", nlist = 8,
+      batchRows = 64L, nHint = 1000L)
+    hinted.centroids.zip(again.centroids).foreach { case (x, y) =>
+      assert(x.sameElements(y))
+    }
+    val full = IvfModel.train(emb, "embedding", nlist = 8)
+    assert(inertia(hinted) <= inertia(full) * 1.3)
+  }
+
+  test("SemDedup.trainModel routes to mini-batch past the flop margin") {
+    import spark.implicits._
+    import graft.model.GraftConfig
+    val rnd = new scala.util.Random(7)
+    val big = (0 until 3000).map(i =>
+        (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "embedding").localCheckpoint(true)
+    val k = 1024 // n·k = 3.07e6 crosses the driver budget
+    val saved = GraftConfig.miniBatchTrainMargin
+    GraftConfig.miniBatchTrainMargin = 0.0 // force the mini-batch route
+    try {
+      val auto = graft.operators.SemDedup.trainModel(big, "embedding", nlist = k)
+      val direct = IvfModel.trainMiniBatch(big, "embedding", nlist = k,
+        nHint = 3000L)
+      auto.centroids.zip(direct.centroids).foreach { case (x, y) =>
+        assert(x.sameElements(y), "trainModel did not take the mini-batch path")
+      }
+    } finally GraftConfig.miniBatchTrainMargin = saved
+    // the production default keeps this fixture on the exact path
+    // (flop ratio 6·3000/(15·8192) ≈ 0.15 « margin)
+    val viaExact = IvfModel.trainDistributed(big, "embedding", nlist = k,
+      maxIter = 6)
+    val auto2 = graft.operators.SemDedup.trainModel(big, "embedding", nlist = k)
+    auto2.centroids.zip(viaExact.centroids).foreach { case (x, y) =>
+      assert(x.sameElements(y), "default margin must keep the exact path here")
+    }
+  }
+
   test("trainDistributed clamps k to the distinct-vector count") {
     import spark.implicits._
     val dups = Seq.fill(20)(Seq(1.0f, 0.0f)) ++ Seq.fill(20)(Seq(0.0f, 1.0f))
