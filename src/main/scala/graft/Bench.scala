@@ -132,9 +132,13 @@ object Bench {
     val loadEnd = loadAvg()
     val wallSec = (System.nanoTime() - wallT0) / 1e9
     val failedJson = failedOut.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // A total summed over only the queries that succeeded is NOT
+    // comparable to a clean round's total — flag it so cross-round
+    // series can't silently include a smaller (better-looking) number.
+    val partialJson = if (failedOut.nonEmpty) """"partial":true,""" else ""
     val line = f"""{"queries_detail":$detail,"n_runs":$runsPerQuery,""" +
       f""""env":{"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,"wall_sec":$wallSec%.1f,"cpus":"$cpus"},""" +
-      f""""failed":$failedJson,""" +
+      f""""failed":$failedJson,$partialJson""" +
       f""""sf":"$sfDir","queries":$qs,"metric":"total","value":$total%.3f,"unit":"sec"}"""
     println(line)
     // Full JSON also lands in the repo as a sidecar so per-query detail
@@ -155,7 +159,7 @@ object Bench {
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
       f""""sf":"$sfDir","n_queries":${results.length},"n_runs":$runsPerQuery,""" +
       f""""env":{"load_start":$loadStart%.2f,"load_end":$loadEnd%.2f,""" +
-      f""""wall_sec":$wallSec%.1f,"cpus":"$cpus"},"failed":$failedJson,""" +
+      f""""wall_sec":$wallSec%.1f,"cpus":"$cpus"},"failed":$failedJson,$partialJson""" +
       f""""worst10":$worst10}""")
     spark.stop()
   }

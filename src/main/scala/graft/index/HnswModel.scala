@@ -54,7 +54,13 @@ final class HnswModel private[index] (
     val normalized: Boolean,
     val m: Int = 16,
     val efConstruction: Int = 200,
-    val seed: Long = 42L) extends Serializable {
+    val seed: Long = 42L,
+    /** False only for graphs loaded from a pre-params persistence
+      * format, where (m, efConstruction, seed) are ASSUMED defaults:
+      * [[insertAll]] refuses such graphs (forcing a rebuild) rather
+      * than risk continuing the wrong RNG sequence and silently
+      * breaking the bit-identity contract. */
+    val paramsKnown: Boolean = true) extends Serializable {
 
   def size: Int = ids.length
 
@@ -156,6 +162,10 @@ final class HnswModel private[index] (
    * construction parameters.
    */
   def insertAll(newIds: Array[Long], newVecs: Array[Array[Float]]): HnswModel = {
+    require(paramsKnown,
+      "HnswModel.insertAll: build params were assumed (pre-params " +
+        "persistence format), so the seeded insert sequence cannot be " +
+        "continued bit-identically — rebuild the graph instead")
     require(newIds.length == newVecs.length, "ids/vectors length mismatch")
     require(size + newIds.length <= HnswModel.maxGraphVectors,
       s"HnswModel holds bounded driver state: ${size + newIds.length} > " +
@@ -418,7 +428,8 @@ object HnswModel {
   /** Load a persisted graph; search results are identical to the
     * pre-persistence model (the adjacency is stored, not rebuilt).
     * Graphs persisted before build params were stored load with the
-    * defaults (16/200/42 — the only values any call site used). */
+    * defaults (16/200/42 — the only values any call site used) and
+    * `paramsKnown = false`, so [[HnswModel.insertAll]] refuses them. */
   def read(spark: SparkSession, path: String): HnswModel = {
     val rows = spark.read.parquet(s"$path/nodes")
       .select("idx", "id", "vector", "adj").orderBy("idx").collect()
@@ -434,7 +445,8 @@ object HnswModel {
       m.getAs[Int]("entry"), m.getAs[Int]("top"), m.getAs[Boolean]("normalized"),
       if (hasParams) m.getAs[Int]("m") else 16,
       if (hasParams) m.getAs[Int]("efc") else 200,
-      if (hasParams) m.getAs[Long]("seed") else 42L)
+      if (hasParams) m.getAs[Long]("seed") else 42L,
+      paramsKnown = hasParams)
   }
 
   /** In-memory build: one [[HnswBuilder]] insert per node in input

@@ -386,7 +386,11 @@ object IvfModel {
             case None => c // batch missed this cluster: keep centroid
           }
         }
-        converged = maxShift < 1e-4
+        // an empty batch (tiny corpus, or a hash bucket with no rows)
+        // contributes no stats and leaves maxShift at 0 — that is "no
+        // evidence", not convergence, so only a non-empty batch may
+        // declare it
+        converged = stats.nonEmpty && maxShift < 1e-4
         iter += 1
       }
       IvfModel(centroids)

@@ -46,24 +46,57 @@ object AdvancedQueries {
     // Greenwald-Khanna sketch: map-side partial aggregation, constant
     // memory per group, rank error <= n/accuracy (= 0.01% of rows at
     // accuracy 10000 — the bound AdviceRegressionSpec asserts against
-    // the exact order statistics). No SQL oracle by design: the sketch
-    // is engine-internal, so the driver records rows-only; accuracy is
-    // verified in-test, the exact q52 keeps the hash-compared oracle.
-    QueryDef("q69_percentiles_approx", None,
-      (spark, dir) =>
-        table(spark, dir, "lineitem")
-          .groupBy(col("l_returnflag"))
-          .agg(
-            percentile_approx(col("l_quantity"),
-              array(lit(0.5), lit(0.9)), lit(10000)).as("q_qty"),
-            percentile_approx(col("l_extendedprice"),
-              array(lit(0.25), lit(0.75)), lit(10000)).as("q_price"))
+    // the exact order statistics). The sketch VALUES can never
+    // hash-match a different engine's different sketch, so the hashed
+    // output is the ERROR-BOUND VERDICT instead: the engine brackets
+    // each approx value between its own exact percentiles at p ± 2/
+    // accuracy (the guaranteed rank window, with 1-rank slack for the
+    // interpolation edge) and emits the boolean; the oracle replays
+    // the group keys/counts and asserts every verdict true. A sketch
+    // regression past its bound now FAILS the hash gate instead of
+    // hiding behind rows-only.
+    QueryDef("q69_percentiles_approx", Some(
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+        |  true AS median_qty_ok, true AS p90_qty_ok,
+        |  true AS p25_price_ok, true AS p75_price_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (spark, dir) => {
+        import org.apache.spark.sql.Column
+        val acc = 10000
+        val err = 2.0 / acc // GK guarantee is 1/acc; 2x slack
+        val li = table(spark, dir, "lineitem")
           .select(col("l_returnflag"),
-            element_at(col("q_qty"), 1).as("median_qty"),
-            element_at(col("q_qty"), 2).as("p90_qty"),
-            element_at(col("q_price"), 1).as("p25_price"),
-            element_at(col("q_price"), 2).as("p75_price"))
-          .orderBy(col("l_returnflag"))),
+            col("l_quantity").cast("double").as("qty"),
+            col("l_extendedprice").cast("double").as("price"))
+        val approxDf = li.groupBy("l_returnflag").agg(
+          percentile_approx(col("qty"), array(lit(0.5), lit(0.9)), lit(acc)).as("aq"),
+          percentile_approx(col("price"), array(lit(0.25), lit(0.75)), lit(acc)).as("ap"))
+        // rank-window verdict: the approx value's rank interval
+        // [count(<)+1, count(<=)] must intersect [(p-err)n, (p+err)n] —
+        // the sketch's actual guarantee, exact at any n (an interpolated
+        // exact-percentile bracket is NARROWER than one order-statistic
+        // step at small n and false-fails)
+        val stats = Seq(("median_qty", col("qty"), element_at(col("aq"), 1), 0.5),
+          ("p90_qty", col("qty"), element_at(col("aq"), 2), 0.9),
+          ("p25_price", col("price"), element_at(col("ap"), 1), 0.25),
+          ("p75_price", col("price"), element_at(col("ap"), 2), 0.75))
+        val cntCols: Seq[Column] = stats.flatMap { case (tag, v, a, _) =>
+          Seq(sum(when(v <= a, 1L).otherwise(0L)).as(s"le_$tag"),
+            sum(when(v < a, 1L).otherwise(0L)).as(s"lt_$tag"))
+        }
+        def ok(tag: String, p: Double): Column =
+          (col(s"le_$tag").cast("double") >= floor((lit(p) - err) * col("n_rows"))) &&
+            ((col(s"lt_$tag").cast("double") + 1) <= ceil((lit(p) + err) * col("n_rows")))
+        li.join(broadcast(approxDf), Seq("l_returnflag"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"), cntCols: _*)
+          .select(col("l_returnflag"), col("n_rows"),
+            ok("median_qty", 0.5).as("median_qty_ok"),
+            ok("p90_qty", 0.9).as("p90_qty_ok"),
+            ok("p25_price", 0.25).as("p25_price_ok"),
+            ok("p75_price", 0.75).as("p75_price_ok"))
+          .orderBy(col("l_returnflag"))
+      }),
 
     // The exact-AND-distributed percentile path: two-pass range-
     // partitioned rank selection (operators/Quantiles.scala). Same
@@ -608,18 +641,36 @@ object AdvancedQueries {
     // Cardinality sketch — the at-scale counterpart to q11's exact
     // count(distinct): HyperLogLog++ partial-aggregates map-side in
     // constant memory (one sketch per group, merged across partitions)
-    // where exact distinct shuffles every distinct value. Rows-only by
-    // design (the sketch is engine-internal); the relative-error bound
-    // (rsd 0.02 => ~2%) is asserted against exact counts in
-    // AdviceRegressionSpec.
-    QueryDef("q70_distinct_approx", None,
-      (spark, dir) =>
+    // where exact distinct shuffles every distinct value. The sketch
+    // VALUES can never hash-match a different engine's different
+    // sketch (q69's argument), so the hashed output is the ERROR-BOUND
+    // VERDICT: the engine compares its HLL++ estimate against its own
+    // exact distinct count at 5x the configured rsd (0.02 => 10% —
+    // HLL++ error is probabilistic, so the gate sits far outside the
+    // one-sigma band; the tight 2-sigma bound stays asserted in
+    // AdviceRegressionSpec) and emits the boolean; the oracle replays
+    // the group keys and exact counts and asserts every verdict true.
+    QueryDef("q70_distinct_approx", Some(
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  true AS orders_ok, true AS parts_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (spark, dir) => {
+        def ok(approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
+          abs(approx.cast("double") / exact.cast("double") - 1.0) <= 5 * 0.02
         table(spark, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(
-            approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
-            approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"))
-          .orderBy("l_returnflag")),
+            approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("ao"),
+            approx_count_distinct(col("l_partkey"), rsd = 0.02).as("ap"),
+            countDistinct(col("l_orderkey")).as("exact_orders"),
+            countDistinct(col("l_partkey")).as("exact_parts"))
+          .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+            ok(col("ao"), col("exact_orders")).as("orders_ok"),
+            ok(col("ap"), col("exact_parts")).as("parts_ok"))
+          .orderBy("l_returnflag")
+      }),
 
     // Deterministic stratified sampling: EXACTLY n docs per source,
     // selected by splitmix64 hash rank (stable across runs/engines —

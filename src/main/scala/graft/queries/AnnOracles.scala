@@ -115,11 +115,18 @@ private[queries] object AnnOracles {
     * dir — plus a distinct-gap floor on the double side against DuckDB
     * summation-order noise. Any disagreeing row withholds the oracle. */
   private def assignAgreementOk(spark: SparkSession, dir: String,
+      model: IvfModel): Boolean =
+    assignAgreementOk(spark,
+      emb(spark, dir).filter(col("embedding").isNotNull), model)
+
+  /** Corpus-parameterized form: `base` carries (vec_id, embedding) with
+    * non-null embeddings — lets replays over DERIVED corpora (q113's
+    * planted union) run the same agreement check. */
+  private def assignAgreementOk(spark: SparkSession, base: DataFrame,
       model: IvfModel): Boolean = {
     import spark.implicits._
     val centDf = model.centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.map(_.toDouble).toSeq) }.toDF("cid", "cen")
-    val base = emb(spark, dir).filter(col("embedding").isNotNull)
     val dists = base
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .crossJoin(broadcast(centDf))
@@ -245,15 +252,11 @@ private[queries] object AnnOracles {
          |LIMIT 10""".stripMargin)
   }
 
-  // --------------------------------------------------------------- q109
-  /** SemDeDup batch flags aggregated per cluster: centroid-literal
-    * argmin assignment, per-row centroid cosine, within-cluster
-    * exact-cosine duplicate pairs, min-label connected components
-    * (recursive CTE — the q61 pattern), keep-rule argmin(centroid_sim,
-    * id). The cluster structure is seeded driver state exactly like
-    * q27's: dumped as literals, the rest is arithmetic both engines
-    * evaluate identically (cosine_sim accumulates all-double in element
-    * order = list_dot_product). Withheld when:
+  // ------------------------------------------------- SemDeDup replays
+  /** Shared withhold guards for the SemDeDup replay family (q109 /
+    * q112 / q113). `base` carries (vec_id, embedding) with non-null
+    * embeddings — the corpus the replay SQL's `e` CTE enumerates.
+    * Withholds (returns false) when:
     *  (a) replay flops n·k·dim exceed the DuckDB budget (a big-SF
     *      validate leg must not melt the oracle side — the family's
     *      designed rows-only fallback),
@@ -263,29 +266,33 @@ private[queries] object AnnOracles {
     *      argmin on any row, or a top-2 gap is inside distEps
     *      (the shared [[assignAgreementOk]] guard),
     *  (d) any cluster crosses the hot-cluster cap (the capped
-    *      exact-collapse + in-cluster-LSH path is not replayed),
+    *      exact-collapse + in-cluster-LSH path is not replayed;
+    *      this predicate IS the engine's cap predicate, so passing it
+    *      also proves the engine took the uncapped path),
     *  (e) any same-cluster pair cosine sits within distEps of the
     *      minCosine boundary (defense in depth — both engines compute
     *      the identical double, so this guards compiler/runtime
     *      arithmetic drift only),
-    *  (f) any per-cluster avg(centroid_sim) sits within 1e-6 scaled
-    *      units of its 6-dp rounding boundary (avg IS cross-engine
-    *      summation-order sensitive — the one genuinely order-dependent
-    *      term in the output). */
-  def q109(spark: SparkSession, dir: String, model: IvfModel,
-      minCosine: Double, maxClusterRows: Int = 65536): Option[String] = {
+    *  (g) any two members of the same duplicate component have
+    *      DISTINCT centroid_sim values within distEps of each other —
+    *      the keep rank (ORDER BY cs, id) could flip under
+    *      cross-engine summation-order drift and change the keeper.
+    *      Exact ties are safe (id-ascending break on both engines).
+    *      Checked over BATCH components at `minCosine`; an incremental
+    *      replay's incoming-only components are subgraphs of these, so
+    *      the batch check covers them conservatively. */
+  private def semGuardsOk(spark: SparkSession, base: DataFrame,
+      model: IvfModel, minCosine: Double, maxClusterRows: Int): Boolean = {
     import spark.implicits._
     import graft.functions.GraftFunctions
-    val base = emb(spark, dir).filter(col("embedding").isNotNull)
-      .select(col("vec_id"), col("embedding"))
     val k = model.nlist
     val dim = model.centroids.headOption.map(_.length).getOrElse(0)
     val n = base.count()
-    if (n.toDouble * k * dim > 4e9) return None // (a)
+    if (n.toDouble * k * dim > 4e9) return false // (a)
     val vd = col("embedding").cast("array<double>")
     if (base.filter(ddot(vd, vd) === 0.0).limit(1).collect().nonEmpty)
-      return None // (b)
-    if (!assignAgreementOk(spark, dir, model)) return None // (c)
+      return false // (b)
+    if (!assignAgreementOk(spark, base, model)) return false // (c)
     val centDf = model.centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }.toDF("cluster_id", "centroid")
     val assigned = model.assign(base, "embedding")
@@ -297,59 +304,224 @@ private[queries] object AnnOracles {
     try {
       val maxOcc = assigned.groupBy("cluster_id").count()
         .agg(max("count")).collect()(0).getLong(0)
-      if (maxOcc > maxClusterRows) return None // (d)
+      if (maxOcc > maxClusterRows) return false // (d)
       val s = assigned.repartition(col("cluster_id"))
-      val pairBad = s
+      val paired = s
         .select(col("cluster_id"), col("vec_id").as("ia"), col("embedding").as("ea"))
         .join(s.select(col("cluster_id"), col("vec_id").as("ib"),
             col("embedding").as("eb")), Seq("cluster_id"))
         .filter(col("ia") < col("ib"))
-        .select(abs(GraftFunctions.cosine_sim(col("ea"), col("eb")) -
-          lit(minCosine)).as("m"))
-        .filter(col("m") < distEps).limit(1).collect().nonEmpty
-      if (pairBad) return None // (e)
-      val avgBad = assigned.groupBy("cluster_id").agg(avg("cs").as("a"))
-        .select((abs(col("a")) * 1e6).as("y"))
-        .select(abs(col("y") - floor(col("y")) - 0.5).as("db"))
-        .filter(col("db") < 1e-6).limit(1).collect().nonEmpty
-      if (avgBad) return None // (f)
+        .withColumn("pc", GraftFunctions.cosine_sim(col("ea"), col("eb")))
+        .select("ia", "ib", "pc")
+        .localCheckpoint(true)
+      try {
+        val pairBad = paired
+          .filter(abs(col("pc") - lit(minCosine)) < distEps)
+          .limit(1).collect().nonEmpty
+        if (pairBad) return false // (e)
+        val comps = graft.operators.Dedup.connectedComponents(
+          paired.filter(col("pc") >= minCosine)
+            .select(col("ia").as("id_a"), col("ib").as("id_b")))
+        val members = comps.join(assigned, comps("id") === assigned("vec_id"))
+          .select(col("label").as("grp"), col("cs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("grp").orderBy("cs")
+        val rankBad = members
+          .withColumn("prev", lag("cs", 1).over(w))
+          .filter(col("prev").isNotNull && col("cs") =!= col("prev") &&
+            col("cs") - col("prev") < distEps)
+          .limit(1).collect().nonEmpty
+        if (rankBad) return false // (g)
+      } finally paired.unpersist(blocking = false)
+      true
     } finally assigned.unpersist(blocking = false)
+  }
+
+  /** The shared batch-SemDeDup replay CTE chain, appended after CTEs
+    * that define `cent(cid, cen)` and `e(vec_id, v: DOUBLE[])`:
+    * centroid-literal argmin assignment, per-row centroid cosine,
+    * within-cluster duplicate pairs at `tau`, min-label connected
+    * components (recursive CTE — the q61 pattern), and the keep rank
+    * (argmin centroid_sim, then id; krn = 1 or absent means kept). */
+  private def semBatchCtes(tau: String): String =
+    s"""assign AS (SELECT vec_id, v, cid FROM (
+       |    SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |      list_dot_product(c.cen, c.cen) - 2 * list_dot_product(c.cen, e.v),
+       |      c.cid) AS rn
+       |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+       |sims AS (SELECT a.vec_id, a.cid, a.v,
+       |    list_dot_product(a.v, c.cen) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cen, c.cen))) AS cs
+       |  FROM assign a JOIN cent c ON a.cid = c.cid),
+       |pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+       |  FROM sims a JOIN sims b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= $tau),
+       |edges AS (SELECT ia AS ea, ib AS eb FROM pairs
+       |  UNION ALL SELECT ib, ia FROM pairs),
+       |nodes AS (SELECT DISTINCT ea AS id FROM edges),
+       |reach AS (
+       |  SELECT id, id AS r FROM nodes
+       |  UNION
+       |  SELECT g.eb AS id, reach.r FROM reach JOIN edges g ON g.ea = reach.id),
+       |comps AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
+       |keeprn AS (SELECT m.vec_id, row_number() OVER (PARTITION BY c.label
+       |    ORDER BY m.cs, m.vec_id) AS krn
+       |  FROM comps c JOIN sims m ON c.id = m.vec_id)""".stripMargin
+
+  // --------------------------------------------------------------- q109
+  /** SemDeDup batch flags aggregated per cluster: [[semBatchCtes]] over
+    * the raw embeddings corpus. The cluster structure is seeded driver
+    * state exactly like q27's: dumped as literals, the rest is
+    * arithmetic both engines evaluate identically (cosine_sim
+    * accumulates all-double in element order = list_dot_product).
+    * Withheld on the shared [[semGuardsOk]] conditions, plus:
+    *  (f) any per-cluster avg(centroid_sim) sits within 1e-6 scaled
+    *      units of its 6-dp rounding boundary (avg IS cross-engine
+    *      summation-order sensitive — the one genuinely order-dependent
+    *      term in the output). */
+  def q109(spark: SparkSession, dir: String, model: IvfModel,
+      minCosine: Double, maxClusterRows: Int = 65536): Option[String] = {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    val base = emb(spark, dir).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    if (!semGuardsOk(spark, base, model, minCosine, maxClusterRows))
+      return None // (a)-(e), (g)
+    val centDf = model.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cluster_id", "centroid")
+    val avgBad = model.assign(base, "embedding")
+      .join(broadcast(centDf), Seq("cluster_id"))
+      .withColumn("cs",
+        GraftFunctions.cosine_sim(col("embedding"), col("centroid")))
+      .groupBy("cluster_id").agg(avg("cs").as("a"))
+      .select((abs(col("a")) * 1e6).as("y"))
+      .select(abs(col("y") - floor(col("y")) - 0.5).as("db"))
+      .filter(col("db") < 1e-6).limit(1).collect().nonEmpty
+    if (avgBad) return None // (f)
     val tau = java.lang.Double.toString(minCosine)
     Some(
       s"""WITH RECURSIVE cent(cid, cen) AS (VALUES
          |    ${centValues(model)}),
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
          |  WHERE embedding IS NOT NULL),
-         |assign AS (SELECT vec_id, v, cid FROM (
-         |    SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |      list_dot_product(c.cen, c.cen) - 2 * list_dot_product(c.cen, e.v),
-         |      c.cid) AS rn
-         |    FROM e CROSS JOIN cent c) WHERE rn = 1),
-         |sims AS (SELECT a.vec_id, a.cid, a.v,
-         |    list_dot_product(a.v, c.cen) /
-         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cen, c.cen))) AS cs
-         |  FROM assign a JOIN cent c ON a.cid = c.cid),
-         |pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib
-         |  FROM sims a JOIN sims b ON a.cid = b.cid AND a.vec_id < b.vec_id
-         |  WHERE list_dot_product(a.v, b.v) /
-         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= $tau),
-         |edges AS (SELECT ia AS ea, ib AS eb FROM pairs
-         |  UNION ALL SELECT ib, ia FROM pairs),
-         |nodes AS (SELECT DISTINCT ea AS id FROM edges),
-         |reach AS (
-         |  SELECT id, id AS r FROM nodes
-         |  UNION
-         |  SELECT g.eb AS id, reach.r FROM reach JOIN edges g ON g.ea = reach.id),
-         |comps AS (SELECT id, min(r) AS label FROM reach GROUP BY id),
-         |keeprn AS (SELECT m.vec_id, row_number() OVER (PARTITION BY c.label
-         |    ORDER BY m.cs, m.vec_id) AS krn
-         |  FROM comps c JOIN sims m ON c.id = m.vec_id)
+         |${semBatchCtes(tau)}
          |SELECT CAST(s.cid AS INTEGER) AS cluster_id,
          |  count(*) AS n_members,
          |  CAST(count(*) FILTER (WHERE k.krn IS NULL OR k.krn = 1) AS BIGINT) AS n_kept,
          |  round(avg(s.cs), 6) AS avg_centroid_sim
          |FROM sims s LEFT JOIN keeprn k ON s.vec_id = k.vec_id
          |GROUP BY s.cid ORDER BY cluster_id""".stripMargin)
+  }
+
+  // --------------------------------------------------------------- q112
+  /** Incremental SemDeDup survivors by label — the q109 replay applied
+    * to the batch-vs-corpus fold ([[graft.operators.SemDedup
+    * .semDedupIncremental]] with existing = vec_id % 5 != 0, incoming =
+    * vec_id % 5 == 0, served model): centroid-literal assignment,
+    * incoming×all same-cluster duplicate edges at `tau`, outright drop
+    * of any incoming row duplicating the authoritative corpus,
+    * incoming-only components with the keep-rule rank, survivors =
+    * incoming minus the drop set. Guards are [[semGuardsOk]]'s — the
+    * pair-margin and keep-rank checks run over ALL same-cluster pairs /
+    * batch components, supersets of the incremental pair universe, so
+    * the withhold is conservative; guard (d) passing proves the engine
+    * took the uncapped path this SQL replays (it IS the engine's cap
+    * predicate over the combined occupancy). */
+  def q112(spark: SparkSession, dir: String, model: IvfModel,
+      minCosine: Double, maxClusterRows: Int = 65536): Option[String] = {
+    val base = emb(spark, dir).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    if (!semGuardsOk(spark, base, model, minCosine, maxClusterRows))
+      return None
+    val tau = java.lang.Double.toString(minCosine)
+    Some(
+      s"""WITH RECURSIVE cent(cid, cen) AS (VALUES
+         |    ${centValues(model)}),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |assign AS (SELECT vec_id, v, cid, vec_id % 5 = 0 AS is_new FROM (
+         |    SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_dot_product(c.cen, c.cen) - 2 * list_dot_product(c.cen, e.v),
+         |      c.cid) AS rn
+         |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+         |sims AS (SELECT a.vec_id, a.cid, a.v, a.is_new,
+         |    list_dot_product(a.v, c.cen) /
+         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cen, c.cen))) AS cs
+         |  FROM assign a JOIN cent c ON a.cid = c.cid),
+         |dupedges AS (SELECT i.vec_id AS inc_id, o.vec_id AS other_id, o.is_new AS other_new
+         |  FROM sims i JOIN sims o ON i.cid = o.cid AND i.vec_id <> o.vec_id
+         |  WHERE i.is_new AND list_dot_product(i.v, o.v) /
+         |      (sqrt(list_dot_product(i.v, i.v)) * sqrt(list_dot_product(o.v, o.v))) >= $tau),
+         |dup_exist AS (SELECT DISTINCT inc_id FROM dupedges WHERE NOT other_new),
+         |incpairs AS (SELECT DISTINCT least(inc_id, other_id) AS ia,
+         |    greatest(inc_id, other_id) AS ib
+         |  FROM dupedges WHERE other_new),
+         |iedges AS (SELECT ia AS ea, ib AS eb FROM incpairs
+         |  UNION ALL SELECT ib, ia FROM incpairs),
+         |inodes AS (SELECT DISTINCT ea AS id FROM iedges),
+         |reach AS (
+         |  SELECT id, id AS r FROM inodes
+         |  UNION
+         |  SELECT g.eb AS id, reach.r FROM reach JOIN iedges g ON g.ea = reach.id),
+         |comps AS (SELECT id, min(r) AS grp FROM reach GROUP BY id),
+         |keeprn AS (SELECT m.vec_id, row_number() OVER (PARTITION BY c.grp
+         |    ORDER BY m.cs, m.vec_id) AS krn
+         |  FROM comps c JOIN sims m ON c.id = m.vec_id),
+         |drops AS (SELECT inc_id AS vec_id FROM dup_exist
+         |  UNION SELECT vec_id FROM keeprn WHERE krn > 1)
+         |SELECT i.label, count(*) AS n_survivors
+         |FROM embeddings i
+         |WHERE i.vec_id % 5 = 0 AND i.vec_id NOT IN (SELECT vec_id FROM drops)
+         |GROUP BY i.label
+         |ORDER BY i.label""".stripMargin)
+  }
+
+  // --------------------------------------------------------------- q113
+  /** Planted-band SemDeDup at the paper threshold — the q109 replay
+    * over the PLANTED union corpus: every 10th vector gets a
+    * deterministic perturbed copy (id offset by `plantedBase`,
+    * embedding rotated by 0.02·next-element and rounded back to FLOAT —
+    * the SQL reproduces the same double-arithmetic-then-float-cast, so
+    * the corpus is bit-identical on both engines), then the standard
+    * assignment/pairs/components/keep chain at `tau` aggregated to
+    * keep/drop counts by planted-vs-original. The model is the one the
+    * query trained on the union (seeded, served). Guards are
+    * [[semGuardsOk]]'s, run over the SAME union corpus. */
+  def q113(spark: SparkSession, dir: String, model: IvfModel,
+      plantedBase: Long, minCosine: Double,
+      maxClusterRows: Int = 65536): Option[String] = {
+    val e0 = emb(spark, dir)
+    val planted = e0.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + plantedBase).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x + lit(0.02) * element_at(col("embedding"),
+            pmod(i + 1, size(col("embedding"))) + 1))
+          .cast("array<float>").as("embedding"))
+    val union = e0.select(col("vec_id"), col("embedding")).unionByName(planted)
+      .filter(col("embedding").isNotNull)
+    if (!semGuardsOk(spark, union, model, minCosine, maxClusterRows))
+      return None
+    val dim = model.centroids.headOption.map(_.length).getOrElse(0)
+    val tau = java.lang.Double.toString(minCosine)
+    Some(
+      s"""WITH RECURSIVE cent(cid, cen) AS (VALUES
+         |    ${centValues(model)}),
+         |plant AS (SELECT vec_id + $plantedBase AS vec_id,
+         |    CAST(list_transform(range(1, ${dim + 1}), j ->
+         |      CAST(CAST(embedding[j] AS DOUBLE) +
+         |        0.02 * CAST(embedding[(j % $dim) + 1] AS DOUBLE) AS FLOAT)) AS FLOAT[]) AS embedding
+         |  FROM embeddings WHERE vec_id % 10 = 0 AND embedding IS NOT NULL),
+         |corpus AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id, embedding FROM plant),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM corpus
+         |  WHERE embedding IS NOT NULL),
+         |${semBatchCtes(tau)}
+         |SELECT s.vec_id >= $plantedBase AS planted,
+         |  count(*) AS n,
+         |  CAST(count(*) FILTER (WHERE k.krn IS NULL OR k.krn = 1) AS BIGINT) AS n_kept
+         |FROM sims s LEFT JOIN keeprn k ON s.vec_id = k.vec_id
+         |GROUP BY 1 ORDER BY planted""".stripMargin)
   }
 
   // ---------------------------------------------------------- q27 / q110

@@ -257,9 +257,9 @@ object VectorQueries {
     // and runs the production threshold end to end. Output: keep/drop
     // counts by planted-vs-original, which pins the contract (every
     // planted pair collapses to one survivor; no original-original pair
-    // is within 0.95). Seed-dependent clustering ⇒ rows-only;
-    // SemDedupSpec gates the planted-drop floor and no-false-positive
-    // contracts on a fixture.
+    // is within 0.95). Replay-oracled via AnnOracles.q113 (the q109
+    // machinery over the planted union corpus); SemDedupSpec gates the
+    // planted-drop floor and no-false-positive contracts on a fixture.
     QueryDef("q113_semdedup_planted", None,
       (spark, dir) => {
         val e = table(spark, dir, "embeddings")
@@ -287,7 +287,29 @@ object VectorQueries {
           .agg(count(lit(1)).as("n"),
             sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
           .orderBy("planted")
-      }),
+      },
+      // replayable now that planted ids are explicit (offset derived
+      // from max(vec_id)+1): the planted-union construction is
+      // deterministic float arithmetic both engines reproduce
+      // bit-identically, and the rest is the q109 replay over the
+      // union corpus with the union-trained served model.
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q113") {
+        val e = table(spark, dir, "embeddings")
+        val plantedBase =
+          e.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1L
+        val planted = e.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + plantedBase).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              x + lit(0.02) * element_at(col("embedding"),
+                pmod(i + 1, size(col("embedding"))) + 1))
+              .cast("array<float>").as("embedding"),
+            col("label"))
+        val union = e.select("vec_id", "embedding", "label").unionByName(planted)
+        AnnOracles.q113(spark, dir,
+          semDedupCache.getOrElseUpdate(dir + "#planted",
+            graft.operators.SemDedup.trainModel(union, "embedding")),
+          plantedBase, minCosine = 0.95)
+      })),
 
     // Incremental SemDeDup: a 20% "arriving batch" deduped against the
     // 80% authoritative corpus — the semantic sibling of
@@ -295,8 +317,9 @@ object VectorQueries {
     // forms (batch joins against the cluster-assigned union only),
     // which is what makes semantic re-curation affordable at 100 TB.
     // Reuses q109's served clustering (train once, dedup many).
-    // Seed-dependent ⇒ rows-only; SemDedupSpec gates corpus-dup drops,
-    // in-batch group keep-rule, cap parity, and model-reuse identity.
+    // Replay-oracled via AnnOracles.q112 (centroid-literal replay of
+    // the whole fold); SemDedupSpec gates corpus-dup drops, in-batch
+    // group keep-rule, cap parity, and model-reuse identity.
     QueryDef("q112_incremental_semdedup", None,
       (spark, dir) => {
         val e = table(spark, dir, "embeddings")
@@ -308,7 +331,16 @@ object VectorQueries {
         surv.groupBy("label")
           .agg(count(lit(1)).as("n_survivors"))
           .orderBy("label")
-      }),
+      },
+      // replayable with the q109 machinery: the fold is deterministic
+      // given the served centroid literals; see AnnOracles.q112.
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q112") {
+        AnnOracles.q112(spark, dir,
+          semDedupCache.getOrElseUpdate(dir,
+            graft.operators.SemDedup.trainModel(
+              table(spark, dir, "embeddings"), "embedding")),
+          minCosine = 0.4)
+      })),
 
     // Incremental SemDeDup under a SKEWED arriving batch — the
     // realistic re-crawl shape: 80% of the batch is exact or

@@ -72,18 +72,53 @@ object CorpusStream {
    * Keep-decision identity with the sequential batch fold (same
    * splits, same model) is asserted in StreamingIndexSpec; q115 runs
    * the contract end-to-end on the embeddings fixture.
+   *
+   * Exactly-once contract: foreachBatch RE-DELIVERS a micro-batch
+   * after a failure/restart with the SAME batchId, and
+   * `appendSurvivors` is an arbitrary (possibly non-idempotent)
+   * append — so the sink function skips any batchId it has already
+   * committed, making a same-process re-delivery a no-op instead of
+   * double-appending survivors into the authoritative corpus
+   * (asserted in StreamingIndexSpec). Across a PROCESS restart the
+   * in-memory high-water mark resets with the rest of the fold state:
+   * a deployment that checkpoints the stream must either persist the
+   * last-committed batchId next to the corpus table or supply an
+   * idempotent/transactional `appendSurvivors` (e.g. an overwrite-by-
+   * batch-partition sink) — the standard foreachBatch contract.
    */
   def semDedupIngestStream(arrivals: DataFrame, idCol: String, embCol: String,
       model: graft.index.IvfModel, minCosine: Double,
       readCorpus: () => DataFrame,
-      appendSurvivors: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+      appendSurvivors: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val sink = new SemDedupIngestSink(idCol, embCol, model, minCosine,
+      readCorpus, appendSurvivors)
     arrivals.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink.process(batch, batchId); ()
+      }
+      .start()
+  }
+
+  /** The per-trigger sink body of [[semDedupIngestStream]], a named
+    * class so the batchId idempotence guard is directly testable.
+    * `process` dedups the batch against `readCorpus()` and appends the
+    * survivors — unless `batchId` is at or below the in-memory
+    * high-water mark, in which case the (re-delivered) batch is
+    * skipped and false is returned. */
+  final class SemDedupIngestSink(idCol: String, embCol: String,
+      model: graft.index.IvfModel, minCosine: Double,
+      readCorpus: () => DataFrame, appendSurvivors: DataFrame => Unit) {
+    private var lastCommitted = -1L
+    def process(batch: DataFrame, batchId: Long): Boolean =
+      if (batchId <= lastCommitted) false
+      else {
         val survivors = graft.operators.SemDedup.semDedupIncremental(
           readCorpus(), batch, idCol, embCol, minCosine, Some(model))
         appendSurvivors(survivors)
+        lastCommitted = batchId
+        true
       }
-      .start()
+  }
 
   def curateStream(docs: DataFrame, textCol: String,
       minQuality: Double = 0.5,

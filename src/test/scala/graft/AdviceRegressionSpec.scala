@@ -165,11 +165,28 @@ class AdviceRegressionSpec extends SparkSpec {
   test("q69 approx percentiles sit within the GK rank-error bound of exact") {
     // accuracy 10000 => rank error <= n/10000; at test scale that is
     // < 1 row, so every approx value must be an order statistic within
-    // +-2 positions of the target rank.
-    val q69 = SparkEntry.allQueries.find(_.name == "q69_percentiles_approx").get
-    val approx = q69.run(spark, sfDir).collect()
+    // +-2 positions of the target rank. (The registered query now
+    // hashes the error-bound VERDICT booleans — this test keeps the
+    // tighter raw-value bound on the sketch itself.)
+    val approx = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_quantity"),
+          array(lit(0.5), lit(0.9)), lit(10000)).as("aq"),
+        percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.75)), lit(10000)).as("ap"))
+      .select(col("l_returnflag"),
+        element_at(col("aq"), 1), element_at(col("aq"), 2),
+        element_at(col("ap"), 1), element_at(col("ap"), 2))
+      .collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
       .toMap
+    // and the registered query's verdict columns must all be true
+    val q69 = SparkEntry.allQueries.find(_.name == "q69_percentiles_approx").get
+    q69.run(spark, sfDir).collect().foreach { r =>
+      (2 until 6).foreach(i => assert(r.getBoolean(i),
+        s"q69 verdict col $i false for ${r.getString(0)}"))
+    }
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val byFlag = li.select("l_returnflag", "l_quantity", "l_extendedprice").collect()
       .groupBy(_.getString(0))
@@ -192,9 +209,19 @@ class AdviceRegressionSpec extends SparkSpec {
   }
 
   test("q70 approx distinct counts sit within the HLL++ rsd bound of exact") {
-    val q70 = SparkEntry.allQueries.find(_.name == "q70_distinct_approx").get
-    val approx = q70.run(spark, sfDir).collect()
+    val approx = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("ao"),
+        approx_count_distinct(col("l_partkey"), rsd = 0.02).as("ap"))
+      .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // and the registered query's verdict columns must all be true
+    val q70 = SparkEntry.allQueries.find(_.name == "q70_distinct_approx").get
+    q70.run(spark, sfDir).collect().foreach { r =>
+      assert(r.getBoolean(3) && r.getBoolean(4),
+        s"q70 verdict false for ${r.getString(0)}")
+    }
     val exact = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag")
       .agg(countDistinct(col("l_orderkey")).as("o"), countDistinct(col("l_partkey")).as("p"))

@@ -371,6 +371,33 @@ class IndexStoreSpec extends SparkSpec {
     assert(restored.probeCells(Array.fill(64)(0.1f), nprobe = 4) ==
       g.probeCells(Array.fill(64)(0.1f), nprobe = 4))
   }
+
+  test("HNSW pre-params persistence: loads for search, refuses insertAll") {
+    import graft.index.HnswModel
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .limit(50)
+    val g = HnswModel.build(emb, "vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft-hnsw-old").toString
+    HnswModel.write(spark, g, path)
+    // simulate the pre-params meta format: entry/top/normalized only
+    spark.read.parquet(s"$path/meta")
+      .select("entry", "top", "normalized")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta2")
+    val old = spark.read.parquet(s"$path/meta2")
+    old.coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val restored = HnswModel.read(spark, path)
+    assert(!restored.paramsKnown)
+    // stored adjacency still searches identically (params only matter
+    // for CONTINUING the build)
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    assert(restored.search(q, 10, ef = 40) == g.search(q, 10, ef = 40))
+    // insertAll must refuse rather than risk a wrong RNG continuation
+    val ex = intercept[IllegalArgumentException] {
+      restored.insertAll(Array(9999L), Array(Array.fill(restored.dim)(0.1f)))
+    }
+    assert(ex.getMessage.contains("rebuild"))
+  }
 }
 
 object IndexStoreSpec {

@@ -190,4 +190,120 @@ class StreamingIndexSpec extends SparkSpec {
     val baseDupIds = (0 until 30).filter(_ % 5 == 0).map(100L + _).toSet
     assert((streamSurvivors & baseDupIds).isEmpty, "dup-of-base survived")
   }
+
+  test("semDedupIngestStream: corpus deletes between triggers match the sequential fold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(11)
+    def unit(): Seq[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val baseVecs = (0 until 20).map(i => (i.toLong, unit()))
+    val base = baseVecs.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .localCheckpoint(true)
+    // batch 1: a dup of base 3 (drops) + one fresh row; then base rows
+    // 3 and 5 are DELETED (takedown) before batch 2, which re-arrives
+    // both deleted vectors (must now SURVIVE — the suppressing corpus
+    // rows are gone), plus a dup of the still-present base 7 (drops)
+    // and a fresh row. Deletes are corpus-table mutations applied
+    // between triggers; readCorpus() picks them up at the next trigger,
+    // so the streaming form needs no delete-aware operator — the
+    // contract under test is that this equals the sequential fold with
+    // the SAME delete applied at the SAME batch boundary.
+    val fresh = (0 until 2).map(_ => unit())
+    val batch1 = Seq((100L, baseVecs(3)._2), (101L, fresh(0)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .localCheckpoint(true)
+    val batch2 = Seq((102L, baseVecs(3)._2), (103L, baseVecs(5)._2),
+        (104L, baseVecs(7)._2), (105L, fresh(1)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .localCheckpoint(true)
+    val model = graft.operators.SemDedup.trainModel(base, "embedding", nlist = 4)
+    def deleteRows(corpus: DataFrame): DataFrame =
+      corpus.filter(!col("vec_id").isin(3L, 5L)).localCheckpoint(true)
+
+    // sequential fold with the delete at the batch-1/batch-2 boundary
+    var foldCorpus = base
+    def foldStep(b: DataFrame): Set[Long] = {
+      val surv = graft.operators.SemDedup.semDedupIncremental(
+        foldCorpus, b, "vec_id", "embedding", minCosine = 0.95,
+        model = Some(model)).localCheckpoint(true)
+      foldCorpus = foldCorpus.unionByName(surv)
+      surv.select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    val foldS1 = foldStep(batch1)
+    foldCorpus = deleteRows(foldCorpus)
+    val foldS2 = foldStep(batch2)
+
+    // streaming form over the same splits with the same delete
+    val staging = java.nio.file.Files.createTempDirectory("graft-semdedup-del").toString
+    var corpus = base
+    val stream = spark.readStream.schema(base.schema).parquet(staging)
+    val q = graft.streaming.CorpusStream.semDedupIngestStream(
+      stream, "vec_id", "embedding", model, minCosine = 0.95,
+      readCorpus = () => corpus,
+      appendSurvivors = surv => corpus = corpus
+        .unionByName(surv.select("vec_id", "embedding")).localCheckpoint(true))
+    try {
+      batch1.coalesce(1).write.mode("append").parquet(staging)
+      q.processAllAvailable()
+      corpus = deleteRows(corpus)
+      batch2.coalesce(1).write.mode("append").parquet(staging)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamSurvivors = corpus.select("vec_id")
+      .filter(col("vec_id") >= 100L).collect().map(_.getLong(0)).toSet
+
+    assert(streamSurvivors == foldS1 ++ foldS2,
+      s"stream=$streamSurvivors fold=${foldS1 ++ foldS2}")
+    // the delete contract is non-trivial on this fixture
+    assert(!streamSurvivors.contains(100L), "dup of then-present base 3 survived batch 1")
+    assert(streamSurvivors.contains(102L), "re-arrival of DELETED base 3 was wrongly dropped")
+    assert(streamSurvivors.contains(103L), "re-arrival of DELETED base 5 was wrongly dropped")
+    assert(!streamSurvivors.contains(104L), "dup of still-present base 7 survived")
+  }
+
+  test("SemDedupIngestSink: a re-delivered batchId is skipped (idempotent append)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(13)
+    def unit(): Seq[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val base = (0 until 12).map(i => (i.toLong, unit()))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .localCheckpoint(true)
+    val batch = (0 until 3).map(i => (50L + i, unit()))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .localCheckpoint(true)
+    val model = graft.operators.SemDedup.trainModel(base, "embedding", nlist = 2)
+    var corpus = base
+    var appends = 0
+    val sink = new graft.streaming.CorpusStream.SemDedupIngestSink(
+      "vec_id", "embedding", model, minCosine = 0.95,
+      readCorpus = () => corpus,
+      appendSurvivors = surv => {
+        appends += 1
+        corpus = corpus.unionByName(surv.select("vec_id", "embedding"))
+          .localCheckpoint(true)
+      })
+    assert(sink.process(batch, 0L), "first delivery must process")
+    val afterFirst = corpus.count()
+    // foreachBatch re-delivery after a failure: same batchId again
+    assert(!sink.process(batch, 0L), "re-delivered batchId must be skipped")
+    assert(corpus.count() == afterFirst, "re-delivery double-appended survivors")
+    assert(appends == 1)
+    assert(sink.process(batch, 1L), "the next batchId proceeds")
+  }
 }
