@@ -477,6 +477,89 @@ private[queries] object AnnOracles {
          |ORDER BY i.label""".stripMargin)
   }
 
+  // --------------------------------------------------------------- q115
+  /** Streaming SemDeDup ingest — the q112 replay CHAINED over the three
+    * deterministic micro-batch folds (batch b = arrivals with
+    * (vec_id/5) % 3 = b, each deduped against base ∪ earlier-fold
+    * survivors, survivors appended): each fold is one q112 block
+    * (inc×member edges at `tau`, dup-of-corpus drops, incoming-only
+    * components via its own recursive CTE, keep-rank), with the
+    * corpus-membership CTE advancing between folds. Survivors = all
+    * arrivals minus the union of per-fold drop sets — identical to the
+    * engine's accumulated-corpus-minus-base output (never-dropped
+    * arrivals, including any with null embeddings, are appended by the
+    * fold). Guards are [[semGuardsOk]]'s over the WHOLE corpus: every
+    * fold's pair universe and components are subsets of the full-table
+    * ones, and guard (d) over the full table dominates every fold's
+    * combined occupancy, so a pass proves each fold took the uncapped
+    * path this SQL replays. */
+  def q115(spark: SparkSession, dir: String, model: IvfModel,
+      minCosine: Double, maxClusterRows: Int = 65536): Option[String] = {
+    val base = emb(spark, dir).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    if (!semGuardsOk(spark, base, model, minCosine, maxClusterRows))
+      return None
+    val tau = java.lang.Double.toString(minCosine)
+    def fold(b: Int): String =
+      s"""inc$b AS (SELECT * FROM arr WHERE b = $b),
+         |mem$b AS (SELECT vec_id, 0 AS other_new FROM corp$b
+         |  UNION ALL SELECT vec_id, 1 FROM inc$b),
+         |ed$b AS (SELECT i.vec_id AS inc_id, o.vec_id AS other_id, m.other_new
+         |  FROM inc$b i
+         |  JOIN sims o ON i.cid = o.cid AND i.vec_id <> o.vec_id
+         |  JOIN mem$b m ON m.vec_id = o.vec_id
+         |  WHERE list_dot_product(i.v, o.v) /
+         |      (sqrt(list_dot_product(i.v, i.v)) * sqrt(list_dot_product(o.v, o.v))) >= $tau),
+         |dup$b AS (SELECT DISTINCT inc_id FROM ed$b WHERE other_new = 0),
+         |incpairs$b AS (SELECT DISTINCT least(inc_id, other_id) AS ia,
+         |    greatest(inc_id, other_id) AS ib
+         |  FROM ed$b WHERE other_new = 1),
+         |iedges$b AS (SELECT ia AS ea, ib AS eb FROM incpairs$b
+         |  UNION ALL SELECT ib, ia FROM incpairs$b),
+         |inodes$b AS (SELECT DISTINCT ea AS id FROM iedges$b),
+         |reach$b AS (
+         |  SELECT id, id AS r FROM inodes$b
+         |  UNION
+         |  SELECT g.eb AS id, reach$b.r FROM reach$b JOIN iedges$b g ON g.ea = reach$b.id),
+         |comps$b AS (SELECT id, min(r) AS grp FROM reach$b GROUP BY id),
+         |keeprn$b AS (SELECT m.vec_id, row_number() OVER (PARTITION BY c.grp
+         |    ORDER BY m.cs, m.vec_id) AS krn
+         |  FROM comps$b c JOIN arr m ON c.id = m.vec_id),
+         |drops$b AS (SELECT inc_id AS vec_id FROM dup$b
+         |  UNION SELECT vec_id FROM keeprn$b WHERE krn > 1),
+         |corp${b + 1} AS (SELECT vec_id FROM corp$b
+         |  UNION ALL SELECT vec_id FROM inc$b
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM drops$b))""".stripMargin
+    Some(
+      s"""WITH RECURSIVE cent(cid, cen) AS (VALUES
+         |    ${centValues(model)}),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |assign AS (SELECT vec_id, v, cid FROM (
+         |    SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_dot_product(c.cen, c.cen) - 2 * list_dot_product(c.cen, e.v),
+         |      c.cid) AS rn
+         |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+         |sims AS (SELECT a.vec_id, a.cid, a.v,
+         |    list_dot_product(a.v, c.cen) /
+         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cen, c.cen))) AS cs
+         |  FROM assign a JOIN cent c ON a.cid = c.cid),
+         |arr AS (SELECT s.*, CAST(s.vec_id / 5 AS BIGINT) % 3 AS b
+         |  FROM sims s WHERE s.vec_id % 5 = 0),
+         |corp0 AS (SELECT vec_id FROM sims WHERE vec_id % 5 <> 0),
+         |${fold(0)},
+         |${fold(1)},
+         |${fold(2)},
+         |alldrops AS (SELECT vec_id FROM drops0
+         |  UNION SELECT vec_id FROM drops1
+         |  UNION SELECT vec_id FROM drops2)
+         |SELECT i.label, count(*) AS n_survivors
+         |FROM embeddings i
+         |WHERE i.vec_id % 5 = 0 AND i.vec_id NOT IN (SELECT vec_id FROM alldrops)
+         |GROUP BY i.label
+         |ORDER BY i.label""".stripMargin)
+  }
+
   // --------------------------------------------------------------- q113
   /** Planted-band SemDeDup at the paper threshold — the q109 replay
     * over the PLANTED union corpus: every 10th vector gets a

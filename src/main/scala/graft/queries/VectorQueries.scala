@@ -399,10 +399,11 @@ object VectorQueries {
     // authoritative corpus (base + prior survivors, served train-once
     // model) via CorpusStream.semDedupIngestStream and appends its
     // survivors. Batches are fed write→processAllAvailable so batch
-    // boundaries (and hence the keep-set) are deterministic.
-    // Seed-dependent clustering ⇒ rows-only; StreamingIndexSpec gates
-    // keep-decision IDENTITY with the sequential batch fold over the
-    // same splits.
+    // boundaries (and hence the keep-set) are deterministic — which is
+    // also what makes the replay oracle possible: AnnOracles.q115
+    // chains the q112 fold replay over the three pinned batches.
+    // StreamingIndexSpec additionally gates keep-decision IDENTITY
+    // with the sequential batch fold over the same splits.
     QueryDef("q115_streaming_semdedup", None,
       (spark, dir) => {
         val e = table(spark, dir, "embeddings")
@@ -433,7 +434,17 @@ object VectorQueries {
         corpus.join(base.select("vec_id"), Seq("vec_id"), "left_anti")
           .groupBy("label").agg(count(lit(1)).as("n_survivors"))
           .orderBy("label")
-      }),
+      },
+      // replayable: the q112 replay chained over the three deterministic
+      // micro-batch folds (batch boundaries are pinned by construction —
+      // write→processAllAvailable); see AnnOracles.q115.
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q115") {
+        AnnOracles.q115(spark, dir,
+          semDedupCache.getOrElseUpdate(dir,
+            graft.operators.SemDedup.trainModel(
+              table(spark, dir, "embeddings"), "embedding")),
+          minCosine = 0.4)
+      })),
 
     // --- ANN paths: seed-dependent, rows-only driver check; recall vs the
     // exact oracle is asserted in AnnRecallSpec.
