@@ -48,13 +48,15 @@ object AdvancedQueries {
     // accuracy 10000 — the bound AdviceRegressionSpec asserts against
     // the exact order statistics). The sketch VALUES can never
     // hash-match a different engine's different sketch, so the hashed
-    // output is the ERROR-BOUND VERDICT instead: the engine brackets
-    // each approx value between its own exact percentiles at p ± 2/
-    // accuracy (the guaranteed rank window, with 1-rank slack for the
-    // interpolation edge) and emits the boolean; the oracle replays
-    // the group keys/counts and asserts every verdict true. A sketch
-    // regression past its bound now FAILS the hash gate instead of
-    // hiding behind rows-only.
+    // output is the ERROR-BOUND VERDICT instead: the engine checks the
+    // approx value's rank interval (count </<= per group, the sketch's
+    // actual guarantee) against the GK window at 2/accuracy and emits
+    // the boolean; the oracle replays the group keys/counts and asserts
+    // every verdict true. A sketch regression past its bound now FAILS
+    // the hash gate instead of hiding behind rows-only. Scale note: the
+    // verdict needs NO exact percentile (no per-group value buffering —
+    // it counts, constant memory), so even the gated form keeps the
+    // 100x memory story; the production path is the sketch alone.
     QueryDef("q69_percentiles_approx", Some(
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
         |  true AS median_qty_ok, true AS p90_qty_ok,
@@ -650,6 +652,9 @@ object AdvancedQueries {
     // one-sigma band; the tight 2-sigma bound stays asserted in
     // AdviceRegressionSpec) and emits the boolean; the oracle replays
     // the group keys and exact counts and asserts every verdict true.
+    // Scale note: the exact distinct exists ONLY to gate the sketch —
+    // the production path is the sketch alone; the gated form
+    // deliberately pays both so the gate is self-contained.
     QueryDef("q70_distinct_approx", Some(
       """SELECT l_returnflag,
         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,

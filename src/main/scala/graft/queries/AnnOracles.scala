@@ -281,6 +281,22 @@ private[queries] object AnnOracles {
     *      Checked over BATCH components at `minCosine`; an incremental
     *      replay's incoming-only components are subgraphs of these, so
     *      the batch check covers them conservatively. */
+  /** Guard results memoized per (corpus key, model identity, tau, cap):
+    * q109/q112/q115 share one (model, corpus, tau) triple, so one
+    * Verify run would otherwise pay the pair-mass + components guard
+    * three times. Identity hash is correct here because models are
+    * memoized per dir in VectorQueries — a retrained model is a new
+    * object and misses the cache. */
+  private val guardCache =
+    new scala.collection.concurrent.TrieMap[(String, Int, Double, Int), Boolean]()
+
+  private def semGuardsOkCached(key: String, spark: SparkSession,
+      base: DataFrame, model: IvfModel, minCosine: Double,
+      maxClusterRows: Int): Boolean =
+    guardCache.getOrElseUpdate(
+      (key, System.identityHashCode(model), minCosine, maxClusterRows),
+      semGuardsOk(spark, base, model, minCosine, maxClusterRows))
+
   private def semGuardsOk(spark: SparkSession, base: DataFrame,
       model: IvfModel, minCosine: Double, maxClusterRows: Int): Boolean = {
     import spark.implicits._
@@ -386,7 +402,7 @@ private[queries] object AnnOracles {
     import graft.functions.GraftFunctions
     val base = emb(spark, dir).filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"))
-    if (!semGuardsOk(spark, base, model, minCosine, maxClusterRows))
+    if (!semGuardsOkCached(dir, spark, base, model, minCosine, maxClusterRows))
       return None // (a)-(e), (g)
     val centDf = model.centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }.toDF("cluster_id", "centroid")
@@ -432,7 +448,7 @@ private[queries] object AnnOracles {
       minCosine: Double, maxClusterRows: Int = 65536): Option[String] = {
     val base = emb(spark, dir).filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"))
-    if (!semGuardsOk(spark, base, model, minCosine, maxClusterRows))
+    if (!semGuardsOkCached(dir, spark, base, model, minCosine, maxClusterRows))
       return None
     val tau = java.lang.Double.toString(minCosine)
     Some(
@@ -497,7 +513,7 @@ private[queries] object AnnOracles {
       minCosine: Double, maxClusterRows: Int = 65536): Option[String] = {
     val base = emb(spark, dir).filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"))
-    if (!semGuardsOk(spark, base, model, minCosine, maxClusterRows))
+    if (!semGuardsOkCached(dir, spark, base, model, minCosine, maxClusterRows))
       return None
     val tau = java.lang.Double.toString(minCosine)
     def fold(b: Int): String =
@@ -583,7 +599,8 @@ private[queries] object AnnOracles {
           .cast("array<float>").as("embedding"))
     val union = e0.select(col("vec_id"), col("embedding")).unionByName(planted)
       .filter(col("embedding").isNotNull)
-    if (!semGuardsOk(spark, union, model, minCosine, maxClusterRows))
+    if (!semGuardsOkCached(dir + "#planted", spark, union, model,
+        minCosine, maxClusterRows))
       return None
     val dim = model.centroids.headOption.map(_.length).getOrElse(0)
     val tau = java.lang.Double.toString(minCosine)
