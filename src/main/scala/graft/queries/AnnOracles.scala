@@ -272,15 +272,14 @@ private[queries] object AnnOracles {
     *  (e) any same-cluster pair cosine sits within distEps of the
     *      minCosine boundary (defense in depth — both engines compute
     *      the identical double, so this guards compiler/runtime
-    *      arithmetic drift only),
-    *  (g) any two members of the same duplicate component have
-    *      DISTINCT centroid_sim values within distEps of each other —
-    *      the keep rank (ORDER BY cs, id) could flip under
-    *      cross-engine summation-order drift and change the keeper.
-    *      Exact ties are safe (id-ascending break on both engines).
-    *      Checked over BATCH components at `minCosine`; an incremental
-    *      replay's incoming-only components are subgraphs of these, so
-    *      the batch check covers them conservatively. */
+    *      arithmetic drift only).
+    * Keeper-rank stability (the ADVICE r11 finding) is guarded
+    * separately and output-sensitively by [[keeperRankOk]]: q109's
+    * per-cluster counts are keeper-identity-insensitive (exactly one
+    * krn=1 row per component, whichever member it is), so it skips the
+    * check; q112/q113 withhold only when a thin top-2 gap could swap
+    * members that DIFFER in the output attribute; q115 uses the strict
+    * form because its keepers feed the next fold's corpus. */
   /** Guard results memoized per (corpus key, model identity, tau, cap):
     * q109/q112/q115 share one (model, corpus, tau) triple, so one
     * Verify run would otherwise pay the pair-mass + components guard
@@ -301,14 +300,22 @@ private[queries] object AnnOracles {
       model: IvfModel, minCosine: Double, maxClusterRows: Int): Boolean = {
     import spark.implicits._
     import graft.functions.GraftFunctions
+    // a withheld oracle is designed behavior, but WHICH guard fired
+    // must be diagnosable from the Verify log (sf-leg triage)
+    def withhold(reason: String): Boolean = {
+      System.err.println(s"[oracle-gen] semDedup replay withheld: $reason")
+      false
+    }
     val k = model.nlist
     val dim = model.centroids.headOption.map(_.length).getOrElse(0)
     val n = base.count()
-    if (n.toDouble * k * dim > 4e9) return false // (a)
+    if (n.toDouble * k * dim > 4e9)
+      return withhold(s"(a) flop budget n=$n k=$k dim=$dim") // (a)
     val vd = col("embedding").cast("array<double>")
     if (base.filter(ddot(vd, vd) === 0.0).limit(1).collect().nonEmpty)
-      return false // (b)
-    if (!assignAgreementOk(spark, base, model)) return false // (c)
+      return withhold("(b) zero-norm vector") // (b)
+    if (!assignAgreementOk(spark, base, model))
+      return withhold("(c) assignment disagreement or thin top-2 gap") // (c)
     val centDf = model.centroids.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toSeq) }.toDF("cluster_id", "centroid")
     val assigned = model.assign(base, "embedding")
@@ -320,7 +327,8 @@ private[queries] object AnnOracles {
     try {
       val maxOcc = assigned.groupBy("cluster_id").count()
         .agg(max("count")).collect()(0).getLong(0)
-      if (maxOcc > maxClusterRows) return false // (d)
+      if (maxOcc > maxClusterRows)
+        return withhold(s"(d) hot cluster $maxOcc > cap $maxClusterRows") // (d)
       val s = assigned.repartition(col("cluster_id"))
       val paired = s
         .select(col("cluster_id"), col("vec_id").as("ia"), col("embedding").as("ea"))
@@ -334,24 +342,84 @@ private[queries] object AnnOracles {
         val pairBad = paired
           .filter(abs(col("pc") - lit(minCosine)) < distEps)
           .limit(1).collect().nonEmpty
-        if (pairBad) return false // (e)
-        val comps = graft.operators.Dedup.connectedComponents(
-          paired.filter(col("pc") >= minCosine)
-            .select(col("ia").as("id_a"), col("ib").as("id_b")))
-        val members = comps.join(assigned, comps("id") === assigned("vec_id"))
-          .select(col("label").as("grp"), col("cs"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("grp").orderBy("cs")
-        val rankBad = members
-          .withColumn("prev", lag("cs", 1).over(w))
-          .filter(col("prev").isNotNull && col("cs") =!= col("prev") &&
-            col("cs") - col("prev") < distEps)
-          .limit(1).collect().nonEmpty
-        if (rankBad) return false // (g)
+        if (pairBad) return withhold("(e) pair cosine inside tau margin") // (e)
       } finally paired.unpersist(blocking = false)
       true
     } finally assigned.unpersist(blocking = false)
   }
+
+  /** Keeper-rank stability guard (g), output-sensitive: within each
+    * duplicate component at `minCosine`, the keep rule takes
+    * argmin(centroid_sim, id). Both engines compute centroid_sim with
+    * the same sequential double arithmetic, so this — like guard (e) —
+    * defends against compiler/runtime reassociation drift only: it
+    * withholds when the component's two SMALLEST cs values (the only
+    * positions whose swap can change the keeper) are DISTINCT, within
+    * distEps, and the swap would change the query's OUTPUT —
+    * `attr`-differing members for the count-by-attribute replays
+    * (q112: label, q113: planted flag), any member pair in `strict`
+    * mode (q115, whose keepers become corpus rows for later folds).
+    * Exact bit-equal ties stay safe (shared id-ascending break).
+    * Components are the BATCH components — supersets of any
+    * incremental fold's incoming-only components. `baseAttr` carries
+    * (vec_id, embedding, attr). Memoized like [[semGuardsOkCached]]. */
+  private def keeperRankOk(spark: SparkSession, baseAttr: DataFrame,
+      model: IvfModel, minCosine: Double, strict: Boolean): Boolean = {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    import org.apache.spark.sql.expressions.Window
+    val centDf = model.centroids.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }.toDF("cluster_id", "centroid")
+    val assigned = model.assign(baseAttr, "embedding")
+      .join(broadcast(centDf), Seq("cluster_id"))
+      .withColumn("cs",
+        GraftFunctions.cosine_sim(col("embedding"), col("centroid")))
+      .select(col("cluster_id"), col("vec_id"), col("embedding"),
+        col("cs"), col("attr"))
+      .localCheckpoint(true)
+    try {
+      val sjoin = assigned.repartition(col("cluster_id"))
+      val pairs = sjoin
+        .select(col("cluster_id"), col("vec_id").as("ia"), col("embedding").as("ea"))
+        .join(sjoin.select(col("cluster_id"), col("vec_id").as("ib"),
+            col("embedding").as("eb")), Seq("cluster_id"))
+        .filter(col("ia") < col("ib"))
+        .filter(GraftFunctions.cosine_sim(col("ea"), col("eb")) >= minCosine)
+        .select(col("ia").as("id_a"), col("ib").as("id_b"))
+      val comps = graft.operators.Dedup.connectedComponents(pairs)
+      val members = comps.join(assigned, comps("id") === assigned("vec_id"))
+        .select(col("label").as("grp"), col("cs"), col("vec_id"), col("attr"))
+      val w = Window.partitionBy("grp").orderBy(col("cs"), col("vec_id"))
+      val top2 = members.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .groupBy("grp")
+        .agg(count(lit(1)).as("cnt"),
+          min(struct(col("rn"), col("cs"), col("attr"))).as("m1"),
+          max(struct(col("rn"), col("cs"), col("attr"))).as("m2"))
+        .filter(col("cnt") === 2)
+      val gapBad = top2
+        .filter(col("m2").getField("cs") =!= col("m1").getField("cs") &&
+          col("m2").getField("cs") - col("m1").getField("cs") < distEps &&
+          (if (strict) lit(true)
+           else col("m1").getField("attr") =!= col("m2").getField("attr")))
+        .limit(1).collect().nonEmpty
+      if (gapBad)
+        System.err.println(
+          "[oracle-gen] semDedup replay withheld: (g) keeper top-2 gap " +
+            s"inside distEps (strict=$strict)")
+      !gapBad
+    } finally assigned.unpersist(blocking = false)
+  }
+
+  private val keeperCache =
+    new scala.collection.concurrent.TrieMap[(String, Int, Double, Boolean), Boolean]()
+
+  private def keeperRankOkCached(key: String, spark: SparkSession,
+      baseAttr: DataFrame, model: IvfModel, minCosine: Double,
+      strict: Boolean): Boolean =
+    keeperCache.getOrElseUpdate(
+      (key, System.identityHashCode(model), minCosine, strict),
+      keeperRankOk(spark, baseAttr, model, minCosine, strict))
 
   /** The shared batch-SemDeDup replay CTE chain, appended after CTEs
     * that define `cent(cid, cen)` and `e(vec_id, v: DOUBLE[])`:
@@ -450,6 +518,13 @@ private[queries] object AnnOracles {
       .select(col("vec_id"), col("embedding"))
     if (!semGuardsOkCached(dir, spark, base, model, minCosine, maxClusterRows))
       return None
+    // keeper flips only change survivors-by-LABEL when the two
+    // thinnest members differ in label
+    val baseAttr = emb(spark, dir).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"), col("label").as("attr"))
+    if (!keeperRankOkCached(dir + "#label", spark, baseAttr, model,
+        minCosine, strict = false))
+      return None
     val tau = java.lang.Double.toString(minCosine)
     Some(
       s"""WITH RECURSIVE cent(cid, cen) AS (VALUES
@@ -514,6 +589,13 @@ private[queries] object AnnOracles {
     val base = emb(spark, dir).filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"))
     if (!semGuardsOkCached(dir, spark, base, model, minCosine, maxClusterRows))
+      return None
+    // strict: a fold's keeper becomes a corpus row for LATER folds, so
+    // any keeper swap can change downstream dup decisions
+    val baseAttr = emb(spark, dir).filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"), lit(0).as("attr"))
+    if (!keeperRankOkCached(dir + "#strict", spark, baseAttr, model,
+        minCosine, strict = true))
       return None
     val tau = java.lang.Double.toString(minCosine)
     def fold(b: Int): String =
@@ -601,6 +683,12 @@ private[queries] object AnnOracles {
       .filter(col("embedding").isNotNull)
     if (!semGuardsOkCached(dir + "#planted", spark, union, model,
         minCosine, maxClusterRows))
+      return None
+    // keeper flips only change the planted-vs-original counts when the
+    // two thinnest members differ in the planted flag
+    val unionAttr = union.withColumn("attr", col("vec_id") >= plantedBase)
+    if (!keeperRankOkCached(dir + "#plantedAttr", spark, unionAttr, model,
+        minCosine, strict = false))
       return None
     val dim = model.centroids.headOption.map(_.length).getOrElse(0)
     val tau = java.lang.Double.toString(minCosine)
