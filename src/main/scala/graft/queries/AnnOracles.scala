@@ -74,7 +74,7 @@ private[queries] object AnnOracles {
         s"(${i / lsh.bitsPerTable}, ${i % lsh.bitsPerTable}, ${vecLit(p)})"
       }.mkString(",\n    ")
 
-  private def centValues(model: IvfModel): String =
+  private[queries] def centValues(model: IvfModel): String =
     model.centroids.zipWithIndex.map { case (c, i) => s"($i, ${vecLit(c)})" }
       .mkString(",\n    ")
 
@@ -287,17 +287,27 @@ private[queries] object AnnOracles {
     * memoized per dir in VectorQueries — a retrained model is a new
     * object and misses the cache. */
   private val guardCache =
-    new scala.collection.concurrent.TrieMap[(String, Int, Double, Int), Boolean]()
+    new scala.collection.concurrent.TrieMap[(String, Int, Double, Int, Double), Boolean]()
 
-  private def semGuardsOkCached(key: String, spark: SparkSession,
+  /** `pairEps` is guard (e)'s margin. Default distEps (1e-8) for the
+    * float-embedding corpora. The replayed arithmetic is a sequential
+    * double left-fold both engines evaluate identically, so the margin
+    * defends only against one side REASSOCIATING the dot sum
+    * (SIMD/pairwise): classic bound n·eps·Σ|terms| ≈ 64·1.1e-16·1 ≈
+    * 7e-15 for 64-dim unit-ish vectors — callers whose corpora land
+    * near-threshold cosines legitimately (the hashing embedder's
+    * rational components, q111) pass 1e-12: still 100x the bound,
+    * 10000x tighter than the default. */
+  private[queries] def semGuardsOkCached(key: String, spark: SparkSession,
       base: DataFrame, model: IvfModel, minCosine: Double,
-      maxClusterRows: Int): Boolean =
+      maxClusterRows: Int, pairEps: Double = distEps): Boolean =
     guardCache.getOrElseUpdate(
-      (key, System.identityHashCode(model), minCosine, maxClusterRows),
-      semGuardsOk(spark, base, model, minCosine, maxClusterRows))
+      (key, System.identityHashCode(model), minCosine, maxClusterRows, pairEps),
+      semGuardsOk(spark, base, model, minCosine, maxClusterRows, pairEps))
 
   private def semGuardsOk(spark: SparkSession, base: DataFrame,
-      model: IvfModel, minCosine: Double, maxClusterRows: Int): Boolean = {
+      model: IvfModel, minCosine: Double, maxClusterRows: Int,
+      pairEps: Double = distEps): Boolean = {
     import spark.implicits._
     import graft.functions.GraftFunctions
     // a withheld oracle is designed behavior, but WHICH guard fired
@@ -339,8 +349,15 @@ private[queries] object AnnOracles {
         .select("ia", "ib", "pc")
         .localCheckpoint(true)
       try {
+        // exact hits on the threshold are SAFE, like exact ties in the
+        // rank guards: both engines evaluate the identical
+        // IEEE-deterministic chain, and `>= tau` includes the hit on
+        // both — common with integer-quantized vectors (the hashing
+        // embedder), where e.g. dot 4 over norms sqrt(5)·sqrt(5) is
+        // cosine 0.8 EXACTLY and the dot sum is reassociation-immune
         val pairBad = paired
-          .filter(abs(col("pc") - lit(minCosine)) < distEps)
+          .filter(col("pc") =!= lit(minCosine) &&
+            abs(col("pc") - lit(minCosine)) < pairEps)
           .limit(1).collect().nonEmpty
         if (pairBad) return withhold("(e) pair cosine inside tau margin") // (e)
       } finally paired.unpersist(blocking = false)
@@ -414,7 +431,7 @@ private[queries] object AnnOracles {
   private val keeperCache =
     new scala.collection.concurrent.TrieMap[(String, Int, Double, Boolean), Boolean]()
 
-  private def keeperRankOkCached(key: String, spark: SparkSession,
+  private[queries] def keeperRankOkCached(key: String, spark: SparkSession,
       baseAttr: DataFrame, model: IvfModel, minCosine: Double,
       strict: Boolean): Boolean =
     keeperCache.getOrElseUpdate(
@@ -427,7 +444,7 @@ private[queries] object AnnOracles {
     * within-cluster duplicate pairs at `tau`, min-label connected
     * components (recursive CTE — the q61 pattern), and the keep rank
     * (argmin centroid_sim, then id; krn = 1 or absent means kept). */
-  private def semBatchCtes(tau: String): String =
+  private[queries] def semBatchCtes(tau: String): String =
     s"""assign AS (SELECT vec_id, v, cid FROM (
        |    SELECT e.vec_id, e.v, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
        |      list_dot_product(c.cen, c.cen) - 2 * list_dot_product(c.cen, e.v),
