@@ -585,6 +585,105 @@ private[queries] object AnnOracles {
          |ORDER BY i.label""".stripMargin)
   }
 
+  // --------------------------------------------------------------- q114
+  /** Skewed-batch incremental SemDeDup: the q112 fold replay over the
+    * CONSTRUCTED corpus (existing = raw vec_id % 5 != 0 rows; batch =
+    * the deterministic 80%-spam construction, reproduced in SQL — the
+    * spam_near perturbation is the same double-arithmetic-then-
+    * float-cast both engines round identically, spam_exact copies the
+    * hot vectors bit-for-bit). Valid exactly when the engine takes the
+    * UNCAPPED path: guard (d) runs the engine's own cap predicate
+    * (combined occupancy vs maxClusterRows = 256) over the constructed
+    * corpus, so at the dirs where the hot clusters cross the cap by
+    * design (sf1 up) the oracle withholds and the standing rows-only
+    * fallback applies; below it (the driver's sf0.01 gate) the fold is
+    * fully replayed. Keeper guard runs with attr = kind (the output's
+    * grouping) over the constructed corpus, existing rows tagged
+    * distinctly (conservative). */
+  def q114(spark: SparkSession, dir: String, model: IvfModel,
+      batch: DataFrame, minCosine: Double,
+      maxClusterRows: Int): Option[String] = {
+    val existing = emb(spark, dir).filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+    val union = existing
+      .unionByName(batch.select(col("vec_id"), col("embedding")))
+      .filter(col("embedding").isNotNull)
+    if (!semGuardsOkCached(dir + "#q114", spark, union, model,
+        minCosine, maxClusterRows))
+      return None
+    val attr = existing
+      .select(col("vec_id"), col("embedding"), lit("existing").as("attr"))
+      .unionByName(batch.select(col("vec_id"), col("embedding"),
+        col("kind").as("attr")))
+      .filter(col("embedding").isNotNull)
+    if (!keeperRankOkCached(dir + "#q114kind", spark, attr, model,
+        minCosine, strict = false))
+      return None
+    val dim = model.centroids.headOption.map(_.length).getOrElse(0)
+    val tau = java.lang.Double.toString(minCosine)
+    Some(
+      s"""WITH RECURSIVE cent(cid, cen) AS (VALUES
+         |    ${centValues(model)}),
+         |hot AS (SELECT (vec_id - 1) % 4 AS hot_idx, embedding AS hot_emb
+         |  FROM embeddings WHERE vec_id BETWEEN 1 AND 4),
+         |bk AS (SELECT vec_id, label, vec_id // 5 AS m FROM embeddings
+         |  WHERE vec_id % 5 = 0),
+         |batch AS (SELECT bk.vec_id, bk.label,
+         |    CASE WHEN bk.m % 5 = 0 THEN 'organic'
+         |         WHEN bk.m % 2 = 1 THEN 'spam_exact' ELSE 'spam_near' END AS kind,
+         |    CASE WHEN bk.m % 5 = 0 THEN e0.embedding
+         |         WHEN bk.m % 2 = 1 THEN h.hot_emb
+         |         ELSE CAST(list_transform(range(1, ${dim + 1}), j ->
+         |           CAST(CAST(h.hot_emb[j] AS DOUBLE) +
+         |             (0.001 * (bk.vec_id % 7 + 1)) * CAST(h.hot_emb[(j % $dim) + 1] AS DOUBLE) AS FLOAT)) AS FLOAT[])
+         |    END AS embedding
+         |  FROM bk
+         |  JOIN embeddings e0 ON e0.vec_id = bk.vec_id
+         |  LEFT JOIN hot h ON h.hot_idx = bk.m % 4),
+         |corpus AS (
+         |  SELECT vec_id, embedding, 0 AS is_new FROM embeddings WHERE vec_id % 5 <> 0
+         |  UNION ALL SELECT vec_id, embedding, 1 FROM batch),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, is_new FROM corpus
+         |  WHERE embedding IS NOT NULL),
+         |assign AS (SELECT vec_id, v, cid, is_new FROM (
+         |    SELECT e.vec_id, e.v, e.is_new, c.cid, row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_dot_product(c.cen, c.cen) - 2 * list_dot_product(c.cen, e.v),
+         |      c.cid) AS rn
+         |    FROM e CROSS JOIN cent c) WHERE rn = 1),
+         |sims AS (SELECT a.vec_id, a.cid, a.v, a.is_new,
+         |    list_dot_product(a.v, c.cen) /
+         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cen, c.cen))) AS cs
+         |  FROM assign a JOIN cent c ON a.cid = c.cid),
+         |dupedges AS (SELECT i.vec_id AS inc_id, o.vec_id AS other_id, o.is_new AS other_new
+         |  FROM sims i JOIN sims o ON i.cid = o.cid AND i.vec_id <> o.vec_id
+         |  WHERE i.is_new = 1 AND list_dot_product(i.v, o.v) /
+         |      (sqrt(list_dot_product(i.v, i.v)) * sqrt(list_dot_product(o.v, o.v))) >= $tau),
+         |dup_exist AS (SELECT DISTINCT inc_id FROM dupedges WHERE other_new = 0),
+         |incpairs AS (SELECT DISTINCT least(inc_id, other_id) AS ia,
+         |    greatest(inc_id, other_id) AS ib
+         |  FROM dupedges WHERE other_new = 1),
+         |iedges AS (SELECT ia AS ea, ib AS eb FROM incpairs
+         |  UNION ALL SELECT ib, ia FROM incpairs),
+         |inodes AS (SELECT DISTINCT ea AS id FROM iedges),
+         |reach AS (
+         |  SELECT id, id AS r FROM inodes
+         |  UNION
+         |  SELECT g.eb AS id, reach.r FROM reach JOIN iedges g ON g.ea = reach.id),
+         |comps AS (SELECT id, min(r) AS grp FROM reach GROUP BY id),
+         |keeprn AS (SELECT m.vec_id, row_number() OVER (PARTITION BY c.grp
+         |    ORDER BY m.cs, m.vec_id) AS krn
+         |  FROM comps c JOIN sims m ON c.id = m.vec_id),
+         |drops AS (SELECT inc_id AS vec_id FROM dup_exist
+         |  UNION SELECT vec_id FROM keeprn WHERE krn > 1),
+         |nb AS (SELECT kind, count(*) AS n_batch FROM batch GROUP BY kind),
+         |ns AS (SELECT kind, count(*) AS n_survived FROM batch
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM drops) GROUP BY kind)
+         |SELECT nb.kind, nb.n_batch,
+         |  CAST(coalesce(ns.n_survived, 0) AS BIGINT) AS n_survived
+         |FROM nb LEFT JOIN ns USING (kind)
+         |ORDER BY nb.kind""".stripMargin)
+  }
+
   // --------------------------------------------------------------- q115
   /** Streaming SemDeDup ingest — the q112 replay CHAINED over the three
     * deterministic micro-batch folds (batch b = arrivals with

@@ -47,6 +47,37 @@ object VectorQueries {
       "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * " +
       "sqrt(list_dot_product(CAST(q.qe AS DOUBLE[]), CAST(q.qe AS DOUBLE[]))))"
 
+  /** q114's skewed arriving batch (80% exact/near copies of 4 hot
+    * corpus vectors, 20% organic) — shared between the query and its
+    * oracle generator so the constructed corpus is one definition. */
+  private[queries] def q114Batch(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    // 4 hot seeds, all in `existing` (ids 1..4 are not %5==0)
+    val hot = e.filter(col("vec_id").between(1L, 4L))
+      .select(((col("vec_id") - 1) % 4).as("hot_idx"),
+        col("embedding").as("hot_emb"))
+    val m = col("vec_id") / 5
+    e.filter(col("vec_id") % 5 === 0)
+      .withColumn("kind",
+        when(m % 5 === 0, lit("organic"))
+          .when(m % 2 === 1, lit("spam_exact"))
+          .otherwise(lit("spam_near")))
+      .withColumn("hot_idx", m % 4)
+      .join(broadcast(hot), Seq("hot_idx"), "left")
+      .select(col("vec_id"),
+        when(col("kind") === "organic", col("embedding"))
+          .when(col("kind") === "spam_exact", col("hot_emb"))
+          // distinct near-copy: ~0.1-0.7% element rotation ⇒
+          // cos(hot, copy) ≈ 0.9999+, above the 0.95 threshold
+          .otherwise(transform(col("hot_emb"), (x, i) =>
+            x + lit(1e-3) * (pmod(col("vec_id"), lit(7)) + 1) *
+              element_at(col("hot_emb"),
+                pmod(i + 1, size(col("hot_emb"))) + 1)))
+          .cast("array<float>").as("embedding"),
+        col("label"), col("kind"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef("q20_knn_exact", Some(
@@ -357,29 +388,7 @@ object VectorQueries {
       (spark, dir) => {
         val e = table(spark, dir, "embeddings")
         val existing = e.filter(col("vec_id") % 5 =!= 0)
-        // 4 hot seeds, all in `existing` (ids 1..4 are not %5==0)
-        val hot = e.filter(col("vec_id").between(1L, 4L))
-          .select(((col("vec_id") - 1) % 4).as("hot_idx"),
-            col("embedding").as("hot_emb"))
-        val m = col("vec_id") / 5
-        val batch = e.filter(col("vec_id") % 5 === 0)
-          .withColumn("kind",
-            when(m % 5 === 0, lit("organic"))
-              .when(m % 2 === 1, lit("spam_exact"))
-              .otherwise(lit("spam_near")))
-          .withColumn("hot_idx", m % 4)
-          .join(broadcast(hot), Seq("hot_idx"), "left")
-          .select(col("vec_id"),
-            when(col("kind") === "organic", col("embedding"))
-              .when(col("kind") === "spam_exact", col("hot_emb"))
-              // distinct near-copy: ~0.1-0.7% element rotation ⇒
-              // cos(hot, copy) ≈ 0.9999+, above the 0.95 threshold
-              .otherwise(transform(col("hot_emb"), (x, i) =>
-                x + lit(1e-3) * (pmod(col("vec_id"), lit(7)) + 1) *
-                  element_at(col("hot_emb"),
-                    pmod(i + 1, size(col("hot_emb"))) + 1)))
-              .cast("array<float>").as("embedding"),
-            col("label"), col("kind"))
+        val batch = q114Batch(spark, dir)
         val model = semDedupCache.getOrElseUpdate(dir,
           graft.operators.SemDedup.trainModel(e, "embedding"))
         val surv = graft.operators.SemDedup.semDedupIncremental(
@@ -390,7 +399,20 @@ object VectorQueries {
             Seq("kind"), "left")
           .na.fill(0L, Seq("n_survived"))
           .orderBy("kind")
-      }),
+      },
+      // replayable at fixture dirs where the cap does NOT engage (the
+      // generator verifies the engine's own cap predicate and withholds
+      // otherwise — at sf1+ the hot clusters cross maxClusterRows=256
+      // by design and the oracle falls back to rows-only): the batch
+      // construction is deterministic float arithmetic both engines
+      // reproduce, and the uncapped fold is the q112 replay.
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q114") {
+        AnnOracles.q114(spark, dir,
+          semDedupCache.getOrElseUpdate(dir,
+            graft.operators.SemDedup.trainModel(
+              table(spark, dir, "embeddings"), "embedding")),
+          q114Batch(spark, dir), minCosine = 0.95, maxClusterRows = 256)
+      })),
 
     // Streaming-ingest semantic dedup: q112's batch-vs-corpus contract
     // run INSIDE a Structured Streaming foreachBatch — the 20%
