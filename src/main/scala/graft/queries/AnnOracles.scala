@@ -32,7 +32,7 @@ import org.apache.spark.sql.graft.expressions.LshPlanes
  * safe on both engines (id-ascending tiebreaks) and are excluded from
  * the margin via distinct-value gaps.
  */
-private[queries] object AnnOracles {
+private[graft] object AnnOracles {
 
   /** Sign margin: |plane·v| below this withholds a signature replay.
     * LshPlanes widens every product to double before the sequential
@@ -204,6 +204,67 @@ private[queries] object AnnOracles {
          |LIMIT 10""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q116
+  /** Binary sign-quantization kNN (Hamming prefilter → exact rerank).
+    * The prefilter replays with NO margin guard: signature bit i is
+    * `embedding[i] >= 0` on the STORED float — no arithmetic, so the
+    * sign is exact on both engines (unlike the LSH plane dots, whose
+    * [[signEps]] margin exists because a dot product is computed) —
+    * and the top-C cutoff is an INTEGER Hamming distance with an
+    * id-ascending tiebreak, deterministic by construction. The only
+    * cross-engine float boundary is the rerank's k/k+1 cosine cutoff
+    * within the candidate set, guarded the q86 way: the engine's
+    * float-rerank top-k ids must equal the double-arithmetic top-k the
+    * SQL computes, and the cutoff must be an exact tie or clear
+    * [[distEps]]. */
+  def q116(spark: SparkSession, dir: String, k: Int, cands: Int): Option[String] = {
+    import graft.functions.GraftFunctions.{cosine_sim, hamming_dist}
+    val qv = queryVec(spark, dir, 0L)
+    val e = emb(spark, dir)
+    val qSig = graft.index.BinaryQuant.pack(qv).toSeq
+    val candIds = graft.index.BinaryQuant.signatures(e, "vec_id", "embedding")
+      .withColumn("ham", hamming_dist(col("sig"), typedlit(qSig)))
+      .orderBy(col("ham").asc, col("vec_id").asc).limit(cands)
+      .select("vec_id").collect().map(_.getLong(0))
+    val inCand = col("vec_id").isin(candIds.map(Long.box): _*)
+    // the engine's own rerank order (float per-term multiplies)
+    val engineIds = e.filter(inCand)
+      .withColumn("s", cosine_sim(col("embedding"), typedlit(qv.toSeq)))
+      .orderBy(col("s").desc, col("vec_id")).limit(k)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    // the replay SQL's all-double rerank over the same candidates
+    val qd = typedlit(qv.map(_.toDouble).toSeq)
+    val topK1 = e.filter(inCand)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        (ddot(col("v"), qd) /
+          (sqrt(ddot(col("v"), col("v"))) * sqrt(ddot(qd, qd)))).as("s"))
+      .orderBy(col("s").desc, col("vec_id")).limit(k + 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    if (topK1.take(k).map(_._1).toSeq != engineIds) return None
+    if (topK1.length == k + 1) {
+      val dk = topK1(k - 1)._2; val dk1 = topK1(k)._2
+      if (dk != dk1 && dk - dk1 < distEps) return None
+    }
+    val dim = qv.length
+    Some(
+      s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |dims AS (SELECT CAST(range AS INTEGER) AS i FROM range(0, $dim)),
+         |sb AS (SELECT e.vec_id, d.i,
+         |    CASE WHEN e.embedding[d.i + 1] >= 0 THEN 1 ELSE 0 END AS b
+         |  FROM embeddings e CROSS JOIN dims d
+         |  WHERE e.embedding IS NOT NULL),
+         |qb AS (SELECT i, b FROM sb WHERE vec_id = 0),
+         |ham AS (SELECT sb.vec_id, sum(CASE WHEN sb.b <> qb.b THEN 1 ELSE 0 END) AS h
+         |  FROM sb JOIN qb USING (i) GROUP BY sb.vec_id),
+         |cand AS (SELECT vec_id FROM ham ORDER BY h, vec_id LIMIT $cands)
+         |SELECT e.vec_id, e.label, round($cosE, 6) AS score
+         |FROM embeddings e, cand c, q
+         |WHERE e.vec_id = c.vec_id
+         |ORDER BY $cosE DESC, e.vec_id
+         |LIMIT $k""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- q86
   /** HNSW single-query kNN (50 graph candidates, exact cosine rerank to
     * top-10). The graph walk itself is not SQL-expressible, but — the
@@ -280,14 +341,15 @@ private[queries] object AnnOracles {
     * check; q112/q113 withhold only when a thin top-2 gap could swap
     * members that DIFFER in the output attribute; q115 uses the strict
     * form because its keepers feed the next fold's corpus. */
-  /** Guard results memoized per (corpus key, model identity, tau, cap):
-    * q109/q112/q115 share one (model, corpus, tau) triple, so one
+  /** Guard results memoized per (corpus key, centroid fingerprint, tau,
+    * cap): q109/q112/q115 share one (model, corpus, tau) triple, so one
     * Verify run would otherwise pay the pair-mass + components guard
-    * three times. Identity hash is correct here because models are
-    * memoized per dir in VectorQueries — a retrained model is a new
-    * object and misses the cache. */
+    * three times. Keyed on [[modelFingerprint]] — centroid CONTENT —
+    * so two models with equal centroids hit (same guard inputs ⇒ same
+    * verdict) and a retrained different model can never inherit a
+    * stale verdict through identity-hash collision or address reuse. */
   private val guardCache =
-    new scala.collection.concurrent.TrieMap[(String, Int, Double, Int, Double), Boolean]()
+    new scala.collection.concurrent.TrieMap[(String, Long, Double, Int, Double), Boolean]()
 
   /** `pairEps` is guard (e)'s margin. Default distEps (1e-8) for the
     * float-embedding corpora. The replayed arithmetic is a sequential
@@ -302,7 +364,7 @@ private[queries] object AnnOracles {
       base: DataFrame, model: IvfModel, minCosine: Double,
       maxClusterRows: Int, pairEps: Double = distEps): Boolean =
     guardCache.getOrElseUpdate(
-      (key, System.identityHashCode(model), minCosine, maxClusterRows, pairEps),
+      (key, modelFingerprint(model), minCosine, maxClusterRows, pairEps),
       semGuardsOk(spark, base, model, minCosine, maxClusterRows, pairEps))
 
   private def semGuardsOk(spark: SparkSession, base: DataFrame,
@@ -369,17 +431,28 @@ private[queries] object AnnOracles {
     * duplicate component at `minCosine`, the keep rule takes
     * argmin(centroid_sim, id). Both engines compute centroid_sim with
     * the same sequential double arithmetic, so this — like guard (e) —
-    * defends against compiler/runtime reassociation drift only: it
-    * withholds when the component's two SMALLEST cs values (the only
-    * positions whose swap can change the keeper) are DISTINCT, within
-    * distEps, and the swap would change the query's OUTPUT —
-    * `attr`-differing members for the count-by-attribute replays
-    * (q112: label, q113: planted flag), any member pair in `strict`
-    * mode (q115, whose keepers become corpus rows for later folds).
-    * Exact bit-equal ties stay safe (shared id-ascending break).
-    * Components are the BATCH components — supersets of any
-    * incremental fold's incoming-only components. `baseAttr` carries
-    * (vec_id, embedding, attr). Memoized like [[semGuardsOkCached]]. */
+    * defends against compiler/runtime reassociation drift only.
+    *
+    * The incremental replays (q112/q114/q115) take the keeper argmin
+    * inside INCOMING-ONLY (or per-fold) components, whose two thinnest
+    * members can sit at ANY rank of the enclosing batch component
+    * (ADVICE r12) — so the check covers every rank, not just 1–2:
+    * members are first collapsed into bit-equal-cs runs (an exact tie
+    * resolves by the shared id-ascending break on both engines, so a
+    * run is internally safe and carries the SET of its attrs), then
+    * any ADJACENT run pair with gap < distEps withholds when a swap
+    * could change the query's OUTPUT — the two runs' attr sets are not
+    * the same singleton for the count-by-attribute replays (q112:
+    * label, q113: planted flag), any thin gap in `strict` mode (q115,
+    * whose keepers become corpus rows for later folds). Adjacency
+    * suffices: drift is bounded far below distEps, so a rank flip only
+    * crosses runs within distEps, and any attr-differing pair within
+    * that span forces some adjacent run pair in the span to differ in
+    * attr sets. Components are the BATCH components — supersets of any
+    * incremental fold's incoming-only components, so every subset
+    * argmin the folds take is over runs this check has covered.
+    * `baseAttr` carries (vec_id, embedding, attr). Memoized like
+    * [[semGuardsOkCached]]. */
   private def keeperRankOk(spark: SparkSession, baseAttr: DataFrame,
       model: IvfModel, minCosine: Double, strict: Boolean): Boolean = {
     import spark.implicits._
@@ -406,37 +479,61 @@ private[queries] object AnnOracles {
       val comps = graft.operators.Dedup.connectedComponents(pairs)
       val members = comps.join(assigned, comps("id") === assigned("vec_id"))
         .select(col("label").as("grp"), col("cs"), col("vec_id"), col("attr"))
-      val w = Window.partitionBy("grp").orderBy(col("cs"), col("vec_id"))
-      val top2 = members.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 2)
-        .groupBy("grp")
-        .agg(count(lit(1)).as("cnt"),
-          min(struct(col("rn"), col("cs"), col("attr"))).as("m1"),
-          max(struct(col("rn"), col("cs"), col("attr"))).as("m2"))
-        .filter(col("cnt") === 2)
-      val gapBad = top2
-        .filter(col("m2").getField("cs") =!= col("m1").getField("cs") &&
-          col("m2").getField("cs") - col("m1").getField("cs") < distEps &&
-          (if (strict) lit(true)
-           else col("m1").getField("attr") =!= col("m2").getField("attr")))
+      // bit-equal-cs runs; a run keeps the set of attrs it contains
+      val runs = members.groupBy(col("grp"), col("cs"))
+        .agg(collect_set(col("attr")).as("attrs"))
+      val w = Window.partitionBy("grp").orderBy(col("cs"))
+      val adj = runs
+        .withColumn("prev_cs", lag(col("cs"), 1).over(w))
+        .withColumn("prev_attrs", lag(col("attrs"), 1).over(w))
+        .filter(col("prev_cs").isNotNull &&
+          col("cs") - col("prev_cs") < distEps)
+      val gapBad = adj
+        .filter(if (strict) lit(true)
+          else !(size(col("attrs")) === 1 && size(col("prev_attrs")) === 1 &&
+            col("attrs").getItem(0) === col("prev_attrs").getItem(0)))
         .limit(1).collect().nonEmpty
       if (gapBad)
         System.err.println(
-          "[oracle-gen] semDedup replay withheld: (g) keeper top-2 gap " +
+          "[oracle-gen] semDedup replay withheld: (g) keeper rank gap " +
             s"inside distEps (strict=$strict)")
       !gapBad
     } finally assigned.unpersist(blocking = false)
   }
 
   private val keeperCache =
-    new scala.collection.concurrent.TrieMap[(String, Int, Double, Boolean), Boolean]()
+    new scala.collection.concurrent.TrieMap[(String, Long, Double, Boolean), Boolean]()
 
-  private[queries] def keeperRankOkCached(key: String, spark: SparkSession,
+  private[graft] def keeperRankOkCached(key: String, spark: SparkSession,
       baseAttr: DataFrame, model: IvfModel, minCosine: Double,
       strict: Boolean): Boolean =
     keeperCache.getOrElseUpdate(
-      (key, System.identityHashCode(model), minCosine, strict),
+      (key, modelFingerprint(model), minCosine, strict),
       keeperRankOk(spark, baseAttr, model, minCosine, strict))
+
+  /** Content fingerprint of a model's centroids (FNV-1a over the raw
+    * float bits): the guard caches must key on WHAT the model computes,
+    * not which object computes it — `System.identityHashCode` collides
+    * in principle (identity hashes are not unique and addresses are
+    * reused), so a freshly trained different model could inherit a
+    * stale guard verdict (ADVICE r12). Two distinct objects with equal
+    * centroids correctly HIT (the guards depend only on centroid
+    * values); kB-scale centroids make this a negligible driver cost. */
+  private def modelFingerprint(model: IvfModel): Long = {
+    var h = -3750763034362895579L // FNV-1a 64-bit offset basis
+    var i = 0
+    while (i < model.centroids.length) {
+      val c = model.centroids(i)
+      var j = 0
+      while (j < c.length) {
+        h ^= java.lang.Float.floatToRawIntBits(c(j)).toLong & 0xffffffffL
+        h *= 1099511628211L
+        j += 1
+      }
+      i += 1
+    }
+    h
+  }
 
   /** The shared batch-SemDeDup replay CTE chain, appended after CTEs
     * that define `cent(cid, cen)` and `e(vec_id, v: DOUBLE[])`:

@@ -223,7 +223,13 @@ class AdviceRegressionSpec extends SparkSpec {
     q70.run(spark, sfDir).collect().foreach { r =>
       assert(r.getBoolean(2) && r.getBoolean(3),
         s"q70 verdict false for ${r.getString(0)}")
+      assert(r.getString(4) == "checked",
+        s"q70 gate state should be 'checked' below the gate, got ${r.getString(4)}")
     }
+    // below the gate the oracle is emitted (and asserts 'checked')
+    val below = q70.oracleAt(spark, sfDir)
+    assert(below.exists(_.contains("'checked'")),
+      "q70 oracle should be emitted below the exact gate")
     val exact = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag")
       .agg(countDistinct(col("l_orderkey")).as("o"), countDistinct(col("l_partkey")).as("p"))
@@ -235,6 +241,51 @@ class AdviceRegressionSpec extends SparkSpec {
       assert(math.abs(ao - o).toDouble / o <= 0.10, s"$flag orders: $ao vs $o")
       assert(math.abs(ap - p).toDouble / p <= 0.10, s"$flag parts: $ap vs $p")
     }
+  }
+
+  test("q70 above the exact gate: verdict 'skipped', oracle withheld (ADVICE r12)") {
+    // a constant-true verdict above the gate was hash-indistinguishable
+    // from a checked one; now the gate state is an output column and
+    // the oracle generator withholds so the leg records rows-only
+    sys.props("graft.q70.gateMaxRows") = "1"
+    try {
+      val q70 = SparkEntry.allQueries.find(_.name == "q70_distinct_approx").get
+      q70.run(spark, sfDir).collect().foreach { r =>
+        assert(r.getString(4) == "skipped",
+          s"q70 gate state above the gate should be 'skipped', got ${r.getString(4)}")
+      }
+      assert(q70.oracleAt(spark, sfDir).isEmpty,
+        "q70 oracle must be withheld above the exact gate")
+    } finally sys.props -= "graft.q70.gateMaxRows"
+  }
+
+  test("keeper-rank guard withholds a thin attr gap at rank 3+ (ADVICE r12)") {
+    // the incremental replays (q112/q114/q115) take keeper argmins over
+    // incoming-only SUBSETS of a batch component, so a drift-swappable
+    // pair can sit at any rank — the old top-2-only check missed it.
+    // One cluster, one component (all pairwise cosines >= 0.9):
+    // cs(t) = 1/sqrt(1+t^2); ranks 1-2 (t=0.1, 0.05) gap ~3.7e-3 (the
+    // old check passes), ranks 3-4 (t=0.001005, 0.001) gap ~5e-9 <
+    // distEps=1e-8 and distinct.
+    val model = graft.index.IvfModel(Array(Array(1f, 0f)))
+    def fixture(attr3: String) = Seq(
+      (1L, Seq(1f, 0.1f), "A"),
+      (2L, Seq(1f, 0.05f), "A"),
+      (3L, Seq(1f, 0.001f), attr3),
+      (4L, Seq(1f, 0.001005f), "A"))
+      .toDF("vec_id", "embedding", "attr")
+    // attr-differing thin pair at ranks 3-4: output-sensitive withhold
+    assert(!graft.queries.AnnOracles.keeperRankOkCached(
+      "advtest-rank3-diff", spark, fixture("B"), model, 0.9, strict = false),
+      "thin attr-differing gap at ranks 3-4 must withhold")
+    // same-attr thin pair: a swap cannot change a count-by-attr output
+    assert(graft.queries.AnnOracles.keeperRankOkCached(
+      "advtest-rank3-same", spark, fixture("A"), model, 0.9, strict = false),
+      "same-attr thin gap must NOT withhold in output-sensitive mode")
+    // strict mode (keepers feed later folds): any thin gap withholds
+    assert(!graft.queries.AnnOracles.keeperRankOkCached(
+      "advtest-rank3-strict", spark, fixture("A"), model, 0.9, strict = true),
+      "strict mode must withhold on any thin distinct gap")
   }
 
   test("refreshIndex trains an IVF index once chunk count crosses nlist") {
