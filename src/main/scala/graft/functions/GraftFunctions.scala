@@ -37,6 +37,16 @@ object GraftFunctions {
   def int8_scale(a: Column): Column =
     Bridge.column(Int8Scale(Bridge.expression(a)))
 
+  /** Packed sign-bit binary signature of a float vector: bit i = 1 iff
+    * v(i) >= 0, ceil(dim/64) longs — the 32x-smaller scan column the
+    * Hamming prefilter runs on (see [[graft.index.BinaryQuant]]). */
+  def sign_bits(a: Column): Column =
+    Bridge.column(SignBits(Bridge.expression(a)))
+
+  /** Popcount-of-xor Hamming distance between packed sign signatures. */
+  def hamming_dist(a: Column, b: Column): Column =
+    Bridge.column(HammingDist(Bridge.expression(a), Bridge.expression(b)))
+
   /** Aggregate: the k smallest DISTINCT `item` values, ascending — a
     * size-capped `slice(array_sort(array_distinct(collect_list(item))),
     * 1, k)` whose partial buffers never exceed k values (see
@@ -55,5 +65,7 @@ object GraftFunctions {
       es => HashBucket(es(0), es(1).eval().asInstanceOf[Int]))
     Bridge.registerFunction(spark, "quantize_int8", es => QuantizeInt8(es(0)))
     Bridge.registerFunction(spark, "int8_scale", es => Int8Scale(es(0)))
+    Bridge.registerFunction(spark, "sign_bits", es => SignBits(es(0)))
+    Bridge.registerFunction(spark, "hamming_dist", es => HammingDist(es(0), es(1)))
   }
 }

@@ -720,5 +720,28 @@ object VectorQueries {
       },
       oracleGen = Some((spark, dir) => AnnOracles.safe("q28") {
         AnnOracles.q28(spark, dir, ivfModel(spark, dir, 16), nprobe = 4, k = 5)
+      })),
+
+    // Binary sign-quantization kNN: 1 bit/dim packed signatures, a
+    // codegen'd xor+popcount Hamming top-64 prefilter over the 8-byte
+    // sig column (32x less scan I/O than the float32 vectors), exact
+    // cosine rerank of the 64 winners via a broadcast join back into
+    // the corpus. The prefilter is the one ANN stage with NO float
+    // boundary at all — a stored float's sign and an integer distance
+    // replay exactly — so the oracle guards only the rerank's k/k+1
+    // cutoff (AnnOracles.q116). BinaryQuantSpec pins pack/hamming
+    // semantics, recall vs exact, and the whole-stage-codegen plan.
+    QueryDef("q116_knn_binary", None,
+      (spark, dir) => {
+        val e = table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") === 0).select("embedding")
+          .collect()(0).getSeq[Float](0).toArray
+        graft.index.BinaryQuant.knn(e, "vec_id", "embedding", q,
+            k = 10, candidates = 64)
+          .select(col("vec_id"), col("label"),
+            round(col("score"), 6).as("score"))
+      },
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q116") {
+        AnnOracles.q116(spark, dir, k = 10, cands = 64)
       })))
 }

@@ -588,3 +588,83 @@ object OrderedDoubleBucketEval {
     sortable >> (64 - bits)
   }
 }
+
+/**
+ * Sign-bit binary quantization: bit i of the packed signature is 1 iff
+ * `v[i] >= 0` — one bit per dimension, bit-packed into ceil(dim/64)
+ * longs. The at-scale prefilter this feeds ([[HammingDist]] top-C →
+ * exact rerank) scans 8 bytes/row/64-dims instead of 256 bytes of
+ * float32: a 32× reduction of the candidate-scan's I/O and cache
+ * footprint, the classic binary-quantization trade (cf. sign random
+ * projections, Charikar STOC'02 — here the "planes" are the coordinate
+ * axes, so the signature is replayable in plain SQL from the stored
+ * floats with NO arithmetic: a float's sign is exact on every engine).
+ */
+object BinarySig {
+  def pack(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val words = new Array[Long]((n + 63) >>> 6)
+    var i = 0
+    while (i < n) {
+      if (v.getFloat(i) >= 0f) words(i >>> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    new GenericArrayData(words)
+  }
+
+  /** Popcount-of-xor Hamming distance over packed words; a length
+    * mismatch counts the excess words' set bits (xor with implicit 0),
+    * so truncated signatures degrade monotonically instead of lying. */
+  def hamming(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val n = math.min(na, nb)
+    var h = 0
+    var i = 0
+    while (i < n) { h += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i)); i += 1 }
+    while (i < na) { h += java.lang.Long.bitCount(a.getLong(i)); i += 1 }
+    while (i < nb) { h += java.lang.Long.bitCount(b.getLong(i)); i += 1 }
+    h
+  }
+}
+
+/** `sign_bits(embedding)` — packed sign-bit signature (see [[BinarySig]]). */
+case class SignBits(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "sign_bits"
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    BinarySig.pack(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.sql.graft.expressions.BinarySig.pack($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `hamming_dist(sig_a, sig_b)` — popcount-of-xor over packed sign
+  * signatures. Codegen'd (stays inside whole-stage codegen on the
+  * n-row prefilter scan — xor + Long.bitCount per word, no
+  * interpreted higher-order functions on the hot path). */
+case class HammingDist(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "hamming_dist"
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    BinarySig.hamming(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = org.apache.spark.sql.graft.expressions.BinarySig.hamming($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
