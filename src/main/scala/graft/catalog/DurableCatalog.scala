@@ -461,6 +461,7 @@ private[catalog] object WalCodec {
     case IndexType.Ivf => "ivf"
     case IndexType.Hnsw => "hnsw"
     case IndexType.IvfPq => "ivfpq"
+    case IndexType.Binary => "binary"
   }
   def parseIndexType(s: String): IndexType =
     IndexType.parse(s).getOrElse(throw new IllegalStateException(s"Bad index type in WAL: $s"))

@@ -28,16 +28,23 @@ object IndexType {
     * type — 32x-compressed candidate tier behind the same facade.
     * Additive like Hnsw. */
   case object IvfPq extends IndexType
+  /** Binary sign-quantization tier (graft.index.BinaryQuant): 1
+    * bit/dim packed signatures, Hamming top-C prefilter, exact rerank.
+    * Untrained by construction (a stored float's sign is the code), so
+    * unlike LSH/IVF there is no model state at all — the index IS the
+    * (id, sig) table. Additive like Hnsw. */
+  case object Binary extends IndexType
   /** The canonical selectable names (HTTP error messages and docs
     * derive from this — one list, no drift; "flat" stays an accepted
     * alias of exact). */
-  val names: Seq[String] = Seq("lsh", "ivf", "exact", "hnsw", "ivfpq")
+  val names: Seq[String] = Seq("lsh", "ivf", "exact", "hnsw", "ivfpq", "binary")
   def parse(s: String): Either[ApiError, IndexType] = s.toLowerCase match {
     case "flat" | "exact" => Right(Exact)
     case "lsh" => Right(Lsh)
     case "ivf" => Right(Ivf)
     case "hnsw" => Right(Hnsw)
     case "ivfpq" => Right(IvfPq)
+    case "binary" => Right(Binary)
     case other => Left(ApiError.Validation(s"Invalid index type: $other"))
   }
 }
@@ -71,7 +78,7 @@ final case class IvfPqState(
   * "locking" reduces to an atomic swap of this state. */
 final case class IndexState(
     indexType: IndexType,
-    signatures: Option[DataFrame],   // LSH: (id, bucket)
+    signatures: Option[DataFrame],   // LSH: (id, bucket); Binary: (id, sig, emb_hash)
     assigned: Option[DataFrame],     // IVF: chunks + cluster_id
     lsh: Option[LshModel],
     ivf: Option[IvfModel],
@@ -356,6 +363,13 @@ final class VectorCatalog(val spark: SparkSession,
           case IndexType.IvfPq =>
             Right(IndexState(it, None, None, None, None, version.get(),
               ivfpq = buildIvfPqState(libChunks)))
+          case IndexType.Binary =>
+            // no training, no model: the signature table IS the index —
+            // 8 bytes/64-dims/row, the Hamming prefilter's whole scan.
+            // emb_hash rides along for the (id, emb_hash) reconcile.
+            val sigs = buildBinarySignatures(libChunks).cache()
+            sigs.count()
+            Right(IndexState(it, Some(sigs), None, None, None, version.get()))
         }
       }
     } yield {
@@ -502,12 +516,36 @@ final class VectorCatalog(val spark: SparkSession,
         case IndexType.IvfPq => // below threshold at build: train if ready
           state.copy(ivfpq = buildIvfPqState(libChunks),
             builtAtVersion = version.get())
+        case IndexType.Binary if state.signatures.isDefined =>
+          // stateless codes, like LSH hyperplanes: appends are exact;
+          // deletes and re-embedded chunks drop via (id, emb_hash)
+          val current = state.signatures.get
+          val kept = current.join(liveKeys, keysOf(current), "left_semi")
+            .select(current.columns.map(col).toIndexedSeq: _*)
+          val sigs = kept.unionByName(
+            buildBinarySignatures(changedOrNew(current)),
+            allowMissingColumns = true).cache()
+          sigs.count()
+          state.signatures.foreach(_.unpersist())
+          state.copy(signatures = Some(sigs), builtAtVersion = version.get())
+        case IndexType.Binary => // restored from WAL without state: full build
+          val sigs = buildBinarySignatures(libChunks).cache()
+          sigs.count()
+          state.copy(signatures = Some(sigs), builtAtVersion = version.get())
         case _ => // exact or never-built LSH index: nothing derived to refresh
           state.copy(builtAtVersion = version.get())
       }
       indexes.put(libraryId, refreshed)
       refreshed
     }
+
+  /** The binary tier's signature table: (id, sig, emb_hash) — sig is
+    * the packed sign bits (ceil(dim/64) longs), emb_hash the reconcile
+    * key shared with the other tiers. */
+  private def buildBinarySignatures(libChunks: DataFrame): DataFrame =
+    libChunks.select($"id",
+      graft.functions.GraftFunctions.sign_bits($"embedding").as("sig"),
+      xxhash64($"embedding").as("emb_hash"))
 
   /** Train the composed IVF-PQ index over the library's embedded
     * chunks: coarse centroids + residual codebooks (trained once,
@@ -742,6 +780,10 @@ final class VectorCatalog(val spark: SparkSession,
           graft.index.IndexStore.writeIvfAssigned(assigned, s"$path/indexes/$libId/ivf_assigned")
         case _ =>
       }
+      if (state.indexType == IndexType.Binary)
+        state.signatures.foreach(sigs =>
+          graft.index.IndexStore.writeBinarySignatures(sigs,
+            s"$path/indexes/$libId/binary_sigs"))
       state.hnsw.foreach { hs =>
         import spark.implicits._
         graft.index.HnswModel.write(spark, hs.graph, s"$path/indexes/$libId/hnsw_graph")
@@ -832,6 +874,17 @@ final class VectorCatalog(val spark: SparkSession,
         val hashes = if (hasHashes) rows.map(_.getLong(2)) else Array.empty[Long]
         val state = IndexState(IndexType.Hnsw, None, None, None, None,
           version.get(), hnsw = Some(HnswState(g, ids, hashes)))
+        indexes.put(libraryId, state)
+        Right(state)
+      } else if (exists(s"$base/binary_sigs")) {
+        // cache + materialize like the build path: every search scans
+        // this table (it IS the prefilter), and an uncached restore
+        // would re-read parquet per query until the first refresh
+        val sigs = spark.read.parquet(s"$base/binary_sigs")
+          .select("id", "sig", "emb_hash").cache()
+        sigs.count()
+        val state = IndexState(IndexType.Binary, Some(sigs), None, None,
+          None, version.get())
         indexes.put(libraryId, state)
         Right(state)
       } else if (exists(base)) {

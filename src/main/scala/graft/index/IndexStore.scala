@@ -42,6 +42,16 @@ object IndexStore {
       .select("id").dropDuplicates("id")
   }
 
+  /** Persist a binary signature table (id, sig, emb_hash). There is no
+    * partition-pruning dimension here BY DESIGN — the Hamming prefilter
+    * scans every signature (that full scan is already the 32×-reduced
+    * form of the corpus read), so the layout goal is only bounded,
+    * evenly-sized files regardless of upstream parallelism. */
+  def writeBinarySignatures(signatures: DataFrame, path: String,
+      numFiles: Int = 32): Unit =
+    signatures.repartition(numFiles)
+      .write.mode("overwrite").parquet(path)
+
   /** Persist an IVF-assigned chunk table partitioned by cluster. */
   def writeIvfAssigned(assigned: DataFrame, path: String): Unit =
     assigned

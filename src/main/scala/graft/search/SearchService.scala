@@ -51,6 +51,8 @@ final class SearchService(catalog: VectorCatalog) {
           hnswSearch(libraryId, universe, queryVec, k)
         case Some(IndexType.IvfPq) =>
           ivfPqSearch(libraryId, universe, queryVec, k)
+        case Some(IndexType.Binary) if catalog.indexState(libraryId).exists(_.signatures.isDefined) =>
+          binarySearch(libraryId, universe, queryVec, k)
         case _ => // exact index type, or index never built => brute force
           exactTopK(universe, queryVec, k)
       }
@@ -127,6 +129,25 @@ final class SearchService(catalog: VectorCatalog) {
           nprobe = GraftConfig.ivfNprobe, n = fetch).select("id")
         exactTopK(universe.join(cands, Seq("id"), "left_semi"), queryVec, k)
     }
+  }
+
+  /** Binary sign-quantization tier: Hamming top-C over the packed
+    * signature table (integer distance, id tiebreak — a per-partition
+    * heap over 8-byte-per-64-dims rows, the cheapest prefilter scan of
+    * any tier), then the shared post-filter + exact-cosine top-k. The
+    * candidate set is never empty for a non-empty index (every indexed
+    * chunk has a signature), so there is no LSH-style fallback. */
+  private def binarySearch(libraryId: String, universe: DataFrame,
+      queryVec: Array[Float], k: Int): Seq[SearchResult] = {
+    val state = catalog.indexState(libraryId).get
+    val fetch = math.max(4 * k, 64)
+    val qSig = graft.index.BinaryQuant.pack(queryVec)
+    val cands = state.signatures.get
+      .withColumn("ham", hamming_dist(col("sig"), typedLit(qSig.toSeq)))
+      .orderBy(col("ham").asc, col("id").asc)
+      .limit(fetch)
+      .select("id")
+    exactTopK(universe.join(cands, Seq("id"), "left_semi"), queryVec, k)
   }
 
   private def collectResults(df: DataFrame): Seq[SearchResult] = {
