@@ -680,22 +680,37 @@ object AdvancedQueries {
         val gateExact =
           graft.sources.TableStats.rowCountForSizing(li) <= q70ExactGateMaxRows
         def ok(approx: org.apache.spark.sql.Column, exact: org.apache.spark.sql.Column) =
-          if (!gateExact) lit(true)
-          else abs(approx.cast("double") / exact.cast("double") - 1.0) <= 5 * 0.02
-        val exactCols =
-          if (!gateExact) Seq.empty
-          else Seq(countDistinct(col("l_orderkey")).as("eo"),
-            countDistinct(col("l_partkey")).as("ep"))
-        li.groupBy(col("l_returnflag"))
+          abs(approx.cast("double") / exact.cast("double") - 1.0) <= 5 * 0.02
+        // the sketch aggregate alone — the production (above-gate) plan
+        val base = li.groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n_rows"),
-            (Seq(approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("ao"),
-              approx_count_distinct(col("l_partkey"), rsd = 0.02).as("ap"))
-              ++ exactCols): _*)
-          .select(col("l_returnflag"), col("n_rows"),
-            ok(col("ao"), col("eo")).as("orders_ok"),
-            ok(col("ap"), col("ep")).as("parts_ok"),
-            lit(if (gateExact) "checked" else "skipped").as("verdict"))
-          .orderBy("l_returnflag")
+            approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("ao"),
+            approx_count_distinct(col("l_partkey"), rsd = 0.02).as("ap"))
+        if (!gateExact)
+          base.select(col("l_returnflag"), col("n_rows"),
+            lit(true).as("orders_ok"), lit(true).as("parts_ok"),
+            lit("skipped").as("verdict"))
+            .orderBy("l_returnflag")
+        else {
+          // exact ground truth as two SEPARATE distinct-then-count
+          // aggregations, NOT a multi-countDistinct in the sketch agg:
+          // that plans an Expand(3) — 3x the input rows, with the
+          // 2704-register rsd-0.02 HLL buffers riding the expanded
+          // groups — measured 4.9 s vs 1.2 s for this shape at sf0.1
+          // (isolated min-of-3; sketch-only floor 0.42 s). Each
+          // distinct pre-aggregates map-side to ~|distinct| rows.
+          def exactDistinct(c: String, as: String) =
+            li.select(col("l_returnflag"), col(c)).distinct()
+              .groupBy("l_returnflag").agg(count(lit(1)).as(as))
+          base
+            .join(exactDistinct("l_orderkey", "eo"), Seq("l_returnflag"))
+            .join(exactDistinct("l_partkey", "ep"), Seq("l_returnflag"))
+            .select(col("l_returnflag"), col("n_rows"),
+              ok(col("ao"), col("eo")).as("orders_ok"),
+              ok(col("ap"), col("ep")).as("parts_ok"),
+              lit("checked").as("verdict"))
+            .orderBy("l_returnflag")
+        }
       },
       oracleGen = Some((spark, dir) => {
         val n = graft.sources.TableStats.rowCountForSizing(
