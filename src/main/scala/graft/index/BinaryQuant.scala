@@ -56,6 +56,74 @@ object BinaryQuant {
       .select(col(idCol), sign_bits(col(embCol)).as("sig"))
 
   /**
+   * Multi-index Hamming near-dup join (the banded self-join of the
+   * binary tier — Norouzi et al.'s multi-index hashing idea expressed
+   * as a Spark plan): split each signature into `nb >= maxHamming+1`
+   * disjoint bit bands; by pigeonhole, any pair within Hamming
+   * `maxHamming` matches EXACTLY on at least one band, so a plain
+   * equality self-join on (band, value) is a COMPLETE candidate
+   * generator — a deterministic recall guarantee, unlike LSH banding's
+   * probabilistic one. Candidates then pass the integer Hamming verify
+   * (codegen popcount — exact, no float boundary) and the final exact
+   * cosine threshold.
+   *
+   * Scale shape: only (id, sig) rides the exploded band join (8-16
+   * bytes/row, never the embedding); duplicate emissions are dropped
+   * by the canonical-first-shared-band filter (static integer
+   * comparisons — the q106 canonical-table rule, no dropDuplicates
+   * shuffle of the redundant mass); embeddings re-join only for the
+   * few Hamming survivors. Random signatures collide on a w-bit band
+   * with probability 2^-w (measured on the 64-dim fixture: 124
+   * candidate pairs per 2000 rows at w=16), so candidate mass stays
+   * near-linear; a corpus whose sign distribution is skewed enough to
+   * make a band value hot degrades toward the LSH hot-bucket regime
+   * and would need the same derived width cap (documented boundary,
+   * not built — the organic fixture is 500x below it).
+   *
+   * Band width `w` is the largest of 64/32/16/8/4/2/1 dividing `dim`
+   * with at least maxHamming+1 bands, so bands never span words and
+   * zero-padding bits (dim not a multiple of 64) never form a band
+   * (a pad-only band is value-0 for EVERY row — one hot band holding
+   * the full n²/2 cross product).
+   */
+  def hammingNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
+      dim: Int, maxHamming: Int, minCosine: Double): DataFrame = {
+    val w = Seq(64, 32, 16, 8, 4, 2, 1)
+      .find(x => dim % x == 0 && dim / x >= maxHamming + 1)
+      .getOrElse(throw new IllegalArgumentException(
+        s"dim=$dim cannot form ${maxHamming + 1} disjoint bands — " +
+          "maxHamming must be < dim for the pigeonhole guarantee to exist"))
+    val nb = dim / w
+    val mask = if (w == 64) -1L else (1L << w) - 1L
+    def bandVal(sig: org.apache.spark.sql.Column, b: Int) =
+      shiftright(sig.getItem(b * w / 64), (b * w) % 64).bitwiseAND(lit(mask))
+    val sigs = corpus.filter(col(embCol).isNotNull)
+      .select(col(idCol), sign_bits(col(embCol)).as("sig"))
+    val exploded = sigs.select(col(idCol), col("sig"),
+      posexplode(array((0 until nb).map(b => bandVal(col("sig"), b)): _*))
+        .as(Seq("b", "v")))
+    val joined = exploded
+      .select(col(idCol).as("ia"), col("sig").as("sa"), col("b"), col("v"))
+      .join(exploded.select(col(idCol).as("ib"), col("sig").as("sb"),
+        col("b"), col("v")), Seq("b", "v"))
+      .filter(col("ia") < col("ib"))
+    // keep a pair only at the FIRST band both signatures share
+    val canonical = (0 until nb - 1).foldLeft(joined) { (df, q) =>
+      df.filter(col("b") <= q || bandVal(col("sa"), q) =!= bandVal(col("sb"), q))
+    }
+    val survivors = canonical
+      .withColumn("ham", hamming_dist(col("sa"), col("sb")))
+      .filter(col("ham") <= maxHamming)
+      .select("ia", "ib", "ham")
+    survivors
+      .join(corpus.select(col(idCol).as("ia"), col(embCol).as("ea")), Seq("ia"))
+      .join(corpus.select(col(idCol).as("ib"), col(embCol).as("eb")), Seq("ib"))
+      .withColumn("cosine", cosine_sim(col("ea"), col("eb")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("ia"), col("ib"), col("ham"), col("cosine"))
+  }
+
+  /**
    * Single-query kNN: Hamming top-`candidates` over the signature
    * scan (integer distance, id-ascending tiebreak — deterministic with
    * no float boundary to guard), then exact cosine rerank of the C

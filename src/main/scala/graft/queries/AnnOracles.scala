@@ -265,6 +265,73 @@ private[graft] object AnnOracles {
          |LIMIT $k""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q117
+  /** Multi-index Hamming near-dup join over the planted corpus. The
+    * oracle is deliberately NOT a band replay: it brute-forces every
+    * pair's integer Hamming distance (banded to stay cheap — the band
+    * prefilter is complete for ham <= maxHamming by pigeonhole, a
+    * theorem not a float margin) and so independently verifies the
+    * ENGINE's banded join found every qualifying pair — completeness,
+    * the property LSH banding can only test probabilistically. Signs
+    * (and the planted copies' negated dims) are exact float
+    * comparisons; Hamming is an integer; the only guarded boundary is
+    * the cosine threshold (both engines fold the same doubles, so the
+    * margin defends reassociation drift only, the guard-(e) class). */
+  def q117(spark: SparkSession, dir: String, corpus: DataFrame,
+      dim: Int, maxHamming: Int, minCosine: Double): Option[String] = {
+    val allHam = graft.index.BinaryQuant.hammingNearDupPairs(
+      corpus, "vec_id", "embedding", dim, maxHamming, minCosine = -1.0)
+    val thin = allHam
+      .filter(col("cosine") =!= lit(minCosine) &&
+        abs(col("cosine") - lit(minCosine)) < distEps)
+      .limit(1).collect().nonEmpty
+    if (thin) {
+      System.err.println(
+        "[oracle-gen] q117 withheld: a candidate cosine inside the tau margin")
+      return None
+    }
+    val w = 16 // the engine picks 16 for dim=64, maxHamming=3; assert it
+    require(dim % w == 0 && dim / w >= maxHamming + 1, "band plan drifted")
+    val tau = java.lang.Double.toString(minCosine)
+    val cosAB =
+      "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / " +
+        "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * " +
+        "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+    Some(
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |off AS (SELECT max(vec_id) + 1 AS o FROM base),
+         |corpus AS (
+         |  SELECT vec_id, embedding FROM base
+         |  UNION ALL
+         |  SELECT vec_id + (SELECT o FROM off) AS vec_id,
+         |    list_concat([CAST(-embedding[1] AS FLOAT), CAST(-embedding[2] AS FLOAT)],
+         |      embedding[3:]) AS embedding
+         |  FROM base),
+         |dims AS (SELECT CAST(range AS INTEGER) AS i FROM range(0, $dim)),
+         |sb AS (SELECT c.vec_id, d.i,
+         |    CASE WHEN c.embedding[d.i + 1] >= 0 THEN 1 ELSE 0 END AS bit
+         |  FROM corpus c CROSS JOIN dims d),
+         |bands AS (SELECT vec_id, CAST(i / $w AS INTEGER) AS b,
+         |    CAST(sum(bit * (CAST(1 AS BIGINT) << (i % $w))) AS BIGINT) AS v
+         |  FROM sb GROUP BY vec_id, CAST(i / $w AS INTEGER)),
+         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM bands x JOIN bands y ON x.b = y.b AND x.v = y.v
+         |    AND x.vec_id < y.vec_id),
+         |hams AS (SELECT c.id_a, c.id_b,
+         |    CAST(sum(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END) AS INTEGER) AS ham
+         |  FROM cand c
+         |  JOIN sb p ON p.vec_id = c.id_a
+         |  JOIN sb q ON q.vec_id = c.id_b AND q.i = p.i
+         |  GROUP BY c.id_a, c.id_b)
+         |SELECT h.id_a, h.id_b, h.ham, round($cosAB, 6) AS cosine
+         |FROM hams h
+         |JOIN corpus a ON a.vec_id = h.id_a
+         |JOIN corpus b ON b.vec_id = h.id_b
+         |WHERE h.ham <= $maxHamming AND $cosAB >= $tau
+         |ORDER BY h.id_a, h.id_b""".stripMargin)
+  }
+
   // ---------------------------------------------------------------- q86
   /** HNSW single-query kNN (50 graph candidates, exact cosine rerank to
     * top-10). The graph walk itself is not SQL-expressible, but — the

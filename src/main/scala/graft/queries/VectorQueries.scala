@@ -743,5 +743,48 @@ object VectorQueries {
       },
       oracleGen = Some((spark, dir) => AnnOracles.safe("q116") {
         AnnOracles.q116(spark, dir, k = 10, cands = 64)
+      })),
+
+    // Multi-index Hamming near-dup join: the binary tier's banded
+    // self-join with a DETERMINISTIC recall guarantee — any pair
+    // within Hamming maxHamming shares at least one of the
+    // maxHamming+1 disjoint signature bands (pigeonhole), where LSH
+    // banding only guarantees recall probabilistically. The fixture's
+    // organic pairs sit at Hamming 14+ (measured, NOTES r13), so the
+    // query plants exact-construction duplicates the q113 way: one
+    // copy of every vector with dims 1-2 negated — at most 2 sign
+    // flips, replayed bit-exactly in SQL (float negation is exact).
+    // The engine's banded join must return exactly the brute-force
+    // (ham <= 3 AND cos >= 0.5) pair set the oracle computes.
+    QueryDef("q117_hamming_neardup", None,
+      (spark, dir) => {
+        graft.index.BinaryQuant.hammingNearDupPairs(q117Corpus(spark, dir),
+            "vec_id", "embedding", dim = 64, maxHamming = 3, minCosine = 0.5)
+          .select(col("ia").as("id_a"), col("ib").as("id_b"), col("ham"),
+            round(col("cosine"), 6).as("cosine"))
+          .orderBy("id_a", "id_b")
+      },
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q117") {
+        AnnOracles.q117(spark, dir, q117Corpus(spark, dir),
+          dim = 64, maxHamming = 3, minCosine = 0.5)
       })))
+
+  /** q117's planted corpus: every embedding plus a copy (ids offset by
+    * max+1, the q113 contract) with dims 1-2 NEGATED — at most two
+    * sign flips (zero dims flip nothing), cosine 1 − 2(v1²+v2²)/|v|²
+    * (≈0.94 on the 64-dim fixture), both exactly reproducible in SQL:
+    * negating a stored float is exact in both engines. */
+  private def q117Corpus(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val e = table(spark, dir, "embeddings")
+      .filter(col("embedding").isNotNull)
+      .select("vec_id", "embedding")
+    val off = e.agg(max("vec_id")).collect()(0).getLong(0) + 1
+    val planted = e.select((col("vec_id") + off).as("vec_id"),
+      concat(
+        array((-element_at(col("embedding"), 1)).cast("float"),
+          (-element_at(col("embedding"), 2)).cast("float")),
+        slice(col("embedding"), 3, 62)).as("embedding"))
+    e.unionByName(planted)
+  }
 }

@@ -80,6 +80,47 @@ class BinaryQuantSpec extends SparkSpec {
     assert(!plan.contains("CodegenFallback"), plan.take(800))
   }
 
+  test("hammingNearDupPairs: complete and duplicate-free vs brute force") {
+    // the pigeonhole claim, checked against a brute-force cross join:
+    // every pair with ham <= 3 (and cos >= tau) is found EXACTLY once
+    val corpus = emb.filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding"))
+    // plant tight duplicates (negate two dims => ham <= 2)
+    val planted = corpus.select((col("vec_id") + 10000).as("vec_id"),
+      concat(
+        array((-element_at(col("embedding"), 1)).cast("float"),
+          (-element_at(col("embedding"), 2)).cast("float")),
+        slice(col("embedding"), 3, 62)).as("embedding"))
+    val all = corpus.unionByName(planted)
+    val got = BinaryQuant.hammingNearDupPairs(all, "vec_id", "embedding",
+        dim = 64, maxHamming = 3, minCosine = 0.5)
+      .select("ia", "ib", "ham").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.length == got.distinct.length, "canonical filter must dedup")
+    val a = all.select(col("vec_id").as("ia"), col("embedding").as("ea"),
+      sign_bits(col("embedding")).as("sa"))
+    val b = all.select(col("vec_id").as("ib"), col("embedding").as("eb"),
+      sign_bits(col("embedding")).as("sb"))
+    val brute = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .withColumn("ham", hamming_dist(col("sa"), col("sb")))
+      .filter(col("ham") <= 3)
+      .withColumn("cos", cosine_sim(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.5)
+      .select("ia", "ib", "ham").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSet == brute.toSet,
+      s"banded join must equal brute force (${got.length} vs ${brute.length})")
+    assert(got.length == 300, "every planted pair found")
+  }
+
+  test("hammingNearDupPairs: refuses a band plan with no guarantee") {
+    val tiny = emb.limit(2).select(col("vec_id"), col("embedding"))
+    intercept[IllegalArgumentException] {
+      BinaryQuant.hammingNearDupPairs(tiny, "vec_id", "embedding",
+        dim = 64, maxHamming = 64, minCosine = 0.5)
+    }
+  }
+
   test("facade: binary index search agrees with exact top-k") {
     import graft.catalog.VectorCatalog
     import graft.search.SearchService
