@@ -97,24 +97,29 @@ object BinaryQuant {
     val mask = if (w == 64) -1L else (1L << w) - 1L
     def bandVal(sig: org.apache.spark.sql.Column, b: Int) =
       shiftright(sig.getItem(b * w / 64), (b * w) % 64).bitwiseAND(lit(mask))
-    val sigs = corpus.filter(col(embCol).isNotNull)
-      .select(col(idCol), sign_bits(col(embCol)).as("sig"))
-    val exploded = sigs.select(col(idCol), col("sig"),
-      posexplode(array((0 until nb).map(b => bandVal(col("sig"), b)): _*))
-        .as(Seq("b", "v")))
-    val joined = exploded
-      .select(col(idCol).as("ia"), col("sig").as("sa"), col("b"), col("v"))
-      .join(exploded.select(col(idCol).as("ib"), col("sig").as("sb"),
-        col("b"), col("v")), Seq("b", "v"))
-      .filter(col("ia") < col("ib"))
+    // ONE projection + explicit repartition on the join key, aliased
+    // only ABOVE the self-join (the q106 exchange-reuse rule): both
+    // sides then canonicalize to the identical exchange, so the
+    // scan + sign_bits + band-explode pipeline executes ONCE and the
+    // second side is a ReusedExchange, not a re-scan.
+    val exploded = corpus.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("id"), sign_bits(col(embCol)).as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(array((0 until nb).map(b => bandVal(col("sig"), b)): _*))
+          .as(Seq("b", "v")))
+      .repartition(col("b"), col("v"))
+    val joined = exploded.as("x").join(exploded.as("y"),
+      col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+        col("x.id") < col("y.id"))
     // keep a pair only at the FIRST band both signatures share
     val canonical = (0 until nb - 1).foldLeft(joined) { (df, q) =>
-      df.filter(col("b") <= q || bandVal(col("sa"), q) =!= bandVal(col("sb"), q))
+      df.filter(col("x.b") <= q ||
+        bandVal(col("x.sig"), q) =!= bandVal(col("y.sig"), q))
     }
     val survivors = canonical
-      .withColumn("ham", hamming_dist(col("sa"), col("sb")))
+      .withColumn("ham", hamming_dist(col("x.sig"), col("y.sig")))
       .filter(col("ham") <= maxHamming)
-      .select("ia", "ib", "ham")
+      .select(col("x.id").as("ia"), col("y.id").as("ib"), col("ham"))
     survivors
       .join(corpus.select(col(idCol).as("ia"), col(embCol).as("ea")), Seq("ia"))
       .join(corpus.select(col(idCol).as("ib"), col(embCol).as("eb")), Seq("ib"))

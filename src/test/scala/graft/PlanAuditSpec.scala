@@ -110,6 +110,30 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q117 Hamming join: band sides share one exchange, sigs-only shuffle") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planOf("q117_hamming_neardup")
+      // both sides of the band self-join hang off the single
+      // repartition(b, v) of the scan+sign_bits+explode pipeline —
+      // it must execute once (the q106 rule: one projection, aliases
+      // only above the join)
+      assert(plan.contains("ReusedExchange"),
+        s"band sides must share one exchange:\n${plan.take(3000)}")
+      // the band join shuffles (id, sig, b, v) — the embedding column
+      // must never ride an exchange (it re-joins only for survivors)
+      val exchangeLines = plan.linesIterator
+        .filter(_.contains("Exchange hashpartitioning"))
+        .filter(_.contains(", v#")).toSeq
+      assert(exchangeLines.nonEmpty && exchangeLines.forall(!_.contains("embedding#")),
+        s"no band exchange may carry the embedding column:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("q96 term PMI: pair sides share one repartition exchange, vocab broadcasts") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
