@@ -133,6 +133,18 @@ object GraftConfig {
   /** k<=0 => default, k>max => max (config.py:62-68). */
   def clampK(k: Int): Int = if (k <= 0) defaultK else math.min(k, maxK)
 
+  /** Hamming-prefilter candidate budget of the facade's `binary` tier,
+    * as a FRACTION of the corpus (floored at 64, and always at least
+    * 4k): one sign bit per dimension carries limited angle information,
+    * so recall at FIXED C degrades as n grows — measured on the 64-dim
+    * fixture (R13Probe binrecall): recall@10 at C=64 is 0.78 at n=500
+    * but 0.53 at n=2000, while C=256 restores 0.85 at n=2000. An
+    * n-proportional budget (default 1/8 of the corpus, i.e. scanning
+    * 8-byte sigs to rerank 12.5% of rows — still ~4x less float math
+    * than brute force plus the 32x cheaper scan) keeps the recall curve
+    * flat instead of silently decaying with corpus growth. */
+  @volatile var binaryCandidateFraction: Double = 0.125
+
   /** Target EXPECTED ids per LSH bucket per table for auto-sized bucket
     * bits (Similarity.autoBits): bits = ceil(log2(n / target)), i.e.
     * per-query candidate mass ≈ numTables · target and total bucket-join

@@ -140,7 +140,12 @@ final class SearchService(catalog: VectorCatalog) {
   private def binarySearch(libraryId: String, universe: DataFrame,
       queryVec: Array[Float], k: Int): Seq[SearchResult] = {
     val state = catalog.indexState(libraryId).get
-    val fetch = math.max(4 * k, 64)
+    // n-proportional candidate budget: 1-bit/dim signatures lose
+    // recall at FIXED C as the corpus grows (measured curve in
+    // GraftConfig.binaryCandidateFraction's doc)
+    val n = state.signatures.get.count() // cached table — cheap job
+    val fetch = math.max(math.max(4 * k, 64),
+      math.ceil(n * GraftConfig.binaryCandidateFraction).toInt)
     val qSig = graft.index.BinaryQuant.pack(queryVec)
     val cands = state.signatures.get
       .withColumn("ham", hamming_dist(col("sig"), typedLit(qSig.toSeq)))

@@ -67,6 +67,31 @@ object R13Probe {
           s""""pair_ham_hist":{$hist},""" +
           s""""band_mass_w16":${bandMass(16)},"band_mass_w8":${bandMass(8)},""" +
           s""""band_mass_w32":${bandMass(32)}}""")
+      case "binrecall" =>
+        // recall@10 of the binary tier (Hamming top-C prefilter, exact
+        // rerank) vs exact brute force, over the first 20 query ids
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("embedding").isNotNull).cache()
+        e.count()
+        val qids = e.select("vec_id").orderBy("vec_id").limit(20)
+          .collect().map(_.getLong(0))
+        val recalls = for (cands <- Seq(16, 64, 256)) yield {
+          val rs = qids.map { qid =>
+            val q = e.filter(col("vec_id") === qid).select("embedding")
+              .collect()(0).getSeq[Float](0).toArray
+            val got = graft.index.BinaryQuant.knn(e, "vec_id", "embedding",
+              q, k = 10, candidates = cands)
+              .select("vec_id").collect().map(_.getLong(0)).toSet
+            val exact = graft.operators.Similarity.knnExact(
+              e, "vec_id", "embedding", q, 10)
+              .select("vec_id").collect().map(_.getLong(0)).toSet
+            got.intersect(exact).size / 10.0
+          }
+          cands -> rs.sum / rs.length
+        }
+        val n = e.count()
+        println(s"""{"mode":"binrecall","n":$n,""" +
+          recalls.map { case (c, r) => s""""recall10_c$c":$r""" }.mkString(",") + "}")
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()
