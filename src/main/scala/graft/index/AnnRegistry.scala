@@ -40,6 +40,15 @@ object AnnRegistry {
   final case class HnswIndex(model: HnswModel, idCol: String,
       fetchK: Int = 50, ef: Int = 64) extends AnnIndexEntry
 
+  /** Binary sign-quantization tier as a Hamming-RADIUS filter: keep
+    * rows whose packed sign signature is within `radius` bit flips of
+    * the query's. A radius (not a top-C) because the rewrite injects a
+    * per-row predicate — no global ordering is expressible there — so
+    * the tuner measures the (recall, fraction) curve per radius and
+    * registers the cheapest radius clearing the target. No model state
+    * at all: the signature IS the stored float signs. */
+  final case class BinaryIndex(dim: Int, radius: Int) extends AnnIndexEntry
+
   private val indexes = new TrieMap[String, AnnIndexEntry]()
 
   def register(name: String, model: IvfModel, nprobe: Int): Unit =
@@ -51,6 +60,9 @@ object AnnRegistry {
   def registerHnsw(name: String, model: HnswModel, idCol: String,
       fetchK: Int = 50, ef: Int = 64): Unit =
     indexes.put(name, HnswIndex(model, idCol, fetchK, ef))
+
+  def registerBinary(name: String, dim: Int, radius: Int): Unit =
+    indexes.put(name, BinaryIndex(dim, radius))
 
   def get(name: String): Option[AnnIndexEntry] = indexes.get(name)
 

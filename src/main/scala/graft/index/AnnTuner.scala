@@ -160,6 +160,53 @@ object AnnTuner {
     flips <- Seq(0, 2)
   } yield LshPreset(tables, bits, flips)
 
+  /** Hamming radii measured for the binary tier, as fractions of the
+    * dimension (a radius only means something relative to the bit
+    * budget): 1/8 .. 1/2 of dim. Beyond dim/2 the signature carries no
+    * signal (random pairs center there — measured Hamming histogram in
+    * NOTES r13), so larger radii are just a full scan. */
+  def defaultBinaryRadii(dim: Int): Seq[Int] =
+    Seq(dim / 8, dim / 6, dim / 4, dim / 3, (dim * 0.4).toInt, dim / 2)
+      .distinct.filter(_ >= 1)
+
+  /** Binary-tier radius sweep over a precomputed oracle sample: ONE
+    * Spark pass per query computes the corpus Hamming histogram and
+    * the exact-top-k members' distances; every radius then evaluates
+    * driver-side (the curve is a cumulative sum). `Measured.config`
+    * is the radius. */
+  private def tuneBinaryWith(sample: (Long, Seq[(Long, Array[Float], Set[Long])]),
+      emb: DataFrame, idCol: String, embCol: String, dim: Int,
+      targetRecall: Double, k: Int, radii: Seq[Int]): Option[Measured[Int]] = {
+    import graft.functions.GraftFunctions.{hamming_dist, sign_bits}
+    val (n, queries) = sample
+    val perQuery = queries.map { case (_, q, exact) =>
+      val qSig = typedLit(BinaryQuant.pack(q).toSeq)
+      val hams = emb.filter(col(embCol).isNotNull)
+        .select(col(idCol).cast("long").as("id"),
+          hamming_dist(sign_bits(col(embCol)), qSig).as("h"))
+      val hist = hams.groupBy("h").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val exactH = hams.filter(col("id").isin(exact.toSeq.map(Long.box): _*))
+        .select("h").collect().map(_.getInt(0))
+      (hist, exactH)
+    }
+    val measured = radii.map { r =>
+      val stats = perQuery.map { case (hist, exactH) =>
+        (exactH.count(_ <= r).toDouble / k,
+          hist.filter(_._1 <= r).values.sum.toDouble / n)
+      }
+      Measured(r, stats.map(_._1).sum / stats.length,
+        stats.map(_._2).sum / stats.length)
+    }
+    pick(measured, targetRecall)
+  }
+
+  /** Public single-tier form (measurement + honest refusal). */
+  def tuneBinary(emb: DataFrame, idCol: String, embCol: String, dim: Int,
+      targetRecall: Double, k: Int = 10, nQueries: Int = 20): Option[Measured[Int]] =
+    tuneBinaryWith(sampleQueries(emb, idCol, embCol, nQueries, k),
+      emb, idCol, embCol, dim, targetRecall, k, defaultBinaryRadii(dim))
+
   /** Tune LSH and install the winner as the catalog-wide active preset
     * (GraftConfig.lshActivePreset — picked up by the next
     * indexLibrary). Returns the measurement for logging/inspection. */
@@ -185,6 +232,7 @@ object AnnTuner {
   private final case class LshPick(preset: LshPreset) extends TierPick
   private final case class IvfPick(nlist: Int, nprobe: Int) extends TierPick
   private final case class HnswPick(ef: Int, fetch: Int) extends TierPick
+  private final case class BinaryPick(radius: Int) extends TierPick
 
   /**
    * Cross-tier selection — the "which index should this corpus use"
@@ -266,7 +314,17 @@ object AnnTuner {
     val hnsw = hnswMeasured.filter(_._1.recall >= targetRecall)
       .sortBy { case (c, _) => (c.candidateFraction, -c.recall) }.headOption
 
-    lsh.toSeq ++ ivf.toSeq ++ hnsw.toSeq
+    // Binary: zero build cost (the signature is the stored sign bits —
+    // no training, and the rewrite can synthesize sign_bits per row),
+    // so its buildSeconds is genuinely 0; it competes purely on the
+    // measured (recall, fraction) curve — which it loses at low dim
+    // and wins at high dim (RECALL.md round-13 curve).
+    val binary = tuneBinaryWith(sample, emb, idCol, embCol, dim,
+        targetRecall, k, defaultBinaryRadii(dim))
+      .map(m => (TierChoice("binary", s"radius=${m.config}",
+        m.recall, m.candidateFraction, 0.0), BinaryPick(m.config)))
+
+    lsh.toSeq ++ ivf.toSeq ++ hnsw.toSeq ++ binary.toSeq
   }
 
   /**
@@ -302,6 +360,9 @@ object AnnTuner {
       case (choice, HnswPick(ef, fetch)) =>
         AnnRegistry.registerHnsw(name, HnswModel.build(emb, idCol, embCol),
           idCol, fetchK = fetch, ef = ef)
+        choice
+      case (choice, BinaryPick(radius)) =>
+        AnnRegistry.registerBinary(name, dim, radius)
         choice
     }
   }

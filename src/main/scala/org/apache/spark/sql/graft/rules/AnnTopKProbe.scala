@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.graft.expressions.{CosineSimilarity, EuclideanDistance, LshBuckets, NearestCentroid}
+import org.apache.spark.sql.graft.expressions.{CosineSimilarity, EuclideanDistance, HammingDist, LshBuckets, NearestCentroid, SignBits}
 import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType}
 
 import graft.index.AnnRegistry
@@ -129,6 +129,20 @@ object AnnTopKProbe extends Rule[LogicalPlan] {
           .map { case (id, _) => Literal(id) }
         (attr, In(attr, ids))
       }
+    case AnnRegistry.BinaryIndex(dim, radius) if dim == query.length =>
+      // Prefer filtering a PERSISTED `sig` column (the binary tier's
+      // materialized signature table — 8 bytes/64-dims, the cheap
+      // scan), mirroring the IVF cluster_id preference; synthesize
+      // sign_bits(emb) per row only when none exists in the subtree.
+      val qSig = Literal.create(
+        ArrayData.toArrayData(graft.index.BinaryQuant.pack(query)),
+        ArrayType(LongType, containsNull = false))
+      Some(attrNamed(child, "sig") match {
+        case Some(attr) =>
+          (attr, LessThanOrEqual(HammingDist(attr, qSig), Literal(radius)))
+        case None =>
+          (emb, LessThanOrEqual(HammingDist(SignBits(emb), qSig), Literal(radius)))
+      })
     case _ => None
   }
 

@@ -178,6 +178,48 @@ class AnnTopKProbeSpec extends SparkSpec {
     }
   }
 
+  test("binary tier: Hamming-radius filter == explicit radius prefilter + rerank") {
+    import graft.index.BinaryQuant
+    val q = corpus.filter($"vec_id" === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val dim = q.length
+    val radius = dim / 3 // wide enough to prune yet keep some of top-10
+    spark.conf.unset("spark.graft.ann.autoProbe")
+    val explicitForm = topk(
+      corpus.filter(hamming_dist(sign_bits(col("embedding")),
+        typedLit(BinaryQuant.pack(q).toSeq)) <= radius), q, 10)
+    AnnRegistry.registerBinary("spec-bin", dim, radius)
+    spark.conf.set("spark.graft.ann.autoProbe", "spec-bin")
+    try {
+      val auto = topk(corpus, q, 10)
+      assert(auto == explicitForm, "filter form must equal the explicit radius form")
+      val optimized = corpus
+        .withColumn("score", cosine_sim(col("embedding"), typedLit(q)))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+        .queryExecution.optimizedPlan.toString
+      assert(optimized.contains("hamming_dist") && optimized.contains("sign_bits"),
+        s"binary probe filter missing:\n$optimized")
+      assert(!optimized.toLowerCase.contains("join"),
+        "filter form must not introduce a join")
+    } finally {
+      spark.conf.unset("spark.graft.ann.autoProbe")
+      AnnRegistry.unregister("spec-bin")
+    }
+  }
+
+  test("binary tier skips a registered index of a different dimension") {
+    val q = corpus.filter($"vec_id" === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val exact = topk(corpus, q, 10)
+    AnnRegistry.registerBinary("spec-bin-dim", q.length + 1, 8)
+    spark.conf.set("spark.graft.ann.autoProbe", "spec-bin-dim")
+    try assert(topk(corpus, q, 10) == exact, "mismatched dim must not rewrite")
+    finally {
+      spark.conf.unset("spark.graft.ann.autoProbe")
+      AnnRegistry.unregister("spec-bin-dim")
+    }
+  }
+
   test("HNSW tier: optimizer-time graph navigation injects id IN candidates") {
     val g = HnswModel.build(corpus, "vec_id", "embedding")
     val q = corpus.filter($"vec_id" === 3).select("embedding")

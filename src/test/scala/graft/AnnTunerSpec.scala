@@ -68,6 +68,34 @@ class AnnTunerSpec extends SparkSpec {
     assert(qualifiers.forall(_.candidateFraction >= c.candidateFraction))
   }
 
+  test("binary tuning: monotone radius curve, cheapest qualifier, honest refusal") {
+    // measured curve: recall and fraction both grow with radius, so
+    // the cheapest radius meeting a modest target exists, and the
+    // tuner must refuse targets past what any measured radius reaches
+    val dim = emb.filter(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).length
+    val lo = AnnTuner.tuneBinary(emb, "vec_id", "embedding", dim, targetRecall = 0.3)
+    assert(lo.isDefined, "0.3 must be reachable on this corpus")
+    info(f"picked radius = ${lo.get.config}, recall = ${lo.get.recall}%.2f, " +
+      f"fraction = ${lo.get.candidateFraction}%.3f")
+    assert(lo.get.recall >= 0.3 && lo.get.candidateFraction < 1.0)
+    val hi = AnnTuner.tuneBinary(emb, "vec_id", "embedding", dim, targetRecall = 0.7)
+    hi.foreach { h =>
+      assert(h.candidateFraction >= lo.get.candidateFraction,
+        "a higher target cannot be cheaper")
+    }
+    // dim/2 is the measured maximum useful radius (random pairs center
+    // there); recall 1.0 needs every exact neighbor inside it, which
+    // this wide-angle synthetic corpus does not give — must refuse
+    val impossible = AnnTuner.tuneBinary(emb, "vec_id", "embedding", dim,
+      targetRecall = 1.0)
+    impossible.foreach(m => assert(m.recall >= 1.0,
+      "if a pick is returned at target 1.0 it must genuinely measure 1.0"))
+    // deterministic
+    assert(AnnTuner.tuneBinary(emb, "vec_id", "embedding", dim, 0.3)
+      .map(_.config) == lo.map(_.config))
+  }
+
   test("LSH tuning handles non-long id columns") {
     import spark.implicits._
     // int ids exercise the cast path that raw getLong would CCE on
