@@ -84,7 +84,11 @@ final case class IndexState(
     ivf: Option[IvfModel],
     builtAtVersion: Long,
     hnsw: Option[HnswState] = None,  // HNSW: graph + node->chunk-id map
-    ivfpq: Option[IvfPqState] = None) // IVF-PQ: model + encoded codes
+    ivfpq: Option[IvfPqState] = None, // IVF-PQ: model + encoded codes
+    // Binary: signature row count, captured from the count() that
+    // materializes the cache at build/refresh/restore — sizes the
+    // n-proportional candidate budget WITHOUT a per-search Spark job
+    sigCount: Option[Long] = None)
 
 /**
  * Driver-side catalog + chunk store for the Library -> Document -> Chunk
@@ -368,8 +372,9 @@ final class VectorCatalog(val spark: SparkSession,
             // 8 bytes/64-dims/row, the Hamming prefilter's whole scan.
             // emb_hash rides along for the (id, emb_hash) reconcile.
             val sigs = buildBinarySignatures(libChunks).cache()
-            sigs.count()
-            Right(IndexState(it, Some(sigs), None, None, None, version.get()))
+            val n = sigs.count()
+            Right(IndexState(it, Some(sigs), None, None, None, version.get(),
+              sigCount = Some(n)))
         }
       }
     } yield {
@@ -525,13 +530,15 @@ final class VectorCatalog(val spark: SparkSession,
           val sigs = kept.unionByName(
             buildBinarySignatures(changedOrNew(current)),
             allowMissingColumns = true).cache()
-          sigs.count()
+          val nSigs = sigs.count()
           state.signatures.foreach(_.unpersist())
-          state.copy(signatures = Some(sigs), builtAtVersion = version.get())
+          state.copy(signatures = Some(sigs), builtAtVersion = version.get(),
+            sigCount = Some(nSigs))
         case IndexType.Binary => // restored from WAL without state: full build
           val sigs = buildBinarySignatures(libChunks).cache()
-          sigs.count()
-          state.copy(signatures = Some(sigs), builtAtVersion = version.get())
+          val nSigs = sigs.count()
+          state.copy(signatures = Some(sigs), builtAtVersion = version.get(),
+            sigCount = Some(nSigs))
         case _ => // exact or never-built LSH index: nothing derived to refresh
           state.copy(builtAtVersion = version.get())
       }
@@ -882,9 +889,9 @@ final class VectorCatalog(val spark: SparkSession,
         // would re-read parquet per query until the first refresh
         val sigs = spark.read.parquet(s"$base/binary_sigs")
           .select("id", "sig", "emb_hash").cache()
-        sigs.count()
+        val nSigs = sigs.count()
         val state = IndexState(IndexType.Binary, Some(sigs), None, None,
-          None, version.get())
+          None, version.get(), sigCount = Some(nSigs))
         indexes.put(libraryId, state)
         Right(state)
       } else if (exists(base)) {

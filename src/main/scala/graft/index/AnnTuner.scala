@@ -51,11 +51,16 @@ object AnnTuner {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Exact top-k ids per sampled query — the shared oracle. */
+  /** Exact top-k ids per sampled query — the shared oracle. Null
+    * embeddings can be neither queries nor candidates (every tier's
+    * scan filters them), so `n` — the candidate-fraction denominator —
+    * is the INDEXABLE row count, and the query sample draws from the
+    * same not-null universe. */
   private def sampleQueries(emb: DataFrame, idCol: String, embCol: String,
       nQueries: Int, k: Int): (Long, Seq[(Long, Array[Float], Set[Long])]) = {
-    val n = emb.count()
-    val qs = emb.orderBy(col(idCol)).limit(nQueries)
+    val notNull = emb.filter(col(embCol).isNotNull)
+    val n = notNull.count()
+    val qs = notNull.orderBy(col(idCol)).limit(nQueries)
       .select(col(idCol).cast("long"), col(embCol).cast("array<float>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -95,7 +100,8 @@ object AnnTuner {
         val cands = model.multiProbeCandidates(sigs, q, p.flips)
           .select(col("id").cast("long"))
           .collect().map(_.getLong(0)).toSet
-        (cands.intersect(exact).size.toDouble / k, cands.size.toDouble / n)
+        (cands.intersect(exact).size.toDouble / math.max(exact.size, 1),
+          cands.size.toDouble / n)
       }
       sigs.unpersist()
       Measured(p, stats.map(_._1).sum / stats.length, stats.map(_._2).sum / stats.length,
@@ -131,7 +137,8 @@ object AnnTuner {
         val stats = queries.map { case (_, q, exact) =>
           val cands = model.candidates(assigned, q, nprobe)
             .select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet
-          (cands.intersect(exact).size.toDouble / k, cands.size.toDouble / n)
+          (cands.intersect(exact).size.toDouble / math.max(exact.size, 1),
+            cands.size.toDouble / n)
         }
         Measured((nlist, nprobe),
           stats.map(_._1).sum / stats.length, stats.map(_._2).sum / stats.length,
@@ -178,7 +185,7 @@ object AnnTuner {
       emb: DataFrame, idCol: String, embCol: String, dim: Int,
       targetRecall: Double, k: Int, radii: Seq[Int]): Option[Measured[Int]] = {
     import graft.functions.GraftFunctions.{hamming_dist, sign_bits}
-    val (n, queries) = sample
+    val (_, queries) = sample
     val perQuery = queries.map { case (_, q, exact) =>
       val qSig = typedLit(BinaryQuant.pack(q).toSeq)
       val hams = emb.filter(col(embCol).isNotNull)
@@ -192,8 +199,13 @@ object AnnTuner {
     }
     val measured = radii.map { r =>
       val stats = perQuery.map { case (hist, exactH) =>
-        (exactH.count(_ <= r).toDouble / k,
-          hist.filter(_._1 <= r).values.sum.toDouble / n)
+        // denominators: the Hamming scan filters out null embeddings,
+        // so the candidate fraction divides by the histogram's own row
+        // mass (= not-null count), not emb.count(); recall divides by
+        // the actual exact-set size (< k on tiny corpora)
+        val nn = math.max(hist.values.sum, 1L)
+        (exactH.count(_ <= r).toDouble / math.max(exactH.length, 1),
+          hist.filter(_._1 <= r).values.sum.toDouble / nn)
       }
       Measured(r, stats.map(_._1).sum / stats.length,
         stats.map(_._2).sum / stats.length)
@@ -305,7 +317,8 @@ object AnnTuner {
       val effEf = math.max(ef, fetch)
       val stats = queries.map { case (_, q, exact) =>
         val cands = graph.search(q, fetch, effEf).map(_._1).toSet
-        (cands.intersect(exact).size.toDouble / k, cands.size.toDouble / n)
+        (cands.intersect(exact).size.toDouble / math.max(exact.size, 1),
+          cands.size.toDouble / n)
       }
       (TierChoice("hnsw", s"ef=$effEf fetch=$fetch",
         stats.map(_._1).sum / stats.length, stats.map(_._2).sum / stats.length,
@@ -314,15 +327,23 @@ object AnnTuner {
     val hnsw = hnswMeasured.filter(_._1.recall >= targetRecall)
       .sortBy { case (c, _) => (c.candidateFraction, -c.recall) }.headOption
 
-    // Binary: zero build cost (the signature is the stored sign bits —
-    // no training, and the rewrite can synthesize sign_bits per row),
-    // so its buildSeconds is genuinely 0; it competes purely on the
-    // measured (recall, fraction) curve — which it loses at low dim
-    // and wins at high dim (RECALL.md round-13 curve).
+    // Binary: no training, but the build is NOT free — the signature
+    // table costs one full wide scan to materialize (BinaryQuant
+    // .signatures: read every embedding once, emit 8 bytes/64 dims),
+    // and at 100 TB that scan IS the tier's build bill. Time it
+    // honestly like the other tiers' builds; it still competes on the
+    // (recall, fraction) curve — losing at low dim, winning at high
+    // dim (RECALL.md round-13 curve) — and now also under the build
+    // budget knob.
+    val (_, binaryBuildS) = timed {
+      val sigs = BinaryQuant.signatures(emb, idCol, embCol).cache()
+      sigs.count()
+      sigs.unpersist()
+    }
     val binary = tuneBinaryWith(sample, emb, idCol, embCol, dim,
         targetRecall, k, defaultBinaryRadii(dim))
       .map(m => (TierChoice("binary", s"radius=${m.config}",
-        m.recall, m.candidateFraction, 0.0), BinaryPick(m.config)))
+        m.recall, m.candidateFraction, binaryBuildS), BinaryPick(m.config)))
 
     lsh.toSeq ++ ivf.toSeq ++ hnsw.toSeq ++ binary.toSeq
   }

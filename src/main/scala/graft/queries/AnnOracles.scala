@@ -290,8 +290,9 @@ private[graft] object AnnOracles {
         "[oracle-gen] q117 withheld: a candidate cosine inside the tau margin")
       return None
     }
-    val w = 16 // the engine picks 16 for dim=64, maxHamming=3; assert it
-    require(dim % w == 0 && dim / w >= maxHamming + 1, "band plan drifted")
+    // the engine's own band plan (16 for dim=64, maxHamming=3) — shared
+    // rule, so the replay can never drift from the implementation
+    val w = graft.index.BinaryQuant.bandWidth(dim, maxHamming)
     val tau = java.lang.Double.toString(minCosine)
     val cosAB =
       "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / " +

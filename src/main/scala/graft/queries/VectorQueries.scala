@@ -784,7 +784,10 @@ object VectorQueries {
       concat(
         array((-element_at(col("embedding"), 1)).cast("float"),
           (-element_at(col("embedding"), 2)).cast("float")),
-        slice(col("embedding"), 3, 62)).as("embedding"))
+        // tail length derived from the row's own embedding (the oracle's
+        // embedding[3:] is likewise open-ended) — no fixture-dim bake-in
+        slice(col("embedding"), lit(3),
+          greatest(size(col("embedding")) - 2, lit(0)))).as("embedding"))
     e.unionByName(planted)
   }
 }

@@ -142,8 +142,10 @@ final class SearchService(catalog: VectorCatalog) {
     val state = catalog.indexState(libraryId).get
     // n-proportional candidate budget: 1-bit/dim signatures lose
     // recall at FIXED C as the corpus grows (measured curve in
-    // GraftConfig.binaryCandidateFraction's doc)
-    val n = state.signatures.get.count() // cached table — cheap job
+    // GraftConfig.binaryCandidateFraction's doc). The count was
+    // captured when the cached table was materialized at
+    // build/refresh/restore — no Spark job on the search hot path.
+    val n = state.sigCount.getOrElse(state.signatures.get.count())
     val fetch = math.max(math.max(4 * k, 64),
       math.ceil(n * GraftConfig.binaryCandidateFraction).toInt)
     val qSig = graft.index.BinaryQuant.pack(queryVec)

@@ -110,8 +110,11 @@ object AnnTopKProbe extends Rule[LogicalPlan] {
       // assigned table): on a partitionBy("cluster_id") layout the IN
       // becomes PartitionFilters — file pruning, zero per-row work.
       // Synthesize nearest_centroid(emb) only when no assignment
-      // column exists in the subtree.
-      Some(attrNamed(child, "cluster_id") match {
+      // column exists in the subtree. The name alone is not enough
+      // provenance — an unrelated user column called cluster_id of
+      // the wrong type would break analysis or silently mis-filter —
+      // so the binding also requires the assignment's exact type.
+      Some(attrNamed(child, "cluster_id", _.dataType == IntegerType) match {
         case Some(attr) => (attr, In(attr, probed))
         case None => (emb, In(NearestCentroid(emb, model.centroids), probed))
       })
@@ -134,12 +137,28 @@ object AnnTopKProbe extends Rule[LogicalPlan] {
       // materialized signature table — 8 bytes/64-dims, the cheap
       // scan), mirroring the IVF cluster_id preference; synthesize
       // sign_bits(emb) per row only when none exists in the subtree.
+      // `sig` is a generic name, so the binding demands the packed
+      // signature's shape — array<long> — before trusting it: a
+      // wrong-typed user column falls back to synthesizing
+      // sign_bits(emb). Length can't be checked at optimization time
+      // (the type carries no arity), and HammingDist on mismatched
+      // word counts degrades monotonically rather than erroring — a
+      // silently LOSSY prefilter if the column came from a different
+      // embedding space — so the injected predicate fails OPEN: rows
+      // whose signature is not exactly ceil(dim/64) words skip the
+      // prefilter and ride through to the exact rerank on top.
+      val words = (query.length + 63) / 64
       val qSig = Literal.create(
         ArrayData.toArrayData(graft.index.BinaryQuant.pack(query)),
         ArrayType(LongType, containsNull = false))
-      Some(attrNamed(child, "sig") match {
+      Some(attrNamed(child, "sig", a => a.dataType match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      }) match {
         case Some(attr) =>
-          (attr, LessThanOrEqual(HammingDist(attr, qSig), Literal(radius)))
+          (attr, Or(
+            Not(EqualTo(Size(attr), Literal(words))),
+            LessThanOrEqual(HammingDist(attr, qSig), Literal(radius))))
         case None =>
           (emb, LessThanOrEqual(HammingDist(SignBits(emb), qSig), Literal(radius)))
       })
@@ -176,14 +195,16 @@ object AnnTopKProbe extends Rule[LogicalPlan] {
     }
   }
 
-  /** An attribute of the given name anywhere in the subtree (e.g. the
-    * pre-assigned `cluster_id` column, or the HNSW id column), lowest
-    * occurrence preferred. */
-  private def attrNamed(plan: LogicalPlan, name: String): Option[Attribute] = {
+  /** An attribute of the given name (and, for the index-owned column
+    * bindings, the index's expected type — the name alone is weak
+    * provenance) anywhere in the subtree, lowest occurrence
+    * preferred. */
+  private def attrNamed(plan: LogicalPlan, name: String,
+      typeOk: Attribute => Boolean = _ => true): Option[Attribute] = {
     var found: Option[Attribute] = None
     plan.foreachUp {
       case p if found.isEmpty =>
-        found = p.output.find(_.name == name)
+        found = p.output.find(a => a.name == name && typeOk(a))
       case _ =>
     }
     found

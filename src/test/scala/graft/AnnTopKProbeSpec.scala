@@ -284,4 +284,104 @@ class AnnTopKProbeSpec extends SparkSpec {
       AnnRegistry.unregister("spec-idx3")
     }
   }
+
+  // ---- ADVICE r13: index-owned column bindings need type provenance ----
+
+  /** topk that also COLLECTS `keep`, so column pruning cannot remove it
+    * from the plan the rule inspects — the adversarial shape for the
+    * name-collision regressions below. */
+  private def topkKeeping(df: org.apache.spark.sql.DataFrame, keep: String,
+      q: Array[Float], k: Int): Seq[Long] =
+    df.withColumn("score", cosine_sim(col("embedding"), typedLit(q)))
+      .orderBy(col("score").desc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col(keep))
+      .collect().map(_.getLong(0)).toSeq
+
+  test("binary tier: wrong-typed user 'sig' column -> synthesized sign_bits") {
+    import graft.index.BinaryQuant
+    val q = corpus.filter($"vec_id" === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val dim = q.length
+    val radius = dim / 3
+    // localCheckpoint makes sig a REAL source attribute (a persisted
+    // table's shape) — a plain withColumn alias gets collapsed into the
+    // top Project above the Limit and never reaches the rule's subtree
+    val tainted = corpus.withColumn("sig", lit("not-a-signature"))
+      .localCheckpoint(true)
+    spark.conf.unset("spark.graft.ann.autoProbe")
+    val explicitForm = topkKeeping(
+      tainted.filter(hamming_dist(sign_bits(col("embedding")),
+        typedLit(BinaryQuant.pack(q).toSeq)) <= radius), "sig", q, 10)
+    AnnRegistry.registerBinary("spec-bin-type", dim, radius)
+    spark.conf.set("spark.graft.ann.autoProbe", "spec-bin-type")
+    try assert(topkKeeping(tainted, "sig", q, 10) == explicitForm,
+      "a string 'sig' must not be bound as the signature column")
+    finally {
+      spark.conf.unset("spark.graft.ann.autoProbe")
+      AnnRegistry.unregister("spec-bin-type")
+    }
+  }
+
+  test("binary tier: wrong-LENGTH persisted sig fails OPEN to the exact rerank") {
+    val q = corpus.filter($"vec_id" === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    // a signature from some OTHER space: array<long> (type passes) but
+    // two words where ceil(64/64) = 1 — Hamming against it is garbage,
+    // so the injected predicate must admit every mismatched row and let
+    // the exact rerank decide (NOT silently prefilter on noise)
+    val alien = corpus.withColumn("sig", array(lit(0L), lit(0L)))
+      .localCheckpoint(true) // real source attribute, not a collapsible alias
+    spark.conf.unset("spark.graft.ann.autoProbe")
+    val exact = topkKeeping(alien, "sig", q, 10)
+    AnnRegistry.registerBinary("spec-bin-len", q.length, radius = 4)
+    spark.conf.set("spark.graft.ann.autoProbe", "spec-bin-len")
+    try assert(topkKeeping(alien, "sig", q, 10) == exact,
+      "mismatched word count must pass through, not lossily prefilter")
+    finally {
+      spark.conf.unset("spark.graft.ann.autoProbe")
+      AnnRegistry.unregister("spec-bin-len")
+    }
+  }
+
+  test("binary tier: a CORRECT persisted sig column is still used and filters") {
+    import graft.index.BinaryQuant
+    val q = corpus.filter($"vec_id" === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val dim = q.length
+    val radius = dim / 3
+    val withSig = corpus.withColumn("sig", sign_bits(col("embedding")))
+      .localCheckpoint(true) // real source attribute, not a collapsible alias
+    spark.conf.unset("spark.graft.ann.autoProbe")
+    val explicitForm = topkKeeping(
+      withSig.filter(hamming_dist(col("sig"),
+        typedLit(BinaryQuant.pack(q).toSeq)) <= radius), "sig", q, 10)
+    AnnRegistry.registerBinary("spec-bin-ok", dim, radius)
+    spark.conf.set("spark.graft.ann.autoProbe", "spec-bin-ok")
+    try assert(topkKeeping(withSig, "sig", q, 10) == explicitForm,
+      "a well-typed right-length sig must keep the radius prefilter")
+    finally {
+      spark.conf.unset("spark.graft.ann.autoProbe")
+      AnnRegistry.unregister("spec-bin-ok")
+    }
+  }
+
+  test("IVF tier: wrong-typed user 'cluster_id' -> synthesized nearest_centroid") {
+    val model = IvfModel.train(corpus, "embedding", nlist = 8)
+    val q = corpus.filter($"vec_id" === 3).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val tainted = corpus.withColumn("cluster_id", lit("zone-a"))
+      .localCheckpoint(true) // real source attribute, not a collapsible alias
+    spark.conf.unset("spark.graft.ann.autoProbe")
+    val explicitProbe = topk(
+      model.candidates(model.assign(corpus, "embedding"), q, nprobe = 2), q, 10)
+    AnnRegistry.register("spec-ivf-type", model, nprobe = 2)
+    spark.conf.set("spark.graft.ann.autoProbe", "spec-ivf-type")
+    try assert(topkKeeping(tainted, "cluster_id", q, 10) == explicitProbe,
+      "a string 'cluster_id' must not be bound as the assignment column")
+    finally {
+      spark.conf.unset("spark.graft.ann.autoProbe")
+      AnnRegistry.unregister("spec-ivf-type")
+    }
+  }
 }

@@ -200,4 +200,21 @@ class AnnTunerSpec extends SparkSpec {
     assert(r.isEmpty)
     assert(AnnRegistry.get("tuned-none").isEmpty, "refusal must not register")
   }
+
+  test("null embeddings: fraction denominator is the indexable count (ADVICE r13)") {
+    import spark.implicits._
+    // 20 identical indexable rows + 20 null-embedding rows: every tier
+    // scans only the not-null universe, so any radius that admits the
+    // identical rows has candidate fraction exactly 1.0 of the 20 —
+    // dividing by the raw 40-row count would claim 0.5
+    val rows = (0L until 20L).map(i => (i, Array.fill(64)(0.5f))) ++
+      (20L until 40L).map(i => (i, null.asInstanceOf[Array[Float]]))
+    val df = rows.toDF("vec_id", "embedding")
+    val m = AnnTuner.tuneBinary(df, "vec_id", "embedding", dim = 64,
+      targetRecall = 0.9)
+    assert(m.isDefined)
+    assert(m.get.recall == 1.0)
+    assert(m.get.candidateFraction == 1.0,
+      s"denominator must be the 20 indexable rows, not 40: ${m.get}")
+  }
 }
