@@ -21,7 +21,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.allQueries.filter(q => only.isEmpty || only(q.name)).foreach { q =>
+    // Manifest FIRST (before any query runs): the self-produced
+    // correctness artifact (validate.py --json) cross-checks its entry
+    // set against this list, so a query that crashes mid-run — or a
+    // round artifact that comes back empty, like CORRECTNESS_r13.json's
+    // literal {} — is a loud count mismatch, never a silent omission.
+    val selected = SparkEntry.allQueries.filter(q => only.isEmpty || only(q.name))
+    Files.writeString(Paths.get(s"$outDir/queries.txt"),
+      selected.map(_.name).mkString("", "\n", "\n"))
+    selected.foreach { q =>
       try q.run(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/${q.name}")
       catch { case e: Throwable =>

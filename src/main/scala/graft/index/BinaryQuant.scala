@@ -75,10 +75,22 @@ object BinaryQuant {
    * few Hamming survivors. Random signatures collide on a w-bit band
    * with probability 2^-w (measured on the 64-dim fixture: 124
    * candidate pairs per 2000 rows at w=16), so candidate mass stays
-   * near-linear; a corpus whose sign distribution is skewed enough to
-   * make a band value hot degrades toward the LSH hot-bucket regime
-   * and would need the same derived width cap (documented boundary,
-   * not built — the organic fixture is 500x below it).
+   * near-linear. A corpus whose sign distribution is skewed enough to
+   * make a band value hot (a constant-sign dim region puts the WHOLE
+   * corpus in one band group — W²/2 pairs in one task) gets the LSH
+   * hot-bucket treatment: groups wider than the derived
+   * [[graft.model.GraftConfig.binaryMaxBandWidth]] (≈724 — W²/2 equals
+   * the per-task candidate budget) are thinned to ~cap members by a
+   * seeded deterministic id-hash. Thinning is SURVIVAL-AWARE in the
+   * dedup: each row carries a bitmask of the bands it survived, and
+   * the canonical filter defers a pair to an earlier shared band ONLY
+   * if both members survived there — so a hot band loses only pairs
+   * confined to it (both members evicted from every shared band), and
+   * a pair that still shares one unthinned band occurrence is found
+   * exactly once. The guard costs two extra narrow exchanges and is
+   * engaged only when a hot group actually exists (a cheap existence
+   * probe); organic corpora keep the single-exchange plan and the
+   * UNCONDITIONAL pigeonhole guarantee bit-identically.
    *
    * Band width `w` is the largest of 64/32/16/8/4/2/1 dividing `dim`
    * with at least maxHamming+1 bands, so bands never span words and
@@ -86,35 +98,104 @@ object BinaryQuant {
    * (a pad-only band is value-0 for EVERY row — one hot band holding
    * the full n²/2 cross product).
    */
-  def hammingNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
-      dim: Int, maxHamming: Int, minCosine: Double): DataFrame = {
-    val w = Seq(64, 32, 16, 8, 4, 2, 1)
+  /** The band plan: largest of 64/32/16/8/4/2/1 dividing `dim` with at
+    * least maxHamming+1 bands (see [[hammingNearDupPairs]]'s doc).
+    * Public so the oracle replay computes the IDENTICAL plan instead
+    * of hardcoding the fixture's answer. */
+  def bandWidth(dim: Int, maxHamming: Int): Int =
+    Seq(64, 32, 16, 8, 4, 2, 1)
       .find(x => dim % x == 0 && dim / x >= maxHamming + 1)
       .getOrElse(throw new IllegalArgumentException(
         s"dim=$dim cannot form ${maxHamming + 1} disjoint bands — " +
           "maxHamming must be < dim for the pigeonhole guarantee to exist"))
-    val nb = dim / w
+
+  /** Band b's w-bit value extracted from the packed signature column. */
+  private def bandVal(sig: org.apache.spark.sql.Column, b: Int, w: Int) = {
     val mask = if (w == 64) -1L else (1L << w) - 1L
-    def bandVal(sig: org.apache.spark.sql.Column, b: Int) =
-      shiftright(sig.getItem(b * w / 64), (b * w) % 64).bitwiseAND(lit(mask))
-    // ONE projection + explicit repartition on the join key, aliased
-    // only ABOVE the self-join (the q106 exchange-reuse rule): both
-    // sides then canonicalize to the identical exchange, so the
-    // scan + sign_bits + band-explode pipeline executes ONCE and the
-    // second side is a ReusedExchange, not a re-scan.
-    val exploded = corpus.filter(col(embCol).isNotNull)
+    shiftright(sig.getItem(b * w / 64), (b * w) % 64).bitwiseAND(lit(mask))
+  }
+
+  /** The (id, sig, b, v) band-occurrence stream, repartitioned on the
+    * join key. ONE projection + explicit repartition, aliased only
+    * ABOVE the self-join (the q106 exchange-reuse rule): both sides
+    * then canonicalize to the identical exchange, so the scan +
+    * sign_bits + band-explode pipeline executes ONCE and the second
+    * side is a ReusedExchange, not a re-scan. */
+  private[graft] def explodedBands(corpus: DataFrame, idCol: String,
+      embCol: String, dim: Int, maxHamming: Int): DataFrame = {
+    val w = bandWidth(dim, maxHamming)
+    val nb = dim / w
+    corpus.filter(col(embCol).isNotNull)
       .select(col(idCol).as("id"), sign_bits(col(embCol)).as("sig"))
       .select(col("id"), col("sig"),
-        posexplode(array((0 until nb).map(b => bandVal(col("sig"), b)): _*))
+        posexplode(array((0 until nb).map(b => bandVal(col("sig"), b, w)): _*))
           .as(Seq("b", "v")))
       .repartition(col("b"), col("v"))
-    val joined = exploded.as("x").join(exploded.as("y"),
-      col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
-        col("x.id") < col("y.id"))
-    // keep a pair only at the FIRST band both signatures share
-    val canonical = (0 until nb - 1).foldLeft(joined) { (df, q) =>
-      df.filter(col("x.b") <= q ||
-        bandVal(col("x.sig"), q) =!= bandVal(col("y.sig"), q))
+  }
+
+  /** The capped occurrence stream: (id, sig, bm, b, v) where `bm` is
+    * the per-id bitmask of bands the row SURVIVED under the hot-band
+    * width cap (seeded deterministic id-hash thinning of groups wider
+    * than the cap — the LSH hot-bucket treatment), and only surviving
+    * occurrences remain. The mask is what makes the canonical filter
+    * survival-aware. Exposed for the skew-audit spec (candidate mass
+    * = Σ over (b,v) groups of w(w−1)/2). */
+  private[graft] def cappedBands(exploded: DataFrame, hot: DataFrame,
+      hotN: Long, cap: Int, dim: Int, maxHamming: Int): DataFrame = {
+    val w = bandWidth(dim, maxHamming)
+    val nb = dim / w
+    val hotSide = if (hotN <= 65536) broadcast(hot) else hot
+    val surv = exploded.join(hotSide, Seq("b", "v"), "left")
+      .withColumn("__s", col("__w").isNull ||
+        pmod(xxhash64(col("id"), lit(0x5eedL)), col("__w")) < cap)
+    val perId = surv.groupBy("id").agg(
+      first(col("sig")).as("sig"),
+      sum(when(col("__s"),
+          expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(0L)).as("bm"))
+      .filter(col("bm") =!= 0L)
+    perId.select(col("id"), col("sig"), col("bm"),
+        posexplode(array((0 until nb).map(b => bandVal(col("sig"), b, w)): _*))
+          .as(Seq("b", "v")))
+      .filter(expr("bm & shiftleft(CAST(1 AS BIGINT), b)") =!= 0L)
+      .repartition(col("b"), col("v"))
+  }
+
+  def hammingNearDupPairs(corpus: DataFrame, idCol: String, embCol: String,
+      dim: Int, maxHamming: Int, minCosine: Double): DataFrame = {
+    val w = bandWidth(dim, maxHamming)
+    val nb = dim / w
+    val exploded = explodedBands(corpus, idCol, embCol, dim, maxHamming)
+    // hot-band existence probe: widths aggregate on the SAME (b, v)
+    // exchange (ReusedExchange); hot groups are rare by construction
+    // (expected width n/2^w for random signs), so this is a cheap
+    // driver decision, and the common case keeps last round's plan
+    val cap = graft.model.GraftConfig.binaryMaxBandWidth
+    val widths = exploded.groupBy("b", "v").agg(count(lit(1)).as("__w"))
+    val hot = widths.filter(col("__w") > cap)
+    val hotN = hot.count()
+    val canonical = if (hotN == 0L) {
+      val joined = exploded.as("x").join(exploded.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.id") < col("y.id"))
+      // keep a pair only at the FIRST band both signatures share
+      (0 until nb - 1).foldLeft(joined) { (df, q) =>
+        df.filter(col("x.b") <= q ||
+          bandVal(col("x.sig"), q, w) =!= bandVal(col("y.sig"), q, w))
+      }
+    } else {
+      val keyed = cappedBands(exploded, hot, hotN, cap, dim, maxHamming)
+      val joined = keyed.as("x").join(keyed.as("y"),
+        col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+          col("x.id") < col("y.id"))
+      // defer to an earlier shared band ONLY where both survived —
+      // otherwise the pair was never emitted there and deferring
+      // would lose it (the cascade the survival mask exists to stop)
+      (0 until nb - 1).foldLeft(joined) { (df, q) =>
+        df.filter(col("x.b") <= q ||
+          bandVal(col("x.sig"), q, w) =!= bandVal(col("y.sig"), q, w) ||
+          col("x.bm").bitwiseAND(lit(1L << q)) === 0L ||
+          col("y.bm").bitwiseAND(lit(1L << q)) === 0L)
+      }
     }
     val survivors = canonical
       .withColumn("ham", hamming_dist(col("x.sig"), col("y.sig")))

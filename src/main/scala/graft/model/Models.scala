@@ -145,6 +145,36 @@ object GraftConfig {
     * flat instead of silently decaying with corpus growth. */
   @volatile var binaryCandidateFraction: Double = 0.125
 
+  /** Target candidate mass (Hamming verifies) a single hot BAND group
+    * may emit into the one task that owns its (band, value) key in the
+    * multi-index Hamming near-dup join (BinaryQuant
+    * .hammingNearDupPairs). Unlike the LSH kNN join — where a bucket's
+    * task mass is cap × E[query-side occupancy] — the band join is a
+    * SELF-join, so a group of width W emits W(W−1)/2 ≈ W²/2 pairs into
+    * its task; the width cap below is therefore √(2·target). Same
+    * budget rationale as lshTargetBucketCandidates: 2^18 integer
+    * Hamming verifies is well under a second on a core. */
+  @volatile var binaryTargetBandCandidates: Int = 1 << 18
+  /** Optional FIXED hot-band width cap (tests / cluster tuning);
+    * <= 0 means derive from the candidate-mass model above. */
+  @volatile var binaryMaxBandWidthOverride: Int = 0
+  /** Hot-band width cap: band groups wider than this are thinned to
+    * ~this width by a seeded deterministic id-hash filter (the LSH
+    * hot-bucket treatment — FAISS max_codes-style bounded work).
+    * Derived: W²/2 = binaryTargetBandCandidates ⇒ W = √(2·2^18) ≈ 724.
+    * A RANDOM sign corpus never comes near it (expected band width =
+    * n/2^w — a 16-bit band needs n ≈ 47M in ONE shared sign pattern to
+    * trip the cap), so the guard is inert on organic data and the
+    * unconditional pigeonhole guarantee stands; a skewed-sign corpus
+    * (constant-sign dim region) degrades to the documented trade:
+    * complete for every pair that still shares one UNTHINNED band
+    * occurrence (the survival-aware canonical filter in
+    * hammingNearDupPairs makes thinning lose ONLY hot-band-confined
+    * pairs, never cascade). */
+  def binaryMaxBandWidth: Int =
+    if (binaryMaxBandWidthOverride > 0) binaryMaxBandWidthOverride
+    else math.max(1, math.sqrt(2.0 * binaryTargetBandCandidates).toInt)
+
   /** Target EXPECTED ids per LSH bucket per table for auto-sized bucket
     * bits (Similarity.autoBits): bits = ceil(log2(n / target)), i.e.
     * per-query candidate mass ≈ numTables · target and total bucket-join

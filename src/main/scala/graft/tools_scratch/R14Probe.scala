@@ -1,0 +1,207 @@
+package graft.tools_scratch
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions.cosine_sim
+import graft.index.{AnnRegistry, AnnTuner, BinaryQuant, IvfModel}
+
+/**
+ * Round-14 receipts (VERDICT r13 item 5): the tuner -> AnnTopKProbe
+ * optimizer-rewrite path measured END TO END at scale — tuneAndRegister
+ * picks a tier on the real embeddings, then a plain
+ * `ORDER BY cosine_sim(emb, q) DESC LIMIT k` query runs with and
+ * without `spark.graft.ann.autoProbe`, reporting wall and recall@k vs
+ * exact in one table.
+ *
+ * Beyond the tuner's winner, the table measures each tier's rewrite in
+ * the form it would SERVE in:
+ *  - hnsw: optimizer-time graph navigation -> `id IN (...)` (no per-row
+ *    work at all — the form the unbudgeted tuner picks here);
+ *  - ivf / binary over a corpus carrying the PERSISTED index column
+ *    (cluster_id / sig) — the materialized-table shape where the probe
+ *    filter is an int IN / a popcount, not a synthesized re-encode;
+ *  - lsh / ivf-synth on the raw corpus — the synthesized-filter forms,
+ *    included honestly: at dim 64 recomputing signatures/centroids per
+ *    row costs more flops than the cosine it tries to save, so these
+ *    rows document WHERE the filter form does not win.
+ *
+ * Mode `q108` (VERDICT r13 item 3): isolated stage attribution of the
+ * video pipeline at a given SF — times cumulative prefixes (clip
+ * GENERATION incl. JDK JPEG encode + RIFF mux; + AVI demux/frame
+ * sample; + per-frame javax.imageio JPEG decode; full query with the
+ * aggregate) min-of-runs each, so the per-stage share is the
+ * difference of adjacent rows. Run quiesce-gated (check loadavg).
+ *
+ * Usage: tools/run.sh graft.tools_scratch.R14Probe rewrite|q108 <sfDir> [runs]
+ */
+object R14Probe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty && Set("rewrite", "q108")(args(0)),
+      "mode: rewrite|q108 <sfDir> [runs]")
+    val sfDir = args(1)
+    val runs = if (args.length > 2) args(2).toInt else 3
+    if (args(0) == "q108") { q108Attribution(sfDir, runs); return }
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("r14-rewrite-probe")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+      .filter(col("embedding").isNotNull)
+      .cache()
+    val n = emb.count()
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val k = 10
+    println(s"[r14] corpus n=$n dim=$dim")
+
+    val queries = emb.orderBy("vec_id").limit(20)
+      .collect().map(_.getSeq[Float](1).toArray)
+
+    def topkIds(df: DataFrame, q: Array[Float]): Seq[Long] =
+      df.withColumn("score", cosine_sim(col("embedding"), typedLit(q)))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(k)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+
+    def sweep(df: DataFrame): (Double, Seq[Seq[Long]]) = {
+      // min-of-runs wall of the 20-query sweep; ids from the last run
+      var best = Double.MaxValue
+      var ids: Seq[Seq[Long]] = Nil
+      (1 to runs).foreach { _ =>
+        val t0 = System.nanoTime()
+        ids = queries.map(q => topkIds(df, q)).toSeq
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      (best, ids)
+    }
+
+    spark.conf.unset("spark.graft.ann.autoProbe")
+    val (exactWall, exactIds) = sweep(emb)
+    println(f"[r14] exact           wall=$exactWall%7.2f s  recall=1.000")
+
+    def measure(label: String, name: String, df: DataFrame): Unit = {
+      spark.conf.set("spark.graft.ann.autoProbe", name)
+      val (wall, ids) = sweep(df)
+      spark.conf.unset("spark.graft.ann.autoProbe")
+      val recall = ids.zip(exactIds)
+        .map { case (got, ex) => got.count(ex.toSet).toDouble / k }
+        .sum / ids.length
+      println(f"[r14] $label%-15s wall=$wall%7.2f s  recall=$recall%.3f  " +
+        f"speedup=${exactWall / wall}%4.2fx")
+    }
+
+    // 1) the tuner's pick, end to end (unbudgeted -> HNSW on this corpus)
+    val t0 = System.nanoTime()
+    val choice = AnnTuner.tuneAndRegister("r14-tuned", emb, "vec_id",
+      "embedding", dim = dim, targetRecall = 0.9, k = k)
+    println(f"[r14] tuneAndRegister ${(System.nanoTime() - t0) / 1e9}%.1f s -> $choice")
+    choice.foreach(_ => measure("tuned-winner", "r14-tuned", emb))
+
+    // 2) budgeted pick (build budget excludes the driver-sequential
+    //    HNSW graph at scale) — the distributed-tier fallback
+    val choiceB = AnnTuner.tuneAndRegister("r14-budget", emb, "vec_id",
+      "embedding", dim = dim, targetRecall = 0.75, k = k,
+      buildBudgetSeconds = 60.0)
+    println(s"[r14] budgeted pick -> $choiceB")
+    choiceB.foreach(_ => measure("budget-winner", "r14-budget", emb))
+
+    // 3) IVF over the PERSISTED assignment column (the serving shape:
+    //    cluster_id IN probed — int filter, partition-prunable)
+    val ivf = IvfModel.train(emb, "embedding", nlist = 32)
+    val assigned = ivf.assign(emb, "embedding").cache(); assigned.count()
+    AnnRegistry.register("r14-ivf", ivf, nprobe = 8)
+    measure("ivf-persisted", "r14-ivf", assigned)
+    measure("ivf-synth", "r14-ivf", emb)
+
+    // 4) binary over the PERSISTED sig column (8 bytes/64 dims)
+    AnnTuner.tuneBinary(emb, "vec_id", "embedding", dim, targetRecall = 0.75, k = k)
+      .foreach { m =>
+        AnnRegistry.registerBinary("r14-bin", dim, m.config)
+        val withSig = emb.join(
+          BinaryQuant.signatures(emb, "vec_id", "embedding")
+            .withColumnRenamed("vec_id", "vec_id2"),
+          col("vec_id") === col("vec_id2")).drop("vec_id2").cache()
+        withSig.count()
+        measure("binary-persist", "r14-bin", withSig)
+        measure("binary-synth", "r14-bin", emb)
+      }
+
+    // 5) LSH synthesized filter (documented: at dim 64 the per-row
+    //    re-encode costs more than the cosine it saves)
+    AnnTuner.tuneLsh(emb, "vec_id", "embedding", dim, targetRecall = 0.5)
+      .foreach { m =>
+        AnnRegistry.registerLsh("r14-lsh",
+          graft.index.LshModel(m.config.numTables, m.config.bitsPerTable, dim),
+          m.config.flips)
+        measure("lsh-synth", "r14-lsh", emb)
+      }
+
+    spark.stop()
+  }
+
+  private def q108Attribution(sfDir: String, runs: Int): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("r14-q108-attribution")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.multimodal.Multimodal
+    println(s"[q108] loadavg at start: " +
+      scala.io.Source.fromFile("/proc/loadavg").mkString.trim)
+    val docs = graft.queries.Tables.table(spark, sfDir, "documents")
+
+    def minOf(label: String)(body: => Unit): Double = {
+      var best = Double.MaxValue
+      (1 to runs).foreach { _ =>
+        val t0 = System.nanoTime()
+        body
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"[q108] $label%-22s $best%8.2f s (min of $runs)")
+      best
+    }
+
+    // cumulative prefixes; sum(length(bytes)) forces the codec work
+    // without an aggregate shuffle beyond one scalar
+    val media = Multimodal.syntheticMjpegVideos(docs, "doc_id")
+    val gen = minOf("generate (encode+mux)") {
+      media.agg(sum(length(col("bytes")))).collect()
+    }
+    val frames = Multimodal.sampleVideoFrames(media, everyNth = 2,
+      Multimodal.ImageIoCodec)
+    val demux = minOf("+ demux/sample") {
+      frames.agg(sum(length(col("frame_bytes")))).collect()
+    }
+    val decoded = Multimodal.decodeImages(
+      frames.withColumnRenamed("frame_bytes", "bytes"), Multimodal.ImageIoCodec)
+    val dec = minOf("+ jpeg decode") {
+      decoded.agg(sum(col("width"))).collect()
+    }
+    val full = minOf("full q108 (with agg)") {
+      decoded.groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          min(col("width")), max(col("width")),
+          min(col("height")), max(col("height")), min(col("channels")))
+        .orderBy("media_id").collect()
+    }
+    println(f"[q108] shares of full: generate=${gen / full * 100}%.0f%% " +
+      f"demux=${(demux - gen) / full * 100}%.0f%% " +
+      f"decode=${(dec - demux) / full * 100}%.0f%% " +
+      f"agg=${(full - dec) / full * 100}%.0f%%")
+    println(s"[q108] loadavg at end: " +
+      scala.io.Source.fromFile("/proc/loadavg").mkString.trim)
+    spark.stop()
+  }
+}
