@@ -55,7 +55,11 @@ object AnnTuner {
     * embeddings can be neither queries nor candidates (every tier's
     * scan filters them), so `n` — the candidate-fraction denominator —
     * is the INDEXABLE row count, and the query sample draws from the
-    * same not-null universe. */
+    * same not-null universe. All nQueries oracles compute in ONE batch
+    * job (bruteForceTopK: broadcast queries, map-side-combined top-k —
+    * identical (score desc, id asc) tiebreak to knnExact) instead of
+    * nQueries sequential scans: the oracle sample dominated tuning
+    * wall (~99 s of the sf1 tune was this loop at 20 × 2 jobs). */
   private def sampleQueries(emb: DataFrame, idCol: String, embCol: String,
       nQueries: Int, k: Int): (Long, Seq[(Long, Array[Float], Set[Long])]) = {
     val notNull = emb.filter(col(embCol).isNotNull)
@@ -64,10 +68,18 @@ object AnnTuner {
       .select(col(idCol).cast("long"), col(embCol).cast("array<float>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qDf = qs.toSeq.toDF("__qid", "__qemb")
+    val exactByQuery = Similarity.bruteForceTopK(emb, idCol, embCol,
+        qDf, "__qid", "__qemb", k)
+      .select(col("query_id").cast("long"),
+        col("neighbor_id").cast("long"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) => qid -> rows.map(_.getLong(1)).toSet }
     val withExact = qs.map { case (id, q) =>
-      val exact = Similarity.knnExact(emb, idCol, embCol, q, k)
-        .select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet
-      (id, q, exact)
+      (id, q, exactByQuery.getOrElse(id, Set.empty))
     }
     (n, withExact.toSeq)
   }
@@ -79,14 +91,49 @@ object AnnTuner {
     tuneLshWith(sampleQueries(emb, idCol, embCol, nQueries, k),
       emb, idCol, embCol, dim, targetRecall, k, grid)
 
+  /** Per-query (candidateCount, oracleHits) for a batch candidate
+    * frame of (qid, id) rows, in ONE aggregation job: the broadcast
+    * exact-oracle join replaces the per-query driver-collect loop that
+    * used to dominate tuning wall (20 queries × N configs small jobs).
+    * Queries with zero candidates are filled in as (0, 0). */
+  private def batchStats(cands: DataFrame,
+      queries: Seq[(Long, Array[Float], Set[Long])]): Map[Long, (Long, Long)] = {
+    val spark = cands.sparkSession
+    import spark.implicits._
+    val exactDf = queries.flatMap { case (qid, _, exact) =>
+      exact.toSeq.map(e => (qid, e))
+    }.toDF("qid", "id").withColumn("__hit", lit(1L))
+    val got = cands
+      .join(broadcast(exactDf), Seq("qid", "id"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("csize"), sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    queries.map { case (qid, _, _) => qid -> got.getOrElse(qid, (0L, 0L)) }.toMap
+  }
+
+  private def recallFraction(stats: Map[Long, (Long, Long)],
+      queries: Seq[(Long, Array[Float], Set[Long])], n: Long): (Double, Double) = {
+    val per = queries.map { case (qid, _, exact) =>
+      val (csize, hits) = stats(qid)
+      (hits.toDouble / math.max(exact.size, 1), csize.toDouble / n)
+    }
+    (per.map(_._1).sum / per.length, per.map(_._2).sum / per.length)
+  }
+
   /** LSH sweep over a PRECOMPUTED oracle sample — the exact top-k
     * oracle is the expensive part of tuning, so cross-tier callers
-    * compute it once and thread it through. */
+    * compute it once and thread it through. Each preset measures in
+    * ONE bucket-join + aggregate job (multi-probe keys computed on the
+    * driver per query — identical candidate sets to
+    * multiProbeCandidates, batched). */
   private def tuneLshWith(sample: (Long, Seq[(Long, Array[Float], Set[Long])]),
       emb: DataFrame, idCol: String, embCol: String, dim: Int,
       targetRecall: Double, k: Int,
       grid: Seq[LshPreset]): Option[Measured[LshPreset]] = {
     val (n, queries) = sample
+    val spark = emb.sparkSession
+    import spark.implicits._
     val measured = grid.map { p =>
       val model = LshModel(numTables = p.numTables, bitsPerTable = p.bitsPerTable, dim = dim)
       val (sigs, buildS) = timed {
@@ -94,18 +141,17 @@ object AnnTuner {
         s.count()
         s
       }
-      val stats = queries.map { case (_, q, exact) =>
-        // cast like sampleQueries/tuneIvf: the signatures carry the
-        // caller's id type verbatim (int/string ids would CCE getLong)
-        val cands = model.multiProbeCandidates(sigs, q, p.flips)
-          .select(col("id").cast("long"))
-          .collect().map(_.getLong(0)).toSet
-        (cands.intersect(exact).size.toDouble / math.max(exact.size, 1),
-          cands.size.toDouble / n)
-      }
+      val qBuckets = queries.flatMap { case (qid, q, _) =>
+        model.multiProbeBucketsOf(q, p.flips).toSeq.map(b => (qid, b))
+      }.toDF("qid", "bucket")
+      // cast like sampleQueries: signatures carry the caller's id type
+      val cands = sigs.join(broadcast(qBuckets), Seq("bucket"))
+        .select(col("qid"), col("id").cast("long").as("id"))
+        .distinct()
+      val stats = batchStats(cands, queries)
       sigs.unpersist()
-      Measured(p, stats.map(_._1).sum / stats.length, stats.map(_._2).sum / stats.length,
-        buildS)
+      val (recall, fraction) = recallFraction(stats, queries, n)
+      Measured(p, recall, fraction, buildS)
     }
     pick(measured, targetRecall)
   }
@@ -120,12 +166,20 @@ object AnnTuner {
     tuneIvfWith(sampleQueries(emb, idCol, embCol, nQueries, k),
       emb, idCol, embCol, targetRecall, k, nlists, nprobes)
 
-  /** IVF sweep over a precomputed oracle sample (see [[tuneLshWith]]). */
+  /** IVF sweep over a precomputed oracle sample (see [[tuneLshWith]]).
+    * One aggregation job measures EVERY nprobe of an nlist: each
+    * (query, cluster) pair carries the smallest nprobe that probes it
+    * (model.probe on the driver — centroids are KB-scale), the
+    * assigned table joins once, and the per-nprobe candidate/hit
+    * counts are cumulative sums over that rank — identical sets to
+    * model.candidates per (query, nprobe), batched. */
   private def tuneIvfWith(sample: (Long, Seq[(Long, Array[Float], Set[Long])]),
       emb: DataFrame, idCol: String, embCol: String,
       targetRecall: Double, k: Int,
       nlists: Seq[Int], nprobes: Seq[Int]): Option[Measured[(Int, Int)]] = {
     val (n, queries) = sample
+    val spark = emb.sparkSession
+    import spark.implicits._
     val measured = nlists.flatMap { nlist =>
       val ((model, assigned), buildS) = timed {
         val m = IvfModel.train(emb, embCol, nlist = nlist)
@@ -133,18 +187,41 @@ object AnnTuner {
         a.count()
         (m, a)
       }
-      val rows = nprobes.filter(_ <= nlist).map { nprobe =>
-        val stats = queries.map { case (_, q, exact) =>
-          val cands = model.candidates(assigned, q, nprobe)
-            .select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet
-          (cands.intersect(exact).size.toDouble / math.max(exact.size, 1),
-            cands.size.toDouble / n)
+      val probes = nprobes.filter(_ <= nlist).sorted
+      // npMin(q, cluster) = the smallest swept nprobe whose probe set
+      // contains the cluster (exact per-nprobe semantics even if the
+      // probe path were not prefix-monotone)
+      val probedDf = queries.flatMap { case (qid, q, _) =>
+        val seen = scala.collection.mutable.Map[Int, Int]()
+        probes.foreach { np =>
+          model.probe(q, np).foreach(c => if (!seen.contains(c)) seen(c) = np)
+        }
+        seen.toSeq.map { case (c, np) => (qid, c, np) }
+      }.toDF("qid", "cluster_id", "np_min")
+      val exactDf = queries.flatMap { case (qid, _, exact) =>
+        exact.toSeq.map(e => (qid, e))
+      }.toDF("qid", "id").withColumn("__hit", lit(1L))
+      val perRank = assigned
+        .select(col(idCol).cast("long").as("id"), col("cluster_id"))
+        .join(broadcast(probedDf), Seq("cluster_id"))
+        .join(broadcast(exactDf), Seq("qid", "id"), "left")
+        .groupBy("qid", "np_min")
+        .agg(count(lit(1)).as("csize"), sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      assigned.unpersist()
+      val rows = probes.map { nprobe =>
+        val per = queries.map { case (qid, _, exact) =>
+          val (csize, hits) = probes.filter(_ <= nprobe)
+            .map(np => perRank.getOrElse((qid, np), (0L, 0L)))
+            .foldLeft((0L, 0L)) { case ((a, b), (c, h)) => (a + c, b + h) }
+          (hits.toDouble / math.max(exact.size, 1), csize.toDouble / n)
         }
         Measured((nlist, nprobe),
-          stats.map(_._1).sum / stats.length, stats.map(_._2).sum / stats.length,
+          per.map(_._1).sum / per.length, per.map(_._2).sum / per.length,
           buildS)
       }
-      assigned.unpersist()
       rows
     }
     pick(measured, targetRecall)
@@ -177,35 +254,50 @@ object AnnTuner {
       .distinct.filter(_ >= 1)
 
   /** Binary-tier radius sweep over a precomputed oracle sample: ONE
-    * Spark pass per query computes the corpus Hamming histogram and
-    * the exact-top-k members' distances; every radius then evaluates
-    * driver-side (the curve is a cumulative sum). `Measured.config`
-    * is the radius. */
+    * Spark pass computes every query's corpus Hamming histogram (the
+    * query signatures ride a broadcast explode — no per-query jobs)
+    * and one more the exact-top-k members' distances; every radius
+    * then evaluates driver-side (the curve is a cumulative sum).
+    * `Measured.config` is the radius. */
   private def tuneBinaryWith(sample: (Long, Seq[(Long, Array[Float], Set[Long])]),
       emb: DataFrame, idCol: String, embCol: String, dim: Int,
       targetRecall: Double, k: Int, radii: Seq[Int]): Option[Measured[Int]] = {
     import graft.functions.GraftFunctions.{hamming_dist, sign_bits}
     val (_, queries) = sample
-    val perQuery = queries.map { case (_, q, exact) =>
-      val qSig = typedLit(BinaryQuant.pack(q).toSeq)
-      val hams = emb.filter(col(embCol).isNotNull)
-        .select(col(idCol).cast("long").as("id"),
-          hamming_dist(sign_bits(col(embCol)), qSig).as("h"))
-      val hist = hams.groupBy("h").count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val exactH = hams.filter(col("id").isin(exact.toSeq.map(Long.box): _*))
-        .select("h").collect().map(_.getInt(0))
-      (hist, exactH)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qSigs = queries.map { case (qid, q, _) =>
+      (qid, BinaryQuant.pack(q).toSeq)
+    }.toDF("qid", "qsig")
+    val hams = emb.filter(col(embCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), sign_bits(col(embCol)).as("sig"))
+      .crossJoin(broadcast(qSigs))
+      .select(col("qid"), col("id"), hamming_dist(col("sig"), col("qsig")).as("h"))
+    val hist = hams.groupBy("qid", "h").count().collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.map(r => r.getInt(1) -> r.getLong(2)).toMap
+      }
+    val exactDf = queries.flatMap { case (qid, _, exact) =>
+      exact.toSeq.map(e => (qid, e))
+    }.toDF("qid", "id")
+    val exactH = hams.join(broadcast(exactDf), Seq("qid", "id"))
+      .select("qid", "h").collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) => qid -> rows.map(_.getInt(1)) }
+    val perQuery = queries.map { case (qid, _, _) =>
+      (hist.getOrElse(qid, Map.empty[Int, Long]),
+        exactH.getOrElse(qid, Array.empty[Int]))
     }
     val measured = radii.map { r =>
-      val stats = perQuery.map { case (hist, exactH) =>
+      val stats = perQuery.map { case (h, eh) =>
         // denominators: the Hamming scan filters out null embeddings,
         // so the candidate fraction divides by the histogram's own row
         // mass (= not-null count), not emb.count(); recall divides by
         // the actual exact-set size (< k on tiny corpora)
-        val nn = math.max(hist.values.sum, 1L)
-        (exactH.count(_ <= r).toDouble / math.max(exactH.length, 1),
-          hist.filter(_._1 <= r).values.sum.toDouble / nn)
+        val nn = math.max(h.values.sum, 1L)
+        (eh.count(_ <= r).toDouble / math.max(eh.length, 1),
+          h.filter(_._1 <= r).values.sum.toDouble / nn)
       }
       Measured(r, stats.map(_._1).sum / stats.length,
         stats.map(_._2).sum / stats.length)

@@ -264,6 +264,86 @@ object TextAnalysis {
         round(col("tfidf"), 6).as("tfidf"), col("rank"))
   }
 
+  /**
+   * N-gram language-model perplexity scoring — the CCNet/RedPajama
+   * quality filter: train a bigram LM with stupid backoff (Brants et
+   * al., EMNLP'07) on a REFERENCE slice of the corpus (the high-quality
+   * proxy — a trusted source, a wiki split), then score every document
+   * by its average token log-probability; low-probability (high-
+   * perplexity) documents are the drop candidates.
+   *
+   *   P(w2 | w1) = C(w1 w2) / C(w1)                 when the bigram is
+   *                                                  in the reference
+   *              = alpha * (C(w2) + 1) / (T + V)     otherwise (backoff
+   *                                                  to an add-one
+   *                                                  unigram — strictly
+   *                                                  positive even for
+   *                                                  unseen words)
+   *
+   * Replayability at the hash-compare gate: every probability is a
+   * RATIO OF INTEGERS (counts), each per-position log rounds to 9 dp
+   * and sums as DECIMAL(20,9) — the q01/q05 decimal-sum rule — so the
+   * per-document sum is exact and order-independent on both engines;
+   * `avg_logp`/`ppl` derive from that exact sum by one double division/
+   * exp. The keep verdict compares the exact-derived double against the
+   * threshold, so it can never flake on reassociation noise.
+   *
+   * Scale shape: two hash aggregations over the reference tokens (the
+   * LM — C1 keyed by word, C2 by bigram, both corpus-bounded and
+   * SHUFFLED, never driver-collected), one scalar (T, V) broadcast,
+   * then the scoring joins keyed on the bigram/word — at 100 TB those
+   * are plain shuffle joins whose build side is the reference slice.
+   * No per-row state, no windows over the corpus.
+   *
+   * Output: (id, n_bigrams, sum_logp DECIMAL(20,9), avg_logp, ppl,
+   * keep) — one row per document with >= 2 tokens.
+   */
+  def lmPerplexity(docs: DataFrame, idCol: String, textCol: String,
+      refFilter: Column, alpha: Double = 0.4,
+      keepThreshold: Double = -9.0): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+    val refTok = docs.filter(refFilter)
+      .select(explode(tokens(col(textCol))).as("w"))
+    val c1 = refTok.groupBy("w").agg(count(lit(1)).as("c1"))
+    val c2 = docs.filter(refFilter)
+      .select(tokens(col(textCol)).as("tk")).filter(size(col("tk")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1))).as("bg"))
+      .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val tv = refTok.agg(count(lit(1)).as("t"),
+      countDistinct(col("w")).as("v"))
+    val docBg = toks.filter(size(col("tk")) >= 2)
+      .select(col("id"), explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1))).as("bg"))
+      .select(col("id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+    val scored = docBg
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1.select(col("w").as("w1"), col("c1").as("c1a")), Seq("w1"), "left")
+      .join(c1.select(col("w").as("w2"), col("c1").as("c1b")), Seq("w2"), "left")
+      .crossJoin(broadcast(tv))
+      .withColumn("logp", when(col("c2").isNotNull,
+          log(col("c2") / col("c1a")))
+        .otherwise(log(lit(alpha) * (coalesce(col("c1b"), lit(0L)) + 1) /
+          (col("t") + col("v")))))
+      // round each per-position log to 9 dp BEFORE summing: the sum is
+      // then exact decimal arithmetic — order-independent, replayable
+      .withColumn("logp_r", round(col("logp"), 9).cast("decimal(20,9)"))
+    scored.groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("logp_r")).cast("decimal(20,9)").as("sum_logp"))
+      .withColumn("avg_logp",
+        round(col("sum_logp").cast("double") / col("n_bigrams"), 6))
+      .withColumn("ppl",
+        round(exp(-(col("sum_logp").cast("double") / col("n_bigrams"))), 6))
+      .withColumn("keep",
+        col("sum_logp").cast("double") / col("n_bigrams") >= keepThreshold)
+      .select(col("id").as(idCol), col("n_bigrams"), col("sum_logp"),
+        col("avg_logp"), col("ppl"), col("keep"))
+  }
+
   /** All quality metrics as a struct-expanded DataFrame helper. */
   def withTextMetrics(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("__m", textMetrics(col(textCol)))

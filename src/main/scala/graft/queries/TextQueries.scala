@@ -653,7 +653,198 @@ object TextQueries {
             round(sum(col("tokens")).over(greedy).cast("double")
               / sum(col("tokens")).over(all), 6).as("cum_share"))
           .orderBy(col("tokens").desc, col("source").asc)
-      }))
+      }),
+
+    // N-gram LM perplexity — the CCNet/RedPajama quality filter: a
+    // stupid-backoff bigram LM trained on the reference slice
+    // (source = 'src0'), every document scored by average token
+    // log-probability. Every probability is a ratio of integer counts
+    // and each per-position log rounds to 9 dp before an exact
+    // DECIMAL sum (the q01/q05 decimal rule), so the per-doc score is
+    // order-independent and hash-compares; the keep verdict derives
+    // from the exact sum, never from reassociated doubles. Output is
+    // the doc_id < 30 sample — Catalyst pushes that filter into the
+    // scoring branch while the LM still trains on the full reference.
+    QueryDef("q118_lm_perplexity", Some(
+      """WITH d AS (
+        |  SELECT doc_id, source, list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    t -> t <> '') AS tk
+        |  FROM documents),
+        |ref AS (SELECT tk FROM d WHERE source = 'src0'),
+        |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+        |  FROM (SELECT unnest(tk) AS w FROM ref) GROUP BY w),
+        |tv AS (SELECT CAST(count(*) AS BIGINT) AS t, CAST(count(DISTINCT w) AS BIGINT) AS v
+        |  FROM (SELECT unnest(tk) AS w FROM ref)),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM (
+        |    SELECT tk[i] AS w1, tk[i+1] AS w2 FROM ref, unnest(range(1, len(tk))) AS u(i)
+        |    WHERE len(tk) >= 2) GROUP BY w1, w2),
+        |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM d, unnest(range(1, len(tk))) AS u(i) WHERE len(tk) >= 2),
+        |lp AS (SELECT bg.doc_id,
+        |    CAST(round(CASE WHEN c2.c2 IS NOT NULL
+        |      THEN ln(c2.c2 / c1a.c1)
+        |      ELSE ln(CAST(0.4 AS DOUBLE) * (COALESCE(c1b.c1, 0) + 1) / (tv.t + tv.v)) END,
+        |      9) AS DECIMAL(20,9)) AS logp_r
+        |  FROM bg
+        |  LEFT JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+        |  LEFT JOIN c1 c1a ON c1a.w = bg.w1
+        |  LEFT JOIN c1 c1b ON c1b.w = bg.w2
+        |  CROSS JOIN tv),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(logp_r) AS DECIMAL(20,9)) AS sum_logp
+        |  FROM lp GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, sum_logp,
+        |  round(CAST(sum_logp AS DOUBLE) / n_bigrams, 6) AS avg_logp,
+        |  round(exp(-(CAST(sum_logp AS DOUBLE) / n_bigrams)), 6) AS ppl,
+        |  CAST(sum_logp AS DOUBLE) / n_bigrams >= -9.0 AS keep
+        |FROM per WHERE doc_id < 30 ORDER BY doc_id""".stripMargin),
+      (spark, dir) => {
+        import graft.operators.TextAnalysis
+        TextAnalysis.lmPerplexity(table(spark, dir, "documents"),
+            "doc_id", "text", refFilter = col("source") === "src0")
+          .filter(col("doc_id") < 30)
+          .orderBy("doc_id")
+      }),
+
+    // The corpus-wide LM quality gate — the AT-SCALE form of q118:
+    // score EVERY document, aggregate keep/drop and the exact decimal
+    // log-mass per source. All sums are integer or exact decimal, so
+    // the 20-row output hash-compares at any scale with no float
+    // ordering anywhere.
+    QueryDef("q119_lm_quality_gate", Some(
+      """WITH d AS (
+        |  SELECT doc_id, source, list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    t -> t <> '') AS tk
+        |  FROM documents),
+        |ref AS (SELECT tk FROM d WHERE source = 'src0'),
+        |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+        |  FROM (SELECT unnest(tk) AS w FROM ref) GROUP BY w),
+        |tv AS (SELECT CAST(count(*) AS BIGINT) AS t, CAST(count(DISTINCT w) AS BIGINT) AS v
+        |  FROM (SELECT unnest(tk) AS w FROM ref)),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM (
+        |    SELECT tk[i] AS w1, tk[i+1] AS w2 FROM ref, unnest(range(1, len(tk))) AS u(i)
+        |    WHERE len(tk) >= 2) GROUP BY w1, w2),
+        |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+        |  FROM d, unnest(range(1, len(tk))) AS u(i) WHERE len(tk) >= 2),
+        |lp AS (SELECT bg.doc_id,
+        |    CAST(round(CASE WHEN c2.c2 IS NOT NULL
+        |      THEN ln(c2.c2 / c1a.c1)
+        |      ELSE ln(CAST(0.4 AS DOUBLE) * (COALESCE(c1b.c1, 0) + 1) / (tv.t + tv.v)) END,
+        |      9) AS DECIMAL(20,9)) AS logp_r
+        |  FROM bg
+        |  LEFT JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+        |  LEFT JOIN c1 c1a ON c1a.w = bg.w1
+        |  LEFT JOIN c1 c1b ON c1b.w = bg.w2
+        |  CROSS JOIN tv),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(logp_r) AS DECIMAL(20,9)) AS sum_logp
+        |  FROM lp GROUP BY doc_id)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs_scored,
+        |  CAST(sum(CASE WHEN CAST(per.sum_logp AS DOUBLE) / per.n_bigrams >= -9.0
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(sum(per.n_bigrams) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(per.sum_logp) AS DECIMAL(27,9)) AS sum_logp,
+        |  round(CAST(sum(per.sum_logp) AS DOUBLE) / sum(per.n_bigrams), 6)
+        |    AS corpus_avg_logp
+        |FROM per JOIN d ON d.doc_id = per.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin),
+      (spark, dir) => {
+        import graft.operators.TextAnalysis
+        val docs = table(spark, dir, "documents")
+        val scored = TextAnalysis.lmPerplexity(docs, "doc_id", "text",
+          refFilter = col("source") === "src0")
+        scored.join(docs.select("doc_id", "source"), Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs_scored"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+            sum(col("n_bigrams")).as("n_bigrams"),
+            sum(col("sum_logp")).cast("decimal(27,9)").as("sum_logp"))
+          .withColumn("corpus_avg_logp",
+            round(col("sum_logp").cast("double") / col("n_bigrams"), 6))
+          .orderBy("source")
+      }),
+
+    // Model-based quality gate — the GPT-3/CCNet classifier filter:
+    // a closed-form ridge probe over hashed token counts
+    // (QualityClassifier.trainRidge — ONE distributed pass builds the
+    // integer Gram matrix, the driver solves the normal equations)
+    // learns a reference label, then scores every document. The label
+    // here is the fixture's rare planted marker token 'dup' (5% of
+    // docs — the real reference-slice imbalance regime); the
+    // class-balanced targets make the probe catch all of them
+    // (measured 0.986 accuracy, 25/25 caught at sf0.001) where plain
+    // full-batch logistic GD sat at the majority class.
+    // The GENERATED oracle re-trains the same deterministic trajectory
+    // (gradients are exact 6-dp decimal sums — partitioning- and
+    // order-independent) and dumps the weights as literals; scoring
+    // replays with NO transcendentals: the margin is a fixed-order
+    // double chain (bit-identical in both engines) and pred is z >= 0.
+    QueryDef("q120_quality_classifier", None,
+      (spark, dir) => {
+        import graft.operators.QualityClassifier
+        val docs = table(spark, dir, "documents")
+        val label = array_contains(
+          graft.operators.TextAnalysis.tokens(col("text")), "dup")
+        val (bias, w) = QualityClassifier.trainRidge(docs, "doc_id", "text",
+          label)
+        QualityClassifier.score(docs, "doc_id", "text", label, bias, w)
+          .join(docs.select(col("doc_id").as("id"), col("source")), Seq("id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("pred"), 1L).otherwise(0L)).as("n_pred_ref"),
+            sum(when(col("pred") === (col("y") === 1.0), 1L).otherwise(0L))
+              .as("n_correct"),
+            sum(col("z").cast("decimal(24,6)")).cast("decimal(27,6)")
+              .as("sum_z"))
+          .orderBy("source")
+      },
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q120") {
+        q120OracleGen(spark, dir)
+      })))
+
+  /** q120's oracle: re-train (deterministic), dump (bias, w) literals,
+    * replay hashed counts + the fixed-order margin chain in DuckDB. */
+  private def q120OracleGen(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[String] = {
+    import graft.operators.QualityClassifier
+    val docs = Tables.table(spark, dir, "documents")
+    val (bias, w) = QualityClassifier.trainRidge(docs, "doc_id", "text",
+      array_contains(graft.operators.TextAnalysis.tokens(col("text")), "dup"))
+    val dim = w.length
+    def dd(x: Double): String = java.lang.Double.toString(x)
+    // bucket of a token: floorMod(splitmix64(poly31(bytes, seed 7)), dim)
+    val tokHash = mixSql(
+      "list_reduce(list_prepend(CAST(7 AS HUGEINT), " +
+        "[CAST(ord(c) AS HUGEINT) FOR c IN string_split(tok, '')]), " +
+        "(acc, b) -> (acc * 31 + b) % 18446744073709551616)")
+    val bucket = floorModSql(tokHash, dim.toLong)
+    // z: the SAME left-associated chain the Spark side folds
+    val zChain = (0 until dim).foldLeft(s"CAST(${dd(bias)} AS DOUBLE)") {
+      (acc, d) => s"($acc + CAST(${dd(w(d))} AS DOUBLE) * c$d)"
+    }
+    val cntCols = (0 until dim).map(d =>
+      s"COALESCE(SUM(CASE WHEN b = $d THEN c END), 0) AS c$d").mkString(",\n    ")
+    Some(
+      s"""WITH d AS (
+         |  SELECT doc_id, source, $toksSql AS tk FROM documents),
+         |tok AS (SELECT doc_id, unnest(tk) AS tok FROM d),
+         |hb AS (SELECT doc_id, CAST($bucket AS BIGINT) AS b FROM tok),
+         |cnt AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+         |  FROM hb GROUP BY doc_id, b),
+         |dense AS (SELECT doc_id,
+         |    $cntCols
+         |  FROM cnt GROUP BY doc_id),
+         |scored AS (SELECT d.doc_id, d.source,
+         |    CASE WHEN dense.doc_id IS NULL THEN CAST(${dd(bias)} AS DOUBLE)
+         |      ELSE $zChain END AS z,
+         |    list_contains(d.tk, 'dup') AS y
+         |  FROM d LEFT JOIN dense ON dense.doc_id = d.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN z >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_ref,
+         |  CAST(sum(CASE WHEN (z >= 0) = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  CAST(sum(CAST(round(z, 6) AS DECIMAL(24,6))) AS DECIMAL(27,6)) AS sum_z
+         |FROM scored GROUP BY source ORDER BY source""".stripMargin)
+  }
 
   // ---- DuckDB replay of the FakeCodec stub (Multimodal.FakeCodec) ----
   // 64-bit wraparound multiply in HUGEINT: split the left operand into

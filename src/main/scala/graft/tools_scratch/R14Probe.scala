@@ -205,3 +205,52 @@ object R14Probe {
     spark.stop()
   }
 }
+
+/** Quick (lr, iters) grid for the q120 length-label learnability. */
+object LogRegGrid {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.QualityClassifier
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
+    val n = docs.count()
+    val tk = graft.operators.TextAnalysis.tokens(col("text"))
+    val label = size(filter(tk, t => t === "fast")) > size(filter(tk, t => t === "slow"))
+    // collision audit: which bucket does each vocab word land in?
+    import org.apache.spark.unsafe.types.UTF8String
+    val vocab = docs.select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("w"))
+      .distinct().collect().map(_.getString(0))
+    val byBucket = vocab.groupBy(w => java.lang.Math.floorMod(
+      org.apache.spark.sql.graft.expressions.TextHash.stringHash(
+        UTF8String.fromString(w), 7L), 128L))
+    byBucket.toSeq.sortBy(_._1).filter(_._2.length > 1)
+      .foreach { case (b, ws) => println(s"[grid] COLLISION bucket $b: ${ws.mkString(",")}") }
+    println(s"[grid] dup bucket: " + byBucket.find(_._2.contains("dup")).map(_._1))
+    for (lambda <- Seq(0.1, 1.0, 10.0, 100.0)) {
+      val t0 = System.nanoTime()
+      val (b, w) = QualityClassifier.trainRidge(docs, "doc_id", "text",
+        label, dim = 64, lambda = lambda)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val scored = QualityClassifier.score(docs, "doc_id", "text", label, b, w, dim = 64)
+      val acc = scored.filter(col("pred") === (col("y") === 1.0)).count().toDouble / n
+      val caught = scored.filter((col("y") === 1.0) && col("pred")).count()
+      println(f"[grid] ridge lambda=$lambda%6.1f acc=$acc%.3f caught=$caught bias=$b%8.4f wall=$wall%.1f s")
+    }
+    // and the dup 5%-imbalance label via ridge
+    val dupLabel = array_contains(tk, "dup")
+    for (lambda <- Seq(1.0, 10.0)) {
+      val (b, w) = QualityClassifier.trainRidge(docs, "doc_id", "text",
+        dupLabel, dim = 64, lambda = lambda)
+      val scored = QualityClassifier.score(docs, "doc_id", "text", dupLabel, b, w, dim = 64)
+      val acc = scored.filter(col("pred") === (col("y") === 1.0)).count().toDouble / n
+      val caught = scored.filter((col("y") === 1.0) && col("pred")).count()
+      println(f"[grid] ridge-dup lambda=$lambda%6.1f acc=$acc%.3f caught=$caught/25")
+    }
+    spark.stop()
+  }
+}
