@@ -150,18 +150,19 @@ object QualityClassifier {
       labelCol: Column, dim: Int = 64, lambda: Double = 1.0,
       seed: Long = 7L): (Double, Array[Double]) = {
     val feats = features(docs, idCol, textCol, labelCol, dim, seed)
-    // integer sums: count, per-dim sums, y-moments, upper-tri Gram
-    val aggs =
-      Seq(count(lit(1)).as("n"), sum(col("y").cast("long")).as("ny")) ++
-      (0 until dim).map(d => sum(element_at(col("x"), d + 1)).as(s"s$d")) ++
-      (0 until dim).map(d =>
-        sum(element_at(col("x"), d + 1) * col("y").cast("long")).as(s"sy$d")) ++
-      (for (d <- 0 until dim; e <- d until dim) yield
-        sum(element_at(col("x"), d + 1) * element_at(col("x"), e + 1))
-          .as(s"g${d}_$e"))
-    val row = feats.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val n = row.getLong(0)
-    val nPos = row.getLong(1)
+    // one imperative aggregate computes every sufficient statistic —
+    // see GramMatrix's doc for why this beats dim(dim+3)/2+2 sum()
+    // columns (codegen field limit -> interpreted eval, measured 10 s
+    // vs sub-second at dim=64)
+    val gram = {
+      import org.apache.spark.sql.graft.Bridge
+      Bridge.column(org.apache.spark.sql.graft.expressions.GramMatrix(
+        Bridge.expression(col("x")),
+        Bridge.expression(col("y").cast("long")), dim).toAggregateExpression())
+    }
+    val stats = feats.agg(gram.as("g")).collect()(0).getSeq[Long](0)
+    val n = stats(0)
+    val nPos = stats(1)
     val nNeg = n - nPos
     require(nPos > 0 && nNeg > 0, "ridge probe needs both classes present")
     // class-balanced targets: +n/nPos, -n/nNeg
@@ -173,15 +174,15 @@ object QualityClassifier {
     a(0)(0) = n + lambda
     b(0) = nPos * tPos + nNeg * tNeg // = 0 by construction, kept explicit
     (0 until dim).foreach { d =>
-      val sd = row.getLong(2 + d)
+      val sd = stats(2 + d)
       a(0)(d + 1) = sd; a(d + 1)(0) = sd
-      val syd = row.getLong(2 + dim + d) // Σ x_d over positives
+      val syd = stats(2 + dim + d) // Σ x_d over positives
       // Σ x_d·t = syd·tPos + (sd − syd)·tNeg
       b(d + 1) = syd * tPos + (sd - syd) * tNeg
     }
     var idx = 2 + 2 * dim
     for (d <- 0 until dim; e <- d until dim) {
-      val g = row.getLong(idx); idx += 1
+      val g = stats(idx); idx += 1
       a(d + 1)(e + 1) = g; a(e + 1)(d + 1) = g
       if (d == e) a(d + 1)(e + 1) += lambda
     }

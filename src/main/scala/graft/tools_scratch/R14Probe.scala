@@ -241,6 +241,17 @@ object LogRegGrid {
       val caught = scored.filter((col("y") === 1.0) && col("pred")).count()
       println(f"[grid] ridge lambda=$lambda%6.1f acc=$acc%.3f caught=$caught bias=$b%8.4f wall=$wall%.1f s")
     }
+    // stage timing at this sf
+    val dupLabel2 = array_contains(tk, "dup")
+    (1 to 3).foreach { i =>
+      var t0 = System.nanoTime()
+      val (b2, w2) = QualityClassifier.trainRidge(docs, "doc_id", "text", dupLabel2)
+      println(f"[grid] STAGE train run$i: ${(System.nanoTime - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+      QualityClassifier.score(docs, "doc_id", "text", dupLabel2, b2, w2)
+        .groupBy().count().collect()
+      println(f"[grid] STAGE score run$i: ${(System.nanoTime - t0) / 1e9}%.2f s")
+    }
     // and the dup 5%-imbalance label via ridge
     val dupLabel = array_contains(tk, "dup")
     for (lambda <- Seq(1.0, 10.0)) {
