@@ -239,6 +239,104 @@ object TextAnalysis {
   }
 
   /**
+   * Decontamination with a Bloom-prefiltered SHUFFLE join — the scale
+   * path for when the benchmark registry is too large to broadcast
+   * (contaminationPairs' broadcast table stops fitting somewhere in the
+   * tens of millions of shingles; real pipelines screen against every
+   * eval set ever published). A Bloom filter over the benchmark shingle
+   * hashes (KB-to-MB of driver state regardless of registry size)
+   * prefilters the corpus shingles MAP-SIDE — no false negatives, so
+   * the exact shuffle join downstream returns precisely the true pairs;
+   * false positives (rate `fpp`) only add wasted shuffle rows. On a
+   * non-contaminated corpus the exchange moves ~fpp of the shingle
+   * volume instead of all of it. Output is identical to
+   * contaminationPairs: (id, bench_id, n_shared).
+   */
+  def contaminationPairsBloom(corpus: DataFrame, corpusId: String,
+      corpusText: String, benchmark: DataFrame, benchId: String,
+      benchText: String, n: Int = 8, minOverlap: Int = 1,
+      fpp: Double = 0.01): DataFrame = {
+    def h(c: org.apache.spark.sql.Column) = {
+      import org.apache.spark.sql.graft.Bridge
+      import org.apache.spark.sql.graft.expressions.StringHash64
+      Bridge.column(StringHash64(Bridge.expression(c)))
+    }
+    val benchSh = benchmark.select(col(benchId).as("bench_id"),
+        explode(shingles(col(benchText), n)).as("__s"))
+      .select(col("bench_id"), h(col("__s")).as("shingle"))
+    // sizing job runs over the (small) benchmark side only; the corpus
+    // is never touched before the prefiltered scan below
+    val nBench = math.max(benchSh.count(), 1000L)
+    val bloom = graft.operators.BloomJoin.buildBloom(benchSh, "shingle",
+      expectedItems = nBench, fpp = fpp)
+    val corpusSh = corpus.select(col(corpusId).as("id"),
+        explode(shingles(col(corpusText), n)).as("__s"))
+      .select(col("id"), h(col("__s")).as("shingle"))
+      .filter(graft.operators.BloomJoin.mightContain(bloom, col("shingle")))
+    // shuffle_hash, not broadcast: the premise is a benchmark side too
+    // big to broadcast — the Bloom pass is what keeps the corpus side
+    // of this exchange small
+    corpusSh.join(benchSh.hint("shuffle_hash"), Seq("shingle"))
+      .groupBy("id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+  }
+
+  /**
+   * Exact top-`k` terms by corpus frequency WITHOUT shuffling the term
+   * universe — the two-pass heavy-hitters pattern for vocabulary
+   * extraction at 100 TB:
+   *
+   *  1. candidate generation: ONE scan aggregates a Misra-Gries summary
+   *     of `counters` counters (see MisraGries's doc — the exchange
+   *     moves one fixed-size summary per partition, vs `groupBy(term)`
+   *     shuffling a key per distinct term per partition; at web scale
+   *     the term universe is billions of keys, the summary is one map);
+   *     the same scan also counts total tokens N exactly.
+   *  2. exact recount: a second scan counts ONLY the ≤ `counters`
+   *     candidate terms (broadcast semi-join), then takes the top k
+   *     with the deterministic (count desc, term asc) tiebreak.
+   *
+   * The MG guarantee (every term with true frequency > N/counters is a
+   * candidate) makes the result EXACT — and provably so — whenever the
+   * k-th result's exact count clears the bound: the emitted
+   * `provably_complete = cnt_k · counters > N` verdict column is pure
+   * arithmetic over exact counts, so an oracle replays it. When the
+   * verdict is true the output equals the full-shuffle top-k
+   * bit-for-bit under ANY partitioning (candidate sets may differ
+   * across partitionings, but all of them contain the true top k, and
+   * the recount is exact). Size `counters` ≫ k·(N/expected cnt_k); for
+   * Zipf-ish natural-language corpora a few thousand counters cover any
+   * top-100 comfortably.
+   */
+  def heavyHitterTerms(df: DataFrame, textCol: String, k: Int,
+      counters: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val spark = df.sparkSession
+    val mg = Bridge.column(org.apache.spark.sql.graft.expressions.MisraGries(
+      Bridge.expression(tokens(col(textCol))), counters).toAggregateExpression())
+    val pass1 = df.agg(mg.as("cand"),
+      sum(size(tokens(col(textCol)))).cast("long").as("n_tokens")).collect()(0)
+    val candidates = pass1.getSeq[String](0)
+    val nTokens = pass1.getLong(1)
+    import spark.implicits._
+    val candDf = candidates.toDF("term")
+    val counts = df.select(explode(tokens(col(textCol))).as("term"))
+      .join(broadcast(candDf), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(k)
+    counts
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy()
+          .orderBy(col("cnt").desc, col("term").asc)).cast("int"))
+      .withColumn("provably_complete",
+        min(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy())
+          * counters > nTokens)
+      .select(col("rank"), col("term"), col("cnt"), col("provably_complete"))
+  }
+
+  /**
    * TF-IDF top-`k` terms per document. Term frequency is the raw token
    * count within the doc; idf = ln((N+1)/(df+1)) (add-one smoothed,
    * division-safe); score = tf * idf with deterministic (score desc,

@@ -291,6 +291,34 @@ object AdvancedQueries {
           .orderBy(col("n").desc, col("term").asc)
           .limit(40)),
 
+    // q58's top-k semantics computed the 100 TB way (heavyHitterTerms
+    // scaladoc): a Misra-Gries summary generates ≤ 4096 candidates in
+    // one scan (the exchange moves one fixed-size summary per partition
+    // instead of a key per distinct term), a second scan recounts only
+    // the candidates exactly. provably_complete replays as pure
+    // arithmetic: cnt_k · m > N proves no non-candidate could reach the
+    // top k, so the oracle is the plain exact top-k — and the engine's
+    // output is partitioning-invariant whenever the verdict is true
+    // (it is at every fixture scale: min(top-40 cnt)·4096 > N with
+    // ≥ 1.3× margin even at sf10's 3100-term vocabulary).
+    QueryDef("q122_heavy_hitters", Some(
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    t -> t <> '')) AS term
+        |  FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens FROM toks),
+        |c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY term ORDER BY cnt DESC, term LIMIT 40),
+        |r AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INTEGER) AS rank,
+        |  term, cnt FROM c)
+        |SELECT r.rank, r.term, r.cnt,
+        |  (SELECT min(cnt) FROM r) * 4096 > n.n_tokens AS provably_complete
+        |FROM r CROSS JOIN n ORDER BY rank""".stripMargin),
+      (spark, dir) =>
+        TextAnalysis.heavyHitterTerms(table(spark, dir, "documents"),
+            "text", k = 40, counters = 4096)
+          .orderBy("rank")),
+
     QueryDef("q59_tfidf", Some(
       """WITH toks AS (
         |  SELECT doc_id AS id,

@@ -230,6 +230,36 @@ object TextQueries {
           .orderBy("id", "bench_id")
       }),
 
+    // Bloom-prefiltered decontamination — the SAME contamination
+    // semantics as q75 when the benchmark registry is too large to
+    // broadcast (contaminationPairsBloom scaladoc): a Bloom filter over
+    // the benchmark shingle hashes prefilters the corpus map-side (no
+    // false negatives), and a shuffle join confirms exactly — so the
+    // oracle is the plain exact string-shingle join. src1 plays the
+    // registry here (src0 stays q75's), corpus = everything else.
+    QueryDef("q121_decontam_bloom", Some(
+      """WITH toks AS (
+        |  SELECT doc_id, source, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    list_distinct([array_to_string(tk[i:i+7], ' ') FOR i IN range(1, greatest(len(tk) - 6, 1))]) AS shingles
+        |  FROM toks WHERE len(tk) >= 8),
+        |c AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE source <> 'src1'),
+        |b AS (SELECT doc_id AS bench_id, unnest(shingles) AS shingle FROM sh WHERE source = 'src1')
+        |SELECT c.doc_id AS id, b.bench_id, count(*) AS n_shared
+        |FROM c JOIN b USING (shingle)
+        |GROUP BY 1, 2
+        |ORDER BY id, bench_id""".stripMargin),
+      (spark, dir) => {
+        val docs = table(spark, dir, "documents")
+        TextAnalysis.contaminationPairsBloom(
+            docs.filter(col("source") =!= "src1"), "doc_id", "text",
+            docs.filter(col("source") === "src1"), "doc_id", "text",
+            n = 8, minOverlap = 1)
+          .orderBy("id", "bench_id")
+      }),
+
     // Multi-benchmark decontamination (contaminationPairsMulti
     // scaladoc): screen the corpus against TWO benchmark sets in one
     // shingle pass — the stacked benchmark tables broadcast once,

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.graft.expressions.MisraGries
+
+import graft.operators.TextAnalysis
+
+/**
+ * Misra-Gries heavy hitters: the hand-computed eviction trace, the
+ * survival guarantee (freq > N/m ⇒ candidate) under adversarial skew
+ * and across partitionings (which exercises serialize/merge), and the
+ * two-pass heavyHitterTerms operator's exactness + verdict.
+ */
+class MisraGriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mg(c: Column, m: Int): Column =
+    Bridge.column(MisraGries(Bridge.expression(c), m).toAggregateExpression())
+
+  test("hand-computed eviction: a a a b c d with m=2 keeps {a, d}") {
+    // a,a,a -> {a:3}; b fits -> {a:3,b:1}; c full -> decrement-all
+    // {a:2} (b dies, c never lands); d fits -> {a:2,d:1}
+    val out = Seq(Seq("a", "a", "a", "b", "c", "d")).toDF("tk")
+      .agg(mg(col("tk"), 2).as("cand"))
+      .collect()(0).getSeq[String](0)
+    assert(out == Seq("a", "d"), s"got $out")
+  }
+
+  test("survival guarantee: every term with freq > N/m is a candidate, any partitioning") {
+    // adversarial skew: 3 heavy terms drowned in a sea of singletons
+    // sized so the summary (m=8) must evict constantly
+    val rows =
+      (1 to 400).map(_ => "h1") ++ (1 to 300).map(_ => "h2") ++
+      (1 to 200).map(_ => "h3") ++ (1 to 900).map(i => s"rare$i")
+    val n = rows.size // 1800, N/m = 225: h1, h2 must survive; h3 may not
+    for (parts <- Seq(1, 4, 13)) {
+      val df = rows.map(t => Seq(t)).toDF("tk").repartition(parts)
+      val cand = df.agg(mg(col("tk"), 8).as("c")).collect()(0).getSeq[String](0)
+      assert(cand.size <= 8, s"summary overflow: ${cand.size}")
+      for (must <- Seq("h1", "h2")) {
+        assert(cand.contains(must),
+          s"$must (freq > N/m = ${n / 8}) missing at parts=$parts: $cand")
+      }
+    }
+  }
+
+  test("heavyHitterTerms == exact full-shuffle top-k, verdict true, partitioning-invariant") {
+    val docs = queries.Tables.table(spark, sfDir, "documents")
+    val exact = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val base = TextAnalysis.heavyHitterTerms(docs, "text", k = 10, counters = 64)
+      .orderBy("rank").collect()
+    assert(base.map(r => (r.getString(1), r.getLong(2))).toSeq == exact)
+    assert(base.forall(_.getBoolean(3)), "verdict should be provably complete")
+    assert(base.map(_.getInt(0)).toSeq == (1 to base.length))
+    val reparted = TextAnalysis
+      .heavyHitterTerms(docs.repartition(13), "text", k = 10, counters = 64)
+      .orderBy("rank").collect()
+    assert(reparted.map(r => (r.getString(1), r.getLong(2))).toSeq == exact,
+      "output must not depend on partitioning when the verdict holds")
+  }
+
+  test("verdict goes false when the bound cannot prove completeness") {
+    // near-uniform vocabulary wider than m: cnt_k * m <= N
+    val rows = (1 to 600).map(i => Seq(s"t${i % 60}"))
+    val df = rows.toDF("tk").withColumn("text", concat_ws(" ", col("tk")))
+    val out = TextAnalysis.heavyHitterTerms(df, "text", k = 5, counters = 16)
+      .collect()
+    // 60 distinct terms, each freq 10; N=600, N/m=37.5 > 10: nothing is
+    // provably safe (and the candidate set genuinely can't be trusted)
+    assert(out.forall(!_.getBoolean(3)), "verdict must not overclaim")
+  }
+}
