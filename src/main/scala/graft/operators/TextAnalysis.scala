@@ -337,6 +337,50 @@ object TextAnalysis {
   }
 
   /**
+   * heavyHitterTerms PER GROUP — top-`k` vocabulary per data source in
+   * two scans, the shape behind per-source mixing decisions: pass 1 is
+   * ONE `groupBy(group).agg(misra_gries, sum)` (an m-counter summary
+   * and an exact token count per group ride the same exchange), pass 2
+   * exact-recounts the ≤ groups·m candidate (group, term) pairs via
+   * broadcast and ranks within each group. The per-group verdict
+   * cnt_k·m > N_group proves that group's top k complete, exactly as in
+   * the ungrouped form. Groups must be low-cardinality (sources,
+   * languages — the summaries come back to the driver as groups·m
+   * strings); the TERM universe per group is unbounded as ever.
+   */
+  def heavyHitterTermsPerGroup(df: DataFrame, groupCol: String,
+      textCol: String, k: Int, counters: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val spark = df.sparkSession
+    val mg = Bridge.column(org.apache.spark.sql.graft.expressions.MisraGries(
+      Bridge.expression(tokens(col(textCol))), counters).toAggregateExpression())
+    val pass1 = df.groupBy(col(groupCol))
+      .agg(mg.as("cand"),
+        sum(size(tokens(col(textCol)))).cast("long").as("n_tokens"))
+      .collect()
+    import spark.implicits._
+    val candDf = pass1.toSeq.flatMap { r =>
+      r.getSeq[String](1).map(t => (r.getString(0), t))
+    }.toDF(groupCol, "term")
+    val nTokDf = pass1.toSeq.map(r => (r.getString(0), r.getLong(2)))
+      .toDF(groupCol, "n_tokens")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val ranked = df.select(col(groupCol), explode(tokens(col(textCol))).as("term"))
+      .join(broadcast(candDf), Seq(groupCol, "term"))
+      .groupBy(groupCol, "term").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(
+        w.orderBy(col("cnt").desc, col("term").asc)).cast("int"))
+      .filter(col("rank") <= k)
+    ranked
+      .withColumn("__kth", min(col("cnt")).over(w))
+      .join(broadcast(nTokDf), Seq(groupCol))
+      .withColumn("provably_complete",
+        col("__kth") * counters > col("n_tokens"))
+      .select(col(groupCol), col("rank"), col("term"), col("cnt"),
+        col("provably_complete"))
+  }
+
+  /**
    * TF-IDF top-`k` terms per document. Term frequency is the raw token
    * count within the doc; idf = ln((N+1)/(df+1)) (add-one smoothed,
    * division-safe); score = tf * idf with deterministic (score desc,

@@ -65,6 +65,24 @@ class MisraGriesSpec extends SparkSpec {
       "output must not depend on partitioning when the verdict holds")
   }
 
+  test("heavyHitterTermsPerGroup == exact per-group top-k with per-group verdicts") {
+    val docs = queries.Tables.table(spark, sfDir, "documents")
+    val exact = docs
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("cnt").desc, col("term").asc)))
+      .filter(col("rank") <= 5)
+      .orderBy("source", "rank")
+      .collect().map(r => (r.getString(0), r.getInt(3), r.getString(1), r.getLong(2))).toSeq
+    val got = TextAnalysis
+      .heavyHitterTermsPerGroup(docs, "source", "text", k = 5, counters = 64)
+      .orderBy("source", "rank").collect()
+    assert(got.map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq == exact)
+    assert(got.forall(_.getBoolean(4)), "fixture margins should prove every group")
+  }
+
   test("verdict goes false when the bound cannot prove completeness") {
     // near-uniform vocabulary wider than m: cnt_k * m <= N
     val rows = (1 to 600).map(i => Seq(s"t${i % 60}"))
