@@ -337,6 +337,40 @@ object TextAnalysis {
   }
 
   /**
+   * Gopher-style repetition quality gate (Rae et al. '21 §A1.1) — the
+   * repetitious-document filter every pretraining pipeline runs: one
+   * codegen'd expression computes the whole battery per document
+   * (RepetitionMetrics scaladoc — in-row run-length stats over sorted
+   * n-gram arrays, NO shuffle; the naive explode+groupBy(doc, gram)
+   * form shuffles every n-gram occurrence in the corpus), fractions
+   * round to 6 dp (the per-row double rule), and `keep` is the
+   * conjunction of the paper's thresholds (token-based here): drop
+   * when the top 2/3/4-gram covers > 20/18/16% of the doc or when
+   * > 15%/10% of 5/8-gram occurrences are repeats.
+   */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+      maxTop2: Double = 0.20, maxTop3: Double = 0.18, maxTop4: Double = 0.16,
+      maxDup5: Double = 0.15, maxDup8: Double = 0.10,
+      passthrough: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val m = Bridge.column(org.apache.spark.sql.graft.expressions
+      .RepetitionMetrics(Bridge.expression(col(textCol))))
+    df.select((col(idCol) +: passthrough.map(col)) :+ m.as("__m"): _*)
+      .select((col(idCol) +: passthrough.map(col)) ++ Seq(
+        col("__m.n_tokens").as("n_tokens"),
+        round(col("__m.frac_dup_tokens"), 6).as("frac_dup_tokens"),
+        round(col("__m.frac_top_2gram"), 6).as("frac_top_2gram"),
+        round(col("__m.frac_top_3gram"), 6).as("frac_top_3gram"),
+        round(col("__m.frac_top_4gram"), 6).as("frac_top_4gram"),
+        round(col("__m.frac_dup_5gram"), 6).as("frac_dup_5gram"),
+        round(col("__m.frac_dup_8gram"), 6).as("frac_dup_8gram")): _*)
+      .withColumn("keep",
+        col("frac_top_2gram") <= maxTop2 && col("frac_top_3gram") <= maxTop3 &&
+        col("frac_top_4gram") <= maxTop4 && col("frac_dup_5gram") <= maxDup5 &&
+        col("frac_dup_8gram") <= maxDup8)
+  }
+
+  /**
    * heavyHitterTerms PER GROUP — top-`k` vocabulary per data source in
    * two scans, the shape behind per-source mixing decisions: pass 1 is
    * ONE `groupBy(group).agg(misra_gries, sum)` (an m-counter summary

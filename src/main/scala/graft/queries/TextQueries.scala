@@ -695,6 +695,95 @@ object TextQueries {
     // from the exact sum, never from reassociated doubles. Output is
     // the doc_id < 30 sample — Catalyst pushes that filter into the
     // scoring branch while the LM still trains on the full reference.
+    // Gopher repetition battery per document (repetitionSignals
+    // scaladoc): every fraction is an integer ratio evaluated as one
+    // IEEE division then rounded 6 dp, so the whole battery replays
+    // exactly; the top-gram fractions use only the max COUNT (no
+    // tiebreak to pin). 40-doc detail sample; q125 is the at-scale
+    // corpus gate.
+    QueryDef("q124_gopher_repetition", Some(
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |base AS (SELECT doc_id, len(tk) AS n, CAST(len(list_distinct(tk)) AS BIGINT) AS nd
+        |  FROM toks WHERE doc_id < 40),
+        |g AS (SELECT doc_id, gn, array_to_string(tk[i:i+gn-1], ' ') AS gram
+        |  FROM toks, unnest([2,3,4,5,8]) AS s(gn), unnest(range(1, len(tk) - gn + 2)) AS u(i)
+        |  WHERE len(tk) >= gn AND doc_id < 40),
+        |cnt AS (SELECT doc_id, gn, gram, count(*) AS c FROM g GROUP BY 1,2,3),
+        |st AS (SELECT doc_id, gn, max(c) AS mx,
+        |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup, sum(c) AS tot
+        |  FROM cnt GROUP BY 1,2),
+        |f AS (SELECT b.doc_id, CAST(b.n AS INTEGER) AS n_tokens,
+        |  round(1.0 - CAST(b.nd AS DOUBLE) / b.n, 6) AS frac_dup_tokens,
+        |  round(COALESCE(CAST(s2.mx AS DOUBLE) * 2 / b.n, 0), 6) AS frac_top_2gram,
+        |  round(COALESCE(CAST(s3.mx AS DOUBLE) * 3 / b.n, 0), 6) AS frac_top_3gram,
+        |  round(COALESCE(CAST(s4.mx AS DOUBLE) * 4 / b.n, 0), 6) AS frac_top_4gram,
+        |  round(COALESCE(CAST(s5.dup AS DOUBLE) / s5.tot, 0), 6) AS frac_dup_5gram,
+        |  round(COALESCE(CAST(s8.dup AS DOUBLE) / s8.tot, 0), 6) AS frac_dup_8gram
+        |FROM base b
+        |LEFT JOIN st s2 ON s2.doc_id = b.doc_id AND s2.gn = 2
+        |LEFT JOIN st s3 ON s3.doc_id = b.doc_id AND s3.gn = 3
+        |LEFT JOIN st s4 ON s4.doc_id = b.doc_id AND s4.gn = 4
+        |LEFT JOIN st s5 ON s5.doc_id = b.doc_id AND s5.gn = 5
+        |LEFT JOIN st s8 ON s8.doc_id = b.doc_id AND s8.gn = 8)
+        |SELECT *, frac_top_2gram <= 0.20 AND frac_top_3gram <= 0.18
+        |  AND frac_top_4gram <= 0.16 AND frac_dup_5gram <= 0.15
+        |  AND frac_dup_8gram <= 0.10 AS keep
+        |FROM f ORDER BY doc_id""".stripMargin),
+      (spark, dir) =>
+        TextAnalysis.repetitionSignals(
+            table(spark, dir, "documents").filter(col("doc_id") < 40),
+            "doc_id", "text")
+          .orderBy("doc_id")),
+
+    // The corpus-wide repetition gate — ALL docs scored, aggregated per
+    // source with exact decimal sums of the 6-dp fractions (the q119
+    // pattern), so the 20-row output hash-compares at any scale.
+    QueryDef("q125_repetition_gate", Some(
+      """WITH toks AS (
+        |  SELECT doc_id, source, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |base AS (SELECT doc_id, source, len(tk) AS n FROM toks),
+        |g AS (SELECT doc_id, gn, array_to_string(tk[i:i+gn-1], ' ') AS gram
+        |  FROM toks, unnest([2,3,4,5,8]) AS s(gn), unnest(range(1, len(tk) - gn + 2)) AS u(i)
+        |  WHERE len(tk) >= gn),
+        |cnt AS (SELECT doc_id, gn, gram, count(*) AS c FROM g GROUP BY 1,2,3),
+        |st AS (SELECT doc_id, gn, max(c) AS mx,
+        |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup, sum(c) AS tot
+        |  FROM cnt GROUP BY 1,2),
+        |f AS (SELECT b.doc_id, b.source,
+        |  round(COALESCE(CAST(s2.mx AS DOUBLE) * 2 / b.n, 0), 6) AS t2,
+        |  round(COALESCE(CAST(s3.mx AS DOUBLE) * 3 / b.n, 0), 6) AS t3,
+        |  round(COALESCE(CAST(s4.mx AS DOUBLE) * 4 / b.n, 0), 6) AS t4,
+        |  round(COALESCE(CAST(s5.dup AS DOUBLE) / s5.tot, 0), 6) AS d5,
+        |  round(COALESCE(CAST(s8.dup AS DOUBLE) / s8.tot, 0), 6) AS d8
+        |FROM base b
+        |LEFT JOIN st s2 ON s2.doc_id = b.doc_id AND s2.gn = 2
+        |LEFT JOIN st s3 ON s3.doc_id = b.doc_id AND s3.gn = 3
+        |LEFT JOIN st s4 ON s4.doc_id = b.doc_id AND s4.gn = 4
+        |LEFT JOIN st s5 ON s5.doc_id = b.doc_id AND s5.gn = 5
+        |LEFT JOIN st s8 ON s8.doc_id = b.doc_id AND s8.gn = 8)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN t2 <= 0.20 AND t3 <= 0.18 AND t4 <= 0.16
+        |    AND d5 <= 0.15 AND d8 <= 0.10 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(sum(CAST(t2 AS DECIMAL(10,6))) AS DECIMAL(20,6)) AS sum_top2,
+        |  CAST(sum(CAST(d5 AS DECIMAL(10,6))) AS DECIMAL(20,6)) AS sum_dup5
+        |FROM f GROUP BY source ORDER BY source""".stripMargin),
+      (spark, dir) => {
+        val sig = TextAnalysis.repetitionSignals(
+          table(spark, dir, "documents"), "doc_id", "text",
+          passthrough = Seq("source"))
+        sig.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+            sum(col("frac_top_2gram").cast("decimal(10,6)"))
+              .cast("decimal(20,6)").as("sum_top2"),
+            sum(col("frac_dup_5gram").cast("decimal(10,6)"))
+              .cast("decimal(20,6)").as("sum_dup5"))
+          .orderBy("source")
+      }),
+
     QueryDef("q118_lm_perplexity", Some(
       """WITH d AS (
         |  SELECT doc_id, source, list_filter(string_split_regex(trim(lower(text)), '\s+'),
