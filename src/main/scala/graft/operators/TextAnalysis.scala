@@ -317,16 +317,25 @@ object TextAnalysis {
       Bridge.expression(tokens(col(textCol))), counters).toAggregateExpression())
     val pass1 = df.agg(mg.as("cand"),
       sum(size(tokens(col(textCol)))).cast("long").as("n_tokens")).collect()(0)
-    val candidates = pass1.getSeq[String](0)
-    val nTokens = pass1.getLong(1)
+    recountTopK(df, textCol, pass1.getSeq[String](0), k, counters,
+      pass1.getLong(1))
+  }
+
+  /** The exact-recount half of [[heavyHitterTerms]] (shared by the
+    * streaming fold, which brings its own accumulated candidate set and
+    * token count): count ONLY `candidates` (broadcast semi-join), take
+    * the top `k` with the deterministic tiebreak, and emit the
+    * provable-completeness verdict cnt_k·counters > nTokens. */
+  def recountTopK(df: DataFrame, textCol: String, candidates: Seq[String],
+      k: Int, counters: Int, nTokens: Long): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
     val candDf = candidates.toDF("term")
-    val counts = df.select(explode(tokens(col(textCol))).as("term"))
+    df.select(explode(tokens(col(textCol))).as("term"))
       .join(broadcast(candDf), Seq("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(k)
-    counts
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy()
           .orderBy(col("cnt").desc, col("term").asc)).cast("int"))

@@ -784,6 +784,59 @@ object TextQueries {
           .orderBy("source")
       }),
 
+    // Streaming vocabulary tracker (CorpusStream.vocabularyStream):
+    // the corpus arrives as three deterministic micro-batches
+    // (doc_id % 3, write→processAllAvailable boundaries like q115);
+    // each trigger merges the batch's Misra-Gries summary into the
+    // fold (never rescanning history for candidates) and exact-
+    // recounts the candidates over the accumulated corpus. Because
+    // each epoch's verdict (cnt_k·m > N_epoch) holds on this fixture,
+    // every epoch's top-10 is EXACT — so this is the suite's first
+    // STREAMING query with a fully static SQL oracle: DuckDB just
+    // computes the exact top-10 over each prefix of the batch split.
+    QueryDef("q126_streaming_vocabulary", Some(
+      """WITH toks AS (
+        |  SELECT doc_id % 3 AS b, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    t -> t <> '')) AS term
+        |  FROM documents),
+        |e AS (SELECT unnest([0, 1, 2]) AS epoch),
+        |f AS (SELECT epoch, term, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks JOIN e ON toks.b <= e.epoch GROUP BY 1, 2),
+        |n AS (SELECT epoch, CAST(count(*) AS BIGINT) AS n_tokens
+        |  FROM toks JOIN e ON toks.b <= e.epoch GROUP BY 1),
+        |r AS (SELECT epoch, term, cnt,
+        |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY cnt DESC, term) AS INTEGER) AS rank
+        |  FROM f),
+        |k AS (SELECT * FROM r WHERE rank <= 10),
+        |kth AS (SELECT epoch, min(cnt) AS kth FROM k GROUP BY epoch)
+        |SELECT CAST(k.epoch AS INTEGER) AS epoch, k.rank, k.term, k.cnt,
+        |  kth.kth * 4096 > n.n_tokens AS provably_complete
+        |FROM k JOIN kth USING (epoch) JOIN n USING (epoch)
+        |ORDER BY epoch, rank""".stripMargin),
+      (spark, dir) => {
+        val docs = table(spark, dir, "documents").select("doc_id", "text")
+        val staging = java.nio.file.Files
+          .createTempDirectory("graft-q126-arrivals").toString
+        var corpus = docs.filter(lit(false)).localCheckpoint(true)
+        val epochs = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
+        val stream = spark.readStream.schema(docs.schema).parquet(staging)
+        val q = graft.streaming.CorpusStream.vocabularyStream(
+          stream, "text", k = 10, counters = 4096,
+          readCorpus = () => corpus,
+          appendBatch = b => corpus = corpus
+            .unionByName(b.select("doc_id", "text")).localCheckpoint(true),
+          onEpoch = (id, df) =>
+            epochs += df.withColumn("epoch", lit(id.toInt)))
+        try (0 until 3).foreach { b =>
+          docs.filter(pmod(col("doc_id"), lit(3)) === b)
+            .coalesce(1).write.mode("append").parquet(staging)
+          q.processAllAvailable()
+        } finally q.stop()
+        epochs.reduce(_ unionByName _)
+          .select("epoch", "rank", "term", "cnt", "provably_complete")
+          .orderBy("epoch", "rank")
+      }),
+
     QueryDef("q118_lm_perplexity", Some(
       """WITH d AS (
         |  SELECT doc_id, source, list_filter(string_split_regex(trim(lower(text)), '\s+'),

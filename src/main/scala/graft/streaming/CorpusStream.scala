@@ -120,6 +120,78 @@ object CorpusStream {
       }
   }
 
+  /**
+   * Streaming vocabulary tracker — q122's candidate/recount/verdict
+   * pattern run continuously over a document stream. Per trigger:
+   *
+   *  1. ONE aggregate over the NEW batch only produces its Misra-Gries
+   *     summary (with counts — the mergeable form) and exact token
+   *     count; the driver merges them into the fold state. Candidate
+   *     tracking never rescans history: the MG merge bound means the
+   *     folded summary still retains every term with CUMULATIVE
+   *     frequency > N/m across all batches seen.
+   *  2. The ≤ m candidates are exact-recounted over the accumulated
+   *     corpus (`readCorpus`, the q115 authoritative-table contract —
+   *     a broadcast semi-join scan, never a term-universe shuffle) and
+   *     the per-epoch top-k ships with the provable-completeness
+   *     verdict cnt_k·m > N — under which the epoch's output is EXACT,
+   *     identical to a from-scratch batch run over the same prefix
+   *     (asserted in MisraGriesSpec).
+   *
+   * Exactly-once: same high-water-mark batchId guard as
+   * [[SemDedupIngestSink]] — a re-delivered batch neither double-merges
+   * the fold state nor double-appends to the corpus.
+   */
+  def vocabularyStream(arrivals: DataFrame, textCol: String, k: Int,
+      counters: Int,
+      readCorpus: () => DataFrame,
+      appendBatch: DataFrame => Unit,
+      onEpoch: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val sink = new VocabularyIngestSink(textCol, k, counters, readCorpus,
+      appendBatch, onEpoch)
+    arrivals.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink.process(batch, batchId); ()
+      }
+      .start()
+  }
+
+  /** The per-trigger sink body of [[vocabularyStream]], a named class so
+    * the fold state and idempotence guard are directly testable. */
+  final class VocabularyIngestSink(textCol: String, k: Int, counters: Int,
+      readCorpus: () => DataFrame, appendBatch: DataFrame => Unit,
+      onEpoch: (Long, DataFrame) => Unit) {
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.graft.expressions.{MisraGries, MisraGriesAlgo}
+    import graft.operators.TextAnalysis
+
+    private val summary = scala.collection.mutable.HashMap.empty[String, Long]
+    private var nTokens = 0L
+    private var lastCommitted = -1L
+
+    def process(batch: DataFrame, batchId: Long): Boolean =
+      if (batchId <= lastCommitted) false
+      else {
+        val mg = Bridge.column(MisraGries(
+          Bridge.expression(TextAnalysis.tokens(col(textCol))), counters,
+          withCounts = true).toAggregateExpression())
+        val r = batch.agg(mg.as("s"),
+          coalesce(sum(size(TextAnalysis.tokens(col(textCol)))), lit(0L))
+            .cast("long").as("n")).collect()(0)
+        val batchSummary = scala.collection.mutable.HashMap.empty[String, Long]
+        r.getSeq[org.apache.spark.sql.Row](0).foreach { e =>
+          batchSummary.update(e.getString(0), e.getLong(1))
+        }
+        MisraGriesAlgo.merge(summary, batchSummary, counters)
+        nTokens += r.getLong(1)
+        appendBatch(batch)
+        onEpoch(batchId, TextAnalysis.recountTopK(readCorpus(), textCol,
+          summary.keys.toSeq.sorted, k, counters, nTokens))
+        lastCommitted = batchId
+        true
+      }
+  }
+
   def curateStream(docs: DataFrame, textCol: String,
       minQuality: Double = 0.5,
       keepLangs: Set[String] = Set.empty,

@@ -48,6 +48,7 @@ import org.apache.spark.unsafe.types.UTF8String
 case class MisraGries(
     child: Expression,
     m: Int,
+    withCounts: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.HashMap[String, Long]]
@@ -56,7 +57,15 @@ case class MisraGries(
   require(m >= 1, s"misra_gries: m must be >= 1, got $m")
 
   override def prettyName: String = "misra_gries"
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // withCounts=true returns the summary WITH its (under-)counts — the
+  // mergeable form a streaming fold carries across micro-batches
+  // (term-sorted for canonical output); counts are MG lower bounds, so
+  // exact-recount callers use the plain term-array form
+  override def dataType: DataType =
+    if (withCounts) ArrayType(StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))), containsNull = false)
+    else ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = false
 
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
@@ -71,20 +80,7 @@ case class MisraGries(
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val t = arr.getUTF8String(i).toString
-        buf.get(t) match {
-          case Some(c) => buf.update(t, c + 1L)
-          case None =>
-            if (buf.size < m) buf.update(t, 1L)
-            else {
-              // decrement-all: drains one unit from every tracked term
-              // instead of tracking the new one
-              val dead = mutable.ArrayBuffer.empty[String]
-              buf.mapValuesInPlace((_, c) => c - 1L)
-              buf.foreach { case (k, c) => if (c <= 0L) dead += k }
-              dead.foreach(buf.remove)
-            }
-        }
+        MisraGriesAlgo.add(buf, arr.getUTF8String(i).toString, m)
       }
       i += 1
     }
@@ -92,23 +88,16 @@ case class MisraGries(
   }
 
   override def merge(a: mutable.HashMap[String, Long],
-      b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    b.foreach { case (k, c) => a.update(k, a.getOrElse(k, 0L) + c) }
-    if (a.size > m) {
-      // subtract the (m+1)-th largest count from everything and drop
-      // non-positives: exactly m (or fewer, on ties) survive, and the
-      // per-term undercount stays bounded by N/m overall
-      val cut = a.valuesIterator.toArray.sortBy(-_).apply(m)
-      val dead = mutable.ArrayBuffer.empty[String]
-      a.mapValuesInPlace((_, c) => c - cut)
-      a.foreach { case (k, c) => if (c <= 0L) dead += k }
-      dead.foreach(a.remove)
-    }
-    a
-  }
+      b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] =
+    MisraGriesAlgo.merge(a, b, m)
 
   override def eval(buf: mutable.HashMap[String, Long]): Any =
-    new GenericArrayData(
+    if (withCounts) {
+      val entries = buf.toArray.sortBy(_._1)
+      new GenericArrayData(entries.map { case (t, c) =>
+        InternalRow(UTF8String.fromString(t), c)
+      })
+    } else new GenericArrayData(
       buf.keysIterator.toArray.sorted.map(UTF8String.fromString(_)))
 
   override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
@@ -147,4 +136,46 @@ case class MisraGries(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): MisraGries =
     copy(child = newChild)
+}
+
+/**
+ * The Misra-Gries update/merge shared by the aggregate above and by
+ * driver-side streaming folds (CorpusStream.VocabularyIngestSink merges
+ * one per-batch summary per trigger — the same mergeability that powers
+ * map-side combine powers fold-across-micro-batches, so the guarantee
+ * "freq > N/m ⇒ tracked" holds over the whole stream).
+ */
+object MisraGriesAlgo {
+  /** One occurrence of `t` into `buf` (capacity m). */
+  def add(buf: mutable.HashMap[String, Long], t: String, m: Int): Unit =
+    buf.get(t) match {
+      case Some(c) => buf.update(t, c + 1L)
+      case None =>
+        if (buf.size < m) buf.update(t, 1L)
+        else {
+          // decrement-all: drains one unit from every tracked term
+          // instead of tracking the new one
+          val dead = mutable.ArrayBuffer.empty[String]
+          buf.mapValuesInPlace((_, c) => c - 1L)
+          buf.foreach { case (k, c) => if (c <= 0L) dead += k }
+          dead.foreach(buf.remove)
+        }
+    }
+
+  /** Merge summary `b` into `a` (both capacity m), Agarwal et al. rule. */
+  def merge(a: mutable.HashMap[String, Long], b: mutable.HashMap[String, Long],
+      m: Int): mutable.HashMap[String, Long] = {
+    b.foreach { case (k, c) => a.update(k, a.getOrElse(k, 0L) + c) }
+    if (a.size > m) {
+      // subtract the (m+1)-th largest count from everything and drop
+      // non-positives: exactly m (or fewer, on ties) survive, and the
+      // per-term undercount stays bounded by N/m overall
+      val cut = a.valuesIterator.toArray.sortBy(-_).apply(m)
+      val dead = mutable.ArrayBuffer.empty[String]
+      a.mapValuesInPlace((_, c) => c - cut)
+      a.foreach { case (k, c) => if (c <= 0L) dead += k }
+      dead.foreach(a.remove)
+    }
+    a
+  }
 }

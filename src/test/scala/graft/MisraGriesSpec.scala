@@ -83,6 +83,47 @@ class MisraGriesSpec extends SparkSpec {
     assert(got.forall(_.getBoolean(4)), "fixture margins should prove every group")
   }
 
+  test("streaming fold epochs == from-scratch batch top-k over each prefix") {
+    val docs = queries.Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    var corpus = docs.filter(lit(false)).localCheckpoint(true)
+    val epochs = scala.collection.mutable.Buffer.empty[Array[org.apache.spark.sql.Row]]
+    val sink = new graft.streaming.CorpusStream.VocabularyIngestSink(
+      "text", 10, 64,
+      readCorpus = () => corpus,
+      appendBatch = b => corpus = corpus.unionByName(b).localCheckpoint(true),
+      onEpoch = (_, df) => epochs += df.orderBy("rank").collect())
+    (0 until 3).foreach { b =>
+      assert(sink.process(docs.filter(pmod(col("doc_id"), lit(3)) === b), b))
+    }
+    (0 until 3).foreach { e =>
+      val prefix = docs.filter(pmod(col("doc_id"), lit(3)) <= e)
+      val batch = TextAnalysis.heavyHitterTerms(prefix, "text", 10, 64)
+        .orderBy("rank").collect()
+      assert(epochs(e).map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+          == batch.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq,
+        s"epoch $e diverged from the from-scratch batch run")
+      assert(epochs(e).forall(_.getBoolean(3)), s"epoch $e verdict")
+    }
+  }
+
+  test("re-delivered micro-batch is a no-op (exactly-once fold)") {
+    val docs = queries.Tables.table(spark, sfDir, "documents")
+      .select("doc_id", "text").limit(50).localCheckpoint(true)
+    var corpus = docs.filter(lit(false)).localCheckpoint(true)
+    var nEpochs = 0
+    val sink = new graft.streaming.CorpusStream.VocabularyIngestSink(
+      "text", 5, 64,
+      readCorpus = () => corpus,
+      appendBatch = b => corpus = corpus.unionByName(b).localCheckpoint(true),
+      onEpoch = (_, _) => nEpochs += 1)
+    assert(sink.process(docs, 0))
+    val after = corpus.count()
+    assert(!sink.process(docs, 0), "re-delivery must be skipped")
+    assert(corpus.count() == after && nEpochs == 1,
+      "re-delivery must not double-append or re-emit")
+  }
+
   test("verdict goes false when the bound cannot prove completeness") {
     // near-uniform vocabulary wider than m: cnt_k * m <= N
     val rows = (1 to 600).map(i => Seq(s"t${i % 60}"))
