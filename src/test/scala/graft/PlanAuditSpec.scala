@@ -273,4 +273,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("mat_vec"), plan)
     assert(plan.contains("nearest_centroid"), plan)
   }
+
+  test("q122 heavy hitters: candidate recount joins BROADCAST, term agg partial") {
+    val plan = run("q122_heavy_hitters").queryExecution.executedPlan.toString
+    // pass 2's semi-join against the <= m candidates must broadcast —
+    // a shuffled join here would reintroduce the term-universe exchange
+    // the MG summary exists to avoid
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate join must broadcast:\n${plan.take(2000)}")
+    // the exact recount still combines map-side before its exchange
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"recount must partial-aggregate:\n${plan.take(2000)}")
+  }
 }
