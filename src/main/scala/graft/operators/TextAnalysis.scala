@@ -315,8 +315,12 @@ object TextAnalysis {
     val spark = df.sparkSession
     val mg = Bridge.column(org.apache.spark.sql.graft.expressions.MisraGries(
       Bridge.expression(tokens(col(textCol))), counters).toAggregateExpression())
+    // coalesce: sum() over zero rows is SQL NULL — an empty corpus must
+    // yield an empty result, not an NPE (the streaming sink already
+    // guards its copy of this aggregate the same way)
     val pass1 = df.agg(mg.as("cand"),
-      sum(size(tokens(col(textCol)))).cast("long").as("n_tokens")).collect()(0)
+      coalesce(sum(size(tokens(col(textCol)))), lit(0L))
+        .cast("long").as("n_tokens")).collect()(0)
     recountTopK(df, textCol, pass1.getSeq[String](0), k, counters,
       pass1.getLong(1))
   }
@@ -325,23 +329,29 @@ object TextAnalysis {
     * streaming fold, which brings its own accumulated candidate set and
     * token count): count ONLY `candidates` (broadcast semi-join), take
     * the top `k` with the deterministic tiebreak, and emit the
-    * provable-completeness verdict cnt_k·counters > nTokens. */
+    * provable-completeness verdict cnt_k·counters > nTokens AND
+    * |result| == k: the count bound alone can hold on a candidate set
+    * with fewer than k terms (all heavy), in which case ranks
+    * |candidates|+1..k of the exact top-k are missing — a short result
+    * must never be certified complete. (A corpus with fewer than k
+    * distinct terms therefore reports false even though the result is
+    * trivially complete — the verdict stays a conservative proof.) */
   def recountTopK(df: DataFrame, textCol: String, candidates: Seq[String],
       k: Int, counters: Int, nTokens: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val candDf = candidates.toDF("term")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
     df.select(explode(tokens(col(textCol))).as("term"))
       .join(broadcast(candDf), Seq("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(k)
       .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy()
-          .orderBy(col("cnt").desc, col("term").asc)).cast("int"))
+        w.orderBy(col("cnt").desc, col("term").asc)).cast("int"))
       .withColumn("provably_complete",
-        min(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy())
-          * counters > nTokens)
+        min(col("cnt")).over(w) * counters > nTokens &&
+          count(lit(1)).over(w) === k)
       .select(col("rank"), col("term"), col("cnt"), col("provably_complete"))
   }
 
@@ -351,11 +361,14 @@ object TextAnalysis {
    * codegen'd expression computes the whole battery per document
    * (RepetitionMetrics scaladoc — in-row run-length stats over sorted
    * n-gram arrays, NO shuffle; the naive explode+groupBy(doc, gram)
-   * form shuffles every n-gram occurrence in the corpus), fractions
-   * round to 6 dp (the per-row double rule), and `keep` is the
-   * conjunction of the paper's thresholds (token-based here): drop
-   * when the top 2/3/4-gram covers > 20/18/16% of the doc or when
-   * > 15%/10% of 5/8-gram occurrences are repeats.
+   * form shuffles every n-gram occurrence in the corpus). The display
+   * fractions round to 6 dp; `keep` — the conjunction of the paper's
+   * thresholds (token-based here): drop when the top 2/3/4-gram covers
+   * > 20/18/16% of the doc or when > 15%/10% of 5/8-gram occurrences
+   * are repeats — compares the UNROUNDED fractions, and the exact
+   * integer numerators/denominators are appended so downstream
+   * aggregation (q125) and oracle hashing never depend on a rounded
+   * double.
    */
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
       maxTop2: Double = 0.20, maxTop3: Double = 0.18, maxTop4: Double = 0.16,
@@ -372,11 +385,26 @@ object TextAnalysis {
         round(col("__m.frac_top_3gram"), 6).as("frac_top_3gram"),
         round(col("__m.frac_top_4gram"), 6).as("frac_top_4gram"),
         round(col("__m.frac_dup_5gram"), 6).as("frac_dup_5gram"),
-        round(col("__m.frac_dup_8gram"), 6).as("frac_dup_8gram")): _*)
-      .withColumn("keep",
-        col("frac_top_2gram") <= maxTop2 && col("frac_top_3gram") <= maxTop3 &&
-        col("frac_top_4gram") <= maxTop4 && col("frac_dup_5gram") <= maxDup5 &&
-        col("frac_dup_8gram") <= maxDup8)
+        round(col("__m.frac_dup_8gram"), 6).as("frac_dup_8gram"),
+        // keep compares the UNROUNDED fractions: each is a single IEEE
+        // division of integer stats, bit-identical on any engine — a
+        // rounded value is not (round-algorithm variance flips a value
+        // sitting on a .5e-6 boundary), so thresholds never touch the
+        // display rounding
+        (col("__m.frac_top_2gram") <= maxTop2 &&
+          col("__m.frac_top_3gram") <= maxTop3 &&
+          col("__m.frac_top_4gram") <= maxTop4 &&
+          col("__m.frac_dup_5gram") <= maxDup5 &&
+          col("__m.frac_dup_8gram") <= maxDup8).as("keep"),
+        // exact integer sufficient statistics — the hash-safe columns
+        (col("__m.n_tokens") - col("__m.distinct_tokens")).as("dup_tokens"),
+        col("__m.top2_cnt").as("top2_cnt"),
+        col("__m.top3_cnt").as("top3_cnt"),
+        col("__m.top4_cnt").as("top4_cnt"),
+        col("__m.dup5_num").as("dup5_num"),
+        col("__m.dup5_den").as("dup5_den"),
+        col("__m.dup8_num").as("dup8_num"),
+        col("__m.dup8_den").as("dup8_den")): _*)
   }
 
   /**
@@ -416,9 +444,12 @@ object TextAnalysis {
       .filter(col("rank") <= k)
     ranked
       .withColumn("__kth", min(col("cnt")).over(w))
+      .withColumn("__nret", count(lit(1)).over(w))
       .join(broadcast(nTokDf), Seq(groupCol))
+      // same short-candidate guard as recountTopK: a group returning
+      // fewer than k terms is never certified complete
       .withColumn("provably_complete",
-        col("__kth") * counters > col("n_tokens"))
+        col("__kth") * counters > col("n_tokens") && col("__nret") === k)
       .select(col(groupCol), col("rank"), col("term"), col("cnt"),
         col("provably_complete"))
   }

@@ -312,7 +312,8 @@ object AdvancedQueries {
         |r AS (SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INTEGER) AS rank,
         |  term, cnt FROM c)
         |SELECT r.rank, r.term, r.cnt,
-        |  (SELECT min(cnt) FROM r) * 4096 > n.n_tokens AS provably_complete
+        |  (SELECT min(cnt) FROM r) * 4096 > n.n_tokens
+        |    AND (SELECT count(*) FROM r) = 40 AS provably_complete
         |FROM r CROSS JOIN n ORDER BY rank""".stripMargin),
       (spark, dir) =>
         TextAnalysis.heavyHitterTerms(table(spark, dir, "documents"),
@@ -337,9 +338,10 @@ object AdvancedQueries {
         |  CAST(row_number() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS INTEGER) AS rank
         |  FROM c),
         |k AS (SELECT source, rank, term, cnt FROM r WHERE rank <= 10),
-        |kth AS (SELECT source, min(cnt) AS kth FROM k GROUP BY source)
+        |kth AS (SELECT source, min(cnt) AS kth, count(*) AS nret
+        |  FROM k GROUP BY source)
         |SELECT k.source, k.rank, k.term, k.cnt,
-        |  kth.kth * 4096 > n.n_tokens AS provably_complete
+        |  kth.kth * 4096 > n.n_tokens AND kth.nret = 10 AS provably_complete
         |FROM k JOIN kth USING (source) JOIN n USING (source)
         |ORDER BY source, rank""".stripMargin),
       (spark, dir) =>

@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/**
+ * DuckDB replay-oracle GENERATORS for the bigram-LM quality gates
+ * (q118/q119) — the round-15 fix for the r14 driver hash failures.
+ *
+ * The r14 static oracles asked DuckDB to evaluate `ln(...)` and round
+ * the result to 9 dp; `ln` differs by ulps across libm builds, so a
+ * value sitting on a rounding boundary resolved differently on the
+ * driver's DuckDB than on the local one even though rows/schema
+ * matched. The fix is the same literal-replay trick that oracles the
+ * seeded ANN family (AnnOracles): every per-position log-probability
+ * depends ONLY on a handful of integer count values —
+ *
+ *   hit:      logp = round(ln(c2 / c1a), 9)      keyed by (c2, c1a)
+ *   backoff:  logp = round(ln(α·(c1b+1)/(T+V)), 9)   keyed by c1b
+ *
+ * — so the generator computes the distinct (count → logp) mapping
+ * ONCE, in the same JVM with the same Spark expressions the engine
+ * runs (bit-identical by construction), and inlines it as a literal
+ * lookup table. DuckDB still does all the real work — tokenization,
+ * bigram extraction, model counting, the three scoring joins, the
+ * exact decimal sum, the keep threshold — it just never calls `ln`.
+ *
+ * Withhold conditions (→ rows-only check, the AnnOracles discipline):
+ *  - LUT larger than [[maxLutRows]] (SQL size guard);
+ *  - any document's |avg_logp − keepThreshold| margin below
+ *    [[keepEps]]: the only remaining cross-engine float op is the
+ *    decimal→double cast + one division feeding the threshold compare,
+ *    whose noise is ≤ ~1 ulp — 1e-9 is orders above it.
+ */
+private[graft] object LmOracles {
+  val maxLutRows = 20000
+  val keepEps = 1e-9
+  // q118 and q119 share one model per fixture dir — memoize so a
+  // Verify run trains/scans once, not four times
+  private val lutCache =
+    scala.collection.mutable.Map.empty[String, Option[(String, String)]]
+  private val marginCache = scala.collection.mutable.Map.empty[String, Boolean]
+  private val alpha = 0.4
+  private val keepThreshold = -9.0
+  private val toksSql =
+    """list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')"""
+
+  /** The distinct-count LUTs as (hitValuesSql, backoffValuesSql), or
+    * None past the size cap. Values are computed by the SAME Spark
+    * expression trees `TextAnalysis.lmPerplexity` evaluates per row,
+    * so the literals are bit-identical to the engine's decimals. */
+  private def luts(spark: SparkSession, dir: String): Option[(String, String)] =
+    lutCache.synchronized(lutCache.getOrElseUpdate(dir, lutsUncached(spark, dir)))
+
+  private def lutsUncached(spark: SparkSession, dir: String): Option[(String, String)] = {
+    import spark.implicits._
+    val docs = Tables.table(spark, dir, "documents")
+    val refToks = docs.filter(col("source") === "src0")
+      .select(TextAnalysis.tokens(col("text")).as("tk"))
+    val refTok = refToks.select(explode(col("tk")).as("w"))
+    val c1 = refTok.groupBy("w").agg(count(lit(1)).as("c1"))
+    val c2 = refToks.filter(size(col("tk")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1))).as("bg"))
+      .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val tvRow = refTok.agg(count(lit(1)).as("t"),
+      countDistinct(col("w")).as("v")).collect()(0)
+    val (t, v) = (tvRow.getLong(0), tvRow.getLong(1))
+
+    val hit = c2.join(c1.select(col("w").as("w1"), col("c1").as("c1a")), Seq("w1"))
+      .select(col("c2"), col("c1a")).distinct()
+      .withColumn("lp", round(log(col("c2") / col("c1a")), 9)
+        .cast("decimal(20,9)").cast("string"))
+      .collect()
+    // every count value a backoff can see: each model unigram count,
+    // plus 0 for words absent from the reference
+    val bo = (c1.select(col("c1")).distinct().as[Long].collect() :+ 0L)
+      .toSeq.toDF("c1b")
+      .withColumn("lp", round(log(lit(alpha) * (col("c1b") + 1) /
+          (lit(t) + lit(v))), 9)
+        .cast("decimal(20,9)").cast("string"))
+      .collect()
+    if (hit.length > maxLutRows || bo.length > maxLutRows ||
+        hit.isEmpty || bo.isEmpty) {
+      System.err.println(s"[oracle-gen] lm LUT too large/empty " +
+        s"(hit=${hit.length}, bo=${bo.length}) — withholding")
+      None
+    } else Some((
+      hit.map(r => s"(${r.getLong(0)}, ${r.getLong(1)}, '${r.getString(2)}')")
+        .mkString(",\n    "),
+      bo.map(r => s"(${r.getLong(0)}, '${r.getString(1)}')")
+        .mkString(",\n    ")))
+  }
+
+  /** Min |avg_logp − keepThreshold| over every scored doc: the
+    * decimal→double cast + division margin for the keep compare. */
+  private def keepMarginOk(spark: SparkSession, dir: String): Boolean =
+    marginCache.synchronized(
+      marginCache.getOrElseUpdate(dir, keepMarginUncached(spark, dir)))
+
+  private def keepMarginUncached(spark: SparkSession, dir: String): Boolean = {
+    val docs = Tables.table(spark, dir, "documents")
+    val scored = TextAnalysis.lmPerplexity(docs, "doc_id", "text",
+      refFilter = col("source") === "src0")
+    val m = scored.agg(min(abs(col("sum_logp").cast("double") /
+        col("n_bigrams") - lit(keepThreshold)))).collect()(0)
+    !m.isNullAt(0) && m.getDouble(0) > keepEps
+  }
+
+  /** Shared prelude: tokenization, model counts, bigram extraction,
+    * the literal LUTs, and the per-doc exact decimal sums. */
+  private def prelude(hitValues: String, boValues: String): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, $toksSql AS tk
+       |  FROM documents),
+       |ref AS (SELECT tk FROM d WHERE source = 'src0'),
+       |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+       |  FROM (SELECT unnest(tk) AS w FROM ref) GROUP BY w),
+       |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM (
+       |    SELECT tk[i] AS w1, tk[i+1] AS w2 FROM ref, unnest(range(1, len(tk))) AS u(i)
+       |    WHERE len(tk) >= 2) GROUP BY w1, w2),
+       |lut_hit AS (SELECT a AS c2v, b AS c1v, CAST(c AS DECIMAL(20,9)) AS lp
+       |  FROM (VALUES
+       |    $hitValues) t(a, b, c)),
+       |lut_bo AS (SELECT a AS c1bv, CAST(b AS DECIMAL(20,9)) AS lp
+       |  FROM (VALUES
+       |    $boValues) t(a, b)),
+       |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+       |  FROM d, unnest(range(1, len(tk))) AS u(i) WHERE len(tk) >= 2),
+       |lp AS (SELECT bg.doc_id,
+       |    CASE WHEN c2.c2 IS NOT NULL THEN lh.lp ELSE lb.lp END AS logp_r
+       |  FROM bg
+       |  LEFT JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+       |  LEFT JOIN c1 c1a ON c1a.w = bg.w1
+       |  LEFT JOIN c1 c1b ON c1b.w = bg.w2
+       |  LEFT JOIN lut_hit lh ON lh.c2v = c2.c2 AND lh.c1v = c1a.c1
+       |  LEFT JOIN lut_bo lb ON lb.c1bv = COALESCE(c1b.c1, 0)),
+       |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(logp_r) AS DECIMAL(20,9)) AS sum_logp
+       |  FROM lp GROUP BY doc_id)""".stripMargin
+
+  def q118(spark: SparkSession, dir: String): Option[String] =
+    luts(spark, dir).filter(_ => keepMarginOk(spark, dir)).map {
+      case (hitValues, boValues) =>
+        s"""${prelude(hitValues, boValues)}
+           |SELECT doc_id, n_bigrams, sum_logp,
+           |  CAST(sum_logp AS DOUBLE) / n_bigrams >= $keepThreshold AS keep
+           |FROM per WHERE doc_id < 30 ORDER BY doc_id""".stripMargin
+    }
+
+  def q119(spark: SparkSession, dir: String): Option[String] =
+    luts(spark, dir).filter(_ => keepMarginOk(spark, dir)).map {
+      case (hitValues, boValues) =>
+        s"""${prelude(hitValues, boValues)}
+           |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs_scored,
+           |  CAST(sum(CASE WHEN CAST(per.sum_logp AS DOUBLE) / per.n_bigrams
+           |    >= $keepThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           |  CAST(sum(per.n_bigrams) AS BIGINT) AS n_bigrams,
+           |  CAST(sum(per.sum_logp) AS DECIMAL(27,9)) AS sum_logp
+           |FROM per JOIN d ON d.doc_id = per.doc_id
+           |GROUP BY d.source ORDER BY d.source""".stripMargin
+    }
+}

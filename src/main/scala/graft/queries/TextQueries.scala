@@ -685,27 +685,22 @@ object TextQueries {
           .orderBy(col("tokens").desc, col("source").asc)
       }),
 
-    // N-gram LM perplexity — the CCNet/RedPajama quality filter: a
-    // stupid-backoff bigram LM trained on the reference slice
-    // (source = 'src0'), every document scored by average token
-    // log-probability. Every probability is a ratio of integer counts
-    // and each per-position log rounds to 9 dp before an exact
-    // DECIMAL sum (the q01/q05 decimal rule), so the per-doc score is
-    // order-independent and hash-compares; the keep verdict derives
-    // from the exact sum, never from reassociated doubles. Output is
-    // the doc_id < 30 sample — Catalyst pushes that filter into the
-    // scoring branch while the LM still trains on the full reference.
     // Gopher repetition battery per document (repetitionSignals
-    // scaladoc): every fraction is an integer ratio evaluated as one
-    // IEEE division then rounded 6 dp, so the whole battery replays
-    // exactly; the top-gram fractions use only the max COUNT (no
-    // tiebreak to pin). 40-doc detail sample; q125 is the at-scale
-    // corpus gate.
+    // scaladoc). HASHED COLUMNS ARE EXACT-ONLY (round-15 rule, the
+    // r14 driver-hash lesson): the projection carries the integer
+    // numerators/denominators of every fraction plus the keep verdict
+    // — no rounded double ever reaches the hash. keep compares the
+    // UNROUNDED single-division fractions against the literal
+    // thresholds; one IEEE division + compare is bit-identical on both
+    // engines, while round(x, 6) is not (round-algorithm variance on a
+    // .5e-6 boundary). COALESCE guards every division (the zero-token
+    // document contract: all-zero stats, keep = true). 40-doc detail
+    // sample; q125 is the at-scale corpus gate.
     QueryDef("q124_gopher_repetition", Some(
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
         |  FROM documents),
-        |base AS (SELECT doc_id, len(tk) AS n, CAST(len(list_distinct(tk)) AS BIGINT) AS nd
+        |base AS (SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS nd
         |  FROM toks WHERE doc_id < 40),
         |g AS (SELECT doc_id, gn, array_to_string(tk[i:i+gn-1], ' ') AS gram
         |  FROM toks, unnest([2,3,4,5,8]) AS s(gn), unnest(range(1, len(tk) - gn + 2)) AS u(i)
@@ -713,33 +708,46 @@ object TextQueries {
         |cnt AS (SELECT doc_id, gn, gram, count(*) AS c FROM g GROUP BY 1,2,3),
         |st AS (SELECT doc_id, gn, max(c) AS mx,
         |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup, sum(c) AS tot
-        |  FROM cnt GROUP BY 1,2),
-        |f AS (SELECT b.doc_id, CAST(b.n AS INTEGER) AS n_tokens,
-        |  round(1.0 - CAST(b.nd AS DOUBLE) / b.n, 6) AS frac_dup_tokens,
-        |  round(COALESCE(CAST(s2.mx AS DOUBLE) * 2 / b.n, 0), 6) AS frac_top_2gram,
-        |  round(COALESCE(CAST(s3.mx AS DOUBLE) * 3 / b.n, 0), 6) AS frac_top_3gram,
-        |  round(COALESCE(CAST(s4.mx AS DOUBLE) * 4 / b.n, 0), 6) AS frac_top_4gram,
-        |  round(COALESCE(CAST(s5.dup AS DOUBLE) / s5.tot, 0), 6) AS frac_dup_5gram,
-        |  round(COALESCE(CAST(s8.dup AS DOUBLE) / s8.tot, 0), 6) AS frac_dup_8gram
+        |  FROM cnt GROUP BY 1,2)
+        |SELECT b.doc_id, CAST(b.n AS INTEGER) AS n_tokens,
+        |  CAST(b.n - b.nd AS INTEGER) AS dup_tokens,
+        |  CAST(COALESCE(s2.mx, 0) AS INTEGER) AS top2_cnt,
+        |  CAST(COALESCE(s3.mx, 0) AS INTEGER) AS top3_cnt,
+        |  CAST(COALESCE(s4.mx, 0) AS INTEGER) AS top4_cnt,
+        |  CAST(COALESCE(s5.dup, 0) AS INTEGER) AS dup5_num,
+        |  CAST(COALESCE(s5.tot, 0) AS INTEGER) AS dup5_den,
+        |  CAST(COALESCE(s8.dup, 0) AS INTEGER) AS dup8_num,
+        |  CAST(COALESCE(s8.tot, 0) AS INTEGER) AS dup8_den,
+        |  COALESCE(CAST(s2.mx AS DOUBLE) * 2 / b.n, 0) <= 0.20
+        |    AND COALESCE(CAST(s3.mx AS DOUBLE) * 3 / b.n, 0) <= 0.18
+        |    AND COALESCE(CAST(s4.mx AS DOUBLE) * 4 / b.n, 0) <= 0.16
+        |    AND COALESCE(CAST(s5.dup AS DOUBLE) / s5.tot, 0) <= 0.15
+        |    AND COALESCE(CAST(s8.dup AS DOUBLE) / s8.tot, 0) <= 0.10 AS keep
         |FROM base b
         |LEFT JOIN st s2 ON s2.doc_id = b.doc_id AND s2.gn = 2
         |LEFT JOIN st s3 ON s3.doc_id = b.doc_id AND s3.gn = 3
         |LEFT JOIN st s4 ON s4.doc_id = b.doc_id AND s4.gn = 4
         |LEFT JOIN st s5 ON s5.doc_id = b.doc_id AND s5.gn = 5
-        |LEFT JOIN st s8 ON s8.doc_id = b.doc_id AND s8.gn = 8)
-        |SELECT *, frac_top_2gram <= 0.20 AND frac_top_3gram <= 0.18
-        |  AND frac_top_4gram <= 0.16 AND frac_dup_5gram <= 0.15
-        |  AND frac_dup_8gram <= 0.10 AS keep
-        |FROM f ORDER BY doc_id""".stripMargin),
+        |LEFT JOIN st s8 ON s8.doc_id = b.doc_id AND s8.gn = 8
+        |ORDER BY b.doc_id""".stripMargin),
       (spark, dir) =>
         TextAnalysis.repetitionSignals(
             table(spark, dir, "documents").filter(col("doc_id") < 40),
             "doc_id", "text")
+          .select("doc_id", "n_tokens", "dup_tokens", "top2_cnt",
+            "top3_cnt", "top4_cnt", "dup5_num", "dup5_den", "dup8_num",
+            "dup8_den", "keep")
           .orderBy("doc_id")),
 
     // The corpus-wide repetition gate — ALL docs scored, aggregated per
-    // source with exact decimal sums of the 6-dp fractions (the q119
-    // pattern), so the 20-row output hash-compares at any scale.
+    // source. EXACT-ONLY hashed columns (round-15 rule): the per-source
+    // sums are INTEGER sums of the fraction numerators/denominators
+    // (sum_top2_cnt/sum_tokens and sum_dup5_num/sum_dup5_den carry the
+    // same corpus-weighted signal the old decimal-sum-of-rounded-
+    // doubles columns did, exactly), and n_keep counts the unrounded
+    // threshold verdicts — nothing in the 20-row output ever passes
+    // through round(double), so the hash is stable across DuckDB
+    // builds/libm (the r14 q125 driver failure class).
     QueryDef("q125_repetition_gate", Some(
       """WITH toks AS (
         |  SELECT doc_id, source, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS tk
@@ -752,12 +760,14 @@ object TextQueries {
         |st AS (SELECT doc_id, gn, max(c) AS mx,
         |    sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup, sum(c) AS tot
         |  FROM cnt GROUP BY 1,2),
-        |f AS (SELECT b.doc_id, b.source,
-        |  round(COALESCE(CAST(s2.mx AS DOUBLE) * 2 / b.n, 0), 6) AS t2,
-        |  round(COALESCE(CAST(s3.mx AS DOUBLE) * 3 / b.n, 0), 6) AS t3,
-        |  round(COALESCE(CAST(s4.mx AS DOUBLE) * 4 / b.n, 0), 6) AS t4,
-        |  round(COALESCE(CAST(s5.dup AS DOUBLE) / s5.tot, 0), 6) AS d5,
-        |  round(COALESCE(CAST(s8.dup AS DOUBLE) / s8.tot, 0), 6) AS d8
+        |f AS (SELECT b.doc_id, b.source, b.n,
+        |  COALESCE(s2.mx, 0) AS t2c, COALESCE(s5.dup, 0) AS d5n,
+        |  COALESCE(s5.tot, 0) AS d5d,
+        |  COALESCE(CAST(s2.mx AS DOUBLE) * 2 / b.n, 0) <= 0.20
+        |    AND COALESCE(CAST(s3.mx AS DOUBLE) * 3 / b.n, 0) <= 0.18
+        |    AND COALESCE(CAST(s4.mx AS DOUBLE) * 4 / b.n, 0) <= 0.16
+        |    AND COALESCE(CAST(s5.dup AS DOUBLE) / s5.tot, 0) <= 0.15
+        |    AND COALESCE(CAST(s8.dup AS DOUBLE) / s8.tot, 0) <= 0.10 AS keep
         |FROM base b
         |LEFT JOIN st s2 ON s2.doc_id = b.doc_id AND s2.gn = 2
         |LEFT JOIN st s3 ON s3.doc_id = b.doc_id AND s3.gn = 3
@@ -765,10 +775,11 @@ object TextQueries {
         |LEFT JOIN st s5 ON s5.doc_id = b.doc_id AND s5.gn = 5
         |LEFT JOIN st s8 ON s8.doc_id = b.doc_id AND s8.gn = 8)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(CASE WHEN t2 <= 0.20 AND t3 <= 0.18 AND t4 <= 0.16
-        |    AND d5 <= 0.15 AND d8 <= 0.10 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
-        |  CAST(sum(CAST(t2 AS DECIMAL(10,6))) AS DECIMAL(20,6)) AS sum_top2,
-        |  CAST(sum(CAST(d5 AS DECIMAL(10,6))) AS DECIMAL(20,6)) AS sum_dup5
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(sum(t2c) AS BIGINT) AS sum_top2_cnt,
+        |  CAST(sum(n) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(d5n) AS BIGINT) AS sum_dup5_num,
+        |  CAST(sum(d5d) AS BIGINT) AS sum_dup5_den
         |FROM f GROUP BY source ORDER BY source""".stripMargin),
       (spark, dir) => {
         val sig = TextAnalysis.repetitionSignals(
@@ -777,23 +788,26 @@ object TextQueries {
         sig.groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
-            sum(col("frac_top_2gram").cast("decimal(10,6)"))
-              .cast("decimal(20,6)").as("sum_top2"),
-            sum(col("frac_dup_5gram").cast("decimal(10,6)"))
-              .cast("decimal(20,6)").as("sum_dup5"))
+            sum(col("top2_cnt").cast("long")).as("sum_top2_cnt"),
+            sum(col("n_tokens").cast("long")).as("sum_tokens"),
+            sum(col("dup5_num").cast("long")).as("sum_dup5_num"),
+            sum(col("dup5_den").cast("long")).as("sum_dup5_den"))
           .orderBy("source")
       }),
 
     // Streaming vocabulary tracker (CorpusStream.vocabularyStream):
     // the corpus arrives as three deterministic micro-batches
     // (doc_id % 3, write→processAllAvailable boundaries like q115);
-    // each trigger merges the batch's Misra-Gries summary into the
-    // fold (never rescanning history for candidates) and exact-
-    // recounts the candidates over the accumulated corpus. Because
-    // each epoch's verdict (cnt_k·m > N_epoch) holds on this fixture,
-    // every epoch's top-10 is EXACT — so this is the suite's first
-    // STREAMING query with a fully static SQL oracle: DuckDB just
-    // computes the exact top-10 over each prefix of the batch split.
+    // each trigger merges the batch's Misra-Gries summary into a
+    // STAGED fold, advances the persisted exact count table by the
+    // batch delta (round-15: versioned on-disk state with an atomic
+    // commit pointer — restart-safe, per-trigger cost independent of
+    // corpus age), and reads the top-10 off the exact table. Because
+    // each epoch's verdict (cnt_k·m > N_epoch ∧ |result| = k) holds on
+    // this fixture, every epoch's top-10 is EXACT — so this is the
+    // suite's first STREAMING query with a fully static SQL oracle:
+    // DuckDB just computes the exact top-10 over each prefix of the
+    // batch split.
     QueryDef("q126_streaming_vocabulary", Some(
       """WITH toks AS (
         |  SELECT doc_id % 3 AS b, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
@@ -808,23 +822,22 @@ object TextQueries {
         |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY cnt DESC, term) AS INTEGER) AS rank
         |  FROM f),
         |k AS (SELECT * FROM r WHERE rank <= 10),
-        |kth AS (SELECT epoch, min(cnt) AS kth FROM k GROUP BY epoch)
+        |kth AS (SELECT epoch, min(cnt) AS kth, count(*) AS nret
+        |  FROM k GROUP BY epoch)
         |SELECT CAST(k.epoch AS INTEGER) AS epoch, k.rank, k.term, k.cnt,
-        |  kth.kth * 4096 > n.n_tokens AS provably_complete
+        |  kth.kth * 4096 > n.n_tokens AND kth.nret = 10 AS provably_complete
         |FROM k JOIN kth USING (epoch) JOIN n USING (epoch)
         |ORDER BY epoch, rank""".stripMargin),
       (spark, dir) => {
         val docs = table(spark, dir, "documents").select("doc_id", "text")
         val staging = java.nio.file.Files
           .createTempDirectory("graft-q126-arrivals").toString
-        var corpus = docs.filter(lit(false)).localCheckpoint(true)
+        val stateDir = java.nio.file.Files
+          .createTempDirectory("graft-q126-state").toString
         val epochs = scala.collection.mutable.Buffer.empty[org.apache.spark.sql.DataFrame]
         val stream = spark.readStream.schema(docs.schema).parquet(staging)
         val q = graft.streaming.CorpusStream.vocabularyStream(
-          stream, "text", k = 10, counters = 4096,
-          readCorpus = () => corpus,
-          appendBatch = b => corpus = corpus
-            .unionByName(b.select("doc_id", "text")).localCheckpoint(true),
+          stream, "text", k = 10, counters = 4096, stateDir = stateDir,
           onEpoch = (id, df) =>
             epochs += df.withColumn("epoch", lit(id.toInt)))
         try (0 until 3).foreach { b =>
@@ -837,89 +850,32 @@ object TextQueries {
           .orderBy("epoch", "rank")
       }),
 
-    QueryDef("q118_lm_perplexity", Some(
-      """WITH d AS (
-        |  SELECT doc_id, source, list_filter(string_split_regex(trim(lower(text)), '\s+'),
-        |    t -> t <> '') AS tk
-        |  FROM documents),
-        |ref AS (SELECT tk FROM d WHERE source = 'src0'),
-        |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
-        |  FROM (SELECT unnest(tk) AS w FROM ref) GROUP BY w),
-        |tv AS (SELECT CAST(count(*) AS BIGINT) AS t, CAST(count(DISTINCT w) AS BIGINT) AS v
-        |  FROM (SELECT unnest(tk) AS w FROM ref)),
-        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM (
-        |    SELECT tk[i] AS w1, tk[i+1] AS w2 FROM ref, unnest(range(1, len(tk))) AS u(i)
-        |    WHERE len(tk) >= 2) GROUP BY w1, w2),
-        |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
-        |  FROM d, unnest(range(1, len(tk))) AS u(i) WHERE len(tk) >= 2),
-        |lp AS (SELECT bg.doc_id,
-        |    CAST(round(CASE WHEN c2.c2 IS NOT NULL
-        |      THEN ln(c2.c2 / c1a.c1)
-        |      ELSE ln(CAST(0.4 AS DOUBLE) * (COALESCE(c1b.c1, 0) + 1) / (tv.t + tv.v)) END,
-        |      9) AS DECIMAL(20,9)) AS logp_r
-        |  FROM bg
-        |  LEFT JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
-        |  LEFT JOIN c1 c1a ON c1a.w = bg.w1
-        |  LEFT JOIN c1 c1b ON c1b.w = bg.w2
-        |  CROSS JOIN tv),
-        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |    CAST(sum(logp_r) AS DECIMAL(20,9)) AS sum_logp
-        |  FROM lp GROUP BY doc_id)
-        |SELECT doc_id, n_bigrams, sum_logp,
-        |  round(CAST(sum_logp AS DOUBLE) / n_bigrams, 6) AS avg_logp,
-        |  round(exp(-(CAST(sum_logp AS DOUBLE) / n_bigrams)), 6) AS ppl,
-        |  CAST(sum_logp AS DOUBLE) / n_bigrams >= -9.0 AS keep
-        |FROM per WHERE doc_id < 30 ORDER BY doc_id""".stripMargin),
+    // Round-15: the hashed projection is EXACT-ONLY — (n_bigrams,
+    // sum_logp, keep); avg_logp/ppl (round-of-double display columns,
+    // the r14 driver-hash flakes) stay available on the operator but
+    // never reach the hash. The oracle is GENERATED (LmOracles.q118):
+    // DuckDB replays tokenization/counting/joins/decimal-sum but looks
+    // the per-position log-probability up in a literal table computed
+    // once in the JVM — it never evaluates ln, so no libm variance.
+    QueryDef("q118_lm_perplexity", None,
       (spark, dir) => {
         import graft.operators.TextAnalysis
         TextAnalysis.lmPerplexity(table(spark, dir, "documents"),
             "doc_id", "text", refFilter = col("source") === "src0")
           .filter(col("doc_id") < 30)
+          .select("doc_id", "n_bigrams", "sum_logp", "keep")
           .orderBy("doc_id")
-      }),
+      },
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q118") {
+        LmOracles.q118(spark, dir)
+      })),
 
     // The corpus-wide LM quality gate — the AT-SCALE form of q118:
     // score EVERY document, aggregate keep/drop and the exact decimal
-    // log-mass per source. All sums are integer or exact decimal, so
-    // the 20-row output hash-compares at any scale with no float
-    // ordering anywhere.
-    QueryDef("q119_lm_quality_gate", Some(
-      """WITH d AS (
-        |  SELECT doc_id, source, list_filter(string_split_regex(trim(lower(text)), '\s+'),
-        |    t -> t <> '') AS tk
-        |  FROM documents),
-        |ref AS (SELECT tk FROM d WHERE source = 'src0'),
-        |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
-        |  FROM (SELECT unnest(tk) AS w FROM ref) GROUP BY w),
-        |tv AS (SELECT CAST(count(*) AS BIGINT) AS t, CAST(count(DISTINCT w) AS BIGINT) AS v
-        |  FROM (SELECT unnest(tk) AS w FROM ref)),
-        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM (
-        |    SELECT tk[i] AS w1, tk[i+1] AS w2 FROM ref, unnest(range(1, len(tk))) AS u(i)
-        |    WHERE len(tk) >= 2) GROUP BY w1, w2),
-        |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
-        |  FROM d, unnest(range(1, len(tk))) AS u(i) WHERE len(tk) >= 2),
-        |lp AS (SELECT bg.doc_id,
-        |    CAST(round(CASE WHEN c2.c2 IS NOT NULL
-        |      THEN ln(c2.c2 / c1a.c1)
-        |      ELSE ln(CAST(0.4 AS DOUBLE) * (COALESCE(c1b.c1, 0) + 1) / (tv.t + tv.v)) END,
-        |      9) AS DECIMAL(20,9)) AS logp_r
-        |  FROM bg
-        |  LEFT JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
-        |  LEFT JOIN c1 c1a ON c1a.w = bg.w1
-        |  LEFT JOIN c1 c1b ON c1b.w = bg.w2
-        |  CROSS JOIN tv),
-        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |    CAST(sum(logp_r) AS DECIMAL(20,9)) AS sum_logp
-        |  FROM lp GROUP BY doc_id)
-        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs_scored,
-        |  CAST(sum(CASE WHEN CAST(per.sum_logp AS DOUBLE) / per.n_bigrams >= -9.0
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
-        |  CAST(sum(per.n_bigrams) AS BIGINT) AS n_bigrams,
-        |  CAST(sum(per.sum_logp) AS DECIMAL(27,9)) AS sum_logp,
-        |  round(CAST(sum(per.sum_logp) AS DOUBLE) / sum(per.n_bigrams), 6)
-        |    AS corpus_avg_logp
-        |FROM per JOIN d ON d.doc_id = per.doc_id
-        |GROUP BY d.source ORDER BY d.source""".stripMargin),
+    // log-mass per source. Round-15: corpus_avg_logp (a round-of-
+    // double) dropped from the hashed projection; the generated
+    // literal-LUT oracle (LmOracles.q119) keeps DuckDB ln-free.
+    QueryDef("q119_lm_quality_gate", None,
       (spark, dir) => {
         import graft.operators.TextAnalysis
         val docs = table(spark, dir, "documents")
@@ -931,10 +887,11 @@ object TextQueries {
             sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
             sum(col("n_bigrams")).as("n_bigrams"),
             sum(col("sum_logp")).cast("decimal(27,9)").as("sum_logp"))
-          .withColumn("corpus_avg_logp",
-            round(col("sum_logp").cast("double") / col("n_bigrams"), 6))
           .orderBy("source")
-      }),
+      },
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q119") {
+        LmOracles.q119(spark, dir)
+      })),
 
     // Model-based quality gate — the GPT-3/CCNet classifier filter:
     // a closed-form ridge probe over hashed token counts
@@ -947,10 +904,16 @@ object TextQueries {
     // (measured 0.986 accuracy, 25/25 caught at sf0.001) where plain
     // full-batch logistic GD sat at the majority class.
     // The GENERATED oracle re-trains the same deterministic trajectory
-    // (gradients are exact 6-dp decimal sums — partitioning- and
-    // order-independent) and dumps the weights as literals; scoring
-    // replays with NO transcendentals: the margin is a fixed-order
-    // double chain (bit-identical in both engines) and pred is z >= 0.
+    // (the Gram sufficient statistics are exact integers —
+    // partitioning- and order-independent) and dumps the weights as
+    // literals; scoring replays with NO transcendentals: the margin z
+    // is a fixed-order double chain (bit-identical in both engines).
+    // Round-15: the hashed columns are EXACT-ONLY — every output is a
+    // COUNT of z compared against a literal threshold (z >= 0 plus the
+    // ±1 margin bands for extra discriminating power); the r14 sum_z
+    // column (decimal sum of round(z, 6) doubles) is gone — round-of-
+    // double is the one op in the chain that is NOT cross-engine
+    // stable, and it flipped the driver's hash while rows matched.
     QueryDef("q120_quality_classifier", None,
       (spark, dir) => {
         import graft.operators.QualityClassifier
@@ -966,8 +929,8 @@ object TextQueries {
             sum(when(col("pred"), 1L).otherwise(0L)).as("n_pred_ref"),
             sum(when(col("pred") === (col("y") === 1.0), 1L).otherwise(0L))
               .as("n_correct"),
-            sum(col("z").cast("decimal(24,6)")).cast("decimal(27,6)")
-              .as("sum_z"))
+            sum(when(col("z") >= 1.0, 1L).otherwise(0L)).as("n_strong_ref"),
+            sum(when(col("z") < -1.0, 1L).otherwise(0L)).as("n_strong_non"))
           .orderBy("source")
       },
       oracleGen = Some((spark, dir) => AnnOracles.safe("q120") {
@@ -1014,7 +977,8 @@ object TextQueries {
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(CASE WHEN z >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_ref,
          |  CAST(sum(CASE WHEN (z >= 0) = y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
-         |  CAST(sum(CAST(round(z, 6) AS DECIMAL(24,6))) AS DECIMAL(27,6)) AS sum_z
+         |  CAST(sum(CASE WHEN z >= 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_strong_ref,
+         |  CAST(sum(CASE WHEN z < -1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_strong_non
          |FROM scored GROUP BY source ORDER BY source""".stripMargin)
   }
 

@@ -122,33 +122,38 @@ object CorpusStream {
 
   /**
    * Streaming vocabulary tracker — q122's candidate/recount/verdict
-   * pattern run continuously over a document stream. Per trigger:
+   * pattern run continuously over a document stream, with ALL state in
+   * a versioned on-disk store (round-15: the r14 form threaded the
+   * fold through driver-closure vars — correct but not restart-safe,
+   * and it rescanned the whole accumulated corpus per trigger). Per
+   * trigger:
    *
    *  1. ONE aggregate over the NEW batch only produces its Misra-Gries
    *     summary (with counts — the mergeable form) and exact token
-   *     count; the driver merges them into the fold state. Candidate
-   *     tracking never rescans history: the MG merge bound means the
-   *     folded summary still retains every term with CUMULATIVE
-   *     frequency > N/m across all batches seen.
-   *  2. The ≤ m candidates are exact-recounted over the accumulated
-   *     corpus (`readCorpus`, the q115 authoritative-table contract —
-   *     a broadcast semi-join scan, never a term-universe shuffle) and
-   *     the per-epoch top-k ships with the provable-completeness
-   *     verdict cnt_k·m > N — under which the epoch's output is EXACT,
-   *     identical to a from-scratch batch run over the same prefix
-   *     (asserted in MisraGriesSpec).
+   *     count; these merge into STAGING copies of the fold state. The
+   *     MG merge bound means the folded summary still retains every
+   *     term with CUMULATIVE frequency > N/m across all batches seen.
+   *  2. Exact counts live in a persisted (term, cnt) table covering
+   *     every term that has EVER been a candidate (bounded by m +
+   *     churn, never the term universe): tracked terms advance by the
+   *     batch delta alone — per-trigger cost INDEPENDENT of corpus age
+   *     — and only a term newly entering the tracked set pays one
+   *     history recount over the accumulated corpus (rare once the
+   *     heavy set stabilizes; Zipf corpora surface their heavy terms
+   *     early).
+   *  3. The epoch top-k is read off the exact count table restricted
+   *     to the current candidates, with the provable-completeness
+   *     verdict cnt_k·m > N ∧ |result| = k — under which the output is
+   *     EXACT, identical to a from-scratch batch run over the same
+   *     prefix (asserted in MisraGriesSpec).
    *
-   * Exactly-once: same high-water-mark batchId guard as
-   * [[SemDedupIngestSink]] — a re-delivered batch neither double-merges
-   * the fold state nor double-appends to the corpus.
+   * See [[DurableVocabularySink]] for the commit protocol.
    */
   def vocabularyStream(arrivals: DataFrame, textCol: String, k: Int,
-      counters: Int,
-      readCorpus: () => DataFrame,
-      appendBatch: DataFrame => Unit,
+      counters: Int, stateDir: String,
       onEpoch: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
-    val sink = new VocabularyIngestSink(textCol, k, counters, readCorpus,
-      appendBatch, onEpoch)
+    val sink = new DurableVocabularySink(stateDir, textCol, k, counters,
+      onEpoch)
     arrivals.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         sink.process(batch, batchId); ()
@@ -156,40 +161,157 @@ object CorpusStream {
       .start()
   }
 
-  /** The per-trigger sink body of [[vocabularyStream]], a named class so
-    * the fold state and idempotence guard are directly testable. */
-  final class VocabularyIngestSink(textCol: String, k: Int, counters: Int,
-      readCorpus: () => DataFrame, appendBatch: DataFrame => Unit,
-      onEpoch: (Long, DataFrame) => Unit) {
+  /**
+   * The per-trigger sink body of [[vocabularyStream]], a named class so
+   * the fold state, commit protocol, and idempotence guard are directly
+   * testable. State layout under `stateDir`:
+   *
+   *   corpus/batch_<id>/   raw batch parquet, written mode=overwrite —
+   *                        a re-delivered batch REPLACES its own dir
+   *                        (the standard idempotent foreachBatch sink)
+   *   counts_v<V>/         exact (term, cnt) parquet for every
+   *                        ever-candidate term, cumulative through
+   *                        version V's batch
+   *   meta_v<V>.json       {batchId, nTokens, summary} — the MG fold
+   *   LATEST               the committed version pointer, written
+   *                        temp-then-atomic-rename LAST
+   *
+   * Exactly-once (closes ADVICE r14: the old guard only covered
+   * re-delivery after a fully successful batch): nothing mutates
+   * committed state mid-batch — the MG merge happens on a STAGING
+   * copy, counts/meta are written under the NEXT version number, and
+   * the commit point is the single atomic LATEST rename at the end. A
+   * batch that fails anywhere re-delivers, reloads the last COMMITTED
+   * state, and overwrites its own partial artifacts. The epoch
+   * callback fires just before the pointer flip, so a crash inside the
+   * commit window re-emits the same (deterministic) epoch rather than
+   * losing it: state is exactly-once, output is at-least-once keyed by
+   * batchId.
+   */
+  final class DurableVocabularySink(stateDir: String, textCol: String,
+      k: Int, counters: Int, onEpoch: (Long, DataFrame) => Unit) {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     import org.apache.spark.sql.graft.Bridge
     import org.apache.spark.sql.graft.expressions.{MisraGries, MisraGriesAlgo}
     import graft.operators.TextAnalysis
 
-    private val summary = scala.collection.mutable.HashMap.empty[String, Long]
-    private var nTokens = 0L
-    private var lastCommitted = -1L
+    private case class Meta(version: Long, batchId: Long, nTokens: Long,
+        summary: Map[String, Long])
 
-    def process(batch: DataFrame, batchId: Long): Boolean =
-      if (batchId <= lastCommitted) false
+    private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    private val root = Paths.get(stateDir)
+    @volatile private var cached: Option[Meta] = None
+
+    /** Last committed state — from cache, else the LATEST pointer (the
+      * restart path), else the empty fold. */
+    private def loadCommitted(): Meta = cached.getOrElse {
+      val latest = root.resolve("LATEST")
+      if (!Files.exists(latest)) Meta(0L, -1L, 0L, Map.empty)
       else {
-        val mg = Bridge.column(MisraGries(
-          Bridge.expression(TextAnalysis.tokens(col(textCol))), counters,
-          withCounts = true).toAggregateExpression())
-        val r = batch.agg(mg.as("s"),
-          coalesce(sum(size(TextAnalysis.tokens(col(textCol)))), lit(0L))
-            .cast("long").as("n")).collect()(0)
-        val batchSummary = scala.collection.mutable.HashMap.empty[String, Long]
-        r.getSeq[org.apache.spark.sql.Row](0).foreach { e =>
-          batchSummary.update(e.getString(0), e.getLong(1))
+        val v = Files.readString(latest).trim.toLong
+        val node = mapper.readTree(Files.readString(
+          root.resolve(s"meta_v$v.json")))
+        val s = scala.collection.mutable.Map.empty[String, Long]
+        node.get("summary").fields().forEachRemaining { e =>
+          s.update(e.getKey, e.getValue.asLong())
         }
-        MisraGriesAlgo.merge(summary, batchSummary, counters)
-        nTokens += r.getLong(1)
-        appendBatch(batch)
-        onEpoch(batchId, TextAnalysis.recountTopK(readCorpus(), textCol,
-          summary.keys.toSeq.sorted, k, counters, nTokens))
-        lastCommitted = batchId
-        true
+        Meta(v, node.get("batchId").asLong(), node.get("nTokens").asLong(),
+          s.toMap)
       }
+    }
+
+    private def commit(m: Meta): Unit = {
+      val node = mapper.createObjectNode()
+      node.put("batchId", m.batchId)
+      node.put("nTokens", m.nTokens)
+      val s = node.putObject("summary")
+      m.summary.foreach { case (t, c) => s.put(t, c) }
+      Files.writeString(root.resolve(s"meta_v${m.version}.json"),
+        mapper.writeValueAsString(node))
+      val tmp = root.resolve("LATEST.tmp")
+      Files.writeString(tmp, m.version.toString)
+      Files.move(tmp, root.resolve("LATEST"),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      cached = Some(m)
+    }
+
+    def process(batch: DataFrame, batchId: Long): Boolean = {
+      val st = loadCommitted()
+      if (batchId <= st.batchId) return false
+      val spark = batch.sparkSession
+      import spark.implicits._
+      Files.createDirectories(root)
+
+      // 1. one aggregate over the batch: MG summary + exact token count
+      val mg = Bridge.column(MisraGries(
+        Bridge.expression(TextAnalysis.tokens(col(textCol))), counters,
+        withCounts = true).toAggregateExpression())
+      val r = batch.agg(mg.as("s"),
+        coalesce(sum(size(TextAnalysis.tokens(col(textCol)))), lit(0L))
+          .cast("long").as("n")).collect()(0)
+      val staged = scala.collection.mutable.HashMap[String, Long](
+        st.summary.toSeq: _*)
+      val batchSummary = scala.collection.mutable.HashMap.empty[String, Long]
+      r.getSeq[org.apache.spark.sql.Row](0).foreach { e =>
+        batchSummary.update(e.getString(0), e.getLong(1))
+      }
+      MisraGriesAlgo.merge(staged, batchSummary, counters)
+      val newNTokens = st.nTokens + r.getLong(1)
+
+      // 2. idempotent corpus append (overwrite-by-batch partition)
+      batch.write.mode("overwrite")
+        .parquet(root.resolve(s"corpus/batch_$batchId").toString)
+
+      // 3. exact count table: tracked terms advance by the batch delta;
+      //    terms newly entering the tracked set backfill from history
+      val prior =
+        if (st.version == 0L) Seq.empty[(String, Long)].toDF("term", "cnt")
+        else spark.read.parquet(root.resolve(s"counts_v${st.version}").toString)
+      val tracked = prior.select("term").as[String].collect().toSet
+      val candidates = staged.keys.toSeq.sorted
+      val newTerms = candidates.filterNot(tracked)
+      val batchDelta = batch
+        .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+        .join(broadcast(tracked.toSeq.toDF("term")), Seq("term"))
+        .groupBy("term").agg(count(lit(1)).as("dc"))
+      var merged = prior.join(batchDelta, Seq("term"), "left")
+        .select(col("term"),
+          (col("cnt") + coalesce(col("dc"), lit(0L))).as("cnt"))
+      if (newTerms.nonEmpty) {
+        // rare path: history recount for the newly tracked terms only,
+        // over the accumulated corpus INCLUDING this batch
+        val hist = spark.read
+          .parquet(root.resolve("corpus").resolve("batch_*").toString)
+          .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+          .join(broadcast(newTerms.toDF("term")), Seq("term"))
+          .groupBy("term").agg(count(lit(1)).as("cnt"))
+        merged = merged.unionByName(hist)
+      }
+      val newVersion = st.version + 1
+      merged.coalesce(1).write.mode("overwrite")
+        .parquet(root.resolve(s"counts_v$newVersion").toString)
+
+      // 4. epoch top-k off the exact table, candidates only (the set
+      //    the MG bound guarantees covers every provable heavy term)
+      val persisted = spark.read
+        .parquet(root.resolve(s"counts_v$newVersion").toString)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      val out = persisted
+        .join(broadcast(candidates.toDF("term")), Seq("term"))
+        .orderBy(col("cnt").desc, col("term").asc).limit(k)
+        .withColumn("rank", row_number().over(
+          w.orderBy(col("cnt").desc, col("term").asc)).cast("int"))
+        .withColumn("provably_complete",
+          min(col("cnt")).over(w) * counters > newNTokens &&
+            count(lit(1)).over(w) === k)
+        .select(col("rank"), col("term"), col("cnt"),
+          col("provably_complete"))
+      onEpoch(batchId, out)
+
+      // 5. the commit point
+      commit(Meta(newVersion, batchId, newNTokens, staged.toMap))
+      true
+    }
   }
 
   def curateStream(docs: DataFrame, textCol: String,

@@ -140,7 +140,7 @@ case class MisraGries(
 
 /**
  * The Misra-Gries update/merge shared by the aggregate above and by
- * driver-side streaming folds (CorpusStream.VocabularyIngestSink merges
+ * driver-side streaming folds (CorpusStream.DurableVocabularySink merges
  * one per-batch summary per trigger — the same mergeability that powers
  * map-side combine powers fold-across-micro-batches, so the guarantee
  * "freq > N/m ⇒ tracked" holds over the whole stream).

@@ -49,6 +49,13 @@ case class RepetitionMetrics(child: Expression)
 }
 
 object RepetitionMetricsEval {
+  /** The double fractions serve users directly; the appended INTEGER
+    * fields are the exact sufficient statistics behind them
+    * (numerators/denominators), so an oracle-hashed projection can
+    * avoid floating-point columns entirely — integer counts and
+    * threshold booleans replay bit-identically on any engine, while a
+    * rounded double sits one ulp of libm/rounding-algorithm variance
+    * away from flipping a hash (the round-14 q125 lesson). */
   val schema: StructType = StructType(Seq(
     StructField("n_tokens", IntegerType, nullable = false),
     StructField("frac_dup_tokens", DoubleType, nullable = false),
@@ -56,7 +63,15 @@ object RepetitionMetricsEval {
     StructField("frac_top_3gram", DoubleType, nullable = false),
     StructField("frac_top_4gram", DoubleType, nullable = false),
     StructField("frac_dup_5gram", DoubleType, nullable = false),
-    StructField("frac_dup_8gram", DoubleType, nullable = false)))
+    StructField("frac_dup_8gram", DoubleType, nullable = false),
+    StructField("distinct_tokens", IntegerType, nullable = false),
+    StructField("top2_cnt", IntegerType, nullable = false),
+    StructField("top3_cnt", IntegerType, nullable = false),
+    StructField("top4_cnt", IntegerType, nullable = false),
+    StructField("dup5_num", IntegerType, nullable = false),
+    StructField("dup5_den", IntegerType, nullable = false),
+    StructField("dup8_num", IntegerType, nullable = false),
+    StructField("dup8_den", IntegerType, nullable = false)))
 
   /** (max run length, occurrences inside runs of length >= 2, total)
     * over the SORTED n-gram array of `tokens`. */
@@ -94,17 +109,21 @@ object RepetitionMetricsEval {
     val tokens = if (lowerTrim.isEmpty) Array.empty[String]
       else lowerTrim.split("\\s+").filter(_.nonEmpty)
     val n = tokens.length
-    val fracDupTokens = if (n == 0) 0.0
-      else 1.0 - tokens.toSet.size.toDouble / n
-    def topFrac(g: Int): Double = {
-      val (maxRun, _, total) = runStats(tokens, g)
-      if (total <= 0) 0.0 else maxRun.toDouble * g / n
-    }
-    def dupFrac(g: Int): Double = {
-      val (_, dup, total) = runStats(tokens, g)
-      if (total <= 0) 0.0 else dup.toDouble / total
-    }
-    InternalRow(n, fracDupTokens, topFrac(2), topFrac(3), topFrac(4),
-      dupFrac(5), dupFrac(8))
+    val distinct = tokens.toSet.size
+    val fracDupTokens = if (n == 0) 0.0 else 1.0 - distinct.toDouble / n
+    // one runStats call per gram size, shared by the fraction and the
+    // integer fields (a gram size with no grams contributes 0s)
+    val s2 = runStats(tokens, 2); val s3 = runStats(tokens, 3)
+    val s4 = runStats(tokens, 4); val s5 = runStats(tokens, 5)
+    val s8 = runStats(tokens, 8)
+    def topCnt(s: (Int, Int, Int)): Int = if (s._3 <= 0) 0 else s._1
+    def topFrac(s: (Int, Int, Int), g: Int): Double =
+      if (s._3 <= 0) 0.0 else s._1.toDouble * g / n
+    def dupFrac(s: (Int, Int, Int)): Double =
+      if (s._3 <= 0) 0.0 else s._2.toDouble / s._3
+    InternalRow(n, fracDupTokens, topFrac(s2, 2), topFrac(s3, 3),
+      topFrac(s4, 4), dupFrac(s5), dupFrac(s8),
+      distinct, topCnt(s2), topCnt(s3), topCnt(s4),
+      s5._2, s5._3, s8._2, s8._3)
   }
 }

@@ -86,12 +86,11 @@ class MisraGriesSpec extends SparkSpec {
   test("streaming fold epochs == from-scratch batch top-k over each prefix") {
     val docs = queries.Tables.table(spark, sfDir, "documents")
       .select("doc_id", "text")
-    var corpus = docs.filter(lit(false)).localCheckpoint(true)
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft-vocab-state").toString
     val epochs = scala.collection.mutable.Buffer.empty[Array[org.apache.spark.sql.Row]]
-    val sink = new graft.streaming.CorpusStream.VocabularyIngestSink(
-      "text", 10, 64,
-      readCorpus = () => corpus,
-      appendBatch = b => corpus = corpus.unionByName(b).localCheckpoint(true),
+    val sink = new graft.streaming.CorpusStream.DurableVocabularySink(
+      stateDir, "text", 10, 64,
       onEpoch = (_, df) => epochs += df.orderBy("rank").collect())
     (0 until 3).foreach { b =>
       assert(sink.process(docs.filter(pmod(col("doc_id"), lit(3)) === b), b))
@@ -107,21 +106,35 @@ class MisraGriesSpec extends SparkSpec {
     }
   }
 
-  test("re-delivered micro-batch is a no-op (exactly-once fold)") {
+  test("re-delivered micro-batch is a no-op; fold state survives restart") {
     val docs = queries.Tables.table(spark, sfDir, "documents")
-      .select("doc_id", "text").limit(50).localCheckpoint(true)
-    var corpus = docs.filter(lit(false)).localCheckpoint(true)
+      .select("doc_id", "text").localCheckpoint(true)
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft-vocab-state").toString
     var nEpochs = 0
-    val sink = new graft.streaming.CorpusStream.VocabularyIngestSink(
-      "text", 5, 64,
-      readCorpus = () => corpus,
-      appendBatch = b => corpus = corpus.unionByName(b).localCheckpoint(true),
-      onEpoch = (_, _) => nEpochs += 1)
-    assert(sink.process(docs, 0))
-    val after = corpus.count()
-    assert(!sink.process(docs, 0), "re-delivery must be skipped")
-    assert(corpus.count() == after && nEpochs == 1,
-      "re-delivery must not double-append or re-emit")
+    val sink = new graft.streaming.CorpusStream.DurableVocabularySink(
+      stateDir, "text", 10, 64, onEpoch = (_, _) => nEpochs += 1)
+    val b0 = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+    val b1 = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+    assert(sink.process(b0, 0))
+    assert(!sink.process(b0, 0), "re-delivery must be skipped")
+    assert(nEpochs == 1, "re-delivery must not re-emit")
+
+    // restart: a FRESH sink instance over the same state dir must skip
+    // the committed batch and continue the fold exactly where the old
+    // process left it — epoch 1's output equals the from-scratch batch
+    // run over the two-batch prefix
+    var restartEpoch: Array[org.apache.spark.sql.Row] = Array.empty
+    val reborn = new graft.streaming.CorpusStream.DurableVocabularySink(
+      stateDir, "text", 10, 64,
+      onEpoch = (_, df) => restartEpoch = df.orderBy("rank").collect())
+    assert(!reborn.process(b0, 0), "committed batch must skip after restart")
+    assert(reborn.process(b1, 1))
+    val expect = TextAnalysis.heavyHitterTerms(b0.unionByName(b1), "text",
+      10, 64).orderBy("rank").collect()
+    assert(restartEpoch.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+        == expect.map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq,
+      "post-restart epoch diverged from the from-scratch batch run")
   }
 
   test("verdict goes false when the bound cannot prove completeness") {
