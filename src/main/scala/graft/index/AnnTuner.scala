@@ -336,6 +336,9 @@ object AnnTuner {
   private final case class LshPick(preset: LshPreset) extends TierPick
   private final case class IvfPick(nlist: Int, nprobe: Int) extends TierPick
   private final case class HnswPick(ef: Int, fetch: Int) extends TierPick
+  /** The q110 composition — HNSW routes the IVF coarse probe; used
+    * in place of [[HnswPick]] past the flat graph's size cap. */
+  private final case class HnswCoarsePick(nlist: Int, nprobe: Int) extends TierPick
   private final case class BinaryPick(radius: Int) extends TierPick
 
   /**
@@ -403,21 +406,43 @@ object AnnTuner {
     // HNSW: ef sweep at a fixed small fetch — candidate tier + rerank.
     // The timed build is the tier's cost-model input: driver-resident
     // and sequential, it is the term that dominates near the size cap.
-    val (graph, hnswBuildS) = timed(HnswModel.build(emb, idCol, embCol))
-    val fetch = math.max(5 * k, 50)
-    val hnswMeasured = Seq(32, 64, 100).filter(_ >= fetch / 2).map { ef =>
-      val effEf = math.max(ef, fetch)
-      val stats = queries.map { case (_, q, exact) =>
-        val cands = graph.search(q, fetch, effEf).map(_._1).toSet
-        (cands.intersect(exact).size.toDouble / math.max(exact.size, 1),
-          cands.size.toDouble / n)
+    //
+    // SIZE GUARDRAIL (VERDICT r14 item 5): HnswModel.build collects at
+    // most maxGraphVectors rows to the driver — past that bound a flat
+    // graph CANNOT hold the corpus (build would silently index a
+    // subset), so the tuner must never recommend it. The scale path is
+    // the q110 composition — HNSW over the IVF CENTROIDS routes the
+    // coarse probe (bounded driver state = nlist centroids, like every
+    // served model). Its candidate set equals the linear coarse probe's
+    // whenever the walk agrees (guard-checked by the q110 oracle
+    // generator), so its (recall, fraction, build) curve IS the
+    // measured IVF tier's — reuse that measurement, relabeled, rather
+    // than pretending to re-measure the same numbers.
+    val hnsw: Option[(TierChoice, TierPick)] =
+      if (n > HnswModel.maxGraphVectors) {
+        ivf.collect { case (c, IvfPick(nlist, nprobe)) =>
+          (TierChoice("hnsw_coarse",
+            s"nlist=$nlist nprobe=$nprobe graph-routed coarse probe",
+            c.recall, c.candidateFraction, c.buildSeconds),
+            HnswCoarsePick(nlist, nprobe))
+        }
+      } else {
+        val (graph, hnswBuildS) = timed(HnswModel.build(emb, idCol, embCol))
+        val fetch = math.max(5 * k, 50)
+        val hnswMeasured = Seq(32, 64, 100).filter(_ >= fetch / 2).map { ef =>
+          val effEf = math.max(ef, fetch)
+          val stats = queries.map { case (_, q, exact) =>
+            val cands = graph.search(q, fetch, effEf).map(_._1).toSet
+            (cands.intersect(exact).size.toDouble / math.max(exact.size, 1),
+              cands.size.toDouble / n)
+          }
+          (TierChoice("hnsw", s"ef=$effEf fetch=$fetch",
+            stats.map(_._1).sum / stats.length, stats.map(_._2).sum / stats.length,
+            hnswBuildS), HnswPick(effEf, fetch))
+        }
+        hnswMeasured.filter(_._1.recall >= targetRecall)
+          .sortBy { case (c, _) => (c.candidateFraction, -c.recall) }.headOption
       }
-      (TierChoice("hnsw", s"ef=$effEf fetch=$fetch",
-        stats.map(_._1).sum / stats.length, stats.map(_._2).sum / stats.length,
-        hnswBuildS), HnswPick(effEf, fetch))
-    }
-    val hnsw = hnswMeasured.filter(_._1.recall >= targetRecall)
-      .sortBy { case (c, _) => (c.candidateFraction, -c.recall) }.headOption
 
     // Binary: no training, but the build is NOT free — the signature
     // table costs one full wide scan to materialize (BinaryQuant
@@ -473,6 +498,15 @@ object AnnTuner {
       case (choice, HnswPick(ef, fetch)) =>
         AnnRegistry.registerHnsw(name, HnswModel.build(emb, idCol, embCol),
           idCol, fetchK = fetch, ef = ef)
+        choice
+      case (choice, HnswCoarsePick(nlist, nprobe)) =>
+        // the q110 composition registers as an IVF probe: the rewrite's
+        // probed-cell injection is identical whether the centroid argmin
+        // was graph-routed or linear — routing only changes the
+        // optimization-time centroid scan, which HnswModel.overCentroids
+        // accelerates for large nlist
+        AnnRegistry.register(name, IvfModel.train(emb, embCol, nlist = nlist),
+          nprobe)
         choice
       case (choice, BinaryPick(radius)) =>
         AnnRegistry.registerBinary(name, dim, radius)

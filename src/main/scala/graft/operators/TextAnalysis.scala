@@ -509,25 +509,90 @@ object TextAnalysis {
    * SHUFFLED, never driver-collected), one scalar (T, V) broadcast,
    * then the scoring joins keyed on the bigram/word — at 100 TB those
    * are plain shuffle joins whose build side is the reference slice.
-   * No per-row state, no windows over the corpus.
+   * No per-row state, no windows over the corpus. For reference slices
+   * whose n-gram universe is itself too large to shuffle, pass
+   * `maxModelTerms = Some(m)`: the model becomes the EXACT
+   * frequency-cutoff model (cnt·m > N, kept bigrams require their
+   * unigram head too), built via Misra-Gries candidates + exact
+   * recount so the exchange is bounded by m instead of the vocabulary
+   * — see the inline comment for the invariance argument.
    *
    * Output: (id, n_bigrams, sum_logp DECIMAL(20,9), avg_logp, ppl,
    * keep) — one row per document with >= 2 tokens.
    */
   def lmPerplexity(docs: DataFrame, idCol: String, textCol: String,
       refFilter: Column, alpha: Double = 0.4,
-      keepThreshold: Double = -9.0): DataFrame = {
+      keepThreshold: Double = -9.0,
+      maxModelTerms: Option[Int] = None): DataFrame = {
     val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
     val refTok = docs.filter(refFilter)
       .select(explode(tokens(col(textCol))).as("w"))
-    val c1 = refTok.groupBy("w").agg(count(lit(1)).as("c1"))
-    val c2 = docs.filter(refFilter)
+    val c1Full = refTok.groupBy("w").agg(count(lit(1)).as("c1"))
+    val c2Full = docs.filter(refFilter)
       .select(tokens(col(textCol)).as("tk")).filter(size(col("tk")) >= 2)
       .select(explode(arrays_zip(
         slice(col("tk"), lit(1), size(col("tk")) - 1),
         slice(col("tk"), lit(2), size(col("tk")) - 1))).as("bg"))
       .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    // Bounded-model variant (VERDICT r14 item 4): the full c2 table
+    // grows with the reference slice — at 100 TB the scoring joins
+    // shuffle a vocabulary-scale model. With maxModelTerms = Some(m)
+    // the model becomes the exact FREQUENCY-CUTOFF model — keep only
+    // unigrams with cnt·m > T and bigrams with cnt·m > N₂ (integer
+    // compares, no division) — computed the q122 way: a Misra-Gries
+    // pass proposes ≤ m candidates per table (one m-counter summary
+    // per partition crosses the exchange, never the n-gram universe),
+    // an exact broadcast-semi-join recount counts only candidates, and
+    // the MG guarantee (true freq > N/m ⇒ candidate) makes the cutoff
+    // set EXACT and partitioning-invariant — so a plain HAVING
+    // cnt·m > N replays it in SQL. A bigram whose unigram head fell
+    // below the cutoff scores through backoff (hit requires BOTH
+    // c2 and c1 rows), and a pruned backoff unigram counts as unseen —
+    // the standard count-cutoff LM degradation, deterministic at any
+    // scale.
+    val (c1, c2) = maxModelTerms match {
+      case None => (c1Full, c2Full)
+      case Some(m) =>
+        import org.apache.spark.sql.graft.Bridge
+        def mgCandidates(arr: Column): Seq[String] = {
+          val mg = Bridge.column(org.apache.spark.sql.graft.expressions
+            .MisraGries(Bridge.expression(arr), m).toAggregateExpression())
+          docs.filter(refFilter).agg(mg.as("c")).collect()(0)
+            .getSeq[String](0)
+        }
+        val spark = docs.sparkSession
+        import spark.implicits._
+        val uniCand = mgCandidates(tokens(col(textCol)))
+        val biCand = mgCandidates(zip_with(
+          slice(tokens(col(textCol)), lit(1), size(tokens(col(textCol))) - 1),
+          slice(tokens(col(textCol)), lit(2), size(tokens(col(textCol))) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+        val n1 = refTok.count()
+        val n2 = docs.filter(refFilter)
+          .agg(coalesce(sum(greatest(size(tokens(col(textCol))) - 1, lit(0))),
+            lit(0L)).cast("long")).collect()(0).getLong(0)
+        // recount ONLY the ≤ m candidates (broadcast prefilter BELOW
+        // the aggregation — the exchange then carries at most m keys'
+        // map-side partials, never the n-gram universe), then apply
+        // the exact integer cutoff
+        val c1p = refTok
+          .join(broadcast(uniCand.toDF("w")), Seq("w"))
+          .groupBy("w").agg(count(lit(1)).as("c1"))
+          .filter(col("c1") * m > n1)
+        val refBg = docs.filter(refFilter)
+          .select(tokens(col(textCol)).as("tk")).filter(size(col("tk")) >= 2)
+          .select(explode(arrays_zip(
+            slice(col("tk"), lit(1), size(col("tk")) - 1),
+            slice(col("tk"), lit(2), size(col("tk")) - 1))).as("bg"))
+          .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
+        val c2p = refBg
+          .join(broadcast(biCand.toDF("cand")),
+            concat(col("w1"), lit(" "), col("w2")) === col("cand"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+          .filter(col("c2") * m > n2)
+        (c1p, c2p)
+    }
     val tv = refTok.agg(count(lit(1)).as("t"),
       countDistinct(col("w")).as("v"))
     val docBg = toks.filter(size(col("tk")) >= 2)
@@ -540,7 +605,7 @@ object TextAnalysis {
       .join(c1.select(col("w").as("w1"), col("c1").as("c1a")), Seq("w1"), "left")
       .join(c1.select(col("w").as("w2"), col("c1").as("c1b")), Seq("w2"), "left")
       .crossJoin(broadcast(tv))
-      .withColumn("logp", when(col("c2").isNotNull,
+      .withColumn("logp", when(col("c2").isNotNull && col("c1a").isNotNull,
           log(col("c2") / col("c1a")))
         .otherwise(log(lit(alpha) * (coalesce(col("c1b"), lit(0L)) + 1) /
           (col("t") + col("v")))))

@@ -37,11 +37,13 @@ import graft.operators.TextAnalysis
 private[graft] object LmOracles {
   val maxLutRows = 20000
   val keepEps = 1e-9
-  // q118 and q119 share one model per fixture dir — memoize so a
-  // Verify run trains/scans once, not four times
-  private val lutCache =
-    scala.collection.mutable.Map.empty[String, Option[(String, String)]]
-  private val marginCache = scala.collection.mutable.Map.empty[String, Boolean]
+  // q118/q119 (full model) and q127 (pruned) share one model per
+  // (fixture dir, prune bound) — memoize so a Verify run trains/scans
+  // once per model, not once per query
+  private val lutCache = scala.collection.mutable
+    .Map.empty[(String, Option[Int]), Option[(String, String)]]
+  private val marginCache =
+    scala.collection.mutable.Map.empty[(String, Option[Int]), Boolean]
   private val alpha = 0.4
   private val keepThreshold = -9.0
   private val toksSql =
@@ -50,23 +52,39 @@ private[graft] object LmOracles {
   /** The distinct-count LUTs as (hitValuesSql, backoffValuesSql), or
     * None past the size cap. Values are computed by the SAME Spark
     * expression trees `TextAnalysis.lmPerplexity` evaluates per row,
-    * so the literals are bit-identical to the engine's decimals. */
-  private def luts(spark: SparkSession, dir: String): Option[(String, String)] =
-    lutCache.synchronized(lutCache.getOrElseUpdate(dir, lutsUncached(spark, dir)))
+    * so the literals are bit-identical to the engine's decimals.
+    * `prune = Some(m)` reproduces the engine's exact frequency-cutoff
+    * model (cnt·m > N — the MG-candidate/recount form is EXACTLY this
+    * set by the MG guarantee, so a plain filter over the full counts
+    * replays it here and a HAVING replays it in DuckDB). */
+  private def luts(spark: SparkSession, dir: String,
+      prune: Option[Int]): Option[(String, String)] =
+    lutCache.synchronized(
+      lutCache.getOrElseUpdate((dir, prune), lutsUncached(spark, dir, prune)))
 
-  private def lutsUncached(spark: SparkSession, dir: String): Option[(String, String)] = {
+  private def lutsUncached(spark: SparkSession, dir: String,
+      prune: Option[Int]): Option[(String, String)] = {
     import spark.implicits._
     val docs = Tables.table(spark, dir, "documents")
     val refToks = docs.filter(col("source") === "src0")
       .select(TextAnalysis.tokens(col("text")).as("tk"))
     val refTok = refToks.select(explode(col("tk")).as("w"))
-    val c1 = refTok.groupBy("w").agg(count(lit(1)).as("c1"))
-    val c2 = refToks.filter(size(col("tk")) >= 2)
+    val c1Full = refTok.groupBy("w").agg(count(lit(1)).as("c1"))
+    val c2Full = refToks.filter(size(col("tk")) >= 2)
       .select(explode(arrays_zip(
         slice(col("tk"), lit(1), size(col("tk")) - 1),
         slice(col("tk"), lit(2), size(col("tk")) - 1))).as("bg"))
       .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
       .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val (c1, c2) = prune match {
+      case None => (c1Full, c2Full)
+      case Some(m) =>
+        val n1 = refTok.count()
+        val n2 = c2Full.agg(coalesce(sum(col("c2")), lit(0L)))
+          .collect()(0).getLong(0)
+        (c1Full.filter(col("c1") * m > n1),
+          c2Full.filter(col("c2") * m > n2))
+    }
     val tvRow = refTok.agg(count(lit(1)).as("t"),
       countDistinct(col("w")).as("v")).collect()(0)
     val (t, v) = (tvRow.getLong(0), tvRow.getLong(1))
@@ -98,31 +116,41 @@ private[graft] object LmOracles {
 
   /** Min |avg_logp − keepThreshold| over every scored doc: the
     * decimal→double cast + division margin for the keep compare. */
-  private def keepMarginOk(spark: SparkSession, dir: String): Boolean =
-    marginCache.synchronized(
-      marginCache.getOrElseUpdate(dir, keepMarginUncached(spark, dir)))
+  private def keepMarginOk(spark: SparkSession, dir: String,
+      prune: Option[Int]): Boolean =
+    marginCache.synchronized(marginCache.getOrElseUpdate((dir, prune),
+      keepMarginUncached(spark, dir, prune)))
 
-  private def keepMarginUncached(spark: SparkSession, dir: String): Boolean = {
+  private def keepMarginUncached(spark: SparkSession, dir: String,
+      prune: Option[Int]): Boolean = {
     val docs = Tables.table(spark, dir, "documents")
     val scored = TextAnalysis.lmPerplexity(docs, "doc_id", "text",
-      refFilter = col("source") === "src0")
+      refFilter = col("source") === "src0", maxModelTerms = prune)
     val m = scored.agg(min(abs(col("sum_logp").cast("double") /
         col("n_bigrams") - lit(keepThreshold)))).collect()(0)
     !m.isNullAt(0) && m.getDouble(0) > keepEps
   }
 
-  /** Shared prelude: tokenization, model counts, bigram extraction,
-    * the literal LUTs, and the per-doc exact decimal sums. */
-  private def prelude(hitValues: String, boValues: String): String =
+  /** Shared prelude: tokenization, model counts (with the exact
+    * integer-cutoff HAVING when pruned), bigram extraction, the
+    * literal LUTs, and the per-doc exact decimal sums. */
+  private def prelude(hitValues: String, boValues: String,
+      prune: Option[Int]): String = {
+    val having1 = prune.map(m =>
+      s"\n  HAVING count(*) * $m > (SELECT count(*) FROM (SELECT unnest(tk) FROM ref))")
+      .getOrElse("")
+    val having2 = prune.map(m =>
+      s"\n  HAVING count(*) * $m > (SELECT count(*) FROM (SELECT tk[i] FROM ref, unnest(range(1, len(tk))) AS u(i) WHERE len(tk) >= 2))")
+      .getOrElse("")
     s"""WITH d AS (
        |  SELECT doc_id, source, $toksSql AS tk
        |  FROM documents),
        |ref AS (SELECT tk FROM d WHERE source = 'src0'),
        |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
-       |  FROM (SELECT unnest(tk) AS w FROM ref) GROUP BY w),
+       |  FROM (SELECT unnest(tk) AS w FROM ref) GROUP BY w$having1),
        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM (
        |    SELECT tk[i] AS w1, tk[i+1] AS w2 FROM ref, unnest(range(1, len(tk))) AS u(i)
-       |    WHERE len(tk) >= 2) GROUP BY w1, w2),
+       |    WHERE len(tk) >= 2) GROUP BY w1, w2$having2),
        |lut_hit AS (SELECT a AS c2v, b AS c1v, CAST(c AS DECIMAL(20,9)) AS lp
        |  FROM (VALUES
        |    $hitValues) t(a, b, c)),
@@ -132,7 +160,8 @@ private[graft] object LmOracles {
        |bg AS (SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
        |  FROM d, unnest(range(1, len(tk))) AS u(i) WHERE len(tk) >= 2),
        |lp AS (SELECT bg.doc_id,
-       |    CASE WHEN c2.c2 IS NOT NULL THEN lh.lp ELSE lb.lp END AS logp_r
+       |    CASE WHEN c2.c2 IS NOT NULL AND c1a.c1 IS NOT NULL
+       |      THEN lh.lp ELSE lb.lp END AS logp_r
        |  FROM bg
        |  LEFT JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
        |  LEFT JOIN c1 c1a ON c1a.w = bg.w1
@@ -142,26 +171,38 @@ private[graft] object LmOracles {
        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        |    CAST(sum(logp_r) AS DECIMAL(20,9)) AS sum_logp
        |  FROM lp GROUP BY doc_id)""".stripMargin
+  }
 
   def q118(spark: SparkSession, dir: String): Option[String] =
-    luts(spark, dir).filter(_ => keepMarginOk(spark, dir)).map {
+    luts(spark, dir, None).filter(_ => keepMarginOk(spark, dir, None)).map {
       case (hitValues, boValues) =>
-        s"""${prelude(hitValues, boValues)}
+        s"""${prelude(hitValues, boValues, None)}
            |SELECT doc_id, n_bigrams, sum_logp,
            |  CAST(sum_logp AS DOUBLE) / n_bigrams >= $keepThreshold AS keep
            |FROM per WHERE doc_id < 30 ORDER BY doc_id""".stripMargin
     }
 
+  private def perSourceSelect(pre: String): String =
+    s"""$pre
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs_scored,
+       |  CAST(sum(CASE WHEN CAST(per.sum_logp AS DOUBLE) / per.n_bigrams
+       |    >= $keepThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  CAST(sum(per.n_bigrams) AS BIGINT) AS n_bigrams,
+       |  CAST(sum(per.sum_logp) AS DECIMAL(27,9)) AS sum_logp
+       |FROM per JOIN d ON d.doc_id = per.doc_id
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   def q119(spark: SparkSession, dir: String): Option[String] =
-    luts(spark, dir).filter(_ => keepMarginOk(spark, dir)).map {
+    luts(spark, dir, None).filter(_ => keepMarginOk(spark, dir, None)).map {
       case (hitValues, boValues) =>
-        s"""${prelude(hitValues, boValues)}
-           |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs_scored,
-           |  CAST(sum(CASE WHEN CAST(per.sum_logp AS DOUBLE) / per.n_bigrams
-           |    >= $keepThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
-           |  CAST(sum(per.n_bigrams) AS BIGINT) AS n_bigrams,
-           |  CAST(sum(per.sum_logp) AS DECIMAL(27,9)) AS sum_logp
-           |FROM per JOIN d ON d.doc_id = per.doc_id
-           |GROUP BY d.source ORDER BY d.source""".stripMargin
+        perSourceSelect(prelude(hitValues, boValues, None))
     }
+
+  /** q127: the bounded-model gate — same per-source shape as q119,
+    * model pruned to the exact frequency-cutoff set at `m`. */
+  def q127(spark: SparkSession, dir: String, m: Int): Option[String] =
+    luts(spark, dir, Some(m)).filter(_ => keepMarginOk(spark, dir, Some(m)))
+      .map { case (hitValues, boValues) =>
+        perSourceSelect(prelude(hitValues, boValues, Some(m)))
+      }
 }

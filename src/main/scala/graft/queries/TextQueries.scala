@@ -893,6 +893,34 @@ object TextQueries {
         LmOracles.q119(spark, dir)
       })),
 
+    // The BOUNDED-model LM gate (VERDICT r14 item 4): q119's scoring
+    // with the bigram model pruned to the exact frequency-cutoff set
+    // (cnt·m > N at m = 1024) — built via Misra-Gries candidates +
+    // exact recount so the model-build exchange is bounded by m
+    // instead of the reference slice's n-gram universe (the MG
+    // guarantee makes the cutoff set partitioning-invariant, so a
+    // plain HAVING replays it in the generated literal-LUT oracle).
+    // At 100 TB this is the variant that ships: the three scoring
+    // joins broadcast an m-bounded model.
+    QueryDef("q127_lm_pruned_gate", None,
+      (spark, dir) => {
+        import graft.operators.TextAnalysis
+        val docs = table(spark, dir, "documents")
+        val scored = TextAnalysis.lmPerplexity(docs, "doc_id", "text",
+          refFilter = col("source") === "src0",
+          maxModelTerms = Some(1024))
+        scored.join(docs.select("doc_id", "source"), Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs_scored"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+            sum(col("n_bigrams")).as("n_bigrams"),
+            sum(col("sum_logp")).cast("decimal(27,9)").as("sum_logp"))
+          .orderBy("source")
+      },
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q127") {
+        LmOracles.q127(spark, dir, 1024)
+      })),
+
     // Model-based quality gate — the GPT-3/CCNet classifier filter:
     // a closed-form ridge probe over hashed token counts
     // (QualityClassifier.trainRidge — ONE distributed pass builds the

@@ -52,6 +52,24 @@ class AnnTunerSpec extends SparkSpec {
     assert(r.isEmpty)
   }
 
+  test("n > maxGraphVectors: flat hnsw never offered, coarse composition is") {
+    // VERDICT r14 item 5: HnswModel.build collects at most
+    // maxGraphVectors rows to the driver — past the cap the tuner must
+    // degrade to the q110 HNSW-over-centroids composition instead of
+    // recommending a flat graph that silently indexes a subset.
+    val saved = GraftConfig.hnswMaxGraphVectors
+    GraftConfig.hnswMaxGraphVectors = 10 // far below the fixture corpus
+    try {
+      val (best, all) = AnnTuner.tuneAcrossTiers(emb, "vec_id", "embedding",
+        dim = 64, targetRecall = 0.75)
+      assert(!all.exists(_.tier == "hnsw"),
+        s"flat hnsw offered past the size cap: $all")
+      assert(all.exists(_.tier == "hnsw_coarse"),
+        s"coarse composition missing past the size cap: $all")
+      assert(best.isDefined && best.get.tier != "hnsw")
+    } finally GraftConfig.hnswMaxGraphVectors = saved
+  }
+
   test("cross-tier tuning: hnsw dominates at a high target, choice meets target") {
     val (best, all) = AnnTuner.tuneAcrossTiers(emb, "vec_id", "embedding",
       dim = 64, targetRecall = 0.9)

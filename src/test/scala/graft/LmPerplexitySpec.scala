@@ -65,6 +65,27 @@ class LmPerplexitySpec extends SparkSpec {
     assert(a.length > 100)
   }
 
+  test("pruned model == frequency-cutoff model, partitioning-invariant (q127)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // m = 1024 on the fixture: the cutoff genuinely prunes (scores must
+    // differ from the full model) while staying EXACT — the MG-
+    // candidate/recount path must equal the same scoring under any
+    // partitioning, because the cutoff set is partitioning-invariant
+    val full = TextAnalysis.lmPerplexity(docs, "doc_id", "text",
+      col("source") === "src0").orderBy("doc_id").collect()
+    val a = TextAnalysis.lmPerplexity(docs, "doc_id", "text",
+      col("source") === "src0", maxModelTerms = Some(1024))
+      .orderBy("doc_id").collect()
+    val b = TextAnalysis.lmPerplexity(docs.repartition(17), "doc_id", "text",
+      col("source") === "src0", maxModelTerms = Some(1024))
+      .orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq, "pruned model must be partitioning-invariant")
+    assert(a.length == full.length,
+      "same docs scored (pruning changes the model, never the scored set)")
+    assert(a.map(_.getDecimal(2)).toSeq != full.map(_.getDecimal(2)).toSeq,
+      "cutoff must genuinely prune on this fixture")
+  }
+
   test("plan shape: LM counts aggregate distributed, no window over the corpus") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = TextAnalysis.lmPerplexity(docs, "doc_id", "text",

@@ -24,6 +24,56 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Tokens whose results vary across libm builds (the r14 q118/q119 driver
+# failure class). sqrt/division are IEEE-exact and NOT flagged.
+TRANSCENDENTALS = ("ln(", "exp(", "log(", "log2(", "log10(", "pow(",
+                   "sin(", "cos(", "tan(", "asin(", "acos(", "atan(")
+
+
+def load_hash_audit():
+    """The committed hash-fragility allowlist (tools/hash_audit.json):
+    hashed DOUBLE columns and transcendental-bearing oracles must be
+    consciously listed there or the gate fails — the validator-side
+    mirror of the round-15 exact-only rule, so a fragile projection is
+    caught BEFORE the driver's DuckDB build gets a vote."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "hash_audit.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+def audit_failures(name, sql, out_dir, audit):
+    """Returns a list of hash-fragility findings for an oracle-checked
+    query (empty = clean)."""
+    finds = []
+    lowered = sql.lower()
+    trans = [t[:-1] for t in TRANSCENDENTALS if t in lowered]
+    if trans and name not in audit.get("transcendental_ok", {}):
+        finds.append(f"oracle uses transcendental {trans} without a "
+                     "transcendental_ok entry (libm-variant across DuckDB "
+                     "builds - use a literal-LUT generated oracle instead)")
+    # the r14 q120 failure shape: a rounded DOUBLE laundered into an
+    # "exact" decimal — round-algorithm variance flips the decimal
+    if "cast(round(" in lowered.replace(" ", ""):
+        finds.append("oracle casts round(<double>) to another type "
+                     "(decimal-of-rounded-double is NOT exact: round() on a "
+                     "boundary value differs across engines - hash the exact "
+                     "integer/decimal sources instead)")
+    try:
+        rows = duckdb.sql(
+            f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
+    except Exception:
+        return finds  # missing dump reported by the main compare
+    allowed = set(audit.get("double_columns", {}).get(name, []))
+    bad = [r[0] for r in rows if r[1] in ("DOUBLE", "FLOAT")
+           and r[0] not in allowed]
+    if bad:
+        finds.append(f"hashed DOUBLE column(s) {bad} not in "
+                     "tools/hash_audit.json (exact-only rule: hash integer "
+                     "counts / decimal sums of decimal inputs / fixed-order "
+                     "float compares, or allowlist with a margin argument)")
+    return finds
+
 
 def main():
     argv = sys.argv[1:]
@@ -44,10 +94,19 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracles = json.load(f)
+    audit = load_hash_audit()
 
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
+            continue
+        frag = audit_failures(name, sql, out_dir, audit)
+        if frag:
+            for msg in frag:
+                print(f"FAIL {name}: {msg}")
+            results[name] = {"rows": None, "pass": False, "check": "oracle",
+                             "reason": f"hash-fragility audit: {frag}"}
+            n_fail += 1
             continue
         try:
             oracle = con.execute(sql).fetchdf()
@@ -149,9 +208,16 @@ def main():
         if not results:
             print("FAIL --json artifact would be EMPTY; refusing to write")
             return 1
+        # environment pin (VERDICT r14 item 2): the r14 local-vs-driver
+        # divergence was a DuckDB-build libm difference — record which
+        # build produced THIS artifact so a future gap is attributable.
+        # Consumers must skip keys starting with "_".
+        results["_meta"] = {"duckdb_version": duckdb.__version__,
+                            "hash_audit": "tools/hash_audit.json"}
         with open(json_out, "w") as f:
             json.dump(results, f, indent=1, sort_keys=True)
-        print(f"== wrote {len(results)} entries to {json_out}")
+        print(f"== wrote {len(results) - 1} query entries to {json_out} "
+              f"(duckdb {duckdb.__version__})")
     return 1 if n_fail else 0
 
 
