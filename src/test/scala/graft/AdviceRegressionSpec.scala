@@ -349,4 +349,39 @@ class AdviceRegressionSpec extends SparkSpec {
       st.ivf.get.probeLinear(newEmb, 1).head,
       "cluster assignment must be recomputed from the new embedding")
   }
+
+  // ---- round-14 advisor findings ----
+
+  test("heavyHitterTerms on an empty corpus returns empty, not NPE (ADVICE r14)") {
+    import graft.operators.TextAnalysis
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.heavyHitterTerms(empty, "text", k = 5,
+      counters = 16).collect().isEmpty)
+  }
+
+  test("short all-heavy candidate set is never certified complete (ADVICE r14)") {
+    import graft.operators.TextAnalysis
+    // 3 distinct terms, k = 5: the exact result has only 3 rows — the
+    // count bound (min cnt * m > N) HOLDS, but ranks 4..5 of a 5-term
+    // corpus would be missing, so the verdict must be false
+    val docs = Seq((1L, "a a a a b b b c c c")).toDF("doc_id", "text")
+    val out = TextAnalysis.heavyHitterTerms(docs, "text", k = 5,
+      counters = 16).collect()
+    assert(out.length == 3)
+    assert(out.forall(!_.getBoolean(3)),
+      "a result shorter than k must not claim provable completeness")
+    // and when |result| == k the verdict logic is unchanged
+    val full = TextAnalysis.heavyHitterTerms(docs, "text", k = 3,
+      counters = 16).collect()
+    assert(full.length == 3 && full.forall(_.getBoolean(3)))
+  }
+
+  test("repetition oracle contract: zero-token doc keeps with all-zero stats (ADVICE r14)") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.repetitionSignals(
+        Seq((1L, "   ")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("n_tokens", "dup_tokens", "dup5_den", "keep").collect()(0)
+    assert(out.getInt(0) == 0 && out.getInt(1) == 0 && out.getInt(2) == 0)
+    assert(out.getBoolean(3), "empty text trivially passes the gate")
+  }
 }
