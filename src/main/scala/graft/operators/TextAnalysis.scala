@@ -600,10 +600,19 @@ object TextAnalysis {
         slice(col("tk"), lit(1), size(col("tk")) - 1),
         slice(col("tk"), lit(2), size(col("tk")) - 1))).as("bg"))
       .select(col("id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+    // bounded model ⇒ ≤ m rows per table by construction: broadcast
+    // the model side explicitly so the corpus bigram stream NEVER
+    // crosses an exchange for scoring (the LmProbe receipt — without
+    // the hint the three left joins shuffle all 19·n doc bigrams even
+    // though the build side is tiny)
+    val hint: DataFrame => DataFrame =
+      if (maxModelTerms.isDefined) broadcast(_) else identity
     val scored = docBg
-      .join(c2, Seq("w1", "w2"), "left")
-      .join(c1.select(col("w").as("w1"), col("c1").as("c1a")), Seq("w1"), "left")
-      .join(c1.select(col("w").as("w2"), col("c1").as("c1b")), Seq("w2"), "left")
+      .join(hint(c2), Seq("w1", "w2"), "left")
+      .join(hint(c1.select(col("w").as("w1"), col("c1").as("c1a"))),
+        Seq("w1"), "left")
+      .join(hint(c1.select(col("w").as("w2"), col("c1").as("c1b"))),
+        Seq("w2"), "left")
       .crossJoin(broadcast(tv))
       .withColumn("logp", when(col("c2").isNotNull && col("c1a").isNotNull,
           log(col("c2") / col("c1a")))

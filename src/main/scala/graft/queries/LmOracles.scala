@@ -102,14 +102,17 @@ private[graft] object LmOracles {
           (lit(t) + lit(v))), 9)
         .cast("decimal(20,9)").cast("string"))
       .collect()
-    if (hit.length > maxLutRows || bo.length > maxLutRows ||
-        hit.isEmpty || bo.isEmpty) {
+    if (hit.length > maxLutRows || bo.length > maxLutRows || bo.isEmpty) {
       System.err.println(s"[oracle-gen] lm LUT too large/empty " +
         s"(hit=${hit.length}, bo=${bo.length}) — withholding")
       None
     } else Some((
-      hit.map(r => s"(${r.getLong(0)}, ${r.getLong(1)}, '${r.getString(2)}')")
-        .mkString(",\n    "),
+      // counts are never negative, so a dummy row keeps the VALUES
+      // clause well-formed when a pruned model has NO surviving
+      // bigrams (everything backs off) — the sf1 q127 case; the
+      // oracle then still hash-checks the all-backoff scoring
+      (hit.map(r => s"(${r.getLong(0)}, ${r.getLong(1)}, '${r.getString(2)}')")
+        :+ "(-1, -1, '0')").mkString(",\n    "),
       bo.map(r => s"(${r.getLong(0)}, '${r.getString(1)}')")
         .mkString(",\n    ")))
   }
