@@ -153,6 +153,13 @@ object Packing {
       .filter(col("rn") <= perGroup)
   }
 
+  /** All rows with their sampling key attached — the margin-guard
+    * surface for the q98/q99 oracle generators (they need the keys
+    * AROUND the selection cut, which [[weightedSample]] discards). */
+  private[graft] def withSampleKey(df: DataFrame, idCol: String,
+      weightCol: String): DataFrame =
+    df.withColumn("sample_key", sampleKey(df, idCol, weightCol))
+
   /** The Efraimidis–Spirakis key: -ln(uniform(splitmix64(id))) / w.
     * The math requires w > 0; rows with a non-positive, null, or NaN
     * weight get an infinite key — zero inclusion probability (the

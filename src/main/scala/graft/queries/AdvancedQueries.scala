@@ -473,20 +473,10 @@ object AdvancedQueries {
     // splitmix64 of the id, heap top-25 by key. The oracle replays the
     // full hash + key arithmetic; selection order is by the unrounded
     // key (doc_id tiebreak), display rounds at 6 after a 1e6 scale.
-    QueryDef("q98_weighted_sample", Some(
-      s"""WITH h1 AS (
-         |  SELECT doc_id, source, n_chars,
-         |    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z
-         |  FROM documents),
-         |${smStages(", source, n_chars")}
-         |k AS (
-         |  SELECT doc_id, source, n_chars,
-         |    -ln((CAST(xor(z, z >> 31) // 2048 AS DOUBLE) + 0.5) / 9007199254740992.0)
-         |      / n_chars AS sample_key
-         |  FROM h3)
-         |SELECT doc_id, source, n_chars,
-         |  round(sample_key * 1000000, 6) AS key_e6
-         |FROM k ORDER BY sample_key, doc_id LIMIT 25""".stripMargin),
+    // Round-15: emission is MARGIN-GUARDED (TextLutOracles.q98Guarded)
+    // — the SQL evaluates ln, so it is only emitted when the selection
+    // cut and every displayed key sit clear of cross-libm noise.
+    QueryDef("q98_weighted_sample", None,
       (spark, dir) => {
         import graft.operators.Packing
         Packing.weightedSample(
@@ -494,30 +484,17 @@ object AdvancedQueries {
             "doc_id", "n_chars", m = 25)
           .select(col("doc_id"), col("source"), col("n_chars"),
             round(col("sample_key") * 1000000, 6).as("key_e6"))
-      }),
+      },
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q98") {
+        TextLutOracles.q98Guarded(spark, dir, q98StaticSql)
+      })),
 
     // Grouped weighted sampling: the q98 key ranked within each source
     // (row_number over (source, key)) — plans as a map-side
     // WindowGroupLimit like q71's stratified sample, but with
-    // weight-proportional inclusion instead of uniform.
-    QueryDef("q99_weighted_per_source", Some(
-      s"""WITH h1 AS (
-         |  SELECT doc_id, source, n_chars,
-         |    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z
-         |  FROM documents),
-         |${smStages(", source, n_chars")}
-         |k AS (
-         |  SELECT doc_id, source, n_chars,
-         |    -ln((CAST(xor(z, z >> 31) // 2048 AS DOUBLE) + 0.5) / 9007199254740992.0)
-         |      / n_chars AS sample_key
-         |  FROM h3),
-         |r AS (
-         |  SELECT doc_id, source, n_chars, sample_key,
-         |    CAST(row_number() OVER (PARTITION BY source ORDER BY sample_key, doc_id) AS INTEGER) AS rn
-         |  FROM k)
-         |SELECT doc_id, source, n_chars, rn,
-         |  round(sample_key * 1000000, 6) AS key_e6
-         |FROM r WHERE rn <= 3 ORDER BY source, rn""".stripMargin),
+    // weight-proportional inclusion instead of uniform. Margin-guarded
+    // emission per group (see q98).
+    QueryDef("q99_weighted_per_source", None,
       (spark, dir) => {
         import graft.operators.Packing
         Packing.weightedSamplePerGroup(
@@ -526,7 +503,10 @@ object AdvancedQueries {
           .select(col("doc_id"), col("source"), col("n_chars"), col("rn"),
             round(col("sample_key") * 1000000, 6).as("key_e6"))
           .orderBy("source", "rn")
-      }),
+      },
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q99") {
+        TextLutOracles.q99Guarded(spark, dir, q99StaticSql)
+      })),
 
     QueryDef("q62_split_assign", Some(
       s"""WITH h1 AS (
@@ -968,6 +948,44 @@ object AdvancedQueries {
     * wraparound multiplication done in HUGEINT by splitting the left
     * operand into 32-bit halves (the full 128-bit product would
     * overflow INT128). `carry` = extra columns threaded through. */
+  /** The q98/q99 static replay SQL — full splitmix + E-S key
+    * arithmetic; EMITTED only through TextLutOracles' margin guards
+    * (the ln is libm-variant, so the replay is trusted only when no
+    * key sits within noise of a selection or rounding boundary). */
+  private lazy val q98StaticSql: String =
+    s"""WITH h1 AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z
+       |  FROM documents),
+       |${smStages(", source, n_chars")}
+       |k AS (
+       |  SELECT doc_id, source, n_chars,
+       |    -ln((CAST(xor(z, z >> 31) // 2048 AS DOUBLE) + 0.5) / 9007199254740992.0)
+       |      / n_chars AS sample_key
+       |  FROM h3)
+       |SELECT doc_id, source, n_chars,
+       |  round(sample_key * 1000000, 6) AS key_e6
+       |FROM k ORDER BY sample_key, doc_id LIMIT 25""".stripMargin
+
+  private lazy val q99StaticSql: String =
+    s"""WITH h1 AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z
+       |  FROM documents),
+       |${smStages(", source, n_chars")}
+       |k AS (
+       |  SELECT doc_id, source, n_chars,
+       |    -ln((CAST(xor(z, z >> 31) // 2048 AS DOUBLE) + 0.5) / 9007199254740992.0)
+       |      / n_chars AS sample_key
+       |  FROM h3),
+       |r AS (
+       |  SELECT doc_id, source, n_chars, sample_key,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY sample_key, doc_id) AS INTEGER) AS rn
+       |  FROM k)
+       |SELECT doc_id, source, n_chars, rn,
+       |  round(sample_key * 1000000, 6) AS key_e6
+       |FROM r WHERE rn <= 3 ORDER BY source, rn""".stripMargin
+
   private def smStages(carry: String = ", source"): String = {
     def stage(name: String, from: String, shift: Int, const: String) =
       s"""$name AS (

@@ -314,4 +314,72 @@ private[graft] object TextLutOracles {
          |  AND lut.c2 = topk.c2
          |ORDER BY topk.c12 DESC, t1, t2""".stripMargin)
   }
+
+  /** Boundary distance of round(v, 6): |frac(v·10⁶) − 0.5|, in grid
+    * units (1.0 = one 10⁻⁶ step). */
+  private def roundMargin6(v: Double): Double = {
+    val t = v * 1e6
+    math.abs(t - math.floor(t) - 0.5)
+  }
+  /** Display-round guard: cross-engine ln noise on v is ~|v|·1e-16·10⁶
+    * grid units ≤ ~1e-6 for these key magnitudes; 1e-4 is 100× above
+    * it while false-withholding only ~0.02% of uniform draws. */
+  private val dispEps = 1e-4
+  /** Selection-cut guard on the raw keys (absolute; keys are 1e-5..1e-1
+    * here and their ln noise ~1e-17): bit-equal ties are SAFE (both
+    * engines break them by doc_id) and excluded. */
+  private val cutEps = 1e-12
+
+  /** q98: emit the static Efraimidis–Spirakis replay SQL only when the
+    * top-`m` selection cut and every displayed key_e6 sit clear of
+    * cross-engine ln noise (the AnnOracles withhold discipline — the
+    * SQL itself still evaluates ln, so its result is only trusted when
+    * no value is within noise of a decision boundary). */
+  def q98Guarded(spark: SparkSession, dir: String, staticSql: String,
+      m: Int = 25): Option[String] = {
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val ks = graft.operators.Packing.withSampleKey(docs, "doc_id", "n_chars")
+      .select("sample_key").orderBy("sample_key").limit(m + 1)
+      .collect().map(_.getDouble(0))
+    val cutOk = ks.length <= m || ks(m) == ks(m - 1) ||
+      ks(m) - ks(m - 1) > cutEps
+    val dispOk = ks.take(m).forall(k => roundMargin6(k * 1e6) > dispEps)
+    if (cutOk && dispOk) Some(staticSql)
+    else {
+      System.err.println("[oracle-gen] q98 withheld: key margin inside " +
+        s"ln-noise guard (cutOk=$cutOk dispOk=$dispOk)")
+      None
+    }
+  }
+
+  /** q99: the per-source form — rank-`perGroup` vs rank-`perGroup`+1
+    * gap and display margins checked PER GROUP. */
+  def q99Guarded(spark: SparkSession, dir: String, staticSql: String,
+      perGroup: Int = 3): Option[String] = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("sample_key"), col("doc_id"))
+    val rows = graft.operators.Packing.withSampleKey(docs, "doc_id", "n_chars")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perGroup + 1)
+      .select("source", "rn", "sample_key").collect()
+      .groupBy(_.getString(0))
+    val ok = rows.values.forall { g =>
+      val byRank = g.sortBy(_.getInt(1)).map(_.getDouble(2))
+      val cutOk = byRank.length <= perGroup ||
+        byRank(perGroup) == byRank(perGroup - 1) ||
+        byRank(perGroup) - byRank(perGroup - 1) > cutEps
+      cutOk && byRank.take(perGroup)
+        .forall(k => roundMargin6(k * 1e6) > dispEps)
+    }
+    if (ok) Some(staticSql)
+    else {
+      System.err.println("[oracle-gen] q99 withheld: key margin inside " +
+        "ln-noise guard")
+      None
+    }
+  }
 }
