@@ -555,19 +555,24 @@ object TextAnalysis {
       case None => (c1Full, c2Full)
       case Some(m) =>
         import org.apache.spark.sql.graft.Bridge
-        def mgCandidates(arr: Column): Seq[String] = {
+        def mgCandidates(src: DataFrame, arr: Column): Seq[String] = {
           val mg = Bridge.column(org.apache.spark.sql.graft.expressions
             .MisraGries(Bridge.expression(arr), m).toAggregateExpression())
-          docs.filter(refFilter).agg(mg.as("c")).collect()(0)
-            .getSeq[String](0)
+          src.agg(mg.as("c")).collect()(0).getSeq[String](0)
         }
         val spark = docs.sparkSession
         import spark.implicits._
-        val uniCand = mgCandidates(tokens(col(textCol)))
-        val biCand = mgCandidates(zip_with(
-          slice(tokens(col(textCol)), lit(1), size(tokens(col(textCol))) - 1),
-          slice(tokens(col(textCol)), lit(2), size(tokens(col(textCol))) - 1),
-          (a, b) => concat(a, lit(" "), b)))
+        val refDocs = docs.filter(refFilter)
+        val uniCand = mgCandidates(refDocs, tokens(col(textCol)))
+        // size >= 2 guard: a zero-token reference doc makes the slice
+        // length -1 and Spark throws at runtime (the full-model c2
+        // path below has the same guard)
+        val biCand = mgCandidates(
+          refDocs.filter(size(tokens(col(textCol))) >= 2),
+          zip_with(
+            slice(tokens(col(textCol)), lit(1), size(tokens(col(textCol))) - 1),
+            slice(tokens(col(textCol)), lit(2), size(tokens(col(textCol))) - 1),
+            (a, b) => concat(a, lit(" "), b)))
         val n1 = refTok.count()
         val n2 = docs.filter(refFilter)
           .agg(coalesce(sum(greatest(size(tokens(col(textCol))) - 1, lit(0))),

@@ -281,10 +281,26 @@ private[graft] object TextLutOracles {
     * drop, never silently). */
   def q96(spark: SparkSession, dir: String,
       engine: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[String] = {
-    val rows = engine(spark, dir)
+    import spark.implicits._
+    // Triples come off the engine result (DuckDB re-derives and joins
+    // on them, so a wrong count fails as a row drop), but the pmi LUT
+    // VALUE is recomputed here from the integers with a standalone
+    // expression (ADVICE r15): nDocs independently counted, the
+    // formula re-typed — a bug in q96Run's pmi arithmetic now breaks
+    // the hash instead of being replayed.
+    val triples = engine(spark, dir)
       .select(col("c12").cast("long"), col("c1").cast("long"),
-        col("c2").cast("long"), col("pmi")).distinct().collect()
-    if (rows.isEmpty) return None
+        col("c2").cast("long")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    if (triples.isEmpty) return None
+    val nDocs = Tables.table(spark, dir, "documents")
+      .select(col("doc_id"), explode(
+        graft.operators.TextAnalysis.tokens(col("text"))).as("term"))
+      .distinct().select("doc_id").distinct().count()
+    val rows = triples.toSeq.toDF("c12", "c1", "c2")
+      .withColumn("pmi", round(log(
+        col("c12").cast("double") * nDocs / (col("c1") * col("c2"))), 6))
+      .collect()
     val lut = rows.map(r => s"(${r.getLong(0)}, ${r.getLong(1)}, " +
         s"${r.getLong(2)}, '${d(r.getDouble(3))}')")
       .mkString(",\n    ")
@@ -326,8 +342,10 @@ private[graft] object TextLutOracles {
     * it while false-withholding only ~0.02% of uniform draws. */
   private val dispEps = 1e-4
   /** Selection-cut guard on the raw keys (absolute; keys are 1e-5..1e-1
-    * here and their ln noise ~1e-17): bit-equal ties are SAFE (both
-    * engines break them by doc_id) and excluded. */
+    * here and their ln noise ~1e-17). Bit-equal keys at the cut are
+    * NOT safe (ADVICE r15): Spark-equal keys derived from distinct
+    * (uniform, weight) inputs can come out unequal under DuckDB's own
+    * ln and select the other row — so equality withholds too. */
   private val cutEps = 1e-12
 
   /** q98: emit the static Efraimidis–Spirakis replay SQL only when the
@@ -342,8 +360,7 @@ private[graft] object TextLutOracles {
     val ks = graft.operators.Packing.withSampleKey(docs, "doc_id", "n_chars")
       .select("sample_key").orderBy("sample_key").limit(m + 1)
       .collect().map(_.getDouble(0))
-    val cutOk = ks.length <= m || ks(m) == ks(m - 1) ||
-      ks(m) - ks(m - 1) > cutEps
+    val cutOk = ks.length <= m || ks(m) - ks(m - 1) > cutEps
     val dispOk = ks.take(m).forall(k => roundMargin6(k * 1e6) > dispEps)
     if (cutOk && dispOk) Some(staticSql)
     else {
@@ -370,7 +387,6 @@ private[graft] object TextLutOracles {
     val ok = rows.values.forall { g =>
       val byRank = g.sortBy(_.getInt(1)).map(_.getDouble(2))
       val cutOk = byRank.length <= perGroup ||
-        byRank(perGroup) == byRank(perGroup - 1) ||
         byRank(perGroup) - byRank(perGroup - 1) > cutEps
       cutOk && byRank.take(perGroup)
         .forall(k => roundMargin6(k * 1e6) > dispEps)

@@ -166,15 +166,35 @@ object CorpusStream {
    * the fold state, commit protocol, and idempotence guard are directly
    * testable. State layout under `stateDir`:
    *
-   *   corpus/batch_<id>/   raw batch parquet, written mode=overwrite —
-   *                        a re-delivered batch REPLACES its own dir
-   *                        (the standard idempotent foreachBatch sink)
-   *   counts_v<V>/         exact (term, cnt) parquet for every
-   *                        ever-candidate term, cumulative through
-   *                        version V's batch
-   *   meta_v<V>.json       {batchId, nTokens, summary} — the MG fold
+   *   termcounts/batch_<id>/  per-batch exact (term, cnt) parquet,
+   *                        written mode=overwrite — a re-delivered
+   *                        batch REPLACES its own dir (the standard
+   *                        idempotent foreachBatch sink). These are the
+   *                        rare-path backfill source: a term newly
+   *                        entering the tracked set recounts by summing
+   *                        these bounded tables, NEVER by re-tokenizing
+   *                        an ever-growing raw corpus (VERDICT r15).
+   *                        Compacted into termcounts/base_v<V> once
+   *                        more than [[compactEvery]] accumulate, so
+   *                        the backfill read is ≤ compactEvery+1 tables
+   *                        regardless of stream age.
+   *   counts_v<V>/         exact (term, cnt) parquet for the CURRENT
+   *                        MG candidate set, cumulative through
+   *                        version V's batch — bounded at ≤ m rows:
+   *                        terms that fall out of the MG summary are
+   *                        EVICTED (by the MG guarantee a non-candidate
+   *                        has cnt·m ≤ N, i.e. it is below the provable-
+   *                        heaviness floor; if it re-enters, the
+   *                        backfill recounts it exactly)
+   *   meta_v<V>.json       {batchId, nTokens, summary, hist} — the MG
+   *                        fold plus the list of termcounts tables that
+   *                        together hold the full-corpus exact counts
    *   LATEST               the committed version pointer, written
-   *                        temp-then-atomic-rename LAST
+   *                        temp-then-atomic-rename LAST. After the
+   *                        flip, versions older than V-1 and termcounts
+   *                        dirs not referenced by `hist` are garbage-
+   *                        collected (ADVICE r15: state no longer grows
+   *                        without bound)
    *
    * Exactly-once (closes ADVICE r14: the old guard only covered
    * re-delivery after a fully successful batch): nothing mutates
@@ -196,7 +216,11 @@ object CorpusStream {
     import graft.operators.TextAnalysis
 
     private case class Meta(version: Long, batchId: Long, nTokens: Long,
-        summary: Map[String, Long])
+        summary: Map[String, Long], hist: Seq[String])
+
+    /** Per-batch termcounts tables accumulated before compaction folds
+      * them into one base table — bounds the rare-path backfill read. */
+    private val compactEvery = 16
 
     private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     private val root = Paths.get(stateDir)
@@ -206,7 +230,7 @@ object CorpusStream {
       * restart path), else the empty fold. */
     private def loadCommitted(): Meta = cached.getOrElse {
       val latest = root.resolve("LATEST")
-      if (!Files.exists(latest)) Meta(0L, -1L, 0L, Map.empty)
+      if (!Files.exists(latest)) Meta(0L, -1L, 0L, Map.empty, Seq.empty)
       else {
         val v = Files.readString(latest).trim.toLong
         val node = mapper.readTree(Files.readString(
@@ -215,8 +239,11 @@ object CorpusStream {
         node.get("summary").fields().forEachRemaining { e =>
           s.update(e.getKey, e.getValue.asLong())
         }
+        val h = scala.collection.mutable.Buffer.empty[String]
+        Option(node.get("hist")).foreach(
+          _.elements().forEachRemaining(e => h += e.asText()))
         Meta(v, node.get("batchId").asLong(), node.get("nTokens").asLong(),
-          s.toMap)
+          s.toMap, h.toSeq)
       }
     }
 
@@ -226,6 +253,8 @@ object CorpusStream {
       node.put("nTokens", m.nTokens)
       val s = node.putObject("summary")
       m.summary.foreach { case (t, c) => s.put(t, c) }
+      val h = node.putArray("hist")
+      m.hist.foreach(h.add)
       Files.writeString(root.resolve(s"meta_v${m.version}.json"),
         mapper.writeValueAsString(node))
       val tmp = root.resolve("LATEST.tmp")
@@ -233,6 +262,31 @@ object CorpusStream {
       Files.move(tmp, root.resolve("LATEST"),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
       cached = Some(m)
+      gc(m)
+    }
+
+    /** Post-commit cleanup: everything the committed meta (and its
+      * predecessor, kept one version for safety) does not reference is
+      * dead. Runs AFTER the LATEST flip, so a crash anywhere in here
+      * just leaves garbage for the next trigger's gc to sweep. */
+    private def gc(m: Meta): Unit = {
+      def rmTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+      }
+      Files.list(root).forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("counts_v") &&
+            n.stripPrefix("counts_v").toLong < m.version - 1) rmTree(p)
+        if (n.startsWith("meta_v") && n.endsWith(".json") &&
+            n.stripPrefix("meta_v").stripSuffix(".json").toLong < m.version - 1)
+          Files.deleteIfExists(p)
+      }
+      val tc = root.resolve("termcounts")
+      val live = m.hist.toSet
+      if (Files.exists(tc)) Files.list(tc).forEach { p =>
+        if (!live(p.getFileName.toString)) rmTree(p)
+      }
     }
 
     def process(batch: DataFrame, batchId: Long): Boolean = {
@@ -258,38 +312,57 @@ object CorpusStream {
       MisraGriesAlgo.merge(staged, batchSummary, counters)
       val newNTokens = st.nTokens + r.getLong(1)
 
-      // 2. idempotent corpus append (overwrite-by-batch partition)
-      batch.write.mode("overwrite")
-        .parquet(root.resolve(s"corpus/batch_$batchId").toString)
+      // 2. idempotent per-batch exact term counts (overwrite-by-batch)
+      //    — batch-sized, the ONLY history the rare path ever reads
+      val batchTcDir = root.resolve(s"termcounts/batch_$batchId")
+      batch.select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(batchTcDir.toString)
+      var hist = st.hist :+ s"batch_$batchId"
 
       // 3. exact count table: tracked terms advance by the batch delta;
-      //    terms newly entering the tracked set backfill from history
+      //    terms newly entering the tracked set backfill by summing the
+      //    ≤ compactEvery+1 termcounts tables (never a corpus rescan)
       val prior =
         if (st.version == 0L) Seq.empty[(String, Long)].toDF("term", "cnt")
         else spark.read.parquet(root.resolve(s"counts_v${st.version}").toString)
       val tracked = prior.select("term").as[String].collect().toSet
       val candidates = staged.keys.toSeq.sorted
       val newTerms = candidates.filterNot(tracked)
-      val batchDelta = batch
-        .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      val histPaths =
+        hist.map(n => root.resolve("termcounts").resolve(n).toString)
+      val batchDelta = spark.read.parquet(batchTcDir.toString)
         .join(broadcast(tracked.toSeq.toDF("term")), Seq("term"))
-        .groupBy("term").agg(count(lit(1)).as("dc"))
+        .select(col("term"), col("cnt").as("dc"))
       var merged = prior.join(batchDelta, Seq("term"), "left")
         .select(col("term"),
           (col("cnt") + coalesce(col("dc"), lit(0L))).as("cnt"))
       if (newTerms.nonEmpty) {
-        // rare path: history recount for the newly tracked terms only,
-        // over the accumulated corpus INCLUDING this batch
-        val hist = spark.read
-          .parquet(root.resolve("corpus").resolve("batch_*").toString)
-          .select(explode(TextAnalysis.tokens(col(textCol))).as("term"))
+        val backfill = spark.read.parquet(histPaths: _*)
           .join(broadcast(newTerms.toDF("term")), Seq("term"))
-          .groupBy("term").agg(count(lit(1)).as("cnt"))
-        merged = merged.unionByName(hist)
+          .groupBy("term").agg(sum(col("cnt")).cast("long").as("cnt"))
+        merged = merged.unionByName(backfill)
       }
+      // EVICT terms that fell out of the MG summary: by the MG
+      // guarantee their exact count is ≤ N/m (below the provable-
+      // heaviness floor), they cannot appear in any epoch output (the
+      // top-k joins candidates), and a re-entering term backfills
+      // exactly — so the tracked table stays ≤ m rows forever
+      merged = merged.join(broadcast(candidates.toDF("term")), Seq("term"))
       val newVersion = st.version + 1
       merged.coalesce(1).write.mode("overwrite")
         .parquet(root.resolve(s"counts_v$newVersion").toString)
+
+      // 3b. compaction: fold the per-batch tables into one base table
+      //     so the backfill read set stays bounded at any stream age
+      if (hist.length > compactEvery) {
+        val base = s"base_v$newVersion"
+        spark.read.parquet(histPaths: _*)
+          .groupBy("term").agg(sum(col("cnt")).cast("long").as("cnt"))
+          .write.mode("overwrite")
+          .parquet(root.resolve("termcounts").resolve(base).toString)
+        hist = Seq(base)
+      }
 
       // 4. epoch top-k off the exact table, candidates only (the set
       //    the MG bound guarantees covers every provable heavy term)
@@ -306,10 +379,14 @@ object CorpusStream {
             count(lit(1)).over(w) === k)
         .select(col("rank"), col("term"), col("cnt"),
           col("provably_complete"))
-      onEpoch(batchId, out)
+      // hand the callback a MATERIALIZED ≤k-row frame: a lazy plan
+      // over counts_v<V> would break once a later trigger's GC deletes
+      // the version it references
+      val outRows = java.util.Arrays.asList(out.collect(): _*)
+      onEpoch(batchId, spark.createDataFrame(outRows, out.schema))
 
       // 5. the commit point
-      commit(Meta(newVersion, batchId, newNTokens, staged.toMap))
+      commit(Meta(newVersion, batchId, newNTokens, staged.toMap, hist))
       true
     }
   }

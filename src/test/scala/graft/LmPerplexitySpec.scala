@@ -86,6 +86,31 @@ class LmPerplexitySpec extends SparkSpec {
       "cutoff must genuinely prune on this fixture")
   }
 
+  test("bounded model survives zero-token reference docs (ADVICE r15)") {
+    // tokens("") == [] is a supported input; the bigram MG-candidate
+    // pass must not evaluate slice(tk, 1, -1) on it
+    val docs = Seq(
+      (0L, "a b a c", "ref"),
+      (1L, "", "ref"),          // zero tokens — used to crash the MG pass
+      (2L, "   ", "ref"),       // whitespace-only — also zero tokens
+      (3L, "a b x", "rest"),
+      (4L, "a c", "rest")
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.lmPerplexity(docs, "doc_id", "text",
+        refFilter = col("source") === "ref", keepThreshold = -1.0,
+        maxModelTerms = Some(8))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 3L, 4L))
+    // empty ref docs contribute nothing: scores match the model built
+    // without them
+    val clean = TextAnalysis.lmPerplexity(
+        docs.filter(col("doc_id") =!= 1L && col("doc_id") =!= 2L),
+        "doc_id", "text", refFilter = col("source") === "ref",
+        keepThreshold = -1.0, maxModelTerms = Some(8))
+      .orderBy("doc_id").collect()
+    assert(out.toSeq == clean.toSeq)
+  }
+
   test("plan shape: LM counts aggregate distributed, no window over the corpus") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = TextAnalysis.lmPerplexity(docs, "doc_id", "text",
