@@ -200,22 +200,31 @@ object AdvancedQueries {
     QueryDef("q54_moving_avg", Some(
       """WITH daily AS (
         |  SELECT date_trunc('day', o_orderdate) AS d,
-        |    round(sum(o_totalprice), 2) AS revenue
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
         |  FROM orders GROUP BY 1)
         |SELECT d, revenue,
-        |  round(avg(revenue) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7,
-        |  round(revenue - lag(revenue, 1) OVER (ORDER BY d), 2) AS delta
-        |FROM daily ORDER BY d""".stripMargin),
+        |  CAST(floor(CAST(sum(revenue) OVER w7 AS DOUBLE)
+        |    / count(*) OVER w7 * 1000000.0 + 0.5) AS BIGINT) AS ma7_e6,
+        |  CAST(revenue - lag(revenue, 1) OVER (ORDER BY d) AS DECIMAL(38,2)) AS delta
+        |FROM daily
+        |WINDOW w7 AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY d""".stripMargin),
       (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
         val daily = table(spark, dir, "orders")
           .groupBy(date_trunc("day", col("o_orderdate")).as("d"))
-          .agg(round(sum(col("o_totalprice")), 2).as("revenue"))
+          .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").as("revenue"))
         val byD = Window.orderBy(col("d"))
+        val w7 = byD.rowsBetween(-6, Window.currentRow)
+        // moving average as (exact decimal window sum -> double) / frame
+        // count: one IEEE division, bit-identical on both engines
         daily
-          .withColumn("ma7", round(avg(col("revenue"))
-            .over(byD.rowsBetween(-6, Window.currentRow)), 4))
-          .withColumn("delta", round(col("revenue") - lag(col("revenue"), 1).over(byD), 2))
+          .withColumn("ma7_e6", floor(sum(col("revenue")).over(w7)
+              .cast("double") / count(lit(1)).over(w7) * lit(1e6)
+            + lit(0.5)))
+          .withColumn("delta", (col("revenue")
+            - lag(col("revenue"), 1).over(byD)).cast("decimal(38,2)"))
           .orderBy("d")
       }),
 
@@ -247,7 +256,8 @@ object AdvancedQueries {
 
     QueryDef("q56_grouping_sets", Some(
       """SELECT l_returnflag, l_linestatus,
-        |  sum(l_quantity) AS sum_qty, count(*) AS n
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  count(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
@@ -255,7 +265,8 @@ object AdvancedQueries {
         table(spark, dir, "lineitem").createOrReplaceTempView("q56_lineitem")
         spark.sql(
           """SELECT l_returnflag, l_linestatus,
-            |  sum(l_quantity) AS sum_qty, count(*) AS n
+            |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+            |  count(*) AS n
             |FROM q56_lineitem
             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
@@ -364,7 +375,8 @@ object AdvancedQueries {
       })),
 
     QueryDef("q60_range_join", Some(
-      """SELECT c.event_id, count(*) AS n_purch, round(sum(p.value), 2) AS purch_value
+      """SELECT c.event_id, count(*) AS n_purch,
+        |  CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS purch_value
         |FROM events c JOIN events p
         |  ON p.user_id = c.user_id
         | AND p.event_type = 'purchase'
@@ -381,7 +393,9 @@ object AdvancedQueries {
         RangeJoin.rangeJoin(clicks, purchases, Seq("user_id"), "ts", "ts",
             lowerSeconds = 0L, upperSeconds = 1800L, rightVals = Seq("value"))
           .groupBy("event_id")
-          .agg(count(lit(1)).as("n_purch"), round(sum(col("r_value")), 2).as("purch_value"))
+          .agg(count(lit(1)).as("n_purch"),
+            sum(col("r_value").cast("decimal(18,2)"))
+              .cast("decimal(38,2)").as("purch_value"))
           .orderBy("event_id")
       }),
 
@@ -444,9 +458,9 @@ object AdvancedQueries {
         |SELECT l.l_returnflag, count(*) AS n,
         |  CAST(sum(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS raw_sum,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS raw_sum,
         |  CAST(sum(CAST(least(greatest(l_extendedprice, lo), hi) AS DECIMAL(18,4)))
-        |    AS DOUBLE) AS w_sum,
+        |    AS DECIMAL(38,4)) AS w_sum,
         |  round(min(lo), 4) AS lo, round(min(hi), 4) AS hi
         |FROM lineitem l JOIN b USING (l_returnflag)
         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin),
@@ -460,9 +474,9 @@ object AdvancedQueries {
               || col("l_extendedprice") > col("__hi"), 1L).otherwise(0L))
               .as("n_clipped"),
             sum(col("l_extendedprice").cast("decimal(18,2)"))
-              .cast("double").as("raw_sum"),
+              .cast("decimal(38,2)").as("raw_sum"),
             sum(col("l_extendedprice_w").cast("decimal(18,4)"))
-              .cast("double").as("w_sum"),
+              .cast("decimal(38,4)").as("w_sum"),
             round(min(col("__lo")), 4).as("lo"),
             round(min(col("__hi")), 4).as("hi"))
           .orderBy("l_returnflag")
@@ -545,11 +559,11 @@ object AdvancedQueries {
       """WITH rev AS (
         |  SELECT l_returnflag, l_suppkey,
         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |             * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |             * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
         |  FROM lineitem GROUP BY 1, 2)
         |SELECT l_returnflag, l_suppkey, revenue,
-        |  round(percent_rank() OVER w, 6) AS pct_rank,
-        |  round(cume_dist() OVER w, 6) AS cume,
+        |  CAST(floor(percent_rank() OVER w * 1000000.0 + 0.5) AS BIGINT) AS pct_rank_e6,
+        |  CAST(floor(cume_dist() OVER w * 1000000.0 + 0.5) AS BIGINT) AS cume_e6,
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
         |FROM rev
         |WINDOW w AS (PARTITION BY l_returnflag ORDER BY revenue, l_suppkey)
@@ -562,10 +576,11 @@ object AdvancedQueries {
           .groupBy(col("l_returnflag"), col("l_suppkey"))
           .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
               * (lit(1) - col("l_discount")).cast("decimal(18,2)"))
-            .cast("double").as("revenue"))
+            .cast("decimal(38,4)").as("revenue"))
           .select(col("l_returnflag"), col("l_suppkey"), col("revenue"),
-            round(percent_rank().over(w), 6).as("pct_rank"),
-            round(cume_dist().over(w), 6).as("cume"),
+            floor(percent_rank().over(w) * lit(1e6) + lit(0.5))
+              .as("pct_rank_e6"),
+            floor(cume_dist().over(w) * lit(1e6) + lit(0.5)).as("cume_e6"),
             ntile(4).over(w).as("quartile"))
           .orderBy("l_returnflag", "l_suppkey")
       }),
@@ -580,7 +595,7 @@ object AdvancedQueries {
     QueryDef("q85_gap_fill", Some(
       """WITH hourly AS (
         |  SELECT date_trunc('hour', ts) AS h, count(*) AS n_events,
-        |    round(sum(value), 2) AS rev
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS rev
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
         |spine AS (
         |  SELECT unnest(generate_series((SELECT min(h) FROM hourly),
@@ -597,7 +612,9 @@ object AdvancedQueries {
         val hourly = table(spark, dir, "events")
           .filter(col("event_type") === "purchase")
           .groupBy(date_trunc("hour", col("ts")).as("h"))
-          .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("rev"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(18,2)"))
+              .cast("decimal(38,2)").as("rev"))
         val spine = hourly.agg(min("h").as("mn"), max("h").as("mx"))
           .select(explode(sequence(col("mn"), col("mx"),
             expr("interval 1 hour"))).as("h"))
@@ -664,15 +681,20 @@ object AdvancedQueries {
          |  SELECT shard, CAST(floor(bin_start_tok / 1024) AS BIGINT) AS bin, doc_id, n_tok FROM packed)
          |SELECT shard, bin, count(*) AS n_docs,
          |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-         |  round(least(CAST(sum(n_tok) AS DOUBLE) / 1024, 1.0), 6) AS fill_ratio
+         |  CAST(floor(least(CAST(sum(n_tok) AS DOUBLE) / 1024, 1.0) * 1000000.0 + 0.5) AS BIGINT) AS fill_ratio_e6
          |FROM binned GROUP BY shard, bin ORDER BY shard, bin""".stripMargin),
       (spark, dir) => {
         val docs = table(spark, dir, "documents")
           .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
         val packed = graft.operators.Packing.packSequences(docs, "doc_id", "n_tok",
           seqTokens = 1024, shards = 8)
+        // hash the e6 floor form, not the operator's rounded double
+        // (round-16 rule: identical IEEE ops on both engines)
         graft.operators.Packing.packingStats(packed, "n_tok", seqTokens = 1024)
-          .withColumnRenamed("n_docs", "n_docs")
+          .withColumn("fill_ratio_e6",
+            floor(least(col("n_tokens").cast("double") / 1024, lit(1.0))
+              * lit(1e6) + lit(0.5)))
+          .drop("fill_ratio")
           .orderBy("shard", "bin")
       }),
 
@@ -873,8 +895,8 @@ object AdvancedQueries {
     QueryDef("q67_rank_functions", Some(
       """SELECT c_custkey,
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
-        |  round(percent_rank() OVER w, 6) AS pct_rank,
-        |  round(cume_dist() OVER w, 6) AS cume
+        |  CAST(floor(percent_rank() OVER w * 1000000.0 + 0.5) AS BIGINT) AS pct_rank_e6,
+        |  CAST(floor(cume_dist() OVER w * 1000000.0 + 0.5) AS BIGINT) AS cume_e6
         |FROM customer
         |WHERE c_nationkey = 7
         |WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
@@ -886,8 +908,9 @@ object AdvancedQueries {
           .filter(col("c_nationkey") === 7)
           .select(col("c_custkey"),
             ntile(4).over(w).as("quartile"),
-            round(percent_rank().over(w), 6).as("pct_rank"),
-            round(cume_dist().over(w), 6).as("cume"))
+            floor(percent_rank().over(w) * lit(1e6) + lit(0.5))
+              .as("pct_rank_e6"),
+            floor(cume_dist().over(w) * lit(1e6) + lit(0.5)).as("cume_e6"))
           .orderBy("c_custkey")
       }),
 
@@ -900,7 +923,8 @@ object AdvancedQueries {
         |  CAST(first_value(o_orderkey) OVER w AS BIGINT) AS first_order,
         |  CAST(last_value(o_orderkey) OVER w AS BIGINT) AS last_order,
         |  CAST(nth_value(o_orderkey, 2) OVER w AS BIGINT) AS second_order,
-        |  round(o_totalprice - first_value(o_totalprice) OVER w, 2) AS price_vs_first
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |    - first_value(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS price_vs_first
         |FROM orders
         |WHERE o_custkey < 50
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -917,8 +941,9 @@ object AdvancedQueries {
             first(col("o_orderkey")).over(w).as("first_order"),
             last(col("o_orderkey")).over(w).as("last_order"),
             nth_value(col("o_orderkey"), 2).over(w).as("second_order"),
-            round(col("o_totalprice") - first(col("o_totalprice")).over(w), 2)
-              .as("price_vs_first"))
+            (col("o_totalprice").cast("decimal(18,2)")
+              - first(col("o_totalprice").cast("decimal(18,2)")).over(w))
+              .cast("decimal(38,2)").as("price_vs_first"))
           .orderBy("o_custkey", "o_orderkey")
       }),
 

@@ -16,7 +16,7 @@ object EventQueries {
 
     QueryDef("q40_events_json", Some(
       """SELECT event_type, count(*) AS n,
-        |  round(sum(value), 2) AS value_sum,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS value_sum,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
         |FROM events
         |GROUP BY event_type
@@ -26,20 +26,22 @@ object EventQueries {
           .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),
-            round(sum(col("value")), 2).as("value_sum"),
+            sum(col("value").cast("decimal(18,2)"))
+              .cast("decimal(38,2)").as("value_sum"),
             sum(col("k")).as("k_sum"))
           .orderBy(col("event_type"))),
 
     QueryDef("q41_tumbling_window", Some(
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
-        |  count(*) AS n, round(sum(value), 2) AS value_sum
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS value_sum
         |FROM events
         |GROUP BY date_trunc('hour', ts), event_type
         |ORDER BY window_start, event_type""".stripMargin),
       (spark, dir) =>
         table(spark, dir, "events")
           .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+          .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)"))
+              .cast("decimal(38,2)").as("value_sum"))
           .orderBy("window_start", "event_type")),
 
     QueryDef("q42_sessionize", Some(
@@ -50,7 +52,7 @@ object EventQueries {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
-        |  count(*) AS n_events, round(sum(value), 2) AS value_sum
+        |  count(*) AS n_events, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS value_sum
         |FROM marked
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin),
@@ -60,11 +62,13 @@ object EventQueries {
           .groupBy(col("user_id"))
           .agg((max(col("session_id")) + 1).cast("long").as("n_sessions"),
             count(lit(1)).as("n_events"),
-            round(sum(col("value")), 2).as("value_sum"))
+            sum(col("value").cast("decimal(18,2)"))
+              .cast("decimal(38,2)").as("value_sum"))
           .orderBy(col("user_id"))),
 
     QueryDef("q43_asof_join", Some(
-      """SELECT c.event_id, c.user_id, c.ts, s.value AS asof_value
+      """SELECT c.event_id, c.user_id, c.ts,
+        |  CAST(s.value AS DECIMAL(18,2)) AS asof_value
         |FROM (SELECT * FROM events WHERE event_type = 'click') c
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON c.user_id = s.user_id AND c.ts >= s.ts
@@ -79,7 +83,7 @@ object EventQueries {
             leftTime = "ts", rightTime = "ts",
             rightVals = Seq("value"), tieBreak = "sig_id")
           .select(col("event_id"), col("user_id"), col("ts"),
-            col("asof_value"))
+            col("asof_value").cast("decimal(18,2)").as("asof_value"))
           .orderBy("event_id")
       }),
 
@@ -96,14 +100,15 @@ object EventQueries {
         |    ]) AS window_start
         |  FROM events)
         |SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
-        |  event_type, count(*) AS n, round(sum(value), 2) AS value_sum
+        |  event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS value_sum
         |FROM w
         |GROUP BY 1, 2, 3
         |ORDER BY window_start, event_type""".stripMargin),
       (spark, dir) =>
         table(spark, dir, "events")
           .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
-          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+          .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)"))
+              .cast("decimal(38,2)").as("value_sum"))
           .select(col("window.start").as("window_start"),
             col("window.end").as("window_end"), col("event_type"), col("n"), col("value_sum"))
           .orderBy("window_start", "event_type")),
@@ -111,16 +116,19 @@ object EventQueries {
     // lead/lag navigation: per-user inter-event gaps and value deltas.
     // Gaps as BIGINT microseconds (unix_micros/epoch_us on both sides —
     // integer arithmetic, no fractional-second cast ambiguity); value
-    // deltas are identical double ops per row, rounded at 6 (float rule).
+    // deltas as exact DECIMAL subtraction of the 2dp fixture values
+    // (round-16 rule: no rounded double in the hashed projection).
     // The window partitions by user_id — parallel across users, and the
     // per-user event count is bounded by activity, not corpus size.
     QueryDef("q89_lead_lag", Some(
-      """SELECT user_id, event_id, ts,
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events WHERE user_id < 5)
+        |SELECT user_id, event_id, ts,
         |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
-        |  round(value - lag(value) OVER w, 6) AS value_delta,
-        |  round(lead(value) OVER w - value, 6) AS next_delta
-        |FROM events
-        |WHERE user_id < 5
+        |  CAST(v - lag(v) OVER w AS DECIMAL(38,2)) AS value_delta,
+        |  CAST(lead(v) OVER w - v AS DECIMAL(38,2)) AS next_delta
+        |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, ts, event_id""".stripMargin),
       (spark, dir) => {
@@ -128,10 +136,13 @@ object EventQueries {
         val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         table(spark, dir, "events")
           .filter(col("user_id") < 5)
+          .withColumn("v", col("value").cast("decimal(18,2)"))
           .select(col("user_id"), col("event_id"), col("ts"),
             (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"),
-            round(col("value") - lag(col("value"), 1).over(w), 6).as("value_delta"),
-            round(lead(col("value"), 1).over(w) - col("value"), 6).as("next_delta"))
+            (col("v") - lag(col("v"), 1).over(w))
+              .cast("decimal(38,2)").as("value_delta"),
+            (lead(col("v"), 1).over(w) - col("v"))
+              .cast("decimal(38,2)").as("next_delta"))
           .orderBy("user_id", "ts", "event_id")
       }),
 
@@ -150,7 +161,7 @@ object EventQueries {
         |  WHERE nxt IS NOT NULL GROUP BY cur, nxt),
         |totals AS (SELECT cur, sum(n) AS row_total FROM pairs GROUP BY cur)
         |SELECT p.cur, p.nxt, p.n,
-        |  round(CAST(p.n AS DOUBLE) / t.row_total, 6) AS prob
+        |  CAST(floor(CAST(p.n AS DOUBLE) / t.row_total * 1000000.0 + 0.5) AS BIGINT) AS prob_e6
         |FROM pairs p JOIN totals t USING (cur)
         |ORDER BY cur, nxt""".stripMargin),
       (spark, dir) => {
@@ -167,8 +178,11 @@ object EventQueries {
         // the broadcast side — the round-5 q102 run variance
         pairs
           .withColumn("row_total", sum("n").over(Window.partitionBy("cur")))
+          // e6 micro-units via the floor formula (round-16 hash rule):
+          // identical IEEE ops on both engines, no decimal tie class
           .select(col("cur"), col("nxt"), col("n"),
-            round(col("n").cast("double") / col("row_total"), 6).as("prob"))
+            floor(col("n").cast("double") / col("row_total") * lit(1e6)
+              + lit(0.5)).as("prob_e6"))
           .orderBy("cur", "nxt")
       }),
 
@@ -196,7 +210,7 @@ object EventQueries {
         |  WHERE date_diff('day', c.cohort_day, d.day) <= 7
         |  GROUP BY 1, 2)
         |SELECT a.cohort_day, a.offset_day, a.n_active, s.cohort_size,
-        |  round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+        |  CAST(floor(CAST(a.n_active AS DOUBLE) / s.cohort_size * 1000000.0 + 0.5) AS BIGINT) AS retention_e6
         |FROM act a JOIN sizes s USING (cohort_day)
         |ORDER BY cohort_day, offset_day""".stripMargin),
       (spark, dir) => {
@@ -213,8 +227,8 @@ object EventQueries {
           .join(broadcast(sizes), "cohort_day")
           .select(col("cohort_day"), col("offset_day"), col("n_active"),
             col("cohort_size"),
-            round(col("n_active").cast("double") / col("cohort_size"), 6)
-              .as("retention"))
+            floor(col("n_active").cast("double") / col("cohort_size")
+              * lit(1e6) + lit(0.5)).as("retention_e6"))
           .orderBy("cohort_day", "offset_day")
       }),
 

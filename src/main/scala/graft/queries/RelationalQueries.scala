@@ -25,12 +25,14 @@ object RelationalQueries {
     // the hash-compare then holds at ANY scale, not just the gate's.
     QueryDef("q01_pricing_summary", Some(
       """SELECT l_returnflag, l_linestatus,
-        |  sum(l_quantity) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*) * 1000000.0 + 0.5) AS BIGINT) AS avg_qty_e6,
+        |  CAST(floor(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*) * 1000000.0 + 0.5) AS BIGINT) AS avg_disc_e6,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -38,17 +40,23 @@ object RelationalQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
       (spark, dir) => {
         val li = table(spark, dir, "lineitem")
+        // exact-only projection (round-16): sums stay DECIMAL, averages
+        // become e6 micro-units of (exact decimal sum -> double) / count
+        // — one IEEE division + floor, bit-identical on both engines
         li.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(col("l_quantity")).as("sum_qty"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("decimal(38,2)").as("sum_qty"),
             sum(col("l_extendedprice").cast("decimal(18,2)"))
-              .cast("double").as("sum_base_price"),
+              .cast("decimal(38,2)").as("sum_base_price"),
             sum(col("l_extendedprice").cast("decimal(18,2)")
               * (lit(1) - col("l_discount")).cast("decimal(18,2)"))
-              .cast("double").as("sum_disc_price"),
-            round(avg(col("l_quantity")), 4).as("avg_qty"),
-            round(avg(col("l_discount")), 4).as("avg_disc"),
+              .cast("decimal(38,4)").as("sum_disc_price"),
+            floor(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+              / count(lit(1)) * lit(1e6) + lit(0.5)).as("avg_qty_e6"),
+            floor(sum(col("l_discount").cast("decimal(18,2)")).cast("double")
+              / count(lit(1)) * lit(1e6) + lit(0.5)).as("avg_disc_e6"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       }),
@@ -60,7 +68,9 @@ object RelationalQueries {
     // probe surfaced. With the full tuple ordered, remaining ties are
     // identical rows and compare equal in any interleaving.
     QueryDef("q02_filter_scan", Some(
-      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(l_quantity AS DECIMAL(18,2)) AS l_quantity,
+        |  CAST(l_extendedprice AS DECIMAL(18,2)) AS l_extendedprice
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -71,11 +81,16 @@ object RelationalQueries {
           .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
             && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
             && col("l_quantity") > 45)
-          .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+          // 2dp fixture values pass through as DECIMAL: round-trip of a
+          // 2dp decimal through double is exact on both engines
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("decimal(18,2)").as("l_quantity"),
+            col("l_extendedprice").cast("decimal(18,2)").as("l_extendedprice"))
           .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")),
 
     QueryDef("q03_top_revenue_orders", Some(
-      """SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+      """SELECT o.o_orderkey, CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
         |  o.o_orderdate, o.o_orderpriority
         |FROM customer c
         |JOIN orders o ON c.c_custkey = o.o_custkey
@@ -95,7 +110,9 @@ object RelationalQueries {
         l.join(o, l("l_orderkey") === o("o_orderkey"))
           .join(c, o("o_custkey") === c("c_custkey"))
           .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+              * (lit(1) - col("l_discount")).cast("decimal(18,2)"))
+            .cast("decimal(38,4)").as("revenue"))
           .select(col("o_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
           .orderBy(col("revenue").desc, col("o_orderkey"))
           .limit(10)
@@ -118,8 +135,8 @@ object RelationalQueries {
       }),
 
     QueryDef("q05_nation_revenue", Some(
-      """SELECT n.n_name, round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-        |    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue
+      """SELECT n.n_name, CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
         |FROM customer c
         |JOIN nation n ON c.c_nationkey = n.n_nationkey
         |JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -143,17 +160,17 @@ object RelationalQueries {
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy(col("n_name"))
           // money sum via DECIMAL (exact, order-independent) — the q01
-          // rationale; the sf1 probe caught this sum straddling a
-          // round-4dp midpoint run-to-run at ~1.3e10
-          .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)")
+          // rationale; round-16: the DECIMAL itself is the output, no
+          // double cast left in the hashed projection
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
               * (lit(1) - col("l_discount")).cast("decimal(18,2)"))
-            .cast("double"), 4).as("revenue"))
+            .cast("decimal(38,4)").as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
       }),
 
     QueryDef("q06_revenue_forecast", Some(
-      """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue,
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
         |  count(*) AS n_rows
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -166,9 +183,9 @@ object RelationalQueries {
             && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
             && col("l_discount").between(0.03, 0.07)
             && col("l_quantity") < 24)
-          .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)")
-              * col("l_discount").cast("decimal(18,2)")).cast("double"), 4)
-            .as("revenue"),
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+              * col("l_discount").cast("decimal(18,2)"))
+            .cast("decimal(38,4)").as("revenue"),
             count(lit(1)).as("n_rows"))),
 
     QueryDef("q07_anti_join_customers", Some(
@@ -188,18 +205,21 @@ object RelationalQueries {
       }),
 
     QueryDef("q08_topk_orders", Some(
-      """SELECT o_orderkey, o_custkey, o_totalprice
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 10""".stripMargin),
       (spark, dir) =>
         table(spark, dir, "orders")
-          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
           .limit(10)),
 
     QueryDef("q09_window_rank", Some(
-      """SELECT o_custkey, o_orderkey, o_totalprice, rn
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice, rn
         |FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    CAST(row_number() OVER (PARTITION BY o_custkey
@@ -214,31 +234,37 @@ object RelationalQueries {
         table(spark, dir, "orders")
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
-          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"),
+            col("rn"))
           .orderBy("o_custkey", "rn")
       }),
 
     QueryDef("q10_running_revenue", Some(
       """WITH daily AS (
         |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_day,
-        |    round(sum(l_extendedprice * (1 - l_discount)), 4) AS day_revenue
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS day_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '2000-01-01'
         |  GROUP BY l_suppkey, CAST(l_shipdate AS DATE))
         |SELECT l_suppkey, ship_day, day_revenue,
-        |  round(sum(day_revenue) OVER (PARTITION BY l_suppkey ORDER BY ship_day
-        |    ROWS UNBOUNDED PRECEDING), 4) AS running_revenue
+        |  CAST(sum(day_revenue) OVER (PARTITION BY l_suppkey ORDER BY ship_day
+        |    ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,4)) AS running_revenue
         |FROM daily
         |ORDER BY l_suppkey, ship_day""".stripMargin),
       (spark, dir) => {
         val daily = table(spark, dir, "lineitem")
           .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
           .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("ship_day"))
-          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("day_revenue"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+              * (lit(1) - col("l_discount")).cast("decimal(18,2)"))
+            .cast("decimal(38,4)").as("day_revenue"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("l_suppkey")).orderBy(col("ship_day"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-        daily.withColumn("running_revenue", round(sum(col("day_revenue")).over(w), 4))
+        daily.withColumn("running_revenue",
+            sum(col("day_revenue")).over(w).cast("decimal(38,4)"))
           .orderBy("l_suppkey", "ship_day")
       }),
 
@@ -260,14 +286,17 @@ object RelationalQueries {
 
     QueryDef("q12_rollup", Some(
       """SELECT l_returnflag, l_linestatus,
-        |  count(*) AS n_rows, sum(l_quantity) AS sum_qty
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
       (spark, dir) =>
         table(spark, dir, "lineitem")
           .rollup(col("l_returnflag"), col("l_linestatus"))
-          .agg(count(lit(1)).as("n_rows"), sum(col("l_quantity")).as("sum_qty"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("decimal(38,2)").as("sum_qty"))
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
     QueryDef("q13_set_ops", Some(
@@ -289,7 +318,7 @@ object RelationalQueries {
     QueryDef("q15_left_join", Some(
       """SELECT c.c_custkey, c.c_mktsegment,
         |  count(o.o_orderkey) AS n_orders,
-        |  round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+        |  CAST(coalesce(sum(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(38,2)) AS total_spend
         |FROM customer c
         |LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'O'
         |GROUP BY c.c_custkey, c.c_mktsegment
@@ -300,20 +329,24 @@ object RelationalQueries {
         c.join(o, c("c_custkey") === o("o_custkey"), "left")
           .groupBy(col("c_custkey"), col("c_mktsegment"))
           .agg(count(col("o_orderkey")).as("n_orders"),
-            round(coalesce(sum(col("o_totalprice")), lit(0)), 2).as("total_spend"))
+            coalesce(sum(col("o_totalprice").cast("decimal(18,2)")), lit(0))
+              .cast("decimal(38,2)").as("total_spend"))
           .orderBy(col("c_custkey"))
       }),
 
     QueryDef("q16_cube", Some(
       """SELECT o_orderstatus, o_orderpriority,
-        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
       (spark, dir) =>
         table(spark, dir, "orders")
           .cube(col("o_orderstatus"), col("o_orderpriority"))
-          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("decimal(38,2)").as("total"))
           .orderBy(col("o_orderstatus").asc_nulls_first,
             col("o_orderpriority").asc_nulls_first)),
 
@@ -342,8 +375,9 @@ object RelationalQueries {
       """SELECT l_returnflag,
         |  CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
         |  CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
-        |  round(sum(CASE WHEN l_quantity >= 25 THEN l_extendedprice ELSE 0 END), 2) AS large_revenue,
-        |  round(avg(CASE WHEN l_tax > 0.04 THEN l_extendedprice END), 2) AS avg_taxed_price
+        |  CAST(sum(CASE WHEN l_quantity >= 25 THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE 0 END) AS DECIMAL(38,2)) AS large_revenue,
+        |  CAST(floor(CAST(sum(CASE WHEN l_tax > 0.04 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / count(CASE WHEN l_tax > 0.04 THEN 1 END) * 1000000.0 + 0.5) AS BIGINT) AS avg_taxed_price_e6
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin),
@@ -353,14 +387,20 @@ object RelationalQueries {
           .agg(
             sum(when(col("l_quantity") >= 25, 1).otherwise(0)).cast("long").as("n_large"),
             sum(when(col("l_discount") > 0.05, 1).otherwise(0)).cast("long").as("n_discounted"),
-            round(sum(when(col("l_quantity") >= 25, col("l_extendedprice")).otherwise(0)), 2).as("large_revenue"),
-            round(avg(when(col("l_tax") > 0.04, col("l_extendedprice"))), 2).as("avg_taxed_price"))
+            sum(when(col("l_quantity") >= 25,
+                col("l_extendedprice").cast("decimal(18,2)")).otherwise(0))
+              .cast("decimal(38,2)").as("large_revenue"),
+            floor(sum(when(col("l_tax") > 0.04,
+                  col("l_extendedprice").cast("decimal(18,2)"))).cast("double")
+                / count(when(col("l_tax") > 0.04, 1)) * lit(1e6) + lit(0.5))
+              .as("avg_taxed_price_e6"))
           .orderBy(col("l_returnflag"))),
 
     QueryDef("q19_date_parts", Some(
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS order_year,
         |  CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS order_month,
-        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
         |FROM orders
         |WHERE EXTRACT(DOW FROM o_orderdate) NOT IN (0, 6)
         |GROUP BY 1, 2
@@ -371,7 +411,9 @@ object RelationalQueries {
           .filter(!dayofweek(col("o_orderdate")).isin(1, 7))
           .groupBy(year(col("o_orderdate")).as("order_year"),
             month(col("o_orderdate")).as("order_month"))
-          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)"))
+              .cast("decimal(38,2)").as("total"))
           .orderBy("order_year", "order_month")),
 
     QueryDef("q45_array_agg", Some(
@@ -389,21 +431,30 @@ object RelationalQueries {
           .orderBy(col("l_returnflag"))),
 
     QueryDef("q46_scalar_subquery", Some(
-      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total,
-        |  round(o_totalprice / (SELECT avg(o_totalprice) FROM orders), 4) AS vs_avg
-        |FROM orders
-        |WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
+      """WITH a AS (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*) AS avg_total FROM orders)
+        |SELECT o_orderkey, o_custkey,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+        |  CAST(floor(o_totalprice / a.avg_total * 1000000.0 + 0.5) AS BIGINT) AS vs_avg_e6
+        |FROM orders, a
+        |WHERE o_totalprice > 1.8 * a.avg_total
         |ORDER BY o_orderkey""".stripMargin),
       (spark, dir) => {
         val o = table(spark, dir, "orders")
         // scalar subquery as a broadcast single-row cross join; the avg
-        // is computed once and reused for both the filter and the ratio
-        val avgDf = o.agg(avg(col("o_totalprice")).as("avg_total"))
+        // is computed once and reused for both the filter and the ratio.
+        // The avg derives from the exact DECIMAL sum (a double sum's
+        // summation order differs across engines and could flip rows
+        // near the 1.8x filter boundary)
+        val avgDf = o.agg((sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("double") / count(lit(1))).as("avg_total"))
         o.crossJoin(broadcast(avgDf))
           .filter(col("o_totalprice") > lit(1.8) * col("avg_total"))
           .select(col("o_orderkey"), col("o_custkey"),
-            round(col("o_totalprice"), 2).as("total"),
-            round(col("o_totalprice") / col("avg_total"), 4).as("vs_avg"))
+            col("o_totalprice").cast("decimal(18,2)").as("total"),
+            floor(col("o_totalprice") / col("avg_total") * lit(1e6)
+              + lit(0.5)).as("vs_avg_e6"))
           .orderBy(col("o_orderkey"))
       }),
 
@@ -428,8 +479,8 @@ object RelationalQueries {
     QueryDef("q14_join_part_supplier", Some(
       """SELECT p.p_brand, s.s_name,
         |  count(*) AS n_items,
-        |  sum(l.l_quantity) AS total_qty,
-        |  round(sum(l.l_extendedprice), 2) AS total_price
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
         |FROM lineitem l
         |JOIN part p ON l.l_partkey = p.p_partkey
         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -447,8 +498,10 @@ object RelationalQueries {
           .join(s, l("l_suppkey") === s("s_suppkey"))
           .groupBy(col("p_brand"), col("s_name"))
           .agg(count(lit(1)).as("n_items"),
-            sum(col("l_quantity")).as("total_qty"),
-            round(sum(col("l_extendedprice")), 2).as("total_price"))
+            sum(col("l_quantity").cast("decimal(18,2)"))
+              .cast("decimal(38,2)").as("total_qty"),
+            sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("decimal(38,2)").as("total_price"))
           .orderBy(col("p_brand"), col("s_name"))
       }),
 
@@ -468,16 +521,20 @@ object RelationalQueries {
         |  SELECT r.r_name AS region,
         |    CAST(year(o.o_orderdate) AS INTEGER) AS yr,
         |    CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-        |      * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |      * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
         |  FROM lineitem l
         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
         |  JOIN customer c ON o.o_custkey = c.c_custkey
         |  JOIN nation n ON c.c_nationkey = n.n_nationkey
         |  JOIN region r ON n.n_regionkey = r.r_regionkey
-        |  GROUP BY 1, 2)
-        |SELECT region, yr, round(revenue, 4) AS revenue,
-        |  round(revenue / sum(revenue) OVER (PARTITION BY yr), 6) AS share
-        |FROM rev ORDER BY region, yr""".stripMargin),
+        |  GROUP BY 1, 2),
+        |e4 AS (SELECT region, yr, revenue,
+        |  CAST(revenue * 10000 AS BIGINT) AS rev_e4 FROM rev)
+        |SELECT region, yr, revenue,
+        |  CAST(floor(CAST(rev_e4 AS DOUBLE)
+        |    / CAST(sum(rev_e4) OVER (PARTITION BY yr) AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS share_e6
+        |FROM e4 ORDER BY region, yr""".stripMargin),
       (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
         val l = table(spark, dir, "lineitem")
@@ -494,11 +551,14 @@ object RelationalQueries {
           // DECIMAL money sum (q01 rationale; sf1-probe flake class)
           .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
               * (lit(1) - col("l_discount")).cast("decimal(18,2)"))
-            .cast("double").as("revenue"))
-        rev.select(col("region"), col("yr"),
-            round(col("revenue"), 4).as("revenue"),
-            round(col("revenue") / sum(col("revenue"))
-              .over(Window.partitionBy("yr")), 6).as("share"))
+            .cast("decimal(38,4)").as("revenue"))
+        // share via e4-scaled BIGINTs: int -> double is one correctly-
+        // rounded conversion on both engines, then a single division
+        rev.withColumn("rev_e4", (col("revenue") * 10000).cast("long"))
+          .select(col("region"), col("yr"), col("revenue"),
+            floor(col("rev_e4").cast("double")
+              / sum(col("rev_e4")).over(Window.partitionBy("yr"))
+                .cast("double") * lit(1e6) + lit(0.5)).as("share_e6"))
           .orderBy("region", "yr")
       }),
 
@@ -553,7 +613,7 @@ object RelationalQueries {
     // join; the reduction itself is asserted in BloomJoinSpec.
     QueryDef("q92_bloom_semi_join", Some(
       """SELECT l_returnflag, count(*) AS n,
-        |  round(sum(l_extendedprice), 2) AS revenue
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
         |FROM lineitem
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
@@ -568,7 +628,8 @@ object RelationalQueries {
             expectedItems = 100000L, fpp = 0.01)
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
-            round(sum(col("l_extendedprice")), 2).as("revenue"))
+            sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("decimal(38,2)").as("revenue"))
           .orderBy(col("l_returnflag"))
       }))
 }

@@ -56,19 +56,24 @@ object TextQueries {
       s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks FROM documents)
          |SELECT doc_id, lang,
          |  CAST(len(toks) AS INTEGER) AS n_tokens,
-         |  round(CASE WHEN len(toks) = 0 THEN 0.0
-         |    ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END, 6) AS avg_token_len,
-         |  round(CASE WHEN len(toks) = 0 THEN 0.0
-         |    ELSE CAST(len(list_filter(toks, x -> list_contains($allStopSql, x))) AS DOUBLE) / len(toks) END, 6) AS stopword_ratio
+         |  CAST(floor((CASE WHEN len(toks) = 0 THEN 0.0
+         |    ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END) * 1000000.0 + 0.5) AS BIGINT) AS avg_token_len_e6,
+         |  CAST(floor((CASE WHEN len(toks) = 0 THEN 0.0
+         |    ELSE CAST(len(list_filter(toks, x -> list_contains($allStopSql, x))) AS DOUBLE) / len(toks) END) * 1000000.0 + 0.5) AS BIGINT) AS stopword_ratio_e6
          |FROM t
          |ORDER BY doc_id""".stripMargin),
       (spark, dir) =>
         table(spark, dir, "documents")
           .withColumn("m", TextAnalysis.textMetrics(col("text")))
+          // per-row single-division rationals -> e6 floor (round-16):
+          // both engines divide the same integers, then floor the same
+          // premultiplied double — no decimal tie class
           .select(col("doc_id"), col("lang"),
             col("m.n_tokens").as("n_tokens"),
-            round(col("m.avg_token_len"), 6).as("avg_token_len"),
-            round(col("m.stopword_ratio"), 6).as("stopword_ratio"))
+            floor(col("m.avg_token_len") * lit(1e6) + lit(0.5))
+              .as("avg_token_len_e6"),
+            floor(col("m.stopword_ratio") * lit(1e6) + lit(0.5))
+              .as("stopword_ratio_e6"))
           .orderBy("doc_id")),
 
     QueryDef("q31_quality_langid", Some({
@@ -82,19 +87,23 @@ object TextQueries {
          |  CASE WHEN gm = 0 THEN 'und'
          |    WHEN s_de = gm THEN 'de' WHEN s_en = gm THEN 'en'
          |    WHEN s_es = gm THEN 'es' WHEN s_fr = gm THEN 'fr' ELSE 'zh' END AS lang_pred,
-         |  round(
+         |  CAST(floor((
          |    (CASE WHEN len(toks) BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.0 END) * 0.3 +
          |    (CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, x -> list_contains($allStopSql, x))) AS DOUBLE) / len(toks) END) BETWEEN 0.01 AND 0.7 THEN 1.0 ELSE 0.0 END) * 0.3 +
          |    (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?''"\\-\\(\\)]', '', 'g')) AS DOUBLE) / length(text) END) < 0.2 THEN 1.0 ELSE 0.0 END) * 0.2 +
-         |    (CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality_score
+         |    (CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) END) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2) * 1000000.0 + 0.5) AS BIGINT) AS quality_score_e6
          |FROM g
          |ORDER BY doc_id""".stripMargin}),
       (spark, dir) =>
         table(spark, dir, "documents")
           .withColumn("m", TextAnalysis.textMetrics(col("text")))
+          // the score lattice is 1dp-valued (weights .3/.3/.2/.2), so
+          // x*1e6 sits 100000 steps from any half-integer — the e6
+          // floor is noise-tolerant even across op-order differences
           .select(col("doc_id"), col("lang"),
             col("m.lang_pred").as("lang_pred"),
-            round(col("m.quality_score"), 6).as("quality_score"))
+            floor(col("m.quality_score") * lit(1e6) + lit(0.5))
+              .as("quality_score_e6"))
           .orderBy("doc_id")),
 
     QueryDef("q32_langid_confusion", Some({
@@ -149,7 +158,7 @@ object TextQueries {
         |    count(*) AS common
         |  FROM exf a JOIN exf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2, 3, 4)
-        |SELECT id_a, id_b, round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) AS jaccard
+        |SELECT id_a, id_b, CAST(floor(CAST(common AS DOUBLE) / (n_a + n_b - common) * 1000000.0 + 0.5) AS BIGINT) AS jaccard_e6
         |FROM pairs
         |WHERE CAST(common AS DOUBLE) / (n_a + n_b - common) >= 0.2
         |ORDER BY CAST(common AS DOUBLE) / (n_a + n_b - common) DESC, id_a, id_b
@@ -159,7 +168,7 @@ object TextQueries {
             shingleSize = 3, minJaccard = 0.2, maxShingleFreq = 1000L)
           .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
           .limit(20)
-          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+          .select(col("id_a"), col("id_b"), floor(col("jaccard") * lit(1e6) + lit(0.5)).as("jaccard_e6"))),
 
     // High-threshold jaccard variant (t=0.6). Uses the default counting
     // plan — prefix filtering is opt-in and loses on this corpus's
@@ -182,14 +191,14 @@ object TextQueries {
         |    count(*) AS common
         |  FROM exf a JOIN exf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2, 3, 4)
-        |SELECT id_a, id_b, round(CAST(common AS DOUBLE) / (n_a + n_b - common), 6) AS jaccard
+        |SELECT id_a, id_b, CAST(floor(CAST(common AS DOUBLE) / (n_a + n_b - common) * 1000000.0 + 0.5) AS BIGINT) AS jaccard_e6
         |FROM pairs
         |WHERE CAST(common AS DOUBLE) / (n_a + n_b - common) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin),
       (spark, dir) =>
         Dedup.ngramJaccardPairs(table(spark, dir, "documents"), "doc_id", "text",
             shingleSize = 3, minJaccard = 0.6, maxShingleFreq = 1000L)
-          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .select(col("id_a"), col("id_b"), floor(col("jaccard") * lit(1e6) + lit(0.5)).as("jaccard_e6"))
           .orderBy("id_a", "id_b")),
 
     // PII redaction. The corpus is synthetic, so each doc is seeded
@@ -354,7 +363,7 @@ object TextQueries {
       (spark, dir) =>
         Dedup.minHashNearDupPairs(table(spark, dir, "documents"), "doc_id", "text",
             shingleSize = 3, numHashes = 64, bands = 32, minJaccard = 0.2)
-          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .select(col("id_a"), col("id_b"), floor(col("jaccard") * lit(1e6) + lit(0.5)).as("jaccard_e6"))
           .orderBy("id_a", "id_b")),
 
     // Incremental near-dup against an authoritative corpus: docs with
@@ -370,7 +379,7 @@ object TextQueries {
             docs.filter(col("doc_id") % 3 === 0),
             "doc_id", "text",
             shingleSize = 3, numHashes = 64, bands = 32, minJaccard = 0.2)
-          .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+          .select(col("id_a"), col("id_b"), floor(col("jaccard") * lit(1e6) + lit(0.5)).as("jaccard_e6"))
           .orderBy("id_a", "id_b")
       }),
 
@@ -415,6 +424,10 @@ object TextQueries {
       (spark, dir) =>
         Dedup.repetitionProfile(table(spark, dir, "documents"),
             "doc_id", "text", spanTokens = 8, stride = 4, minDocs = 2)
+          .withColumn("repeated_frac_e6",
+            floor(col("n_repeated").cast("double") / col("n_spans")
+              * lit(1e6) + lit(0.5)))
+          .drop("repeated_frac")
           .orderBy("doc_id")),
 
     // The capstone composition: the full training-set preparation
@@ -514,7 +527,8 @@ object TextQueries {
         Multimodal.withResizeTarget(Multimodal.decodeImages(media), maxSide = 256)
           .select(col("media_id"), col("width"), col("height"),
             col("target_width"), col("target_height"),
-            round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+            floor(element_at(col("features"), 1).cast("double") * lit(1e6)
+              + lit(0.5)).as("f0_e6"))
           .orderBy("media_id")
       }),
 
@@ -652,9 +666,9 @@ object TextQueries {
         |  SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens
         |  FROM per_doc GROUP BY source)
         |SELECT source, n_docs, tokens,
-        |  round(CAST(tokens AS DOUBLE) / sum(tokens) OVER (), 6) AS share,
-        |  round(CAST(sum(tokens) OVER (ORDER BY tokens DESC, source) AS DOUBLE)
-        |    / sum(tokens) OVER (), 6) AS cum_share
+        |  CAST(floor(CAST(tokens AS DOUBLE) / sum(tokens) OVER () * 1000000.0 + 0.5) AS BIGINT) AS share_e6,
+        |  CAST(floor(CAST(sum(tokens) OVER (ORDER BY tokens DESC, source) AS DOUBLE)
+        |    / sum(tokens) OVER () * 1000000.0 + 0.5) AS BIGINT) AS cum_share_e6
         |FROM per_source
         |ORDER BY tokens DESC, source""".stripMargin),
       (spark, dir) => {
@@ -670,9 +684,11 @@ object TextQueries {
           .rangeBetween(Window.unboundedPreceding, Window.currentRow)
         perSource
           .select(col("source"), col("n_docs"), col("tokens"),
-            round(col("tokens").cast("double") / sum(col("tokens")).over(all), 6).as("share"),
-            round(sum(col("tokens")).over(greedy).cast("double")
-              / sum(col("tokens")).over(all), 6).as("cum_share"))
+            floor(col("tokens").cast("double") / sum(col("tokens")).over(all)
+              * lit(1e6) + lit(0.5)).as("share_e6"),
+            floor(sum(col("tokens")).over(greedy).cast("double")
+              / sum(col("tokens")).over(all) * lit(1e6) + lit(0.5))
+              .as("cum_share_e6"))
           .orderBy(col("tokens").desc, col("source").asc)
       }),
 
@@ -1068,7 +1084,7 @@ object TextQueries {
 
   private def q35OracleSql: String =
     s"""$minhashOraclePrelude
-       |SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM verify
+       |SELECT id_a, id_b, CAST(floor(jaccard * 1000000.0 + 0.5) AS BIGINT) AS jaccard_e6 FROM verify
        |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
 
   /** Incremental pairs (docs with doc_id % 3 = 0 play the new batch):
@@ -1083,7 +1099,7 @@ object TextQueries {
        |SELECT
        |  CASE WHEN id_b % 3 = 0 THEN id_a ELSE id_b END AS id_a,
        |  CASE WHEN id_b % 3 = 0 THEN id_b ELSE id_a END AS id_b,
-       |  round(jaccard, 6) AS jaccard
+       |  CAST(floor(jaccard * 1000000.0 + 0.5) AS BIGINT) AS jaccard_e6
        |FROM inc ORDER BY id_a, id_b""".stripMargin
 
   private def q36OracleSql: String = {
@@ -1396,7 +1412,7 @@ object TextQueries {
        |    CAST(sum(CASE WHEN dc.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated
        |  FROM h JOIN dc USING (bh) GROUP BY h.doc_id)
        |SELECT doc_id, n_spans, n_repeated,
-       |  round(CAST(n_repeated AS DOUBLE) / n_spans, 6) AS repeated_frac
+       |  CAST(floor(CAST(n_repeated AS DOUBLE) / n_spans * 1000000.0 + 0.5) AS BIGINT) AS repeated_frac_e6
        |FROM prof ORDER BY doc_id""".stripMargin
   }
 
@@ -1413,17 +1429,17 @@ object TextQueries {
        |  SELECT media_id,
        |    CAST(64 + ${floorModSql("h", 448L)} AS INTEGER) AS width,
        |    CAST(64 + ((h // 65536) % 448) AS INTEGER) AS height,
-       |    round(${floorModSql(mixSql("h"), 2000L)} / 1000.0 - 1.0, 6) AS f0
+       |    CAST(floor((${floorModSql(mixSql("h"), 2000L)} / 1000.0 - 1.0) * 1000000.0 + 0.5) AS BIGINT) AS f0_e6
        |  FROM h),
        |resz AS (
-       |  SELECT media_id, width, height, f0,
+       |  SELECT media_id, width, height, f0_e6,
        |    CASE WHEN greatest(width, height) <= 256 THEN 1.0
        |      ELSE 256.0 / greatest(width, height) END AS scale
        |  FROM dims)
        |SELECT media_id, width, height,
        |  CAST(floor(width * scale) AS INTEGER) AS target_width,
        |  CAST(floor(height * scale) AS INTEGER) AS target_height,
-       |  f0
+       |  f0_e6
        |FROM resz ORDER BY media_id""".stripMargin
   }
 }

@@ -133,31 +133,39 @@ object VectorQueries {
       }),
 
     QueryDef("q23_vector_stats", Some(
-      """SELECT label, count(*) AS n,
-        |  round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS avg_norm,
-        |  round(min(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS min_norm,
-        |  round(max(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 6) AS max_norm
-        |FROM embeddings
-        |GROUP BY label
+      """WITH e AS (
+        |  SELECT label,
+        |    CAST(floor(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * 1000000.0 + 0.5) AS BIGINT) AS nrm_e6
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n,
+        |  CAST(floor(CAST(sum(nrm_e6) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS avg_norm_e6,
+        |  min(nrm_e6) AS min_norm_e6,
+        |  max(nrm_e6) AS max_norm_e6
+        |FROM e GROUP BY label
         |ORDER BY label""".stripMargin),
       (spark, dir) =>
+        // per-row e6 norms (bit-identical single-pass dot + sqrt on
+        // both engines), then EXACT integer aggregation — the avg is
+        // one division of exact integers, not a double sum (round-16)
         table(spark, dir, "embeddings")
-          .withColumn("nrm", vector_norm(col("embedding")))
+          .withColumn("nrm_e6",
+            floor(vector_norm(col("embedding")) * lit(1e6) + lit(0.5)))
           .groupBy(col("label"))
           .agg(count(lit(1)).as("n"),
-            round(avg(col("nrm")), 6).as("avg_norm"),
-            round(min(col("nrm")), 6).as("min_norm"),
-            round(max(col("nrm")), 6).as("max_norm"))
+            floor(sum(col("nrm_e6")).cast("double") / count(lit(1))
+              + lit(0.5)).as("avg_norm_e6"),
+            min(col("nrm_e6")).as("min_norm_e6"),
+            max(col("nrm_e6")).as("max_norm_e6"))
           .orderBy(col("label"))),
 
     QueryDef("q24_normalize", Some(
       """SELECT vec_id,
-        |  round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS norm,
-        |  CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) = 0
-        |    THEN round(CAST(embedding[1] AS DOUBLE), 6)
-        |    ELSE round(CAST(embedding[1] AS DOUBLE) /
-        |      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6)
-        |  END AS first_component
+        |  CAST(floor(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) * 1000000.0 + 0.5) AS BIGINT) AS norm_e6,
+        |  CAST(floor((CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) = 0
+        |    THEN CAST(embedding[1] AS DOUBLE)
+        |    ELSE CAST(embedding[1] AS DOUBLE) /
+        |      sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+        |  END) * 1000000.0 + 0.5) AS BIGINT) AS first_component_e6
         |FROM embeddings
         |WHERE vec_id < 50
         |ORDER BY vec_id""".stripMargin),
@@ -165,8 +173,11 @@ object VectorQueries {
         table(spark, dir, "embeddings")
           .filter(col("vec_id") < 50)
           .select(col("vec_id"),
-            round(vector_norm(col("embedding")), 6).as("norm"),
-            round(element_at(normalize_vec(col("embedding")), 1), 6).as("first_component"))
+            floor(vector_norm(col("embedding")) * lit(1e6) + lit(0.5))
+              .as("norm_e6"),
+            floor(element_at(normalize_vec(col("embedding")), 1)
+                .cast("double") * lit(1e6) + lit(0.5))
+              .as("first_component_e6"))
           .orderBy(col("vec_id"))),
 
     QueryDef("q25_embedding_neardup", Some(
@@ -514,7 +525,7 @@ object VectorQueries {
         |      ELSE list_transform(e, x -> CAST(floor(x * (127.0 / mx) + 0.5) AS INTEGER)) END AS qv
         |  FROM m)
         |SELECT vec_id,
-        |  round(CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END, 6) AS scale,
+        |  CAST(floor((CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END) * 1000000.0 + 0.5) AS BIGINT) AS scale_e6,
         |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
         |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS q_sumsq,
         |  CAST(list_min(qv) AS INTEGER) AS q_min,
@@ -526,8 +537,9 @@ object VectorQueries {
         table(spark, dir, "embeddings")
           .select(col("vec_id"),
             Quantize.quantizeInt8(col("embedding")).as("qv"),
-            round(Quantize.int8Scale(col("embedding")), 6).as("scale"))
-          .select(col("vec_id"), col("scale"),
+            floor(Quantize.int8Scale(col("embedding")) * lit(1e6) + lit(0.5))
+              .as("scale_e6"))
+          .select(col("vec_id"), col("scale_e6"),
             aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("q_sum"),
             aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x).as("q_sumsq"),
             array_min(col("qv")).as("q_min"),
