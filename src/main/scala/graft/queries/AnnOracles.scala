@@ -381,6 +381,69 @@ private[graft] object AnnOracles {
          |LIMIT 10""".stripMargin)
   }
 
+  // ------------------------------------------------- sharded HNSW (q128)
+  /** Guard-replay for the sharded-HNSW bulk kNN join: emitted only when
+    * EVERY query's sharded-graph top-`k` equals the exact double-
+    * arithmetic top-`k` over the corpus (id-for-id) AND each query's
+    * rank-k/k+1 boundary is an exact tie or clears [[distEps]] — then
+    * the SQL replays plain brute-force per-query kNN, so every Verify
+    * run re-proves the routed shard walk end to end (the q86 discipline
+    * lifted from one query to the join form). Hashed score is the e6
+    * floor of a bit-identical double — no allowlist entry. */
+  def q128(spark: SparkSession, dir: String,
+      index: graft.index.ShardedHnsw, nQueries: Int, k: Int,
+      ef: Int, probeShards: Int): Option[String] = {
+    val e = emb(spark, dir)
+    val queries = e.filter(col("vec_id") < nQueries)
+    val engine = index.knnJoin(queries, "vec_id", "embedding",
+        e, "vec_id", "embedding", k, ef, probeShards)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("s").desc, col("vec_id"))
+    val qd = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    val exact = e.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .crossJoin(qd)
+      .select(col("query_id"), col("vec_id"),
+        (ddot(col("v"), col("qv")) /
+          (sqrt(ddot(col("v"), col("v"))) * sqrt(ddot(col("qv"), col("qv")))))
+          .as("s"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k + 1)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val ok = exact.forall { case (qid, rows) =>
+      val ids = rows.take(k).map(_._3).toSeq
+      engine.get(qid).contains(ids) && (rows.lengthCompare(k) <= 0 || {
+        val dk = rows(k - 1)._4; val dk1 = rows(k)._4
+        dk == dk1 || dk - dk1 >= distEps
+      })
+    }
+    if (!ok) return None
+    Some(
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < $nQueries),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    list_dot_product(e.v, q.qv) /
+         |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS s
+         |  FROM e CROSS JOIN q),
+         |ranked AS (SELECT query_id, neighbor_id, s,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY s DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id,
+         |  CAST(floor(s * 1000000.0 + 0.5) AS BIGINT) AS score_e6, rank
+         |FROM ranked WHERE rank <= $k
+         |ORDER BY query_id, rank""".stripMargin)
+  }
+
   // ------------------------------------------------- SemDeDup replays
   /** Shared withhold guards for the SemDeDup replay family (q109 /
     * q112 / q113). `base` carries (vec_id, embedding) with non-null
@@ -844,7 +907,8 @@ private[graft] object AnnOracles {
          |ns AS (SELECT kind, count(*) AS n_survived FROM batch
          |  WHERE vec_id NOT IN (SELECT vec_id FROM drops) GROUP BY kind)
          |SELECT nb.kind, nb.n_batch,
-         |  CAST(coalesce(ns.n_survived, 0) AS BIGINT) AS n_survived
+         |  CAST(coalesce(ns.n_survived, 0) AS BIGINT) AS n_survived,
+         |  false AS cap_engaged
          |FROM nb LEFT JOIN ns USING (kind)
          |ORDER BY nb.kind""".stripMargin)
   }

@@ -35,6 +35,7 @@ object VectorQueries {
   private val ivfpqCache = new scala.collection.concurrent.TrieMap[String, graft.index.IvfPqModel]()
   private val pqCache = new scala.collection.concurrent.TrieMap[String, graft.index.PqModel]()
   private val hnswCache = new scala.collection.concurrent.TrieMap[String, graft.index.HnswModel]()
+  private val shardedHnswCache = new scala.collection.concurrent.TrieMap[String, graft.index.ShardedHnsw]()
   private val opqCache = new scala.collection.concurrent.TrieMap[String, graft.index.OpqModel]()
   private val opqIvfpqCache = new scala.collection.concurrent.TrieMap[String, graft.index.OpqIvfPqModel]()
   private val semDedupCache = new scala.collection.concurrent.TrieMap[String, IvfModel]()
@@ -402,13 +403,19 @@ object VectorQueries {
         val batch = q114Batch(spark, dir)
         val model = semDedupCache.getOrElseUpdate(dir,
           graft.operators.SemDedup.trainModel(e, "embedding"))
-        val surv = graft.operators.SemDedup.semDedupIncremental(
-          existing, batch, "vec_id", "embedding", minCosine = 0.95,
-          model = Some(model), maxClusterRows = 256)
+        // engagement VERDICT in the output (q70/q122 discipline): when
+        // true, the run used the guarded star + bucket-capped candidate
+        // stage — the oracle generator withholds there by design. Read
+        // off the operator's own histogram (zero extra scans).
+        val (surv, capped) = graft.operators.SemDedup
+          .semDedupIncrementalVerdict(
+            existing, batch, "vec_id", "embedding", minCosine = 0.95,
+            model = Some(model), maxClusterRows = 256)
         batch.groupBy("kind").agg(count(lit(1)).as("n_batch"))
           .join(surv.groupBy("kind").agg(count(lit(1)).as("n_survived")),
             Seq("kind"), "left")
           .na.fill(0L, Seq("n_survived"))
+          .withColumn("cap_engaged", lit(capped))
           .orderBy("kind")
       },
       // replayable at fixture dirs where the cap does NOT engage (the
@@ -680,6 +687,41 @@ object VectorQueries {
         AnnOracles.q86(spark, dir, hnswCache.getOrElseUpdate(dir,
           graft.index.HnswModel.build(
             table(spark, dir, "embeddings"), "vec_id", "embedding")))
+      })),
+
+    // Distributed (sharded) HNSW bulk kNN join — the graph tier PAST
+    // the driver cap (ShardedHnsw scaladoc): seeded k-means router,
+    // per-shard graphs built inside executor tasks (no driver collect
+    // of vectors), SPANN-style replicas=2 boundary replication, routed
+    // cogroup navigation, exact-cosine rerank. Small shards here so the
+    // routing genuinely engages at fixture scale; the oracle is the
+    // q86-style guard replay (emitted only when the routed walk's
+    // top-10 equals exact kNN for every query), so every Verify run
+    // re-proves the shard walk. Hash = e6-floor scores (round-16 rule).
+    QueryDef("q128_knn_sharded_hnsw", None,
+      (spark, dir) => {
+        val e = table(spark, dir, "embeddings")
+        val idx = shardedHnswCache.getOrElseUpdate(dir, {
+          val b = graft.index.ShardedHnsw.build(e, "vec_id", "embedding",
+            targetShardRows = 256, efConstruction = 200, replicas = 2)
+          b.copy(nodes = b.nodes.localCheckpoint(true))
+        })
+        idx.knnJoin(e.filter(col("vec_id") < 20), "vec_id", "embedding",
+            e, "vec_id", "embedding", k = 10, ef = 100, probeShards = 4)
+          .select(col("query_id"), col("neighbor_id"),
+            floor(col("score") * lit(1e6) + lit(0.5)).as("score_e6"),
+            col("rank"))
+          .orderBy("query_id", "rank")
+      },
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q128") {
+        val e = table(spark, dir, "embeddings")
+        val idx = shardedHnswCache.getOrElseUpdate(dir, {
+          val b = graft.index.ShardedHnsw.build(e, "vec_id", "embedding",
+            targetShardRows = 256, efConstruction = 200, replicas = 2)
+          b.copy(nodes = b.nodes.localCheckpoint(true))
+        })
+        AnnOracles.q128(spark, dir, idx, nQueries = 20, k = 10,
+          ef = 100, probeShards = 4)
       })),
 
     // IVF search with probe selection routed through the HNSW graph

@@ -363,6 +363,74 @@ class AnnRecallSpec extends SparkSpec {
     assert(mean >= 0.8, s"HNSW recall collapsed: $mean")
   }
 
+  test("sharded HNSW: flat-quality recall PAST maxGraphVectors, no driver collect (VERDICT r15)") {
+    import graft.index.{HnswModel, ShardedHnsw}
+    import graft.model.GraftConfig
+    val n = emb.count()
+    // flat baseline at the normal cap (corpus fits)
+    val flat = HnswModel.build(emb, "vec_id", "embedding")
+    def recallOf(topk: Long => Set[Long]): Double = {
+      val rs = (0L until 20L).map { qid =>
+        topk(qid).intersect(exactTopK(queryVec(qid), 10)).size / 10.0
+      }
+      rs.sum / rs.size
+    }
+    val flatRecall = recallOf { qid =>
+      val q = queryVec(qid)
+      val universe = emb.filter(col("vec_id")
+        .isin(flat.search(q, 50, ef = 100).map(t => Long.box(t._1)): _*))
+      Similarity.knnExact(universe, "vec_id", "embedding", q, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    // now make the flat tier IMPOSSIBLE: cap below the corpus size —
+    // the sharded build must still construct (chunked subgraphs built
+    // inside executor tasks; fromVectors would throw past the cap, so
+    // green here proves no subgraph exceeded it and the driver never
+    // collected the corpus)
+    val saved = GraftConfig.hnswMaxGraphVectors
+    try {
+      GraftConfig.hnswMaxGraphVectors = (n / 3).toInt.max(60)
+      intercept[IllegalArgumentException] {
+        HnswModel.build(emb, "vec_id", "embedding").size
+        // build() limits its collect to the cap, so force the refusal
+        // via fromVectors on the full corpus
+        val rows = emb.select(col("vec_id"), col("embedding")).collect()
+        HnswModel.fromVectors(rows.map(_.getLong(0)),
+          rows.map(_.getSeq[Float](1).toArray))
+      }
+      val sharded = ShardedHnsw.build(emb, "vec_id", "embedding",
+        targetShardRows = GraftConfig.hnswMaxGraphVectors)
+      val hits = sharded.knnJoin(emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", emb, "vec_id", "embedding",
+          k = 10, ef = 100, probeShards = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val shardedRecall = recallOf(qid => hits.getOrElse(qid, Set.empty))
+      info(f"sharded recall@10 = $shardedRecall%.2f vs flat $flatRecall%.2f")
+      assert(shardedRecall >= flatRecall - 0.05,
+        s"sharded lost flat quality: $shardedRecall vs $flatRecall")
+      assert(shardedRecall >= 0.75, s"sharded recall collapsed: $shardedRecall")
+      // determinism: same (data, params) => same candidates
+      val again = sharded.knnCandidates(emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, ef = 100, probeShards = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val fresh = ShardedHnsw.build(emb, "vec_id", "embedding",
+          targetShardRows = GraftConfig.hnswMaxGraphVectors)
+        .knnCandidates(emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, ef = 100, probeShards = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(again == fresh, "sharded build/search must be deterministic")
+      // persistence round-trip serves identical candidates
+      val dir = java.nio.file.Files.createTempDirectory("sharded-hnsw").toString
+      sharded.save(dir)
+      val loaded = ShardedHnsw.load(spark, dir)
+        .knnCandidates(emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10, ef = 100, probeShards = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(loaded == again, "persisted index must serve identical candidates")
+    } finally GraftConfig.hnswMaxGraphVectors = saved
+  }
+
   test("HNSW build is deterministic for fixed (data, seed)") {
     import graft.index.HnswModel
     val a = HnswModel.build(emb, "vec_id", "embedding", seed = 7L)

@@ -275,6 +275,46 @@ class SemDedupSpec extends SparkSpec {
     assert(nCapped < 25000L, s"capped=$nCapped")
   }
 
+  test("bucket star cap: overflowing near-identical bucket goes linear, spam still drops (VERDICT r15)") {
+    // 300 DISTINCT near-copies of ONE existing hot base arrive at once:
+    // every copy is ~0.9999 cosine to the base, so no LSH bit count can
+    // split the bucket — pre-cap this was a 300x300 in-bucket join. The
+    // bucket cap (> maxClusterRows reps in one bucket) switches to star
+    // candidates around the existing-preferred rep, which catches every
+    // copy (all are >= 0.95 of the base by construction).
+    val base = hotBases(0).toArray
+    val spam = (0 until 300).map { i =>
+      ((7000 + i).toLong, unit(base.indices.map(d =>
+        base(d) + 1e-4 * (1 + i % 97) * base((d + 1) % base.length)).toArray))
+    }
+    val freshAxes = Seq(1, 2, 3, 5, 6)
+    val organic = (0 until 5).map { i =>
+      val v = Array.tabulate(dim)(d => if (d == freshAxes(i)) 1.0 else 0.0)
+      ((7400 + i).toLong, unit(v))
+    }
+    val batch = (spam ++ organic).toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .localCheckpoint(true)
+    // precondition: every spam row really is a dup of the base
+    val nDup = batch.filter(col("vec_id") < 7400)
+      .crossJoin(hotCorpus.filter(col("vec_id") === 1000L)
+        .select(col("embedding").as("be")))
+      .filter(GraftFunctions.cosine_sim(col("embedding"), col("be")) >= 0.95)
+      .count()
+    assert(nDup == 300L, s"fixture broke: only $nDup/300 spam are dups")
+    val surv = SemDedup.semDedupIncremental(hotCorpus, batch,
+        "vec_id", "embedding", minCosine = 0.95, model = Some(hotModel),
+        maxClusterRows = 100)
+      .select("vec_id").as[Long].collect().toSet
+    assert(surv == organic.map(_._1).toSet,
+      s"every spam copy must drop via the star rep; got $surv")
+    // and the cap predicate the q114 verdict column exposes is true
+    assert(SemDedup.incrementalCapEngaged(hotCorpus, batch, "embedding",
+      hotModel, maxClusterRows = 100))
+    assert(!SemDedup.incrementalCapEngaged(hotCorpus, batch, "embedding",
+      hotModel, maxClusterRows = Int.MaxValue))
+  }
+
   test("production threshold 0.95: planted near-dup pairs collapse, no false positives") {
     // q113's fixture shape at spec scale: every base vector gets a
     // deterministic perturbed copy at cos ≈ 0.9998 (0.02-scaled element
