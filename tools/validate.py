@@ -208,6 +208,32 @@ def main():
         if not results:
             print("FAIL --json artifact would be EMPTY; refusing to write")
             return 1
+        # ALSO emit the driver's exact row schema (VERDICT r15 item 2:
+        # {rows_match, schema_match, hash_match, spark_rows,
+        # oracle_rows, err}) so a judge can diff driver-vs-local
+        # artifacts row-for-row the moment a non-empty driver artifact
+        # reappears. The local fields (pass/check/rows/reason) stay.
+        for name, r in results.items():
+            if name.startswith("_"):
+                continue
+            reason = r.get("reason")
+            if r.get("check") == "rows_only":
+                r.update({"rows_match": bool(r.get("pass")),
+                          "schema_match": None, "hash_match": None,
+                          "spark_rows": r.get("rows"), "oracle_rows": None,
+                          "err": reason or "rows-only (oracle withheld)"})
+            elif r.get("pass"):
+                r.update({"rows_match": True, "schema_match": True,
+                          "hash_match": True, "spark_rows": r.get("rows"),
+                          "oracle_rows": r.get("rows"), "err": None})
+            else:
+                reason_s = str(reason or "")
+                r.update({
+                    "rows_match": False if "row count" in reason_s else None,
+                    "schema_match": False if "column" in reason_s else None,
+                    "hash_match": False,
+                    "spark_rows": r.get("rows"), "oracle_rows": None,
+                    "err": reason or "failed"})
         # environment pin (VERDICT r14 item 2): the r14 local-vs-driver
         # divergence was a DuckDB-build libm difference — record which
         # build produced THIS artifact so a future gap is attributable.
