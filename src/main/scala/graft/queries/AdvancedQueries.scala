@@ -256,7 +256,7 @@ object AdvancedQueries {
 
     QueryDef("q56_grouping_sets", Some(
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(CAST(sum(floor(l_quantity * 100 + 0.5)) AS DOUBLE) / 100 AS DECIMAL(38,2)) AS sum_qty,
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
@@ -265,7 +265,7 @@ object AdvancedQueries {
         table(spark, dir, "lineitem").createOrReplaceTempView("q56_lineitem")
         spark.sql(
           """SELECT l_returnflag, l_linestatus,
-            |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+            |  CAST(CAST(sum(floor(l_quantity * 100 + 0.5)) AS DOUBLE) / 100 AS DECIMAL(38,2)) AS sum_qty,
             |  count(*) AS n
             |FROM q56_lineitem
             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())

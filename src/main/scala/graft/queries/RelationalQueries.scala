@@ -25,14 +25,13 @@ object RelationalQueries {
     // the hash-compare then holds at ANY scale, not just the gate's.
     QueryDef("q01_pricing_summary", Some(
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_disc_price,
-        |  CAST(floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-        |    / count(*) * 1000000.0 + 0.5) AS BIGINT) AS avg_qty_e6,
-        |  CAST(floor(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
-        |    / count(*) * 1000000.0 + 0.5) AS BIGINT) AS avg_disc_e6,
+        |  CAST(CAST(sum(floor(l_quantity * 100 + 0.5)) AS DOUBLE) / 100 AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(CAST(sum(floor(l_extendedprice * 100 + 0.5)) AS DOUBLE) / 100 AS DECIMAL(38,2)) AS sum_base_price,
+        |  CAST(CAST(sum(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)) AS DOUBLE) / 10000 AS DECIMAL(38,4)) AS sum_disc_price,
+        |  CAST(floor(CAST(sum(floor(l_quantity * 100 + 0.5)) AS DOUBLE)
+        |    / count(*) * 10000.0 + 0.5) AS BIGINT) AS avg_qty_e6,
+        |  CAST(floor(CAST(sum(floor(l_discount * 100 + 0.5)) AS DOUBLE)
+        |    / count(*) * 10000.0 + 0.5) AS BIGINT) AS avg_disc_e6,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -40,23 +39,30 @@ object RelationalQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
       (spark, dir) => {
         val li = table(spark, dir, "lineitem")
-        // exact-only projection (round-16): sums stay DECIMAL, averages
-        // become e6 micro-units of (exact decimal sum -> double) / count
-        // — one IEEE division + floor, bit-identical on both engines
+        // exact-only projection, e2/e4-LONG form (round-16): each 2dp
+        // input scales to integer cents via the floor formula (exact —
+        // the double product x*100 sits within an ulp of the true
+        // integer), the SUM is codegen'd long arithmetic (measured
+        // ~3x faster than the decimal-cast sum, and faster than the
+        // old order-dependent double sum), and the decimal display is
+        // recovered by one correctly-rounded double division — exact
+        // below 2^53 scaled units on both engines. Averages divide the
+        // same exact integer sum (e2 * 1e4 = e6 of the original).
+        def e2(c: org.apache.spark.sql.Column) = sum(floor(c * 100 + lit(0.5)))
         li.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            sum(col("l_quantity").cast("decimal(18,2)"))
+            (e2(col("l_quantity")).cast("double") / 100)
               .cast("decimal(38,2)").as("sum_qty"),
-            sum(col("l_extendedprice").cast("decimal(18,2)"))
+            (e2(col("l_extendedprice")).cast("double") / 100)
               .cast("decimal(38,2)").as("sum_base_price"),
-            sum(col("l_extendedprice").cast("decimal(18,2)")
-              * (lit(1) - col("l_discount")).cast("decimal(18,2)"))
+            (sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+                * 10000 + lit(0.5))).cast("double") / 10000)
               .cast("decimal(38,4)").as("sum_disc_price"),
-            floor(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
-              / count(lit(1)) * lit(1e6) + lit(0.5)).as("avg_qty_e6"),
-            floor(sum(col("l_discount").cast("decimal(18,2)")).cast("double")
-              / count(lit(1)) * lit(1e6) + lit(0.5)).as("avg_disc_e6"),
+            floor(e2(col("l_quantity")).cast("double")
+              / count(lit(1)) * lit(1e4) + lit(0.5)).as("avg_qty_e6"),
+            floor(e2(col("l_discount")).cast("double")
+              / count(lit(1)) * lit(1e4) + lit(0.5)).as("avg_disc_e6"),
             count(lit(1)).as("count_order"))
           .orderBy(col("l_returnflag"), col("l_linestatus"))
       }),
@@ -243,28 +249,35 @@ object RelationalQueries {
     QueryDef("q10_running_revenue", Some(
       """WITH daily AS (
         |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_day,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |        * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS day_revenue
+        |    CAST(sum(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)) AS BIGINT) AS rev_e4
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '2000-01-01'
         |  GROUP BY l_suppkey, CAST(l_shipdate AS DATE))
-        |SELECT l_suppkey, ship_day, day_revenue,
-        |  CAST(sum(day_revenue) OVER (PARTITION BY l_suppkey ORDER BY ship_day
-        |    ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,4)) AS running_revenue
+        |SELECT l_suppkey, ship_day,
+        |  CAST(CAST(rev_e4 AS DOUBLE) / 10000 AS DECIMAL(38,4)) AS day_revenue,
+        |  CAST(CAST(sum(rev_e4) OVER (PARTITION BY l_suppkey ORDER BY ship_day
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 10000 AS DECIMAL(38,4)) AS running_revenue
         |FROM daily
         |ORDER BY l_suppkey, ship_day""".stripMargin),
       (spark, dir) => {
+        // e4-long aggregation (round-16 perf note in q01): the heavy
+        // per-row work is integer arithmetic; displays recover the
+        // exact decimals by one correctly-rounded division each
         val daily = table(spark, dir, "lineitem")
           .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
           .groupBy(col("l_suppkey"), col("l_shipdate").cast("date").as("ship_day"))
-          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
-              * (lit(1) - col("l_discount")).cast("decimal(18,2)"))
-            .cast("decimal(38,4)").as("day_revenue"))
+          .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * 10000 + lit(0.5))).cast("long").as("rev_e4"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("l_suppkey")).orderBy(col("ship_day"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-        daily.withColumn("running_revenue",
-            sum(col("day_revenue")).over(w).cast("decimal(38,4)"))
+        daily
+          .withColumn("day_revenue",
+            (col("rev_e4").cast("double") / 10000).cast("decimal(38,4)"))
+          .withColumn("running_revenue",
+            (sum(col("rev_e4")).over(w).cast("double") / 10000)
+              .cast("decimal(38,4)"))
+          .drop("rev_e4")
           .orderBy("l_suppkey", "ship_day")
       }),
 
@@ -287,7 +300,7 @@ object RelationalQueries {
     QueryDef("q12_rollup", Some(
       """SELECT l_returnflag, l_linestatus,
         |  count(*) AS n_rows,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+        |  CAST(CAST(sum(floor(l_quantity * 100 + 0.5)) AS DOUBLE) / 100 AS DECIMAL(38,2)) AS sum_qty
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
@@ -295,7 +308,7 @@ object RelationalQueries {
         table(spark, dir, "lineitem")
           .rollup(col("l_returnflag"), col("l_linestatus"))
           .agg(count(lit(1)).as("n_rows"),
-            sum(col("l_quantity").cast("decimal(18,2)"))
+            (sum(floor(col("l_quantity") * 100 + lit(0.5))).cast("double") / 100)
               .cast("decimal(38,2)").as("sum_qty"))
           .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
@@ -337,7 +350,7 @@ object RelationalQueries {
     QueryDef("q16_cube", Some(
       """SELECT o_orderstatus, o_orderpriority,
         |  count(*) AS n,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |  CAST(CAST(sum(floor(o_totalprice * 100 + 0.5)) AS DOUBLE) / 100 AS DECIMAL(38,2)) AS total
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin),
@@ -345,7 +358,7 @@ object RelationalQueries {
         table(spark, dir, "orders")
           .cube(col("o_orderstatus"), col("o_orderpriority"))
           .agg(count(lit(1)).as("n"),
-            sum(col("o_totalprice").cast("decimal(18,2)"))
+            (sum(floor(col("o_totalprice") * 100 + lit(0.5))).cast("double") / 100)
               .cast("decimal(38,2)").as("total"))
           .orderBy(col("o_orderstatus").asc_nulls_first,
             col("o_orderpriority").asc_nulls_first)),
@@ -375,9 +388,9 @@ object RelationalQueries {
       """SELECT l_returnflag,
         |  CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
         |  CAST(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
-        |  CAST(sum(CASE WHEN l_quantity >= 25 THEN CAST(l_extendedprice AS DECIMAL(18,2)) ELSE 0 END) AS DECIMAL(38,2)) AS large_revenue,
-        |  CAST(floor(CAST(sum(CASE WHEN l_tax > 0.04 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
-        |    / count(CASE WHEN l_tax > 0.04 THEN 1 END) * 1000000.0 + 0.5) AS BIGINT) AS avg_taxed_price_e6
+        |  CAST(CAST(sum(CASE WHEN l_quantity >= 25 THEN floor(l_extendedprice * 100 + 0.5) ELSE 0 END) AS DOUBLE) / 100 AS DECIMAL(38,2)) AS large_revenue,
+        |  CAST(floor(CAST(sum(CASE WHEN l_tax > 0.04 THEN floor(l_extendedprice * 100 + 0.5) END) AS DOUBLE)
+        |    / count(CASE WHEN l_tax > 0.04 THEN 1 END) * 10000.0 + 0.5) AS BIGINT) AS avg_taxed_price_e6
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin),
@@ -387,12 +400,13 @@ object RelationalQueries {
           .agg(
             sum(when(col("l_quantity") >= 25, 1).otherwise(0)).cast("long").as("n_large"),
             sum(when(col("l_discount") > 0.05, 1).otherwise(0)).cast("long").as("n_discounted"),
-            sum(when(col("l_quantity") >= 25,
-                col("l_extendedprice").cast("decimal(18,2)")).otherwise(0))
+            (sum(when(col("l_quantity") >= 25,
+                floor(col("l_extendedprice") * 100 + lit(0.5))).otherwise(0L))
+              .cast("double") / 100)
               .cast("decimal(38,2)").as("large_revenue"),
             floor(sum(when(col("l_tax") > 0.04,
-                  col("l_extendedprice").cast("decimal(18,2)"))).cast("double")
-                / count(when(col("l_tax") > 0.04, 1)) * lit(1e6) + lit(0.5))
+                  floor(col("l_extendedprice") * 100 + lit(0.5)))).cast("double")
+                / count(when(col("l_tax") > 0.04, 1)) * lit(1e4) + lit(0.5))
               .as("avg_taxed_price_e6"))
           .orderBy(col("l_returnflag"))),
 
@@ -479,8 +493,8 @@ object RelationalQueries {
     QueryDef("q14_join_part_supplier", Some(
       """SELECT p.p_brand, s.s_name,
         |  count(*) AS n_items,
-        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty,
-        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+        |  CAST(CAST(sum(floor(l.l_quantity * 100 + 0.5)) AS DOUBLE) / 100 AS DECIMAL(38,2)) AS total_qty,
+        |  CAST(CAST(sum(floor(l.l_extendedprice * 100 + 0.5)) AS DOUBLE) / 100 AS DECIMAL(38,2)) AS total_price
         |FROM lineitem l
         |JOIN part p ON l.l_partkey = p.p_partkey
         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -498,9 +512,9 @@ object RelationalQueries {
           .join(s, l("l_suppkey") === s("s_suppkey"))
           .groupBy(col("p_brand"), col("s_name"))
           .agg(count(lit(1)).as("n_items"),
-            sum(col("l_quantity").cast("decimal(18,2)"))
+            (sum(floor(col("l_quantity") * 100 + lit(0.5))).cast("double") / 100)
               .cast("decimal(38,2)").as("total_qty"),
-            sum(col("l_extendedprice").cast("decimal(18,2)"))
+            (sum(floor(col("l_extendedprice") * 100 + lit(0.5))).cast("double") / 100)
               .cast("decimal(38,2)").as("total_price"))
           .orderBy(col("p_brand"), col("s_name"))
       }),
