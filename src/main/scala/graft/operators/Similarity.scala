@@ -259,4 +259,75 @@ object Similarity {
     Bridge.column(NearestCentroids(Bridge.expression(emb), model.centroids,
       math.max(1, nprobe)))
   }
+
+  /**
+   * Maximal Marginal Relevance diversified top-k (Carbonell &
+   * Goldstein 1998): from each query's `poolSize`-candidate relevance
+   * pool, greedily select k results maximizing
+   *
+   *   mmr(d) = λ·sim(q, d) − (1−λ)·max_{s ∈ selected} sim(d, s)
+   *
+   * (step 1, with nothing selected, reduces to λ·sim(q, d)). The
+   * standard redundancy-killing rerank for RAG retrieval and
+   * exemplar-diverse training-batch construction: plain top-k returns
+   * near-duplicate neighbors; MMR forces coverage.
+   *
+   * Shape: MMR is a RERANK on a bounded pool — the corpus-scale work
+   * is the pool construction (here [[bruteForceTopK]]; swap in any ANN
+   * tier for the 100 TB path), after which each greedy step runs on
+   * ≤ |queries|·poolSize rows: an anti-join against the selected set,
+   * one per-query max-sim via a size-bounded higher-order aggregate
+   * over the ≤ k selected embeddings, and a window argmax. The pool is
+   * localCheckpointed once so the k steps never re-execute the scoring
+   * subtree (the q114 shared-subtree lesson), and each step's winner
+   * frame (|queries| rows) is checkpointed to keep the growing plan
+   * from re-deriving earlier steps.
+   *
+   * Determinism/replayability: every score is the same codegen'd
+   * [[graft.functions.GraftFunctions.cosine_sim]] double chain the ANN
+   * family pins (dot/(√·√) — no libm beyond IEEE-exact sqrt), λ and
+   * 1−λ enter as double literals, and ties break by neighbor id — so
+   * DuckDB replays the whole greedy chain bit-identically from static
+   * unrolled SQL (q130), no generator, no margin withholds.
+   *
+   * Output: (query_id, rank 1..k, neighbor_id, rel, mmr).
+   */
+  def mmrTopK(corpus: DataFrame, idCol: String, embCol: String,
+      queries: DataFrame, qidCol: String, qembCol: String,
+      k: Int, poolSize: Int, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && poolSize >= k, s"need poolSize >= k >= 1, got ($poolSize, $k)")
+    val pool = bruteForceTopK(corpus, idCol, embCol,
+        queries, qidCol, qembCol, poolSize)
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__cemb")),
+        Seq("neighbor_id"))
+      .select("query_id", "neighbor_id", "score", "__cemb")
+      .localCheckpoint(true)
+    val step1 = pool
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), lit(1).as("rank"), col("neighbor_id"),
+        col("score").as("rel"), (lit(lambda) * col("score")).as("mmr"),
+        col("__cemb").as("__semb"))
+    var selected = step1.localCheckpoint(true)
+    (2 to k).foreach { step =>
+      val selArr = selected.groupBy("query_id")
+        .agg(collect_list(col("__semb")).as("__sel"))
+      val winner = pool
+        .join(selected.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        .join(selArr, Seq("query_id"))
+        .withColumn("__maxsim", aggregate(col("__sel"), lit(-1.0),
+          (acc, s) => greatest(acc, cosine_sim(col("__cemb"), s))))
+        .withColumn("mmr",
+          lit(lambda) * col("score") - lit(1.0 - lambda) * col("__maxsim"))
+        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("mmr").desc, col("neighbor_id"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), lit(step).as("rank"), col("neighbor_id"),
+          col("score").as("rel"), col("mmr"), col("__cemb").as("__semb"))
+      selected = selected.unionByName(winner).localCheckpoint(true)
+    }
+    selected.select("query_id", "rank", "neighbor_id", "rel", "mmr")
+  }
 }

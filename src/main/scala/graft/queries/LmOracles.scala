@@ -211,6 +211,91 @@ private[graft] object LmOracles {
 }
 
 /**
+ * Literal-LUT generated oracle for the DSIR importance-resampling
+ * gate (q129) — the same discipline as [[LmOracles]]: each bucket's
+ * log-ratio λ depends ONLY on the integer count pair (c_t, c_r) with
+ * the totals fixed, so the generator dumps the distinct
+ * (c_t, c_r) → λ map as literals (computed by the SAME Spark
+ * expressions DataSelection.dsirModel evaluates — bit-identical by
+ * construction) and DuckDB re-derives tokenization, the
+ * unigram+bigram features, the poly-31+splitmix bucket hash, BOTH
+ * model counts, the scoring join and the exact decimal sum with zero
+ * `ln` exposure. Withholds (→ rows-only) when the LUT exceeds
+ * [[LmOracles.maxLutRows]] or any document's |avg_w − threshold|
+ * margin falls below [[LmOracles.keepEps]] (the one cross-engine
+ * float op left is the decimal→double cast + division feeding the
+ * keep compare).
+ */
+private[graft] object DsirOracles {
+  private val cache = scala.collection.mutable
+    .Map.empty[(String, Int, Long, Double), Option[String]]
+
+  def q129(spark: SparkSession, dir: String, dim: Int = 256,
+      seed: Long = 11L, thr: Double = 0.0): Option[String] =
+    cache.synchronized(cache.getOrElseUpdate((dir, dim, seed, thr),
+      gen(spark, dir, dim, seed, thr)))
+
+  private def gen(spark: SparkSession, dir: String, dim: Int,
+      seed: Long, thr: Double): Option[String] = {
+    import graft.operators.DataSelection
+    val docs = Tables.table(spark, dir, "documents")
+    val target = col("source") === "src0"
+    val lut = DataSelection.dsirModel(docs, "text", target, dim, seed)
+      .select(col("c_t"), col("c_r"), col("lam").cast("string").as("l"))
+      .distinct().collect()
+    if (lut.length > LmOracles.maxLutRows || lut.isEmpty) {
+      System.err.println(
+        s"[oracle-gen] q129 LUT too large/empty (${lut.length}) — withholding")
+      return None
+    }
+    val margin = DataSelection
+      .dsirWeights(docs, "doc_id", "text", target, dim, seed, thr)
+      .agg(min(abs(col("sum_w").cast("double") / col("n_feats") - lit(thr))))
+      .collect()(0)
+    if (margin.isNullAt(0) || margin.getDouble(0) <= LmOracles.keepEps) {
+      System.err.println(s"[oracle-gen] q129 keep margin " +
+        s"${if (margin.isNullAt(0)) "null" else margin.getDouble(0)} " +
+        "below eps — withholding")
+      return None
+    }
+    val lutValues = lut.map(r =>
+      s"(${r.getLong(0)}, ${r.getLong(1)}, '${r.getString(2)}')")
+      .mkString(",\n    ")
+    val featsSql = // tk ++ bigrams (1-indexed; range(1, len) is empty below 2 tokens)
+      "tk || [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]"
+    val bucket = ReplaySql.floorModSql(
+      ReplaySql.stringHashSql("f", seed), dim.toLong)
+    Some(
+      s"""WITH d AS (
+         |  SELECT doc_id, source, ${ReplaySql.toksSql} AS tk FROM documents),
+         |feats AS (SELECT doc_id, source, unnest($featsSql) AS f FROM d),
+         |hb AS (SELECT doc_id, source, CAST($bucket AS BIGINT) AS b FROM feats),
+         |model AS (SELECT b,
+         |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+         |    CAST(count(*) AS BIGINT) AS c_r
+         |  FROM hb GROUP BY b),
+         |lut AS (SELECT a AS c_tv, bb AS c_rv, CAST(c AS DECIMAL(12,9)) AS lam
+         |  FROM (VALUES
+         |    $lutValues) t(a, bb, c)),
+         |dc AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+         |  FROM hb GROUP BY doc_id, b),
+         |w AS (SELECT dc.doc_id, CAST(sum(dc.c) AS BIGINT) AS n_feats,
+         |    CAST(sum(l.lam * dc.c) AS DECIMAL(20,9)) AS sum_w
+         |  FROM dc
+         |  JOIN model m ON m.b = dc.b
+         |  JOIN lut l ON l.c_tv = m.c_t AND l.c_rv = m.c_r
+         |  GROUP BY dc.doc_id)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs_scored,
+         |  CAST(sum(CASE WHEN CAST(w.sum_w AS DOUBLE) / w.n_feats >= $thr
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+         |  CAST(sum(w.n_feats) AS BIGINT) AS n_feats,
+         |  CAST(sum(w.sum_w) AS DECIMAL(27,9)) AS sum_w
+         |FROM w JOIN d ON d.doc_id = w.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin)
+  }
+}
+
+/**
  * Literal-LUT generated oracles for the two remaining ln-bearing
  * static oracles (q59 TF-IDF, q96 PMI) — round-15 de-risking of the
  * r14 failure class: their SELECTION logic is pure integer

@@ -970,6 +970,36 @@ object TextQueries {
       },
       oracleGen = Some((spark, dir) => AnnOracles.safe("q120") {
         q120OracleGen(spark, dir)
+      })),
+
+    // DSIR distribution-matching selection (Xie et al. 2023): weight
+    // every document by the log importance ratio of two hashed-ngram
+    // models (target slice src0 vs the raw corpus) and keep docs whose
+    // average log-ratio clears 0. The hashing trick bounds both models
+    // to dim buckets — built in ONE corpus scan, broadcast for scoring
+    // — so unlike the unbounded LM gate (q118) no vocabulary-scale
+    // exchange exists at ANY corpus size (see DataSelection's scaladoc
+    // for the 100 TB shape). Hashed projection is exact-only per the
+    // round-16 rule: counts, one DECIMAL sum of 9 dp-quantized bucket
+    // log-ratios, and the margin-guarded keep verdict; the generated
+    // oracle (DsirOracles.q129) re-derives everything in DuckDB except
+    // ln, which it looks up in a literal (c_t, c_r) → λ table.
+    QueryDef("q129_dsir_selection", None,
+      (spark, dir) => {
+        import graft.operators.DataSelection
+        val docs = table(spark, dir, "documents")
+        val scored = DataSelection.dsirWeights(docs, "doc_id", "text",
+          targetFilter = col("source") === "src0", dim = 256, seed = 11L)
+        scored.join(docs.select("doc_id", "source"), Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs_scored"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+            sum(col("n_feats")).as("n_feats"),
+            sum(col("sum_w")).cast("decimal(27,9)").as("sum_w"))
+          .orderBy("source")
+      },
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q129") {
+        DsirOracles.q129(spark, dir, dim = 256, seed = 11L)
       })))
 
   /** q120's oracle: re-train (deterministic), dump (bias, w) literals,
@@ -1018,26 +1048,13 @@ object TextQueries {
   }
 
   // ---- DuckDB replay of the FakeCodec stub (Multimodal.FakeCodec) ----
-  // 64-bit wraparound multiply in HUGEINT: split the left operand into
-  // 32-bit halves so no intermediate exceeds 2^97 (INT128-safe).
-  private def mul64(a: String, c: String): String =
-    s"((($a) // 4294967296 * $c) % 18446744073709551616 * 4294967296" +
-      s" + (($a) % 4294967296) * $c) % 18446744073709551616"
-
-  /** splitmix64 finalizer over a HUGEINT expression in [0, 2^64). */
-  private def mixSql(h: String): String = {
-    val s1 = s"(CAST(($h) AS HUGEINT) + 11400714819323198485) % 18446744073709551616"
-    val x1 = s"CAST(xor(CAST(($s1) AS UBIGINT), CAST(($s1) AS UBIGINT) >> 30) AS HUGEINT)"
-    val s2 = mul64(x1, "13787848793156543929")
-    val x2 = s"CAST(xor(CAST(($s2) AS UBIGINT), CAST(($s2) AS UBIGINT) >> 27) AS HUGEINT)"
-    val s3 = mul64(x2, "10723151780598845931")
-    s"CAST(xor(CAST(($s3) AS UBIGINT), CAST(($s3) AS UBIGINT) >> 31) AS HUGEINT)"
-  }
-
-  /** Signed (Java floorMod) remainder of an unsigned-bits HUGEINT. */
+  // HUGEINT hash-arithmetic fragments live in ReplaySql (shared with
+  // the LM/DSIR oracle generators since round 16); local aliases keep
+  // the many call sites below unchanged.
+  private def mul64(a: String, c: String): String = ReplaySql.mul64(a, c)
+  private def mixSql(h: String): String = ReplaySql.mixSql(h)
   private def floorModSql(h: String, m: Long): String =
-    s"(((CASE WHEN ($h) >= 9223372036854775808 THEN ($h) - 18446744073709551616" +
-      s" ELSE ($h) END) % $m + $m) % $m)"
+    ReplaySql.floorModSql(h, m)
 
   /** Shared minhash-banding oracle prelude (CTEs through `verify`):
     * DuckDB replays shingling, the poly-31+splitmix hashes, slice

@@ -821,7 +821,84 @@ object VectorQueries {
       oracleGen = Some((spark, dir) => AnnOracles.safe("q117") {
         AnnOracles.q117(spark, dir, q117Corpus(spark, dir),
           dim = 64, maxHamming = 3, minCosine = 0.5)
-      })))
+      })),
+
+    // Maximal Marginal Relevance diversified top-k (Similarity.mmrTopK
+    // scaladoc): greedy λ·rel − (1−λ)·max-sim-to-selected rerank over
+    // each query's 20-candidate relevance pool. The oracle is STATIC
+    // unrolled SQL — one CTE per greedy step — because the whole chain
+    // is libm-free double arithmetic (dot/(√·√) cosines, double
+    // literals for λ and 1−λ, greatest(), id tiebreaks): both engines
+    // compute bit-identical doubles, so even the argmax at each step
+    // and the e6 floors replay exactly with no generator and no
+    // margin withholds. 1−λ is emitted as the exact double literal
+    // (0.30000000000000004), not the decimal 0.3.
+    QueryDef("q130_mmr_diversified", Some(q130OracleSql),
+      (spark, dir) => {
+        val e = table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+        Similarity.mmrTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+            k = 5, poolSize = 20, lambda = 0.7)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            floor(col("rel") * lit(1e6) + lit(0.5)).as("rel_e6"),
+            floor(col("mmr") * lit(1e6) + lit(0.5)).as("mmr_e6"))
+          .orderBy("query_id", "rank")
+      }))
+
+  /** q130's unrolled MMR replay: pool = per-query top-20 by cosine,
+    * then one CTE per greedy step — step i joins the pool to the i−1
+    * already-selected rows (one per query each), excludes them by id,
+    * takes greatest() of the pairwise cosines, and argmaxes the mmr
+    * score with the same (mmr DESC, id) tiebreak the engine's window
+    * uses. */
+  private def q130OracleSql: String = {
+    val k = 5
+    val lam = "0.7"
+    val oneMinusLam = java.lang.Double.toString(1.0 - 0.7)
+    def cos(a: String, b: String) =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+        s"sqrt(list_dot_product($b, $b)))"
+    val steps = (2 to k).map { i =>
+      val joins = (1 until i)
+        .map(j => s"JOIN s$j ON s$j.query_id = p.query_id").mkString(" ")
+      val excl = (1 until i).map(j => s"p.id <> s$j.id").mkString(" AND ")
+      val sims = (1 until i).map(j => cos("p.ce", s"s$j.ce"))
+      val ms = if (sims.size == 1) sims.head
+               else s"greatest(${sims.mkString(", ")})"
+      val mmr = s"$lam * p.rel - $oneMinusLam * ($ms)"
+      s"""s$i AS (SELECT query_id, id, ce, rel, mmr FROM (
+         |    SELECT p.query_id AS query_id, p.id AS id, p.ce AS ce,
+         |      p.rel AS rel, $mmr AS mmr,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY $mmr DESC, p.id) AS rn
+         |    FROM pool p $joins
+         |    WHERE $excl)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val ranks = (1 to k).map(i =>
+      s"SELECT query_id, id, rel, mmr, CAST($i AS INTEGER) AS rank FROM s$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+       |  FROM embeddings WHERE vec_id < 8),
+       |e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ce
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |scored AS (SELECT query_id, id, ce,
+       |    ${cos("ce", "qe")} AS rel FROM e, q),
+       |pool AS (SELECT query_id, id, ce, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, id) AS prn FROM scored)
+       |  WHERE prn <= 20),
+       |s1 AS (SELECT query_id, id, ce, rel, $lam * rel AS mmr FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, id) AS rn FROM pool)
+       |  WHERE rn = 1),
+       |$steps
+       |SELECT query_id, rank, id AS neighbor_id,
+       |  CAST(floor(rel * 1000000.0 + 0.5) AS BIGINT) AS rel_e6,
+       |  CAST(floor(mmr * 1000000.0 + 0.5) AS BIGINT) AS mmr_e6
+       |FROM ($ranks)
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** q117's planted corpus: every embedding plus a copy (ids offset by
     * max+1, the q113 contract) with dims 1-2 NEGATED — at most two
