@@ -292,6 +292,63 @@ object Similarity {
    *
    * Output: (query_id, rank 1..k, neighbor_id, rel, mmr).
    */
+  /**
+   * Matryoshka / prefix-dimension two-stage kNN (Kusupati et al. 2022,
+   * "Matryoshka Representation Learning"): score the corpus with the
+   * cosine over only the FIRST `coarseDims` dimensions (MRL-trained
+   * embeddings front-load information, so the prefix is a usable
+   * coarse metric), keep each query's top-`poolSize` candidates, then
+   * exact-rerank the pool with the full-dimension cosine.
+   *
+   * Scale shape: the corpus-wide pass does coarseDims/dim of the
+   * arithmetic, and the full-dim cosine runs only on |queries|·poolSize
+   * rows re-fetched by id (a broadcast-semi-joined corpus scan). At
+   * 100 TB the prefix would additionally be STORED as its own column
+   * (array truncation doesn't prune parquet bytes the way column
+   * pruning does) — the operator's plan shape is unchanged by that
+   * layout move. Same recall/cost dial as IVF-nprobe, but with zero
+   * trained state: nothing to train, persist, or replay.
+   *
+   * Determinism/replayability: both stages are the pinned cosine
+   * double chain with (score DESC, id ASC) tiebreaks — bit-identical
+   * in DuckDB from static SQL (q131), like the MMR chain.
+   *
+   * Output: (query_id, neighbor_id, coarse_e6, score_e6, rank 1..k).
+   */
+  def matryoshkaTopK(corpus: DataFrame, idCol: String, embCol: String,
+      queries: DataFrame, qidCol: String, qembCol: String,
+      k: Int, coarseDims: Int, poolSize: Int): DataFrame = {
+    require(poolSize >= k && coarseDims >= 1,
+      s"need poolSize >= k and coarseDims >= 1, got ($poolSize, $k, $coarseDims)")
+    val q = broadcast(queries.filter(col(qembCol).isNotNull)
+      .select(col(qidCol).as("query_id"), col(qembCol).as("__qemb")))
+    val coarse = corpus.filter(col(embCol).isNotNull)
+      .select(col(idCol).as("__cid"), col(embCol).as("__cemb"))
+      .crossJoin(q)
+      .withColumn("cscore", cosine_sim(
+        slice(col("__cemb"), lit(1), lit(coarseDims)),
+        slice(col("__qemb"), lit(1), lit(coarseDims))))
+    // map-side-combined per-query top-poolSize on the coarse score
+    // (the aggregateTopK shape), carrying the coarse score for output
+    val item = struct((-col("cscore")).as("neg"), col("__cid").as("nid"))
+    val pool = coarse.groupBy(col("query_id"))
+      .agg(bounded_topk(item, poolSize).as("top"))
+      .select(col("query_id"), explode(col("top")).as("item"))
+      .select(col("query_id"), col("item.nid").as("neighbor_id"),
+        (-col("item.neg")).as("cscore"))
+    // exact rerank: re-fetch full embeddings for the bounded pool
+    val rer = pool
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__cemb")),
+        Seq("neighbor_id"))
+      .join(q.withColumnRenamed("__qemb", "__qe"), Seq("query_id"))
+      .withColumn("score", cosine_sim(col("__cemb"), col("__qe")))
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("neighbor_id"))))
+      .filter(col("rank") <= k)
+    rer.select(col("query_id"), col("neighbor_id"),
+      col("cscore"), col("score"), col("rank"))
+  }
+
   def mmrTopK(corpus: DataFrame, idCol: String, embCol: String,
       queries: DataFrame, qidCol: String, qembCol: String,
       k: Int, poolSize: Int, lambda: Double = 0.7): DataFrame = {

@@ -843,7 +843,59 @@ object VectorQueries {
             floor(col("rel") * lit(1e6) + lit(0.5)).as("rel_e6"),
             floor(col("mmr") * lit(1e6) + lit(0.5)).as("mmr_e6"))
           .orderBy("query_id", "rank")
+      }),
+
+    // Matryoshka prefix-dimension two-stage kNN (Similarity
+    // .matryoshkaTopK scaladoc): coarse cosine over the first 16 dims
+    // prunes the corpus to a 30-candidate pool, exact full-dim rerank
+    // picks the top-10 — the zero-trained-state recall/cost dial.
+    // Static SQL oracle, same rationale as q130: every score is the
+    // libm-free cosine double chain, ties break by id, so DuckDB
+    // replays both stages bit-identically (zero-norm guard mirrors the
+    // engine's cosine(0-vec) = 0.0 contract).
+    QueryDef("q131_knn_matryoshka", Some(q131OracleSql),
+      (spark, dir) => {
+        val e = table(spark, dir, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+        Similarity.matryoshkaTopK(e, "vec_id", "embedding",
+            q, "vec_id", "embedding", k = 10, coarseDims = 16, poolSize = 30)
+          .select(col("query_id"), col("neighbor_id"),
+            floor(col("cscore") * lit(1e6) + lit(0.5)).as("coarse_e6"),
+            floor(col("score") * lit(1e6) + lit(0.5)).as("score_e6"),
+            col("rank"))
+          .orderBy("query_id", "rank")
       }))
+
+  /** q131's two-stage replay: guarded cosine (zero-norm ⇒ 0.0, the
+    * engine contract) over the 16-dim prefix for the pool cut, full
+    * dims for the rerank. */
+  private def q131OracleSql: String = {
+    def gcos(a: String, b: String) =
+      s"""CASE WHEN list_dot_product($a, $a) = 0 OR list_dot_product($b, $b) = 0
+         | THEN 0.0 ELSE list_dot_product($a, $b) /
+         | (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END"""
+        .stripMargin.replace("\n", "")
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+       |  FROM embeddings WHERE vec_id < 8),
+       |e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ce
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |coarse AS (SELECT query_id, id, ce, qe,
+       |    ${gcos("ce[1:16]", "qe[1:16]")} AS cscore FROM e, q),
+       |pool AS (SELECT query_id, id, ce, qe, cscore FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cscore DESC, id) AS prn FROM coarse)
+       |  WHERE prn <= 30),
+       |rer AS (SELECT query_id, id, cscore,
+       |    ${gcos("ce", "qe")} AS score FROM pool)
+       |SELECT query_id, id AS neighbor_id,
+       |  CAST(floor(cscore * 1000000.0 + 0.5) AS BIGINT) AS coarse_e6,
+       |  CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS score_e6,
+       |  CAST(rank AS INTEGER) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, id) AS rank FROM rer)
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+  }
 
   /** q130's unrolled MMR replay: pool = per-query top-20 by cosine,
     * then one CTE per greedy step — step i joins the pool to the i−1

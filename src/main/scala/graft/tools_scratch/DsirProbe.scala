@@ -49,9 +49,13 @@ object DsirProbe {
   private def receipt(n: Long, runs: Int): Unit = {
     val spark = session("dsir-probe")
     @volatile var shuffleWrite = 0L
+    val perStage = sys.env.get("DSIR_PROBE_STAGES").isDefined
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        shuffleWrite += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+        val w = sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+        shuffleWrite += w
+        if (perStage && w > 0)
+          println(f"[dsir-stage] ${sc.stageInfo.stageId}%4d write ${w / 1024.0 / 1024.0}%10.3f MiB  ${sc.stageInfo.name.takeWhile(_ != '\n').take(80)}")
       }
     })
     def term(e: org.apache.spark.sql.Column) = concat(lit("t"),
@@ -81,6 +85,19 @@ object DsirProbe {
 
     import graft.operators.DataSelection
     val feats = DataSelection.ngramFeatures(col("text"))
+
+    if (sys.env.contains("DSIR_PROBE_EXPLAIN")) {
+      // the docFeat subplan exactly as dsirWeights builds it (pre-
+      // checkpoint) — is the (id, is_t, b) aggregation exchanging?
+      val docFeat = docs
+        .select(col("doc_id").as("id"), col("is_t"),
+          explode(feats).as("f"))
+        .select(col("id"), col("is_t"),
+          DataSelection.featureBucket(col("f"), 4096, 11L).as("b"))
+        .groupBy("id", "is_t", "b").agg(count(lit(1)).as("c"))
+      docFeat.explain("formatted")
+      println(s"[dsir] docFeat rows = ${docFeat.count()}")
+    }
 
     measure("vocab-keyed strawman") {
       val ex = docs.select(col("doc_id").as("id"), col("is_t"),
