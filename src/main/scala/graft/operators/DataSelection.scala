@@ -94,21 +94,21 @@ object DataSelection {
         count(lit(1)).as("c_r"))
       .localCheckpoint(true), dim)
 
-  /** λ over a (b, c_t, c_r) count frame — shared by [[dsirModel]] and
-    * the fused single-scan path in [[dsirWeights]], so the oracle
-    * generator's LUT literals are bit-identical to the scoring λ by
-    * construction. */
+  /** λ over the (b, c_t, c_r) count frame, so the oracle generator's
+    * LUT literals (read off [[dsirModel]]'s output) are bit-identical
+    * to the scoring λ by construction. */
   private def withLogRatio(counts: DataFrame, dim: Int): DataFrame = {
     val tot = counts.agg(
       coalesce(sum(col("c_t")), lit(0L)).as("tt"),
       coalesce(sum(col("c_r")), lit(0L)).as("tr")).collect()(0)
     val (tt, tr) = (tot.getLong(0), tot.getLong(1))
-    // decimal(12,9), NOT (20,9): the scoring product λ·c must stay
-    // inside Spark's 38-digit decimal budget — (20,9)×(20,0) hits
-    // precision 41 and Spark's precision-loss rule silently truncates
-    // the product scale to 6 dp (measured: every per-doc sum drifted
-    // by ~1e-6 against the replay). (12,9)×(20,0) = (33,9) — exact.
-    // |λ| ≤ ln(T_r+dim) < 10³ for any corpus below e^690 tokens.
+    // decimal(12,9), NOT (20,9): any decimal×bigint consumer (the
+    // DuckDB oracle multiplies λ by per-bucket counts; an earlier
+    // engine shape did too) must stay inside the 38-digit budget —
+    // (20,9)×(20,0) hits precision 41 and Spark's precision-loss rule
+    // silently truncates the product scale to 6 dp (measured: every
+    // per-doc sum drifted ~1e-6 against the replay). (12,9)×(20,0) =
+    // (33,9) — exact. |λ| ≤ ln(T_r+dim) < 10³ for any real corpus.
     counts.withColumn("lam",
       round(log((col("c_t") + 1).cast("double") / (lit(tt) + lit(dim.toLong))) -
             log((col("c_r") + 1).cast("double") / (lit(tr) + lit(dim.toLong))), 9)
@@ -124,29 +124,24 @@ object DataSelection {
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
       targetFilter: Column, dim: Int = 4096, seed: Long = 11L,
       keepThreshold: Double = 0.0): DataFrame = {
-    // ONE tokenize+hash scan feeds both the model and the scoring: the
-    // per-(doc, bucket) counts are checkpointed (≤ dim rows per doc —
-    // the compressed form, not the raw feature stream) and the model
-    // is a dim-keyed re-aggregation of them. Measured 2.24 → ~1.3 s at
-    // sf0.1 vs the two-scan form, and it guarantees model/scoring
-    // consistency by construction.
-    val docFeat = docs
-      .select(col(idCol).as("id"), targetFilter.as("is_t"),
+    val model = dsirModel(docs, textCol, targetFilter, dim, seed)
+    // scoring: every occurring bucket is in the raw model by
+    // construction, so the per-OCCURRENCE broadcast join is total and
+    // runs map-side in the same stage as tokenize/explode/hash; the
+    // per-doc decimal sum then partial-aggregates before its one
+    // exchange (≤ one (id) partial per partition). This shape beat
+    // both alternatives at sf0.1: a pre-join per-(id, bucket) count
+    // pass (adds an aggregation for nothing — λ·c over counts equals
+    // Σλ over occurrences exactly) and a fused single-scan form that
+    // localCheckpointed the (id, bucket) counts (the 5M-row
+    // checkpoint write cost more than the second tokenize pass).
+    docs.select(col(idCol).as("id"),
         explode(ngramFeatures(col(textCol))).as("f"))
-      .select(col("id"), col("is_t"), featureBucket(col("f"), dim, seed).as("b"))
-      .groupBy("id", "is_t", "b").agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
-    val model = withLogRatio(docFeat.groupBy("b")
-      .agg(sum(when(col("is_t"), col("c")).otherwise(0L)).as("c_t"),
-        sum(col("c")).as("c_r")), dim)
-    // every occurring bucket is in the raw model by construction, so
-    // the inner join is total; the model side is dim-bounded —
-    // broadcast it so the doc stream's only exchange is the (id, b)
-    // partial-aggregated count
-    docFeat.join(broadcast(model.select(col("b"), col("lam"))), Seq("b"))
+      .select(col("id"), featureBucket(col("f"), dim, seed).as("b"))
+      .join(broadcast(model.select(col("b"), col("lam"))), Seq("b"))
       .groupBy("id")
-      .agg(sum(col("c")).as("n_feats"),
-        sum(col("lam") * col("c")).cast("decimal(20,9)").as("sum_w"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("lam")).cast("decimal(20,9)").as("sum_w"))
       .withColumn("avg_w",
         round(col("sum_w").cast("double") / col("n_feats"), 6))
       .withColumn("keep",
