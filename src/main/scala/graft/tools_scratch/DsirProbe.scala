@@ -61,13 +61,24 @@ object DsirProbe {
     def term(e: org.apache.spark.sql.Column) = concat(lit("t"),
       floor(lit(1000000.0) *
         pow(abs(hash(e)).cast("double") / 2147483647.0, 3.0)).cast("long"))
-    val docs = spark.range(n)
+    val ranged = spark.range(n)
       .withColumn("text", concat_ws(" ",
         (0 until 20).map(j => term(col("id") * 20 + j)): _*))
       .select(col("id").as("doc_id"), col("text"),
         (col("id") % 20 === 0).as("is_t"))
+    // DSIR_PROBE_PARQUET=1: round-trip the corpus through parquet so
+    // its partitioning is UNKNOWN to Catalyst — measures the extra
+    // per-doc exchange an arbitrarily-laid-out corpus pays (the
+    // range-derived default models the doc_id-partitioned layout,
+    // where the per-doc aggregations need no exchange at all)
+    val docs = (if (sys.env.contains("DSIR_PROBE_PARQUET")) {
+      val p = "/tmp/dsir_probe_corpus.parquet"
+      ranged.write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    } else ranged)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    println(s"[dsir] corpus: ${docs.count()} docs x 20 tokens (cached)")
+    println(s"[dsir] corpus: ${docs.count()} docs x 20 tokens (cached, " +
+      s"${if (sys.env.contains("DSIR_PROBE_PARQUET")) "parquet round-trip" else "range-partitioned"})")
 
     def measure(label: String)(body: => Unit): Unit = {
       var bestT = Double.MaxValue
