@@ -352,9 +352,27 @@ object Similarity {
   def mmrTopK(corpus: DataFrame, idCol: String, embCol: String,
       queries: DataFrame, qidCol: String, qembCol: String,
       k: Int, poolSize: Int, lambda: Double = 0.7): DataFrame = {
-    require(k >= 1 && poolSize >= k, s"need poolSize >= k >= 1, got ($poolSize, $k)")
-    val pool = bruteForceTopK(corpus, idCol, embCol,
-        queries, qidCol, qembCol, poolSize)
+    require(poolSize >= k, s"need poolSize >= k, got ($poolSize, $k)")
+    mmrRerank(
+      bruteForceTopK(corpus, idCol, embCol, queries, qidCol, qembCol, poolSize),
+      corpus, idCol, embCol, k, lambda)
+  }
+
+  /**
+   * MMR over a CALLER-SUPPLIED candidate pool — the at-scale entry
+   * point: build the pool with whatever tier fits the corpus
+   * ([[lshKnnJoin]], [[ivfTopK]], [[matryoshkaTopK]],
+   * [[graft.index.ShardedHnsw]].knnJoin — anything emitting
+   * (query_id, neighbor_id, score) rows), then diversify the bounded
+   * result. Candidate embeddings are re-fetched from `corpus` by id;
+   * `score` must be the query-candidate cosine (it is, for every tier
+   * here — they all exact-rerank with [[graft.functions
+   * .GraftFunctions.cosine_sim]]).
+   */
+  def mmrRerank(pool0: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, k: Int, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val pool = pool0
       .join(corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__cemb")),
         Seq("neighbor_id"))
       .select("query_id", "neighbor_id", "score", "__cemb")

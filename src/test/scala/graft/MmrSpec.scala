@@ -65,6 +65,26 @@ class MmrSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("mmrRerank over an ANN-tier pool: the at-scale composition") {
+    // pool from the Matryoshka tier (any (query_id, neighbor_id,
+    // score) source works); with the pool covering the same top set,
+    // the diversified selection matches the brute-force-pool result
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 3)
+    val annPool = Similarity.matryoshkaTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", k = 20, coarseDims = 64, poolSize = 20)
+      .select("query_id", "neighbor_id", "score")
+    val viaAnn = Similarity.mmrRerank(annPool, e, "vec_id", "embedding",
+      k = 5, lambda = 0.7)
+    val viaBrute = Similarity.mmrTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 5, poolSize = 20, lambda = 0.7)
+    val diff = viaAnn.alias("a").join(viaBrute.alias("b"), Seq("query_id", "rank"))
+      .filter(col("a.neighbor_id") =!= col("b.neighbor_id") ||
+        col("a.mmr") =!= col("b.mmr"))
+    assert(viaAnn.count() == 15 && diff.count() == 0,
+      "full-dim matryoshka pool == brute pool => identical MMR selection")
+  }
+
   test("selected set is distinct per query and rank is dense 1..k") {
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val q = e.filter(col("vec_id") < 3)
