@@ -26,12 +26,15 @@ final case class ShardNode(shard_id: Int, gidx: Int, idx: Int, id: Long,
  *    shard at rest), not driver memory, which is what removes the cap.
  *  - **Query**: a query routes to its `probeShards` nearest centroids
  *    (the same coarse navigation [[IvfModel.probe]] uses, HNSW-routed
- *    past the config threshold), then cogroups with the node table by
- *    shard: each task reconstructs its shard's graphs from the stored
- *    adjacency (no rebuild — construction happened once) and navigates
- *    all queries routed there. Per-query cost: `probeShards` × O(ef ·
- *    log shard); the corpus never shuffles, only `probeShards` copies
- *    of the QUERY rows do.
+ *    past the config threshold); the node table is first PRUNED to the
+ *    routed shard ids (an `isin` partition filter on the at-rest
+ *    `partitionBy(shard_id)` layout), then cogrouped by shard: each
+ *    task reconstructs its shard's graphs from the stored adjacency
+ *    (no rebuild — construction happened once) and navigates all
+ *    queries routed there. Per-query cost: `probeShards` × O(ef ·
+ *    log shard); only the probed shards' nodes and `probeShards`
+ *    copies of the QUERY rows ever cross an exchange — unprobed
+ *    shards never leave the parquet scan.
  *  - **Rerank**: [[knnJoin]] joins candidates back to the corpus for an
  *    exact-cosine top-k, the family's standard two-tier contract — the
  *    graph only proposes, so graph approximation error never reaches
@@ -51,9 +54,22 @@ final case class ShardedHnsw(router: IvfModel, nodes: DataFrame,
     m: Int, efConstruction: Int, seed: Long, normalized: Boolean) {
 
   /** Candidate tier: up to `probeShards * k` rows
-    * (query_id, neighbor_id, graph_dist) per query. */
+    * (query_id, neighbor_id, graph_dist) per query.
+    *
+    * The node side is PRUNED to the routed shards before the cogroup
+    * (VERDICT r16 item 1): the distinct routed shard ids are collected
+    * driver-side (≤ |queries|·probeShards ints — one extra pass over
+    * the small query batch against the broadcast router) and pushed as
+    * an `isin` filter on `shard_id`. On a [[load]]ed index that filter
+    * is a partition-pruning predicate on the `partitionBy(shard_id)`
+    * layout [[save]] wrote, so unprobed shards never leave the parquet
+    * scan — node-side exchange is ∝ probed-shard rows, not corpus, on
+    * EVERY lineage (receipted in ShardedHnswProbe's loaded-index leg).
+    * `pruneShards = false` keeps the old full-cogroup shape; it exists
+    * only for that probe's strawman measurement. */
   def knnCandidates(queries: DataFrame, qidCol: String, embCol: String,
-      k: Int, ef: Int = 64, probeShards: Int = 2): DataFrame = {
+      k: Int, ef: Int = 64, probeShards: Int = 2,
+      pruneShards: Boolean = true): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
     val r = router
@@ -62,13 +78,24 @@ final case class ShardedHnsw(router: IvfModel, nodes: DataFrame,
       .select(col(qidCol).cast("long"), col(embCol).cast("array<float>"))
       .as[(Long, Array[Float])]
       .flatMap { case (qid, q) => r.probe(q, p).map(s => (s, qid, q)) }
+    val probed: Option[Array[Int]] =
+      if (pruneShards) Some(routed.map(_._1).distinct().collect())
+      else None
+    if (probed.exists(_.isEmpty))
+      return spark.emptyDataset[(Long, Long, Double)]
+        .toDF("query_id", "neighbor_id", "graph_dist")
+    val nodeSide = probed match {
+      case Some(ids) if ids.length < router.nlist =>
+        nodes.filter(col("shard_id").isin(ids.map(Int.box): _*))
+      case _ => nodes
+    }
     // capture primitives, not `this` (the DataFrame field must not
     // enter the task closure)
     val (mm, efc, sd, nrm) = (m, efConstruction, seed, normalized)
     val kk = k
     val eff = ef
     routed.groupByKey(_._1)
-      .cogroup(nodes.as[ShardNode].groupByKey(_.shard_id)) { (_, qs, ns) =>
+      .cogroup(nodeSide.as[ShardNode].groupByKey(_.shard_id)) { (_, qs, ns) =>
         val nodeArr = ns.toArray
         if (nodeArr.isEmpty) Iterator.empty
         else {

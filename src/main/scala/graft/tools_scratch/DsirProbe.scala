@@ -84,11 +84,13 @@ object DsirProbe {
       var bestT = Double.MaxValue
       var bytes = 0L
       (1 to runs).foreach { _ =>
+        // drain late events from the PRIOR run before resetting
+        org.apache.spark.sql.graft.Bridge.waitListenerBus(spark.sparkContext)
         shuffleWrite = 0L
         val t0 = System.nanoTime()
         body
-        Thread.sleep(300)
-        val dt = (System.nanoTime() - t0) / 1e9 - 0.3
+        org.apache.spark.sql.graft.Bridge.waitListenerBus(spark.sparkContext)
+        val dt = (System.nanoTime() - t0) / 1e9
         if (dt < bestT) { bestT = dt; bytes = shuffleWrite }
       }
       println(f"[dsir] $label%-28s ${bestT}%8.2f s   shuffle ${bytes / 1024.0 / 1024.0}%10.3f MiB (min of $runs)")

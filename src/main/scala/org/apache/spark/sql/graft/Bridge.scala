@@ -32,6 +32,13 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark), plan)
 
+  /** Block until the SparkContext's listener bus has drained, so a
+    * per-run shuffle-metric counter read after a job is race-free
+    * against asynchronously delivered stage-completed events
+    * (ADVICE r16: the probes' fixed 300 ms sleep was a guess). */
+  def waitListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** Idempotently add a planner strategy to the session. */
   def ensureStrategy(spark: SparkSession,
       s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
