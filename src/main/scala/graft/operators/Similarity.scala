@@ -317,25 +317,14 @@ object Similarity {
    */
   def matryoshkaTopK(corpus: DataFrame, idCol: String, embCol: String,
       queries: DataFrame, qidCol: String, qembCol: String,
-      k: Int, coarseDims: Int, poolSize: Int): DataFrame = {
-    require(poolSize >= k && coarseDims >= 1,
-      s"need poolSize >= k and coarseDims >= 1, got ($poolSize, $k, $coarseDims)")
+      k: Int, coarseDims: Int, poolSize: Int,
+      prefixCol: Option[String] = None): DataFrame = {
+    require(poolSize >= k,
+      s"need poolSize >= k, got ($poolSize, $k)")
     val q = broadcast(queries.filter(col(qembCol).isNotNull)
       .select(col(qidCol).as("query_id"), col(qembCol).as("__qemb")))
-    val coarse = corpus.filter(col(embCol).isNotNull)
-      .select(col(idCol).as("__cid"), col(embCol).as("__cemb"))
-      .crossJoin(q)
-      .withColumn("cscore", cosine_sim(
-        slice(col("__cemb"), lit(1), lit(coarseDims)),
-        slice(col("__qemb"), lit(1), lit(coarseDims))))
-    // map-side-combined per-query top-poolSize on the coarse score
-    // (the aggregateTopK shape), carrying the coarse score for output
-    val item = struct((-col("cscore")).as("neg"), col("__cid").as("nid"))
-    val pool = coarse.groupBy(col("query_id"))
-      .agg(bounded_topk(item, poolSize).as("top"))
-      .select(col("query_id"), explode(col("top")).as("item"))
-      .select(col("query_id"), col("item.nid").as("neighbor_id"),
-        (-col("item.neg")).as("cscore"))
+    val pool = matryoshkaPool(corpus, idCol, embCol, queries, qidCol,
+      qembCol, coarseDims, poolSize, prefixCol)
     // exact rerank: re-fetch full embeddings for the bounded pool
     val rer = pool
       .join(corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__cemb")),
@@ -347,6 +336,45 @@ object Similarity {
       .filter(col("rank") <= k)
     rer.select(col("query_id"), col("neighbor_id"),
       col("cscore"), col("score"), col("rank"))
+  }
+
+  /** The coarse pass of [[matryoshkaTopK]] alone: per-query
+    * top-`poolSize` (query_id, neighbor_id, cscore) by prefix-cosine.
+    *
+    * The 100 TB layout move (VERDICT r16 item 3): when the coarse
+    * prefix is STORED as its own column (`prefixCol`, written as
+    * exactly `slice(embCol, 1, coarseDims)`), the coarse pass reads
+    * ONLY that column — parquet column pruning cuts scan bytes by
+    * ~coarseDims/dim, which array slicing on the full column cannot
+    * (receipted in MatryoshkaProbe). Values are identical either way,
+    * so the q131 oracle replay is unchanged by the layout. */
+  def matryoshkaPool(corpus: DataFrame, idCol: String, embCol: String,
+      queries: DataFrame, qidCol: String, qembCol: String,
+      coarseDims: Int, poolSize: Int,
+      prefixCol: Option[String] = None): DataFrame = {
+    require(coarseDims >= 1 && poolSize >= 1,
+      s"need coarseDims >= 1 and poolSize >= 1, got ($coarseDims, $poolSize)")
+    val q = broadcast(queries.filter(col(qembCol).isNotNull)
+      .select(col(qidCol).as("query_id"), col(qembCol).as("__qemb")))
+    val coarseSrc = prefixCol match {
+      case Some(p) => corpus.filter(col(p).isNotNull)
+        .select(col(idCol).as("__cid"), col(p).as("__cpre"))
+      case None => corpus.filter(col(embCol).isNotNull)
+        .select(col(idCol).as("__cid"),
+          slice(col(embCol), lit(1), lit(coarseDims)).as("__cpre"))
+    }
+    val coarse = coarseSrc
+      .crossJoin(q)
+      .withColumn("cscore", cosine_sim(col("__cpre"),
+        slice(col("__qemb"), lit(1), lit(coarseDims))))
+    // map-side-combined per-query top-poolSize on the coarse score
+    // (the aggregateTopK shape), carrying the coarse score for output
+    val item = struct((-col("cscore")).as("neg"), col("__cid").as("nid"))
+    coarse.groupBy(col("query_id"))
+      .agg(bounded_topk(item, poolSize).as("top"))
+      .select(col("query_id"), explode(col("top")).as("item"))
+      .select(col("query_id"), col("item.nid").as("neighbor_id"),
+        (-col("item.neg")).as("cscore"))
   }
 
   def mmrTopK(corpus: DataFrame, idCol: String, embCol: String,

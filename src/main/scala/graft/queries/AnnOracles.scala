@@ -393,6 +393,38 @@ private[graft] object AnnOracles {
   def q128(spark: SparkSession, dir: String,
       index: graft.index.ShardedHnsw, nQueries: Int, k: Int,
       ef: Int, probeShards: Int): Option[String] = {
+    if (!shardedParityOk(spark, dir, index, nQueries, k, ef, probeShards))
+      return None
+    Some(
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < $nQueries),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    list_dot_product(e.v, q.qv) /
+         |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS s
+         |  FROM e CROSS JOIN q),
+         |ranked AS (SELECT query_id, neighbor_id, s,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY s DESC, neighbor_id) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id,
+         |  CAST(floor(s * 1000000.0 + 0.5) AS BIGINT) AS score_e6, rank
+         |FROM ranked WHERE rank <= $k
+         |ORDER BY query_id, rank""".stripMargin)
+  }
+
+  /** The sharded-HNSW parity+boundary guard, factored out of [[q128]]
+    * so the ANN-pool→MMR composition (q132) can guard its POOL with
+    * the same proof: every query's routed-walk top-`k` (exact-cosine
+    * reranked) equals brute-force top-`k` id-for-id, and the rank
+    * k/k+1 boundary is an exact tie or clears [[distEps]]. When this
+    * holds at k = poolSize, the MMR chain over the ANN pool is
+    * row-for-row the chain over the brute-force pool — q132 reuses
+    * q130's static SQL verbatim. */
+  private[queries] def shardedParityOk(spark: SparkSession, dir: String,
+      index: graft.index.ShardedHnsw, nQueries: Int, k: Int,
+      ef: Int, probeShards: Int): Boolean = {
     val e = emb(spark, dir)
     val queries = e.filter(col("vec_id") < nQueries)
     val engine = index.knnJoin(queries, "vec_id", "embedding",
@@ -417,31 +449,13 @@ private[graft] object AnnOracles {
       .filter(col("rn") <= k + 1)
       .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2)))
       .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
-    val ok = exact.forall { case (qid, rows) =>
+    exact.forall { case (qid, rows) =>
       val ids = rows.take(k).map(_._3).toSeq
       engine.get(qid).contains(ids) && (rows.lengthCompare(k) <= 0 || {
         val dk = rows(k - 1)._4; val dk1 = rows(k)._4
         dk == dk1 || dk - dk1 >= distEps
       })
     }
-    if (!ok) return None
-    Some(
-      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-         |  FROM embeddings WHERE vec_id < $nQueries),
-         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-         |  WHERE embedding IS NOT NULL),
-         |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
-         |    list_dot_product(e.v, q.qv) /
-         |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS s
-         |  FROM e CROSS JOIN q),
-         |ranked AS (SELECT query_id, neighbor_id, s,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY s DESC, neighbor_id) AS INTEGER) AS rank
-         |  FROM scored)
-         |SELECT query_id, neighbor_id,
-         |  CAST(floor(s * 1000000.0 + 0.5) AS BIGINT) AS score_e6, rank
-         |FROM ranked WHERE rank <= $k
-         |ORDER BY query_id, rank""".stripMargin)
   }
 
   // ------------------------------------------------- SemDeDup replays

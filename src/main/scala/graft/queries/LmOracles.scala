@@ -46,8 +46,7 @@ private[graft] object LmOracles {
     scala.collection.mutable.Map.empty[(String, Option[Int]), Boolean]
   private val alpha = 0.4
   private val keepThreshold = -9.0
-  private val toksSql =
-    """list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')"""
+  private val toksSql = ReplaySql.toksSql
 
   /** The distinct-count LUTs as (hitValuesSql, backoffValuesSql), or
     * None past the size cap. Values are computed by the SAME Spark
@@ -305,8 +304,7 @@ private[graft] object DsirOracles {
  * the counting/ranking with zero libm exposure.
  */
 private[graft] object TextLutOracles {
-  private val toksSql =
-    """list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')"""
+  private val toksSql = ReplaySql.toksSql
   private def d(x: Double): String = java.lang.Double.toString(x)
 
   /** q59: tfidf = tf · ln((N+1)/(df+1)) depends only on (tf, df) with

@@ -864,7 +864,50 @@ object VectorQueries {
             floor(col("score") * lit(1e6) + lit(0.5)).as("score_e6"),
             col("rank"))
           .orderBy("query_id", "rank")
-      }))
+      }),
+
+    // ANN-pool → MMR composition (VERDICT r16 item 2): the SAME greedy
+    // MMR chain as q130 (k=5, λ=0.7, 8 queries, 20-candidate pool) but
+    // the pool comes from the sharded-HNSW tier's exact-rerank join
+    // (Similarity.mmrRerank's at-scale entry point) instead of the
+    // brute-force scan — the end-to-end shape a 100 TB corpus runs.
+    // Guard-replayed: the generator emits q130's static unrolled SQL
+    // only after proving the ANN pool equals the brute-force
+    // top-poolSize id-for-id with a distEps-guarded rank-20/21
+    // boundary (AnnOracles.shardedParityOk, the q128/q86 discipline) —
+    // every Verify run re-proves pool parity AND the MMR greedy chain
+    // replays bit-identically over it. Hash = e6 floors of libm-free
+    // doubles; no allowlist entry.
+    QueryDef("q132_mmr_over_ann", None,
+      (spark, dir) => {
+        val e = table(spark, dir, "embeddings")
+        val idx = shardedHnswCache.getOrElseUpdate(dir, {
+          val b = graft.index.ShardedHnsw.build(e, "vec_id", "embedding",
+            targetShardRows = 256, efConstruction = 200, replicas = 2)
+          b.copy(nodes = b.nodes.localCheckpoint(true))
+        })
+        val pool = idx.knnJoin(e.filter(col("vec_id") < 8), "vec_id",
+            "embedding", e, "vec_id", "embedding",
+            k = 20, ef = 100, probeShards = 4)
+          .select("query_id", "neighbor_id", "score")
+        Similarity.mmrRerank(pool, e, "vec_id", "embedding",
+            k = 5, lambda = 0.7)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            floor(col("rel") * lit(1e6) + lit(0.5)).as("rel_e6"),
+            floor(col("mmr") * lit(1e6) + lit(0.5)).as("mmr_e6"))
+          .orderBy("query_id", "rank")
+      },
+      oracleGen = Some((spark, dir) => AnnOracles.safe("q132") {
+        val e = table(spark, dir, "embeddings")
+        val idx = shardedHnswCache.getOrElseUpdate(dir, {
+          val b = graft.index.ShardedHnsw.build(e, "vec_id", "embedding",
+            targetShardRows = 256, efConstruction = 200, replicas = 2)
+          b.copy(nodes = b.nodes.localCheckpoint(true))
+        })
+        if (AnnOracles.shardedParityOk(spark, dir, idx, nQueries = 8,
+            k = 20, ef = 100, probeShards = 4)) Some(q130OracleSql)
+        else None
+      })))
 
   /** q131's two-stage replay: guarded cosine (zero-norm ⇒ 0.0, the
     * engine contract) over the 16-dim prefix for the pool cut, full
@@ -876,7 +919,7 @@ object VectorQueries {
          | (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END"""
         .stripMargin.replace("\n", "")
     s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-       |  FROM embeddings WHERE vec_id < 8),
+       |  FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL),
        |e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ce
        |  FROM embeddings WHERE embedding IS NOT NULL),
        |coarse AS (SELECT query_id, id, ce, qe,
@@ -907,9 +950,13 @@ object VectorQueries {
     val k = 5
     val lam = "0.7"
     val oneMinusLam = java.lang.Double.toString(1.0 - 0.7)
+    // zero-norm guarded (ADVICE r16): mirrors the engine's
+    // cosine(0-vec) = 0.0 contract, same form as q131's gcos
     def cos(a: String, b: String) =
-      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
-        s"sqrt(list_dot_product($b, $b)))"
+      s"""CASE WHEN list_dot_product($a, $a) = 0 OR list_dot_product($b, $b) = 0
+         | THEN 0.0 ELSE list_dot_product($a, $b) /
+         | (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) END"""
+        .stripMargin.replace("\n", "")
     val steps = (2 to k).map { i =>
       val joins = (1 until i)
         .map(j => s"JOIN s$j ON s$j.query_id = p.query_id").mkString(" ")
@@ -931,7 +978,7 @@ object VectorQueries {
       s"SELECT query_id, id, rel, mmr, CAST($i AS INTEGER) AS rank FROM s$i")
       .mkString("\n  UNION ALL ")
     s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-       |  FROM embeddings WHERE vec_id < 8),
+       |  FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL),
        |e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS ce
        |  FROM embeddings WHERE embedding IS NOT NULL),
        |scored AS (SELECT query_id, id, ce,

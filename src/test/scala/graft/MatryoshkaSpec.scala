@@ -51,6 +51,38 @@ class MatryoshkaSpec extends SparkSpec {
       s"pool dial broken: pool30=$r30, pool120=$r120")
   }
 
+  test("stored prefix column: identical output, prefix-only coarse scan") {
+    // the 100 TB layout move (VERDICT r16 item 3): prefixCol must be
+    // value-identical to slice-on-read (it IS the slice, stored), and
+    // the coarse pool's plan must read only the prefix column
+    val withPre = emb.withColumn("pre16",
+      slice(col("embedding"), lit(1), lit(16)).cast("array<float>"))
+    val q = emb.filter(col("vec_id") < 5)
+    val a = Similarity.matryoshkaTopK(withPre, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 10, coarseDims = 16, poolSize = 30)
+    val b = Similarity.matryoshkaTopK(withPre, "vec_id", "embedding",
+      q, "vec_id", "embedding", k = 10, coarseDims = 16, poolSize = 30,
+      prefixCol = Some("pre16"))
+    val diff = a.alias("a").join(b.alias("b"), Seq("query_id", "rank"))
+      .filter(col("a.neighbor_id") =!= col("b.neighbor_id") ||
+        col("a.score") =!= col("b.score") ||
+        col("a.cscore") =!= col("b.cscore"))
+    assert(diff.count() == 0 && a.count() == b.count())
+    // column pruning: the pool-over-parquet plan must NOT read the
+    // full embedding column when the prefix is stored
+    val dir = java.nio.file.Files.createTempDirectory("matpre").toString
+    withPre.write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val plan = Similarity.matryoshkaPool(stored, "vec_id", "embedding",
+        q, "vec_id", "embedding", coarseDims = 16, poolSize = 30,
+        prefixCol = Some("pre16"))
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("ReadSchema") && l.contains("pre16"))
+    assert(scanLine.exists(!_.contains("embedding:")),
+      s"prefix coarse scan still reads the embedding column:\n$scanLine")
+  }
+
   test("deterministic under repartitioning") {
     val q = emb.filter(col("vec_id") < 4)
     val a = Similarity.matryoshkaTopK(emb, "vec_id", "embedding",
