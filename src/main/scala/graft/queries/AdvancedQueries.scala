@@ -211,20 +211,57 @@ object AdvancedQueries {
         |ORDER BY d""".stripMargin),
       (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
+        // MONTH-PARTITIONED moving window (VERDICT r16 item 6): the
+        // ROWS-6-PRECEDING frame and lag(1) reach at most 6 rows into
+        // EARLIER months, and each month's trailing ≤6 rows are a
+        // bounded set — collect the per-month tails driver-side (6 ×
+        // #months rows), hand each month its carry-in copies, and run
+        // the window PARTITIONED by month: no single-partition
+        // WindowExec, and the frame a 100 TB daily series needs stays
+        // one bounded exchange + a tiny broadcast union. Decimal sums
+        // are exact and see the identical frame rows, the ma7 double
+        // division sees identical operands — the global-window oracle
+        // replay is unchanged.
         val daily = table(spark, dir, "orders")
           .groupBy(date_trunc("day", col("o_orderdate")).as("d"))
           .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
             .cast("decimal(38,2)").as("revenue"))
-        val byD = Window.orderBy(col("d"))
+          .withColumn("m", date_trunc("month", col("d")))
+        val tails = daily
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy("m").orderBy(col("d").desc)))
+          .filter(col("__rn") <= 6)
+          .select("m", "d", "revenue")
+          .collect()
+          .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getDecimal(2)))
+          .sortBy(_._2.getTime)
+        val monthsSorted = tails.map(_._1).distinct.sortBy(_.getTime)
+        val helperRows = scala.collection.mutable.ArrayBuffer
+          .empty[(java.sql.Timestamp, java.sql.Timestamp, java.math.BigDecimal)]
+        var acc = Vector.empty[(java.sql.Timestamp, java.math.BigDecimal)]
+        monthsSorted.foreach { mi =>
+          helperRows ++= acc.takeRight(6).map { case (d, rev) => (mi, d, rev) }
+          acc = acc ++ tails.filter(_._1 == mi).map(t => (t._2, t._3))
+        }
+        import spark.implicits._
+        val helpers = helperRows.toSeq.toDF("m", "d", "revenue")
+          .select(col("m"), col("d"),
+            col("revenue").cast("decimal(38,2)").as("revenue"))
+        val ext = daily.select("m", "d", "revenue")
+          .withColumn("__h", lit(false))
+          .unionByName(helpers.withColumn("__h", lit(true)))
+        val byD = Window.partitionBy("m").orderBy(col("d"))
         val w7 = byD.rowsBetween(-6, Window.currentRow)
         // moving average as (exact decimal window sum -> double) / frame
         // count: one IEEE division, bit-identical on both engines
-        daily
+        ext
           .withColumn("ma7_e6", floor(sum(col("revenue")).over(w7)
               .cast("double") / count(lit(1)).over(w7) * lit(1e6)
             + lit(0.5)))
           .withColumn("delta", (col("revenue")
             - lag(col("revenue"), 1).over(byD)).cast("decimal(38,2)"))
+          .filter(!col("__h"))
+          .select(col("d"), col("revenue"), col("ma7_e6"), col("delta"))
           .orderBy("d")
       }),
 
@@ -618,12 +655,41 @@ object AdvancedQueries {
         val spine = hourly.agg(min("h").as("mn"), max("h").as("mx"))
           .select(explode(sequence(col("mn"), col("mx"),
             expr("interval 1 hour"))).as("h"))
-        val w = Window.orderBy("h")
+        // DAY-PARTITIONED forward fill (VERDICT r16 item 6): the
+        // IGNORE-NULLS running last_value needs, per hour, the latest
+        // non-null at or before it — fill WITHIN each day with a
+        // day-partitioned window, and resolve the cross-day carry-in
+        // driver-side from the bounded per-day last-non-null table
+        // (≤ one row per day), broadcast back as a (day, carry) join.
+        // No single-partition WindowExec; the fill value is the same
+        // stored decimal the global frame would have picked.
+        val j = spine.join(hourly, Seq("h"), "left")
+          .withColumn("day", date_trunc("day", col("h")))
+        val dayLast = j.filter(col("rev").isNotNull)
+          .groupBy("day").agg(max(struct(col("h"), col("rev"))).as("s"))
+          .select(col("day"), col("s.rev").as("last_rev"))
+          .collect().map(r => (r.getTimestamp(0), r.getDecimal(1)))
+          .sortBy(_._1.getTime)
+        val allDays = j.select(col("day")).distinct()
+          .collect().map(_.getTimestamp(0)).sortBy(_.getTime)
+        var ci = 0
+        var cur: java.math.BigDecimal = null
+        val carries = allDays.flatMap { day =>
+          while (ci < dayLast.length && dayLast(ci)._1.getTime < day.getTime) {
+            cur = dayLast(ci)._2; ci += 1
+          }
+          Option(cur).map(c => (day, c))
+        }
+        import spark.implicits._
+        val carryDf = carries.toSeq.toDF("day", "carry")
+          .select(col("day"), col("carry").cast("decimal(38,2)").as("__carry"))
+        val wd = Window.partitionBy("day").orderBy("h")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        spine.join(hourly, Seq("h"), "left")
+        j.join(broadcast(carryDf), Seq("day"), "left")
           .select(col("h"),
             coalesce(col("n_events"), lit(0L)).as("n_events"),
-            last(col("rev"), ignoreNulls = true).over(w).as("revenue_filled"),
+            coalesce(last(col("rev"), ignoreNulls = true).over(wd),
+              col("__carry")).as("revenue_filled"),
             col("n_events").isNull.cast("int").as("is_gap"))
           .orderBy("h")
       }),
@@ -903,14 +969,54 @@ object AdvancedQueries {
         |ORDER BY c_custkey""".stripMargin),
       (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
-        val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
-        table(spark, dir, "customer")
+        // RANGE-PARTITIONED global rank (VERDICT r16 item 6): a bare
+        // Window.orderBy moves every row to ONE partition (WindowExec
+        // warns). Instead: repartitionByRange on the sort key, rank
+        // locally per partition, add driver-merged partition offsets
+        // (one bounded count per partition — the offset-merge shape
+        // that survives a 100 TB sort key). ntile/percent_rank/
+        // cume_dist all derive from (global rank, n) exactly because
+        // the (c_acctbal, c_custkey) sort key is UNIQUE (no peers):
+        //   percent_rank = (rank-1)/(n-1)   (0.0 when n = 1)
+        //   cume_dist    = rank/n
+        //   ntile(4)     = the SQL-standard first-(n%4)-buckets-larger
+        // with the same IEEE double divisions the window functions do.
+        // The localCheckpoint pins ONE materialized pid assignment so
+        // the offset job and the output job cannot disagree on
+        // boundaries (repartitionByRange samples per RDD id).
+        val base = table(spark, dir, "customer")
           .filter(col("c_nationkey") === 7)
+          .select(col("c_custkey"), col("c_acctbal"))
+        val parted = base
+          .repartitionByRange(8, col("c_acctbal").desc, col("c_custkey"))
+          .withColumn("__pid", spark_partition_id())
+          .localCheckpoint(true)
+        val counts = parted.groupBy("__pid").count()
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        val n = counts.map(_._2).sum
+        val offsets = counts.map(_._1)
+          .zip(counts.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
+        val q4 = n / 4
+        val r4 = n % 4
+        val lrn = row_number().over(Window.partitionBy("__pid")
+          .orderBy(col("c_acctbal").desc, col("c_custkey")))
+        val rank = element_at(typedlit(offsets), col("__pid")) + lrn
+        // Spark's `/` on longs is double division; the divisions below
+        // are exact in double for any realistic n, floor recovers the
+        // integer bucket
+        val quartile = when(lit(q4) === 0, rank)
+          .when(rank <= lit(r4 * (q4 + 1)),
+            floor((rank - 1) / lit(math.max(q4 + 1, 1L).toDouble)) + 1)
+          .otherwise(lit(r4) + floor((rank - 1 - lit(r4 * (q4 + 1)))
+            / lit(math.max(q4, 1L).toDouble)) + 1)
+        val pctRank = if (n <= 1L) lit(0.0)
+          else (rank - 1).cast("double") / lit((n - 1).toDouble)
+        parted
           .select(col("c_custkey"),
-            ntile(4).over(w).as("quartile"),
-            floor(percent_rank().over(w) * lit(1e6) + lit(0.5))
-              .as("pct_rank_e6"),
-            floor(cume_dist().over(w) * lit(1e6) + lit(0.5)).as("cume_e6"))
+            quartile.cast("int").as("quartile"),
+            floor(pctRank * lit(1e6) + lit(0.5)).as("pct_rank_e6"),
+            floor(rank.cast("double") / lit(n.toDouble) * lit(1e6)
+              + lit(0.5)).as("cume_e6"))
           .orderBy("c_custkey")
       }),
 

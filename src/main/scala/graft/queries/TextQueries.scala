@@ -16,7 +16,7 @@ object TextQueries {
   import Tables.table
 
   // DuckDB-side token expression, kept in lockstep with TextAnalysis.tokens
-  private val toksSql = """list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')"""
+  private val toksSql = ReplaySql.toksSql
 
   private def stopList(lang: String): String =
     TextAnalysis.stopwords.toMap.apply(lang).map(w => s"'$w'").mkString("[", ", ", "]")
@@ -678,16 +678,34 @@ object TextQueries {
           .select(col("source"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
-        val all = Window.partitionBy()
-        val greedy = Window.partitionBy()
+        // OFFSET-MERGED running sum (VERDICT r16 item 6): the greedy
+        // cumulative share is a global ordered window — instead of one
+        // partition, repartitionByRange on the greedy order, run the
+        // running sum locally, and add driver-merged per-partition
+        // token-sum offsets (bounded: one long per partition; the
+        // q67 shape). The (tokens DESC, source) key is unique, so the
+        // local ROWS frame equals the oracle's RANGE frame, and the
+        // integer sums + single double divisions are identical.
+        val parted = perSource
+          .repartitionByRange(4, col("tokens").desc, col("source").asc)
+          .withColumn("__pid", spark_partition_id())
+          .localCheckpoint(true)
+        val psums = parted.groupBy("__pid")
+          .agg(sum(col("tokens")).as("t")).collect()
+          .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        val total = psums.map(_._2).sum
+        val offsets = psums.map(_._1)
+          .zip(psums.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
+        val greedyLoc = Window.partitionBy("__pid")
           .orderBy(col("tokens").desc, col("source").asc)
-          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-        perSource
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        parted
           .select(col("source"), col("n_docs"), col("tokens"),
-            floor(col("tokens").cast("double") / sum(col("tokens")).over(all)
+            floor(col("tokens").cast("double") / lit(total.toDouble)
               * lit(1e6) + lit(0.5)).as("share_e6"),
-            floor(sum(col("tokens")).over(greedy).cast("double")
-              / sum(col("tokens")).over(all) * lit(1e6) + lit(0.5))
+            floor((element_at(typedlit(offsets), col("__pid"))
+                + sum(col("tokens")).over(greedyLoc)).cast("double")
+              / lit(total.toDouble) * lit(1e6) + lit(0.5))
               .as("cum_share_e6"))
           .orderBy(col("tokens").desc, col("source").asc)
       }),

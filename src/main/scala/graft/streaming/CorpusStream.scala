@@ -368,7 +368,10 @@ object CorpusStream {
       //    the MG bound guarantees covers every provable heavy term)
       val persisted = spark.read
         .parquet(root.resolve(s"counts_v$newVersion").toString)
-      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      // post-limit(k) input (≤ k rows): one partition is the right
+      // plan — the literal key states the bound instead of tripping
+      // WindowExec's single-partition warning (the recountTopK rule)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
       val out = persisted
         .join(broadcast(candidates.toDF("term")), Seq("term"))
         .orderBy(col("cnt").desc, col("term").asc).limit(k)
