@@ -116,9 +116,20 @@ object Multimodal {
    * task; callers filter `channels > 0` for the clean subset. Video
    * frame sampling stays at the [[FakeCodec]] stub (no JDK demuxer).
    */
+  /** `ImageIO`'s default stream cache is a TEMP FILE per read/write
+    * (`FileCacheImageInput/OutputStream`): at data scale that is one
+    * disk round-trip per image and a syscall storm under concurrent
+    * tasks (round 17 measured the 32-task q108 codec stage burning
+    * 87 CPU-seconds vs 4 single-task — temp-file churn, not decode).
+    * Payloads here are in-memory byte arrays; cache them in memory.
+    * Evaluated once per JVM (executor or driver) on first codec use. */
+  private lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   object ImageIoCodec extends MediaCodec {
     def decodeImage(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) =
       try {
+        imageIoMemCache
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
         if (img == null) (0, 0, 0, Array.empty[Float])
         else {
@@ -299,6 +310,7 @@ object Multimodal {
     var y = 0
     while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
     val bos = new java.io.ByteArrayOutputStream()
+    imageIoMemCache
     javax.imageio.ImageIO.write(img, "jpg", bos)
     bos.toByteArray
   }
@@ -315,7 +327,14 @@ object Multimodal {
    */
   def syntheticMjpegVideos(df: DataFrame, idCol: String): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
-    df.select(col(idCol).cast("long").as("media_id")).mapPartitions { rows =>
+    // The generator's input is 8 bytes/row but its output is a whole
+    // encoded video: spread the id rows BEFORE the codec work so the
+    // encode runs at session parallelism even off a one-split scan
+    // (guide §8: shuffle the lightweight proxy, compute heavy bytes
+    // after). No-op when the scan already has >= cores splits.
+    graft.operators.Parallelism.spreadForMapWork(
+        df.select(col(idCol).cast("long").as("media_id")), "media_id")
+      .mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
         val nFrames = 2 + (id % 7).toInt

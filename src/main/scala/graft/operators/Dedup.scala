@@ -555,7 +555,11 @@ object Dedup {
     * span text never leaves the map side. */
   private def spanTable(df: DataFrame, idCol: String, textCol: String,
       spanTokens: Int, stride: Int): DataFrame =
-    TextAnalysis.chunkByTokens(df, idCol, textCol, spanTokens, stride)
+    // tokenize+window+hash is the expensive map work here — spread the
+    // documents first when the scan under-fills the session (round-17
+    // A/B: q81 2.3s -> 0.8s; no-op on well-split inputs)
+    TextAnalysis.chunkByTokens(
+      Parallelism.spreadForMapWork(df, idCol), idCol, textCol, spanTokens, stride)
       .filter(col("chunk_tokens") === spanTokens)
       .select(col(idCol), col("chunk_idx").as("span_idx"),
         Bridge.column(StringHash64(

@@ -25,10 +25,17 @@ object TextQueries {
     * read the top-30 pmi values off the engine's own result. */
   private def q96Run(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val toks = table(spark, dir, "documents")
+    // round-17: spread the one-split scan before tokenize+explode (the
+    // expensive map work); nDocs avoids the explode+distinct pass — it
+    // only needs "docs with >= 1 token", which one cheap scan computes
+    // (doc_id is the table's primary key; distinct guards duplicates).
+    val docs = graft.operators.Parallelism.spreadForMapWork(
+      table(spark, dir, "documents"), "doc_id")
+    val toks = docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
       .distinct()
-    val nDocs = toks.select("doc_id").distinct().count()
+    val nDocs = docs.filter(size(TextAnalysis.tokens(col("text"))) > 0)
+      .select("doc_id").distinct().count()
     val vocab = toks.groupBy("term").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("term")).limit(50)
     val shared = toks.join(broadcast(vocab), "term")
@@ -970,7 +977,11 @@ object TextQueries {
     QueryDef("q120_quality_classifier", None,
       (spark, dir) => {
         import graft.operators.QualityClassifier
-        val docs = table(spark, dir, "documents")
+        // round-17: per-doc featurization (token hash -> dim counts) is
+        // the map cost in both train and score — spread the one-split
+        // scan (Gram stats are exact integers, partitioning-independent)
+        val docs = graft.operators.Parallelism.spreadForMapWork(
+          table(spark, dir, "documents"), "doc_id")
         val label = array_contains(
           graft.operators.TextAnalysis.tokens(col("text")), "dup")
         val (bias, w) = QualityClassifier.trainRidge(docs, "doc_id", "text",
@@ -1005,7 +1016,11 @@ object TextQueries {
     QueryDef("q129_dsir_selection", None,
       (spark, dir) => {
         import graft.operators.DataSelection
-        val docs = table(spark, dir, "documents")
+        // round-17: hashed-ngram featurization is the map cost — spread
+        // the one-split scan (DataSelectionSpec pins that a
+        // repartitioned corpus gives identical weights)
+        val docs = graft.operators.Parallelism.spreadForMapWork(
+          table(spark, dir, "documents"), "doc_id")
         val scored = DataSelection.dsirWeights(docs, "doc_id", "text",
           targetFilter = col("source") === "src0", dim = 256, seed = 11L)
         scored.join(docs.select("doc_id", "source"), Seq("doc_id"))
