@@ -326,7 +326,12 @@ object CorpusStream {
       val prior =
         if (st.version == 0L) Seq.empty[(String, Long)].toDF("term", "cnt")
         else spark.read.parquet(root.resolve(s"counts_v${st.version}").toString)
-      val tracked = prior.select("term").as[String].collect().toSet
+      // the prior counts table's rows are exactly the prior candidate
+      // set (merged is filtered to candidates before every write), and
+      // the committed meta already carries that set as summary keys —
+      // reading the parquet back and collecting it was one whole job
+      // per trigger for information the driver already holds (round 17)
+      val tracked: Set[String] = st.summary.keySet
       val candidates = staged.keys.toSeq.sorted
       val newTerms = candidates.filterNot(tracked)
       val histPaths =
