@@ -202,11 +202,20 @@ object Dedup {
       // unless two distinct shingles collide in 64 bits (~2^-64 per
       // pair; the hash-compared oracle, which joins on strings, would
       // catch exactly that).
+      // PINNED partition count (round 17): with a bare repartition(col)
+      // AQE coalesces the exchange by BYTES (advisory/minPartitionSize),
+      // but the counting join downstream EXPLODES each narrow row into
+      // per-pair work — 3.2 MiB of shuffle carried ~4 CPU-seconds of
+      // pair counting in 3 coalesced tasks at sf0.1. Pin the exchange
+      // to the session's parallelism so the CPU-dense stage keeps it;
+      // at cluster scale defaultParallelism is the configured core
+      // count, exactly what a CPU-bound stage wants.
       val byShingle = sh
         .select(Bridge.column(StringHash64(
           Bridge.expression(col("shingle")))).as("shingle"),
           col("id"), col("n_sh"))
-        .repartition(col("shingle"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism,
+          col("shingle"))
       // Stop-shingle pruning to bound bucket skew at scale: heavy
       // shingles are FEW (broadcast-able) — a groupBy + broadcast
       // anti-join beats a window count, which would sort-and-buffer the
@@ -494,7 +503,14 @@ object Dedup {
       minCosine: Double = 0.95, bruteForce: Boolean = false,
       numTables: Int = 8, bitsPerTable: Int = 8, dim: Int = 64,
       seed: Long = 42L): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(embCol).as("emb_a"))
+    // brute-force arm: the stream side of the broadcast cross join
+    // inherits the scan's split count — one split means ONE task pays
+    // the whole n²/2 cosine mass; spread it first (round 17, no-op on
+    // well-split inputs). Per-pair math only, so output is unchanged.
+    val a =
+      if (bruteForce) Parallelism.spreadForMapWork(
+        df.select(col(idCol).as("id_a"), col(embCol).as("emb_a")), "id_a")
+      else df.select(col(idCol).as("id_a"), col(embCol).as("emb_a"))
     val b = df.select(col(idCol).as("id_b"), col(embCol).as("emb_b"))
     val candidates =
       if (bruteForce) a.crossJoin(b).filter(col("id_a") < col("id_b"))

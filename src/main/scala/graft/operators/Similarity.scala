@@ -400,37 +400,29 @@ object Similarity {
   def mmrRerank(pool0: DataFrame, corpus: DataFrame, idCol: String,
       embCol: String, k: Int, lambda: Double = 0.7): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.graft.expressions.MmrChain
+    // Round 17: the greedy chain is per-query independent and its
+    // maxsim is a max-fold (order-free), so the whole k-step selection
+    // runs LOCALLY per query group over the bounded pool — one
+    // aggregation instead of k-1 driver-synchronized window jobs with
+    // an eager localCheckpoint each. MmrChain's eval replicates the
+    // former DataFrame loop's float ops verbatim (same cosine loop,
+    // same λ arithmetic, Spark's own double ordering + ascending-id
+    // tiebreak), so the output — and the q130/q132 oracle hashes — are
+    // bit-identical. Buffer per group = poolSize rows by construction.
     val pool = pool0
       .join(corpus.select(col(idCol).as("neighbor_id"), col(embCol).as("__cemb")),
         Seq("neighbor_id"))
-      .select("query_id", "neighbor_id", "score", "__cemb")
-      .localCheckpoint(true)
-    val step1 = pool
-      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("score").desc, col("neighbor_id"))))
-      .filter(col("rn") === 1)
-      .select(col("query_id"), lit(1).as("rank"), col("neighbor_id"),
-        col("score").as("rel"), (lit(lambda) * col("score")).as("mmr"),
-        col("__cemb").as("__semb"))
-    var selected = step1.localCheckpoint(true)
-    (2 to k).foreach { step =>
-      val selArr = selected.groupBy("query_id")
-        .agg(collect_list(col("__semb")).as("__sel"))
-      val winner = pool
-        .join(selected.select("query_id", "neighbor_id"),
-          Seq("query_id", "neighbor_id"), "left_anti")
-        .join(selArr, Seq("query_id"))
-        .withColumn("__maxsim", aggregate(col("__sel"), lit(-1.0),
-          (acc, s) => greatest(acc, cosine_sim(col("__cemb"), s))))
-        .withColumn("mmr",
-          lit(lambda) * col("score") - lit(1.0 - lambda) * col("__maxsim"))
-        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
-          .orderBy(col("mmr").desc, col("neighbor_id"))))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), lit(step).as("rank"), col("neighbor_id"),
-          col("score").as("rel"), col("mmr"), col("__cemb").as("__semb"))
-      selected = selected.unionByName(winner).localCheckpoint(true)
-    }
-    selected.select("query_id", "rank", "neighbor_id", "rel", "mmr")
+      .select(col("query_id"), col("neighbor_id").cast("long").as("neighbor_id"),
+        col("score").cast("double").as("score"), col("__cemb"))
+    pool.groupBy("query_id")
+      .agg(collect_list(struct(col("neighbor_id"), col("score"), col("__cemb")))
+        .as("__pool"))
+      .select(col("query_id"), explode(Bridge.column(MmrChain(
+        Bridge.expression(col("__pool")), k, lambda))).as("__it"))
+      .select(col("query_id"), col("__it.rank").as("rank"),
+        col("__it.neighbor_id").as("neighbor_id"),
+        col("__it.rel").as("rel"), col("__it.mmr").as("mmr"))
   }
 }

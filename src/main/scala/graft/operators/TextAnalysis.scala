@@ -341,26 +341,31 @@ object TextAnalysis {
     val spark = df.sparkSession
     import spark.implicits._
     val candDf = candidates.toDF("term")
-    // the window input is the post-limit(k) set (≤ k rows by
-    // construction) — a single partition IS the right plan; the
-    // literal partition key states that boundedness instead of
-    // tripping WindowExec's single-partition warning (VERDICT r16
-    // item 6: every remaining empty-partition window is either
-    // rewritten to the offset-merge shape or provably bounded like
-    // this one)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+    // rank + verdict over the post-limit(k) set: ≤ k rows by
+    // construction, already ordered — collect them and compute both
+    // driver-side (bounded). Round 17: the previous form used a
+    // Window.partitionBy(lit(0)) to "state" the boundedness, but
+    // constant folding strips literal partition keys, so it still
+    // planned a genuine empty-partition WindowExec (and warned on
+    // every run); k driver-side rows need no window at all.
+    val top = recountPlan(df, textCol, candDf, k).collect()
+    val complete = top.length == k &&
+      top.iterator.map(_.getLong(1)).min * counters > nTokens
+    top.iterator.zipWithIndex.map { case (r, i) =>
+      (i + 1, r.getString(0), r.getLong(1), complete)
+    }.toSeq.toDF("rank", "term", "cnt", "provably_complete")
+  }
+
+  /** The distributed half of [[recountTopK]] (exposed so PlanAuditSpec
+    * can pin its broadcast + partial-agg shape): exact counts of the
+    * candidate terms only, top-k with the deterministic tiebreak. */
+  private[graft] def recountPlan(df: DataFrame, textCol: String,
+      candDf: DataFrame, k: Int): DataFrame =
     df.select(explode(tokens(col(textCol))).as("term"))
       .join(broadcast(candDf), Seq("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(k)
-      .withColumn("rank", row_number().over(
-        w.orderBy(col("cnt").desc, col("term").asc)).cast("int"))
-      .withColumn("provably_complete",
-        min(col("cnt")).over(w) * counters > nTokens &&
-          count(lit(1)).over(w) === k)
-      .select(col("rank"), col("term"), col("cnt"), col("provably_complete"))
-  }
 
   /**
    * Gopher-style repetition quality gate (Rae et al. '21 §A1.1) — the

@@ -449,6 +449,8 @@ object TextQueries {
     QueryDef("q83_training_set_prep", Some(q83OracleSql),
       (spark, dir) => {
         import org.apache.spark.sql.expressions.Window
+        // round-17: spreadForMapWork was A/B'd here and REJECTED (same
+        // per-task-init-dominated profile as q111: CPU x8 at sf0.1)
         val docs = table(spark, dir, "documents")
         val gated = docs
           .withColumn("__m", TextAnalysis.textMetrics(col("text")))
@@ -506,6 +508,10 @@ object TextQueries {
       (spark, dir) => {
         import graft.pipeline.CorpusPipeline
         import graft.pipeline.CorpusPipeline.CurationConfig
+        // round-17: spreadForMapWork was A/B'd here and REJECTED — the
+        // pipeline's fused metrics/shingle stages carry heavy per-task
+        // init (regex compiles) that dominates small per-task row
+        // counts: spread multiplied total CPU ~8x at sf0.1
         val docs = table(spark, dir, "documents")
         val out = CorpusPipeline.curate(docs, "doc_id", "text",
           CurationConfig(minQuality = 0.5, nearDupJaccard = 0.6,

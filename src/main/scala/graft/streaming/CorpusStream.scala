@@ -373,25 +373,34 @@ object CorpusStream {
       //    the MG bound guarantees covers every provable heavy term)
       val persisted = spark.read
         .parquet(root.resolve(s"counts_v$newVersion").toString)
-      // post-limit(k) input (≤ k rows): one partition is the right
-      // plan — the literal key states the bound instead of tripping
-      // WindowExec's single-partition warning (the recountTopK rule)
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
-      val out = persisted
+      // rank + verdict over the post-limit(k) set: ≤ k rows, already
+      // ordered — collect and compute driver-side (the recountTopK
+      // rule, round 17: a Window.partitionBy(lit(0)) gets its literal
+      // key constant-folded away and still plans an empty-partition
+      // WindowExec). Collecting here also hands the callback a
+      // MATERIALIZED frame: a lazy plan over counts_v<V> would break
+      // once a later trigger's GC deletes the version it references.
+      val top = persisted
         .join(broadcast(candidates.toDF("term")), Seq("term"))
         .orderBy(col("cnt").desc, col("term").asc).limit(k)
-        .withColumn("rank", row_number().over(
-          w.orderBy(col("cnt").desc, col("term").asc)).cast("int"))
-        .withColumn("provably_complete",
-          min(col("cnt")).over(w) * counters > newNTokens &&
-            count(lit(1)).over(w) === k)
-        .select(col("rank"), col("term"), col("cnt"),
-          col("provably_complete"))
-      // hand the callback a MATERIALIZED ≤k-row frame: a lazy plan
-      // over counts_v<V> would break once a later trigger's GC deletes
-      // the version it references
-      val outRows = java.util.Arrays.asList(out.collect(): _*)
-      onEpoch(batchId, spark.createDataFrame(outRows, out.schema))
+        .select("term", "cnt").collect()
+      val complete = top.length == k &&
+        top.iterator.map(_.getLong(1)).min * counters > newNTokens
+      val outRows = java.util.Arrays.asList(
+        top.iterator.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(i + 1, r.getString(0), r.getLong(1),
+            complete)
+        }.toSeq: _*)
+      val outSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("provably_complete",
+          org.apache.spark.sql.types.BooleanType, nullable = false)))
+      onEpoch(batchId, spark.createDataFrame(outRows, outSchema))
 
       // 5. the commit point
       commit(Meta(newVersion, batchId, newNTokens, staged.toMap, hist))

@@ -275,7 +275,16 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q122 heavy hitters: candidate recount joins BROADCAST, term agg partial") {
-    val plan = run("q122_heavy_hitters").queryExecution.executedPlan.toString
+    // round 17: recountTopK computes rank/verdict driver-side over the
+    // collected post-limit(k) rows (the returned frame is a
+    // LocalTableScan), so the shape to pin is the DISTRIBUTED recount
+    // half it collects from
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Tables.table(spark, sfDir, "documents")
+    import spark.implicits._
+    val plan = graft.operators.TextAnalysis.recountPlan(
+      docs, "text", Seq("the", "and", "of").toDF("term"), 10)
+      .queryExecution.executedPlan.toString
     // pass 2's semi-join against the <= m candidates must broadcast —
     // a shuffled join here would reintroduce the term-universe exchange
     // the MG summary exists to avoid
@@ -284,5 +293,9 @@ class PlanAuditSpec extends SparkSpec {
     // the exact recount still combines map-side before its exchange
     assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
       s"recount must partial-aggregate:\n${plan.take(2000)}")
+    // and the returned q122 frame must be the bounded driver-side form
+    // (no empty-partition WindowExec anywhere in it)
+    val outPlan = run("q122_heavy_hitters").queryExecution.executedPlan.toString
+    assert(!outPlan.contains("WindowExec"), outPlan.take(2000))
   }
 }
