@@ -232,7 +232,11 @@ object TextQueries {
          |    '${TextAnalysis.ipv4Pattern}')) AS INTEGER) AS n_ip
          |FROM seeded ORDER BY doc_id""".stripMargin),
       (spark, dir) =>
-        table(spark, dir, "documents")
+        // round-17: 6 regex passes per row off a one-split scan —
+        // spread first (per-row CPU dominates; no-op on well-split
+        // inputs)
+        graft.operators.Parallelism.spreadForMapWork(
+            table(spark, dir, "documents"), "doc_id")
           .withColumn("s", concat(col("text"),
             lit(" contact u"), col("doc_id").cast("string"),
             lit("@example.com or call 555-123-4567 from 10.0.0."),
@@ -599,6 +603,8 @@ object TextQueries {
         |ORDER BY df DESC, term LIMIT 30""".stripMargin),
       (spark, dir) => {
         import graft.operators.TextAnalysis
+        // round-17: spreadForMapWork A/B'd here and REJECTED — the
+        // whole map side is ~0.35s of CPU; the per-task tax outweighs it
         val tf = table(spark, dir, "documents")
           .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -651,7 +657,10 @@ object TextQueries {
         |ORDER BY n DESC, bigram LIMIT 40""".stripMargin),
       (spark, dir) => {
         import graft.operators.TextAnalysis
-        table(spark, dir, "documents")
+        // round-17: tokenize+bigram-explode+partial-agg all run in the
+        // one-split scan stage — spread first (no-op on well-split inputs)
+        graft.operators.Parallelism.spreadForMapWork(
+            table(spark, dir, "documents"), "doc_id")
           .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
           .filter(size(col("tk")) >= 2)
           .select(col("doc_id"), explode(zip_with(
